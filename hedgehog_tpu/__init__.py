@@ -1,0 +1,137 @@
+"""hedgehog_tpu — a TPU-native derivatives-pricing framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of Hedgehog.jl
+(reference layout: /root/reference/src/Hedgehog.jl): one `solve(problem,
+method)` entry point over analytic Black-Scholes, CRR binomial trees,
+Monte Carlo (Euler-Maruyama and exact samplers incl. Broadie-Kaya Heston),
+Carr-Madan Fourier pricing and Longstaff-Schwartz LSM, with AD/FD/analytic
+Greeks through functional lenses and differentiable calibration — every
+method a jit/vmap-able XLA program, hot paths as Pallas TPU kernels, and
+path-sharded multi-chip scaling via jax.sharding.
+"""
+
+import jax as _jax
+
+# Tick arithmetic (~6.4e13 ms) and 1e-8 pricing goldens require float64.
+# Pallas kernels opt into fp32 fast paths explicitly.
+_jax.config.update("jax_enable_x64", True)
+
+from .core.dates import (  # noqa: E402
+    MILLISECONDS_IN_DAY,
+    MILLISECONDS_IN_YEAR_365,
+    SECONDS_IN_YEAR_365,
+    add_yearfrac,
+    ticks_to_datetime,
+    to_ticks,
+    yearfrac,
+)
+from .core.payoffs import (  # noqa: E402
+    American,
+    Call,
+    European,
+    Forward,
+    Put,
+    Spot,
+    VanillaOption,
+    parity_transform,
+)
+from .market.rate_curve import (  # noqa: E402
+    FlatRateCurve,
+    RateCurve,
+    df,
+    df_yf,
+    forward_rate,
+    spine_tenors,
+    spine_zeros,
+    zero_rate,
+    zero_rate_yf,
+)
+from .market.vol_surface import (  # noqa: E402
+    FlatVolSurface,
+    Interpolator2D,
+    RectVolSurface,
+    get_vol,
+    get_vol_yf,
+)
+from .market.inputs import BlackScholesInputs, HestonInputs  # noqa: E402
+from .core.problems import (  # noqa: E402
+    AnalyticSolution,
+    BasketPricingProblem,
+    BasketPricingSolution,
+    CarrMadanSolution,
+    CRRSolution,
+    LSMSolution,
+    MonteCarloSolution,
+    PricingProblem,
+)
+from .core.lenses import (  # noqa: E402
+    FieldLens,
+    Lens,
+    SpotLens,
+    VolLens,
+    ZeroRateSpineLens,
+    lens_get,
+    lens_set,
+)
+from .core.solve import AbstractPricingMethod, register_solver, solve  # noqa: E402
+from .methods.black_scholes import BlackScholesAnalytic  # noqa: E402
+
+__all__ = [
+    # dates
+    "SECONDS_IN_YEAR_365",
+    "MILLISECONDS_IN_YEAR_365",
+    "MILLISECONDS_IN_DAY",
+    "to_ticks",
+    "yearfrac",
+    "add_yearfrac",
+    "ticks_to_datetime",
+    # payoffs
+    "VanillaOption",
+    "European",
+    "American",
+    "Call",
+    "Put",
+    "Spot",
+    "Forward",
+    "parity_transform",
+    # market
+    "RateCurve",
+    "FlatRateCurve",
+    "df",
+    "df_yf",
+    "zero_rate",
+    "zero_rate_yf",
+    "forward_rate",
+    "spine_tenors",
+    "spine_zeros",
+    "FlatVolSurface",
+    "RectVolSurface",
+    "Interpolator2D",
+    "get_vol",
+    "get_vol_yf",
+    "BlackScholesInputs",
+    "HestonInputs",
+    # problems / solutions
+    "PricingProblem",
+    "BasketPricingProblem",
+    "BasketPricingSolution",
+    "AnalyticSolution",
+    "CRRSolution",
+    "MonteCarloSolution",
+    "CarrMadanSolution",
+    "LSMSolution",
+    # lenses
+    "Lens",
+    "FieldLens",
+    "SpotLens",
+    "VolLens",
+    "ZeroRateSpineLens",
+    "lens_get",
+    "lens_set",
+    # solve facade
+    "solve",
+    "register_solver",
+    "AbstractPricingMethod",
+    # methods
+    "BlackScholesAnalytic",
+]

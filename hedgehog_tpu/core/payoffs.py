@@ -1,0 +1,117 @@
+"""Payoffs: contract terms + intrinsic value, exercise/underlying taxonomy.
+
+Parity target: reference src/payoffs/payoffs.jl.  The option taxonomy
+(European/American, Call/Put with ±1 indicator, Spot/Forward underlying) is
+kept as zero-size static marker dataclasses; the contract economics (strike,
+expiry) are traced pytree leaves so AD flows through them (strike greeks,
+theta against expiry-in-ticks).
+
+Intrinsic value is vectorized: ``payoff(spots)`` broadcasts over arrays of
+terminal prices — this is the per-path payoff kernel in all MC methods.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree, static_field
+from .dates import to_ticks
+
+__all__ = [
+    "ExerciseStyle",
+    "European",
+    "American",
+    "CallPut",
+    "Call",
+    "Put",
+    "Underlying",
+    "Spot",
+    "Forward",
+    "VanillaOption",
+    "parity_transform",
+]
+
+
+class ExerciseStyle:
+    """Marker base: exercise style (European/American)."""
+
+
+@pytree
+class European(ExerciseStyle):
+    pass
+
+
+@pytree
+class American(ExerciseStyle):
+    pass
+
+
+class CallPut:
+    """Marker base: call/put. Instances are callable and return the ±1 indicator."""
+
+
+@pytree
+class Call(CallPut):
+    def __call__(self) -> float:
+        return 1.0
+
+
+@pytree
+class Put(CallPut):
+    def __call__(self) -> float:
+        return -1.0
+
+
+class Underlying:
+    """Marker base: whether the contract quotes against spot or forward."""
+
+
+@pytree
+class Spot(Underlying):
+    pass
+
+
+@pytree
+class Forward(Underlying):
+    pass
+
+
+@pytree
+class VanillaOption:
+    """A vanilla option: ``max(cp * (S - K), 0)`` at exercise.
+
+    Fields mirror reference src/payoffs/payoffs.jl:101-113.  ``expiry`` is
+    stored in float ticks (ms since 0000-01-01) so it is differentiable; the
+    date-accepting constructor of the reference (:131-140) is covered by
+    passing a ``datetime.date``/``datetime.datetime`` which is converted via
+    ``to_ticks``.
+    """
+
+    strike: Any
+    expiry: Any
+    exercise_style: ExerciseStyle = static_field(default=European())
+    call_put: CallPut = static_field(default=Call())
+    underlying: Underlying = static_field(default=Spot())
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+
+    def __call__(self, spot):
+        """Intrinsic value, broadcasting over arrays of spot prices."""
+        cp = self.call_put()
+        return jnp.maximum(cp * (jnp.asarray(spot) - self.strike), 0.0)
+
+
+def parity_transform(call_price, opt: VanillaOption, spot, rate_curve):
+    """Put-call parity: recover this option's price from the call price.
+
+    Calls pass through; puts use ``put = call - S + K·df(T)``
+    (reference src/payoffs/payoffs.jl:172-193).
+    """
+    if isinstance(opt.call_put, Call):
+        return call_price
+    from ..market.rate_curve import df
+
+    return call_price - spot + opt.strike * df(rate_curve, opt.expiry)

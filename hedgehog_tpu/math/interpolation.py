@@ -1,0 +1,94 @@
+"""1-D and nested 2-D interpolation with constant (clamped) extrapolation.
+
+TPU-native replacement for the reference's DataInterpolations.jl usage
+(reference src/market_inputs/rate_curve.jl:76, vol_surface.jl:37-46):
+LinearInterpolation / CubicSpline with ExtrapolationType.Constant.
+
+Design: interpolators are *functions of the knot data*, not stateful objects.
+Coefficients (for cubic) are recomputed inside the evaluation so that AD flows
+from knot values to interpolated outputs — this is what makes lens-bumped
+curves (ZeroRateSpineLens) differentiable without a "builder closure".
+Everything is jit/vmap-safe: fixed shapes, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["interp1d", "interp2d_nested", "INTERP_KINDS"]
+
+INTERP_KINDS = ("linear", "cubic")
+
+
+def _natural_cubic_second_derivs(xs, ys):
+    """Second derivatives M_i of the natural cubic spline through (xs, ys).
+
+    Solves the standard tridiagonal system densely (spine sizes are tiny —
+    dozens of knots), which keeps the whole thing differentiable and
+    compiler-friendly without a custom Thomas scan.
+    """
+    n = xs.shape[0]
+    h = xs[1:] - xs[:-1]  # (n-1,)
+    # Interior equations: h[i-1] M[i-1] + 2(h[i-1]+h[i]) M[i] + h[i] M[i+1] = rhs
+    A = jnp.zeros((n, n), dtype=ys.dtype)
+    A = A.at[0, 0].set(1.0)
+    A = A.at[n - 1, n - 1].set(1.0)
+    idx = jnp.arange(1, n - 1)
+    A = A.at[idx, idx - 1].set(h[:-1])
+    A = A.at[idx, idx].set(2.0 * (h[:-1] + h[1:]))
+    A = A.at[idx, idx + 1].set(h[1:])
+    slope = (ys[1:] - ys[:-1]) / h
+    rhs = jnp.zeros((n,), dtype=ys.dtype)
+    rhs = rhs.at[idx].set(6.0 * (slope[1:] - slope[:-1]))
+    return jnp.linalg.solve(A, rhs)
+
+
+def interp1d(x, xs, ys, kind: str = "linear"):
+    """Evaluate a 1-D interpolant of (xs, ys) at x, clamping outside [xs0, xsN].
+
+    - ``kind='linear'``: piecewise linear (matches LinearInterpolation +
+      constant extrapolation).
+    - ``kind='cubic'``: natural cubic spline (matches CubicSpline + constant
+      extrapolation).
+
+    ``x`` may be scalar or any-shaped array; broadcasting over x.
+    Degenerate single-knot data returns ys[0].
+    """
+    xs = jnp.asarray(xs)
+    ys = jnp.asarray(ys)
+    x = jnp.asarray(x)
+    if xs.shape[0] == 1:
+        return jnp.broadcast_to(ys[0], x.shape)
+    xq = jnp.clip(x, xs[0], xs[-1])
+    if kind == "linear":
+        return jnp.interp(xq, xs, ys)
+    if kind == "cubic":
+        M = _natural_cubic_second_derivs(xs, ys)
+        i = jnp.clip(jnp.searchsorted(xs, xq, side="right") - 1, 0, xs.shape[0] - 2)
+        x0, x1 = xs[i], xs[i + 1]
+        h = x1 - x0
+        t0 = (x1 - xq) / h
+        t1 = (xq - x0) / h
+        return (
+            t0 * ys[i]
+            + t1 * ys[i + 1]
+            + ((t0**3 - t0) * M[i] + (t1**3 - t1) * M[i + 1]) * (h**2) / 6.0
+        )
+    raise ValueError(f"unknown interpolation kind {kind!r}; expected one of {INTERP_KINDS}")
+
+
+def interp2d_nested(x, y, x_vals, y_vals, values, kind_x: str = "linear", kind_y: str = "linear"):
+    """Nested 1-D interpolation on a rectangular grid, clamped on both axes.
+
+    Semantics match the reference Interpolator2D (src/market_inputs/
+    vol_surface.jl:12-57): first interpolate each x-row along y, then
+    interpolate the resulting column along x.  ``values`` has shape
+    (len(x_vals), len(y_vals)); x/y are scalars or broadcastable arrays.
+    """
+    values = jnp.asarray(values)
+    # Interpolate along y for every x-row: rows_at_y[i] = interp(values[i,:])(y)
+    import jax
+
+    rows_at_y = jax.vmap(lambda row: interp1d(y, y_vals, row, kind=kind_y))(values)
+    # rows_at_y: (n_x,) + shape(y). Then interpolate along x.
+    return interp1d(x, x_vals, rows_at_y, kind=kind_x)

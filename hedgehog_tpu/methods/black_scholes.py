@@ -1,0 +1,62 @@
+"""Black-Scholes analytic pricing (forward-measure closed form).
+
+Parity target: reference src/pricing_methods/black_scholes.jl.  The pricer is
+fully vectorized: strike/expiry/spot/vol may be arrays, so one call prices a
+whole strike×expiry grid on the VPU (the reference's scalar closed form is the
+degenerate case).  Zero volatility falls back to discounted intrinsic via a
+branchless select (black_scholes.jl:53-54).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.stats import norm
+
+from ..core.dates import yearfrac
+from ..core.problems import AnalyticSolution, PricingProblem
+from ..core.solve import AbstractPricingMethod, register_solver
+from ..market.rate_curve import df
+from ..market.vol_surface import get_vol
+from ..utils.pytree import pytree
+
+__all__ = ["BlackScholesAnalytic"]
+
+
+@pytree
+class BlackScholesAnalytic(AbstractPricingMethod):
+    """Closed-form Black-Scholes for European vanilla options."""
+
+
+def bs_price(forward, strike, vol, T, discount, cp):
+    """Undiscounted-forward Black formula, vectorized & branchless.
+
+    price = D·cp·(F·N(cp·d1) − K·N(cp·d2)); σ==0 → discounted intrinsic.
+    """
+    sqrtT = jnp.sqrt(T)
+    sigma_safe = jnp.where(vol > 0, vol, 1.0)
+    d1 = (jnp.log(forward / strike) + 0.5 * sigma_safe**2 * T) / (sigma_safe * sqrtT)
+    d2 = d1 - sigma_safe * sqrtT
+    bs = discount * cp * (forward * norm.cdf(cp * d1) - strike * norm.cdf(cp * d2))
+    intrinsic = discount * jnp.maximum(cp * (forward - strike), 0.0)
+    return jnp.where((vol > 0) & (T > 0), bs, intrinsic)
+
+
+@register_solver(BlackScholesAnalytic)
+def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> AnalyticSolution:
+    payoff = prob.payoff
+    market = prob.market_inputs
+    from ..core.payoffs import European
+
+    if not isinstance(payoff.exercise_style, European):
+        # Mirrors the reference's European-only dispatch (black_scholes.jl:38-41).
+        raise TypeError("BlackScholesAnalytic prices European options only.")
+
+    K = payoff.strike
+    sigma = get_vol(market.sigma, payoff.expiry, K)
+    cp = payoff.call_put()
+    T = yearfrac(market.reference_date, payoff.expiry)
+    D = df(market.rate, payoff.expiry)
+    F = market.spot / D
+
+    price = bs_price(F, K, sigma, T, D, cp)
+    return AnalyticSolution(prob, method, price)
