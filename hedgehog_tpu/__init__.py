@@ -75,6 +75,20 @@ from .core.lenses import (  # noqa: E402
 )
 from .core.solve import AbstractPricingMethod, register_solver, solve  # noqa: E402
 from .methods.black_scholes import BlackScholesAnalytic  # noqa: E402
+from .methods.crr import CoxRossRubinsteinMethod  # noqa: E402
+from .greeks.greeks import (  # noqa: E402
+    AnalyticGreek,
+    BatchGreekProblem,
+    FDBackward,
+    FDCentral,
+    FDForward,
+    FiniteDifference,
+    ForwardAD,
+    GreekProblem,
+    GreekResult,
+    ReverseAD,
+    SecondOrderGreekProblem,
+)
 
 __all__ = [
     # dates
@@ -134,4 +148,17 @@ __all__ = [
     "AbstractPricingMethod",
     # methods
     "BlackScholesAnalytic",
+    "CoxRossRubinsteinMethod",
+    # greeks
+    "GreekProblem",
+    "SecondOrderGreekProblem",
+    "BatchGreekProblem",
+    "GreekResult",
+    "ForwardAD",
+    "ReverseAD",
+    "FiniteDifference",
+    "AnalyticGreek",
+    "FDForward",
+    "FDBackward",
+    "FDCentral",
 ]
