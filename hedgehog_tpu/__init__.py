@@ -76,6 +76,24 @@ from .core.lenses import (  # noqa: E402
 from .core.solve import AbstractPricingMethod, register_solver, solve  # noqa: E402
 from .methods.black_scholes import BlackScholesAnalytic  # noqa: E402
 from .methods.crr import CoxRossRubinsteinMethod  # noqa: E402
+from .models.dynamics import (  # noqa: E402
+    HestonDynamics,
+    LognormalDynamics,
+    heston_cf,
+    lognormal_cf,
+)
+from .methods.carr_madan import CarrMadan  # noqa: E402
+from .methods.montecarlo import (  # noqa: E402
+    Antithetic,
+    BlackScholesExact,
+    EulerMaruyama,
+    HestonBroadieKaya,
+    MonteCarlo,
+    NoVarianceReduction,
+    SimulationConfig,
+    simulate_price_grid,
+    simulate_terminal_prices,
+)
 from .greeks.greeks import (  # noqa: E402
     AnalyticGreek,
     BatchGreekProblem,
@@ -149,6 +167,21 @@ __all__ = [
     # methods
     "BlackScholesAnalytic",
     "CoxRossRubinsteinMethod",
+    # dynamics & MC
+    "LognormalDynamics",
+    "HestonDynamics",
+    "heston_cf",
+    "lognormal_cf",
+    "CarrMadan",
+    "MonteCarlo",
+    "SimulationConfig",
+    "EulerMaruyama",
+    "BlackScholesExact",
+    "HestonBroadieKaya",
+    "NoVarianceReduction",
+    "Antithetic",
+    "simulate_terminal_prices",
+    "simulate_price_grid",
     # greeks
     "GreekProblem",
     "SecondOrderGreekProblem",

@@ -1,0 +1,300 @@
+"""Monte Carlo pricing engine: dynamics × strategy × config, TPU-first.
+
+Parity target: reference src/pricing_methods/montecarlo.jl (dynamics/strategy/
+variance-reduction taxonomy, SimulationConfig, exact vs Euler-Maruyama paths,
+antithetic variates, payoff reduction, discounted mean price).
+
+TPU-native design (replaces StochasticDiffEq/DiffEqNoiseProcess, SURVEY §2b):
+
+- **Megabatch simulation**: one ``lax.scan`` over time steps carrying a
+  ``(paths,)`` state vector — all paths advance in lockstep on the VPU.  No
+  per-trajectory solver objects; the path axis is the vectorized axis and (in
+  ``hedgehog_tpu.parallel``) the sharded axis.
+- **Counter-based RNG**: a single static integer seed derives a Threefry key;
+  normals are deterministic functions of (seed, step, path).  The reference's
+  per-trajectory seed vector (montecarlo.jl:58-79) exists for reproducibility;
+  "same config ⇒ same price" holds here by construction and any path is
+  re-derivable from (seed, path index) — the checkpoint/recovery story of
+  SURVEY §5.
+- **Antithetic = negated normals**: flipping the Brownian grid (montecarlo.jl:
+  252-263) or the σ → −σ exact-GBM trick (:270-284) are both exactly
+  "negate the standard normals"; we simulate N pairs (2N paths, like the
+  reference) and average payoffs pairwise.
+- **Differentiable**: with the RNG held fixed, ``jax.grad`` through
+  simulate→payoff→discount gives pathwise Greeks (the ForwardDiff-through-
+  seeded-MC trick of greeks_agreement.jl:170-241).
+
+The optional Pallas fused kernel (hedgehog_tpu.ops) plugs in behind the same
+EulerMaruyama strategy via ``use_kernel=True``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dates import yearfrac
+from ..core.payoffs import European, Spot
+from ..core.problems import MonteCarloSolution, PricingProblem
+from ..core.solve import AbstractPricingMethod, register_solver
+from ..market.rate_curve import df, zero_rate, zero_rate_yf
+from ..market.vol_surface import FlatVolSurface, get_vol
+from ..models.dynamics import HestonDynamics, LognormalDynamics, lognormal_terminal_law
+from ..utils.pytree import pytree, static_field
+
+__all__ = [
+    "SimulationConfig",
+    "MonteCarlo",
+    "EulerMaruyama",
+    "BlackScholesExact",
+    "HestonBroadieKaya",
+    "NoVarianceReduction",
+    "Antithetic",
+    "simulate_terminal_prices",
+    "simulate_price_grid",
+]
+
+
+# ------------------ Variance reduction ------------------
+
+
+class VarianceReductionStrategy:
+    pass
+
+
+@pytree
+class NoVarianceReduction(VarianceReductionStrategy):
+    pass
+
+
+@pytree
+class Antithetic(VarianceReductionStrategy):
+    pass
+
+
+# ------------------ Strategies ------------------
+
+
+class SimulationStrategy:
+    pass
+
+
+@pytree
+class EulerMaruyama(SimulationStrategy):
+    """Euler-Maruyama log-space stepping; optionally via the fused Pallas
+    TPU kernel (``use_kernel=True``, see hedgehog_tpu.ops)."""
+
+    use_kernel: bool = static_field(default=False)
+
+
+class ExactSimulation(SimulationStrategy):
+    pass
+
+
+@pytree
+class BlackScholesExact(ExactSimulation):
+    """Exact terminal lognormal draw (no path discretization error)."""
+
+
+@pytree
+class HestonBroadieKaya(ExactSimulation):
+    """Exact Heston terminal sampling (Broadie-Kaya)."""
+
+    cf_terms: int = static_field(default=128)
+    inversion_iters: int = static_field(default=64)
+
+
+@pytree
+class SimulationConfig:
+    """MC run configuration (montecarlo.jl:58-79).
+
+    ``seed`` is the base of the counter-based RNG stream (replaces the
+    reference's per-trajectory seed vector; see module docstring).
+    """
+
+    trajectories: int = static_field(default=10_000)
+    steps: int = static_field(default=1)
+    variance_reduction: VarianceReductionStrategy = static_field(default=NoVarianceReduction())
+    seed: int = static_field(default=0)
+
+
+@pytree
+class MonteCarlo(AbstractPricingMethod):
+    dynamics: Any = static_field(default=LognormalDynamics())
+    strategy: Any = static_field(default=BlackScholesExact())
+    config: SimulationConfig = static_field(default=SimulationConfig())
+
+
+# ------------------ Normal draws ------------------
+
+
+def _normals(seed: int, shape, antithetic_pair: bool):
+    """Standard normals; under antithetic pairing returns the (Z, -Z) stack
+    along a leading axis of 2."""
+    key = jax.random.PRNGKey(seed)
+    z = jax.random.normal(key, shape, dtype=jnp.float64)
+    if antithetic_pair:
+        return jnp.stack([z, -z])
+    return z[None]
+
+
+# ------------------ Per-model simulation kernels (pure JAX) ------------------
+
+
+def _sim_params(prob: PricingProblem):
+    market = prob.market_inputs
+    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    # Reference drift rate: zero rate "at time 0" (montecarlo.jl:176, :200) —
+    # constant-extrapolated first pillar for spine curves, the rate for flat.
+    r0 = zero_rate_yf(market.rate, 0.0)
+    return market, T, r0
+
+
+def _gbm_exact_terminal(prob, config) -> jnp.ndarray:
+    """(n_groups, paths) terminal prices via one exact lognormal draw."""
+    anti = isinstance(config.variance_reduction, Antithetic)
+    z = _normals(config.seed, (config.trajectories,), anti)
+    mean, std = lognormal_terminal_law(prob.market_inputs, prob.payoff.expiry)
+    return jnp.exp(mean + std * z)
+
+
+def _gbm_euler_paths(prob, config, *, return_grid: bool):
+    """Log-Euler GBM paths: terminal (n_groups, paths) or full grid
+    (n_groups, steps+1, paths)."""
+    market, T, r0 = _sim_params(prob)
+    sigma = (
+        market.sigma.sigma
+        if isinstance(market.sigma, FlatVolSurface)
+        else get_vol(market.sigma, prob.payoff.expiry, market.spot)
+    )
+    steps = config.steps
+    dt = T / steps
+    anti = isinstance(config.variance_reduction, Antithetic)
+    z = _normals(config.seed, (steps, config.trajectories), anti)  # (g, steps, paths)
+    drift = (r0 - 0.5 * sigma**2) * dt
+    vol_dt = sigma * jnp.sqrt(dt)
+    x0 = jnp.full((z.shape[0], config.trajectories), jnp.log(market.spot))
+
+    def step(x, zk):
+        x_new = x + drift + vol_dt * zk
+        return x_new, (x_new if return_grid else None)
+
+    zs = jnp.moveaxis(z, 1, 0)  # (steps, g, paths)
+    x_final, xs = jax.lax.scan(step, x0, zs)
+    if return_grid:
+        grid = jnp.concatenate([x0[None], xs], axis=0)  # (steps+1, g, paths)
+        return jnp.exp(jnp.moveaxis(grid, 1, 0))  # (g, steps+1, paths)
+    return jnp.exp(x_final)
+
+
+def _heston_euler_paths(prob, config, *, return_grid: bool):
+    """Full-truncation log-Euler Heston paths (heston.jl:7-31 semantics):
+
+      logS += (r − V⁺/2)dt + √(V⁺ dt)·Z₁
+      V    += κ(θ − V⁺)dt + σ√(V⁺ dt)·(ρZ₁ + √(1−ρ²)Z₂),  V⁺ = max(V, 0)
+    """
+    market, T, r0 = _sim_params(prob)
+    kappa, theta, sigma, rho, V0 = market.kappa, market.theta, market.sigma, market.rho, market.V0
+    steps = config.steps
+    dt = T / steps
+    sqrt_dt = jnp.sqrt(dt)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    z = _normals(config.seed, (steps, 2, config.trajectories), anti)  # (g, steps, 2, paths)
+    n_groups = z.shape[0]
+    rho_bar = jnp.sqrt(1.0 - rho**2)
+
+    x0 = jnp.full((n_groups, config.trajectories), jnp.log(market.spot))
+    v0 = jnp.full((n_groups, config.trajectories), V0)
+
+    def step(carry, zk):
+        x, v = carry
+        z1, z2 = zk[:, 0, :], zk[:, 1, :]
+        v_plus = jnp.maximum(v, 0.0)
+        # Double-where: sqrt'(0)=inf would poison gradients of the truncated
+        # branch (0·inf = NaN) — pathwise Heston vega/kappa greeks need this.
+        sqrt_v = jnp.where(v > 0.0, jnp.sqrt(jnp.where(v > 0.0, v, 1.0)), 0.0)
+        x_new = x + (r0 - 0.5 * v_plus) * dt + sqrt_v * sqrt_dt * z1
+        v_new = v + kappa * (theta - v_plus) * dt + sigma * sqrt_v * sqrt_dt * (
+            rho * z1 + rho_bar * z2
+        )
+        return (x_new, v_new), (x_new if return_grid else None)
+
+    zs = jnp.moveaxis(z, 1, 0)  # (steps, g, 2, paths)
+    (x_final, _), xs = jax.lax.scan(step, (x0, v0), zs)
+    if return_grid:
+        grid = jnp.concatenate([x0[None], xs], axis=0)
+        return jnp.exp(jnp.moveaxis(grid, 1, 0))
+    return jnp.exp(x_final)
+
+
+# ------------------ Strategy dispatch ------------------
+
+
+def simulate_terminal_prices(prob: PricingProblem, method: MonteCarlo) -> jnp.ndarray:
+    """Terminal asset prices, shape (n_groups, trajectories) with n_groups==2
+    under antithetic pairing (original, mirrored) else 1.
+
+    Replaces reference get_final_samples (montecarlo.jl:442-459).
+    """
+    dyn, strat, config = method.dynamics, method.strategy, method.config
+    if isinstance(strat, EulerMaruyama):
+        if isinstance(dyn, LognormalDynamics):
+            return _gbm_euler_paths(prob, config, return_grid=False)
+        if isinstance(dyn, HestonDynamics):
+            if strat.use_kernel:
+                from ..ops.heston_kernel import heston_euler_terminal_pallas
+
+                return heston_euler_terminal_pallas(prob, config)
+            return _heston_euler_paths(prob, config, return_grid=False)
+    if isinstance(strat, BlackScholesExact) and isinstance(dyn, LognormalDynamics):
+        return _gbm_exact_terminal(prob, config)
+    if isinstance(strat, HestonBroadieKaya) and isinstance(dyn, HestonDynamics):
+        from ..distributions.broadie_kaya import broadie_kaya_terminal_prices
+
+        return broadie_kaya_terminal_prices(prob, config, strat)
+    raise TypeError(
+        f"unsupported (dynamics, strategy) = ({type(dyn).__name__}, {type(strat).__name__})"
+    )
+
+
+def simulate_price_grid(prob: PricingProblem, method: MonteCarlo) -> jnp.ndarray:
+    """Full price grid (n_groups, steps+1, trajectories) for grid methods (LSM).
+
+    Exact-GBM strategies step with exact lognormal per-step transitions
+    (matching GeometricBrownianMotionProcess under EM(), montecarlo.jl:140-159);
+    Euler strategies use the same steppers as terminal simulation.
+    """
+    dyn, strat, config = method.dynamics, method.strategy, method.config
+    if isinstance(dyn, LognormalDynamics):
+        # Exact per-step lognormal transitions == log-Euler with exact drift:
+        # both produce S_{k+1} = S_k·exp((r−σ²/2)dt + σ√dt·Z).
+        return _gbm_euler_paths(prob, config, return_grid=True)
+    if isinstance(dyn, HestonDynamics) and isinstance(strat, EulerMaruyama):
+        return _heston_euler_paths(prob, config, return_grid=True)
+    raise TypeError(
+        f"unsupported grid simulation ({type(dyn).__name__}, {type(strat).__name__})"
+    )
+
+
+# ------------------ Pricing ------------------
+
+
+def reduce_payoffs(samples: jnp.ndarray, payoff) -> jnp.ndarray:
+    """Per-path payoffs; antithetic groups are averaged pairwise
+    (montecarlo.jl:428-432)."""
+    return jnp.mean(payoff(samples), axis=0)
+
+
+@register_solver(MonteCarlo)
+def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSolution:
+    payoff = prob.payoff
+    if not isinstance(payoff.exercise_style, European) or not isinstance(payoff.underlying, Spot):
+        # Mirrors the European×Spot-only MC solve signature (montecarlo.jl:479).
+        raise TypeError("MonteCarlo prices European options on Spot only (use LSM for American).")
+    samples = simulate_terminal_prices(prob, method)
+    payoffs = reduce_payoffs(samples, payoff)
+    discount = df(prob.market_inputs.rate, payoff.expiry)
+    price = discount * jnp.mean(payoffs)
+    return MonteCarloSolution(prob, method, price, samples)

@@ -1,0 +1,113 @@
+"""Price dynamics: model markers, terminal (marginal) laws and characteristic
+functions.
+
+Parity targets: reference src/pricing_methods/montecarlo.jl:1-22 (dynamics
+markers), :286-320 (marginal laws), and src/distributions/heston.jl:307-319
+(Heston characteristic function of log S_T).
+
+The reference's LognormalDynamics marginal law computes the log-price mean as
+``log S0 + (r − σ²/2)·√α`` (montecarlo.jl:302) — a latent bug that is exact
+only when α == 1 (all its tests use T=1).  We implement the correct
+``(r − σ²/2)·α`` drift; the agreement suite covers maturities ≠ 1.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..core.dates import yearfrac
+from ..market.rate_curve import zero_rate
+from ..market.vol_surface import get_vol
+from ..utils.pytree import pytree
+
+__all__ = [
+    "PriceDynamics",
+    "LognormalDynamics",
+    "HestonDynamics",
+    "lognormal_terminal_law",
+    "heston_cf",
+    "lognormal_cf",
+    "terminal_log_cf",
+]
+
+
+class PriceDynamics:
+    """Marker base for price processes."""
+
+
+@pytree
+class LognormalDynamics(PriceDynamics):
+    """Geometric Brownian motion (Black-Scholes)."""
+
+
+@pytree
+class HestonDynamics(PriceDynamics):
+    """Heston stochastic volatility (CIR variance)."""
+
+
+def lognormal_terminal_law(market, expiry_ticks):
+    """(mean, std) of log S_T under risk-neutral GBM at ``expiry_ticks``.
+
+    Uses the zero rate to expiry so the discounted expectation matches
+    ``spot / df(T)`` exactly on non-flat curves (montecarlo.jl:293-303).
+    """
+    from ..market.vol_surface import FlatVolSurface
+
+    r = zero_rate(market.rate, expiry_ticks)
+    if isinstance(market.sigma, FlatVolSurface):
+        sigma = market.sigma.sigma
+    else:
+        sigma = get_vol(market.sigma, expiry_ticks, market.spot)  # ATM lookup
+    T = yearfrac(market.rate.reference_date, expiry_ticks)
+    mean = jnp.log(market.spot) + (r - 0.5 * sigma**2) * T
+    std = sigma * jnp.sqrt(T)
+    return mean, std
+
+
+def lognormal_cf(u, mean, std):
+    """CF of a Normal(mean, std) log-price: E[e^{iuX}] (sample_from_cf.jl:14-16).
+
+    ``u`` may be complex (Carr-Madan evaluates at v − (α+1)i).
+    """
+    u = jnp.asarray(u, jnp.complex128)
+    return jnp.exp(1j * u * mean - 0.5 * (std**2) * u**2)
+
+
+def heston_cf(u, S0, V0, kappa, theta, sigma, rho, r, T):
+    """Heston characteristic function of log S_T ("little trap" form).
+
+    Math parity with reference heston.jl:307-319:
+      d  = √((κ − ρσiu)² + σ²(iu + u²))
+      g  = (κ − ρσiu − d)/(κ − ρσiu + d)
+      C  = κθ/σ² · ((κ − ρσiu − d)T − 2·log((1 − g e^{−dT})/(1 − g)))
+      D  = (κ − ρσiu − d)/σ² · (1 − e^{−dT})/(1 − g e^{−dT})
+      φ  = exp(C + D·V0 + iu·log S0 + iu·rT)
+    """
+    u = jnp.asarray(u, jnp.complex128)
+    iu = 1j * u
+    beta = kappa - rho * sigma * iu
+    d = jnp.sqrt(beta**2 + sigma**2 * (iu + u**2))
+    g = (beta - d) / (beta + d)
+    e_dt = jnp.exp(-d * T)
+    C = (kappa * theta / sigma**2) * ((beta - d) * T - 2.0 * jnp.log((1.0 - g * e_dt) / (1.0 - g)))
+    D = ((beta - d) / sigma**2) * ((1.0 - e_dt) / (1.0 - g * e_dt))
+    return jnp.exp(C + D * V0 + iu * jnp.log(S0) + iu * r * T)
+
+
+def terminal_log_cf(prob, dynamics: PriceDynamics):
+    """Return φ(u) = E[e^{iu·log S_T}] for the problem's market under the given
+    dynamics at the payoff expiry (used by Carr-Madan)."""
+    market = prob.market_inputs
+    expiry = prob.payoff.expiry
+    if isinstance(dynamics, LognormalDynamics):
+        mean, std = lognormal_terminal_law(market, expiry)
+        return lambda u: lognormal_cf(u, mean, std)
+    if isinstance(dynamics, HestonDynamics):
+        r = zero_rate(market.rate, expiry)
+        T = yearfrac(market.rate.reference_date, expiry)
+        return lambda u: heston_cf(
+            u, market.spot, market.V0, market.kappa, market.theta, market.sigma, market.rho, r, T
+        )
+    raise TypeError(f"no terminal law for dynamics {type(dynamics).__name__}")
