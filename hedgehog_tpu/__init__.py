@@ -83,6 +83,19 @@ from .models.dynamics import (  # noqa: E402
     lognormal_cf,
 )
 from .methods.carr_madan import CarrMadan  # noqa: E402
+from .calibration.calibration import (  # noqa: E402
+    CalibrationProblem,
+    CalibrationSolution,
+    OptimizerAlgo,
+    RootFinderAlgo,
+)
+from .calibration.implied import (  # noqa: E402
+    implied_vol_bs,
+    iv_to_price_bs,
+    rect_vol_surface_from_prices,
+)
+from .math.rootfind import bisect_root, implicit_root  # noqa: E402
+from .math.optimize import minimize_lbfgs  # noqa: E402
 from .methods.montecarlo import (  # noqa: E402
     Antithetic,
     BlackScholesExact,
@@ -173,6 +186,17 @@ __all__ = [
     "heston_cf",
     "lognormal_cf",
     "CarrMadan",
+    # calibration & solvers
+    "CalibrationProblem",
+    "CalibrationSolution",
+    "OptimizerAlgo",
+    "RootFinderAlgo",
+    "implied_vol_bs",
+    "iv_to_price_bs",
+    "rect_vol_surface_from_prices",
+    "bisect_root",
+    "implicit_root",
+    "minimize_lbfgs",
     "MonteCarlo",
     "SimulationConfig",
     "EulerMaruyama",

@@ -1,0 +1,96 @@
+"""Box-bounded L-BFGS for calibration.
+
+TPU-native replacement for the reference's Optimization.jl + OptimizationOptimJL
+LBFGS with AutoForwardDiff and mandatory box bounds for Heston
+(calibration.jl:74-98, examples/heston_calib.jl:109-117).
+
+Bounds are enforced by a smooth sigmoid reparameterization
+``x = lb + (ub−lb)·σ(y)`` so the inner optimizer (optax.lbfgs with zoom
+linesearch) runs unconstrained; gradients come from ``jax.value_and_grad``
+through the full pricing pipeline.  The whole optimization is one
+``lax.scan`` — jit-able, and vmappable over many independent calibrations.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["minimize_lbfgs", "LBFGSResult"]
+
+
+class LBFGSResult(NamedTuple):
+    x: jnp.ndarray
+    loss: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+
+
+_LOGIT_CLIP = 1e-8
+
+
+def _to_unconstrained(x, lb, ub):
+    t = jnp.clip((x - lb) / (ub - lb), _LOGIT_CLIP, 1.0 - _LOGIT_CLIP)
+    return jnp.log(t) - jnp.log1p(-t)
+
+
+def _to_constrained(y, lb, ub):
+    return lb + (ub - lb) * jax.nn.sigmoid(y)
+
+
+def minimize_lbfgs(
+    fun: Callable,
+    x0,
+    lb=None,
+    ub=None,
+    *,
+    max_iters: int = 200,
+    grad_tol: float = 1e-10,
+) -> LBFGSResult:
+    """Minimize ``fun(x)`` with optional elementwise box bounds.
+
+    Returns the best iterate in the original (constrained) space.
+    """
+    x0 = jnp.asarray(x0, jnp.float64)
+    bounded = lb is not None or ub is not None
+    if bounded:
+        lb = jnp.broadcast_to(jnp.asarray(-1e6 if lb is None else lb, jnp.float64), x0.shape)
+        ub = jnp.broadcast_to(jnp.asarray(1e6 if ub is None else ub, jnp.float64), x0.shape)
+
+        def obj(y):
+            return fun(_to_constrained(y, lb, ub))
+
+        y0 = _to_unconstrained(x0, lb, ub)
+    else:
+
+        def obj(y):
+            return fun(y)
+
+        y0 = x0
+
+    solver = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(obj)
+    state0 = solver.init(y0)
+
+    def step(carry, _):
+        y, state, best_y, best_val = carry
+        value, grad = value_and_grad(y, state=state)
+        updates, state = solver.update(grad, state, y, value=value, grad=grad, value_fn=obj)
+        y = optax.apply_updates(y, updates)
+        better = value < best_val
+        best_y = jnp.where(better, carry[0], best_y)
+        best_val = jnp.where(better, value, best_val)
+        return (y, state, best_y, best_val), jnp.max(jnp.abs(grad))
+
+    init = (y0, state0, y0, obj(y0))
+    (y_final, _, best_y, best_val), gnorms = jax.lax.scan(step, init, None, length=max_iters)
+    final_val = obj(y_final)
+    take_final = final_val <= best_val
+    y_out = jnp.where(take_final, y_final, best_y)
+    loss = jnp.where(take_final, final_val, best_val)
+    x_out = _to_constrained(y_out, lb, ub) if bounded else y_out
+    converged = gnorms[-1] < grad_tol
+    return LBFGSResult(x=x_out, loss=loss, iterations=jnp.asarray(max_iters), converged=converged)
