@@ -83,6 +83,7 @@ from .models.dynamics import (  # noqa: E402
     lognormal_cf,
 )
 from .methods.carr_madan import CarrMadan  # noqa: E402
+from .methods.lsm import LSM  # noqa: E402
 from .calibration.calibration import (  # noqa: E402
     CalibrationProblem,
     CalibrationSolution,
@@ -186,6 +187,7 @@ __all__ = [
     "heston_cf",
     "lognormal_cf",
     "CarrMadan",
+    "LSM",
     # calibration & solvers
     "CalibrationProblem",
     "CalibrationSolution",

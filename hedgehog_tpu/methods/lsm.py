@@ -1,0 +1,109 @@
+"""Longstaff-Schwartz LSM for American options as a backward `lax.scan`.
+
+Parity target: reference src/pricing_methods/least_squares_montecarlo.jl.
+Semantics preserved exactly:
+
+- simulate a full (steps+1 × paths) price grid (antithetic doubles the path
+  count, :70-85);
+- stopping state per path = (exercise step τ, exercise value), initialized at
+  the terminal payoff (:112);
+- backward over t = nsteps−1 … 1: continuation[p] = disc^(τ_p − t)·value_p
+  with the *single-step* discount factor disc = df(T/nsteps) (:110, :117-118),
+  per-step polynomial regression of continuation on ITM spot levels (:121-126),
+  exercise where immediate payoff exceeds fitted continuation (:156-165);
+- price = mean(disc^τ·value) (:132-133).
+
+TPU-native regression: the reference's ``Polynomials.fit`` on dynamically-
+sized ITM subsets becomes a masked weighted least-squares via the
+(degree+1)² normal equations — fixed shapes, one small `solve` per scan step,
+and exactly two ``psum``-able reductions when the path axis is sharded
+(SURVEY §5: the only genuinely communicating algorithm in the framework).
+Regressors are normalized by the strike for conditioning (the reference fits
+raw spot levels of order 1; at spot~100 a raw degree-5 Vandermonde would be
+numerically singular — same math, stable basis).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dates import add_yearfrac, yearfrac
+from ..core.payoffs import American
+from ..core.problems import LSMSolution, PricingProblem
+from ..core.solve import AbstractPricingMethod, register_solver
+from ..market.rate_curve import df
+from ..methods.montecarlo import MonteCarlo, simulate_price_grid
+from ..utils.pytree import pytree, static_field
+
+__all__ = ["LSM"]
+
+
+@pytree
+class LSM(AbstractPricingMethod):
+    """LSM method: Monte Carlo config + polynomial regression degree."""
+
+    mc_method: MonteCarlo = static_field(default=MonteCarlo())
+    degree: int = static_field(default=4)
+
+
+def _masked_polyfit_eval(x, y, w, degree: int):
+    """Fit y ~ poly(x) on rows where w==1; return fitted values at all x.
+
+    Weighted normal equations with a tiny ridge: singular systems (e.g. no
+    ITM paths) stay solvable and are masked out downstream.
+    """
+    powers = jnp.arange(degree + 1)
+    phi = x[:, None] ** powers[None, :]  # (paths, d+1)
+    phw = phi * w[:, None]
+    A = phw.T @ phi  # (d+1, d+1) — psum target when sharded
+    b = phw.T @ y  # (d+1,)    — psum target when sharded
+    ridge = 1e-10 * jnp.eye(degree + 1) * (1.0 + jnp.trace(A) / (degree + 1))
+    beta = jnp.linalg.solve(A + ridge, b)
+    return phi @ beta
+
+
+@register_solver(LSM)
+def _solve_lsm(prob: PricingProblem, method: LSM) -> LSMSolution:
+    payoff = prob.payoff
+    if not isinstance(payoff.exercise_style, American):
+        raise TypeError("LSM prices American options (lsm.jl solve signature :99-102).")
+    market = prob.market_inputs
+
+    grid = simulate_price_grid(prob, method.mc_method)  # (g, steps+1, paths)
+    n_groups, ntimes, npaths = grid.shape
+    spots = jnp.moveaxis(grid, 0, 1).reshape(ntimes, n_groups * npaths)  # (steps+1, P)
+    nsteps = ntimes - 1
+
+    T = yearfrac(market.reference_date, payoff.expiry)
+    # single-step discount factor (lsm.jl:110)
+    disc = df(market.rate, add_yearfrac(market.reference_date, T / nsteps))
+    log_disc = jnp.log(disc)
+    strike_scale = jnp.asarray(payoff.strike, jnp.float64)
+
+    tau0 = jnp.full((spots.shape[1],), nsteps, dtype=jnp.float64)
+    value0 = payoff(spots[nsteps])
+
+    def step(carry, t):
+        tau, value = carry
+        s_t = spots_rev_lookup(t)
+        continuation = jnp.exp((tau - t) * log_disc) * value
+        payoff_t = payoff(s_t)
+        itm = payoff_t > 0.0
+        w = itm.astype(jnp.float64)
+        fitted = _masked_polyfit_eval(s_t / strike_scale, continuation, w, method.degree)
+        exercise = itm & (payoff_t > fitted)
+        tau = jnp.where(exercise, t.astype(jnp.float64), tau)
+        value = jnp.where(exercise, payoff_t, value)
+        return (tau, value), None
+
+    def spots_rev_lookup(t):
+        return jax.lax.dynamic_index_in_dim(spots, t, axis=0, keepdims=False)
+
+    ts = jnp.arange(nsteps - 1, 0, -1)  # nsteps-1 … 1 (t=0 excluded, lsm.jl:114)
+    (tau, value), _ = jax.lax.scan(step, (tau0, value0), ts)
+
+    price = jnp.mean(jnp.exp(tau * log_disc) * value)
+    return LSMSolution(prob, method, price, (tau, value), spots)
