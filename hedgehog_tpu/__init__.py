@@ -54,6 +54,17 @@ from .market.vol_surface import (  # noqa: E402
     get_vol_yf,
 )
 from .market.inputs import BlackScholesInputs, HestonInputs  # noqa: E402
+from .market.vol_quotes import (  # noqa: E402
+    ForwardObs,
+    FuturesObs,
+    SpotObs,
+    VolQuote,
+    VolQuoteConfig,
+    iv_to_price,
+    price_to_iv,
+    underlying_forward,
+    underlying_spot,
+)
 from .core.problems import (  # noqa: E402
     AnalyticSolution,
     BasketPricingProblem,
@@ -157,6 +168,16 @@ __all__ = [
     "get_vol_yf",
     "BlackScholesInputs",
     "HestonInputs",
+    # market data / quotes
+    "SpotObs",
+    "ForwardObs",
+    "FuturesObs",
+    "VolQuote",
+    "VolQuoteConfig",
+    "iv_to_price",
+    "price_to_iv",
+    "underlying_spot",
+    "underlying_forward",
     # problems / solutions
     "PricingProblem",
     "BasketPricingProblem",

@@ -1,0 +1,362 @@
+"""Market vol quotes: bid/mid/ask price⇄IV resolution with validation policies.
+
+Parity target: reference src/market_data/vol_quotes.jl.  Prices are truth,
+IVs are cached views; NaN marks missing values (AD-friendly, :49-61).
+Configurable policies — ``"throw" | "warn" | "ignore"`` — govern price/IV
+consistency, missing mids, and bid≤mid≤ask monotonicity (:107-233), mirroring
+the reference's Symbol-based policy enum (SURVEY §5 observability).
+
+Observation conventions: SpotObs / ForwardObs / FuturesObs with futures
+treated as forwards (no convexity adjustment, :17-21).
+
+This layer is host-side plumbing (quote ingestion happens once, pricing
+happens a billion times) — conversions delegate to the batched implied-vol
+solver so a whole quote surface still resolves in one XLA call via
+``resolve_quotes_batch``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import warnings
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from ..calibration.calibration import CalibrationProblem, RootFinderAlgo
+from ..calibration.implied import implied_vol_bs, iv_to_price_bs
+from ..core.dates import to_ticks, yearfrac
+from ..core.lenses import FieldLens
+from ..core.problems import BasketPricingProblem, PricingProblem
+from ..core.solve import solve
+from ..market.inputs import BlackScholesInputs
+from ..market.rate_curve import FlatRateCurve, df
+from ..methods.black_scholes import BlackScholesAnalytic
+from ..utils.pytree import pytree, static_field
+
+__all__ = [
+    "SpotObs",
+    "ForwardObs",
+    "FuturesObs",
+    "underlying_spot",
+    "underlying_forward",
+    "VolQuote",
+    "VolQuoteConfig",
+    "iv_to_price",
+    "price_to_iv",
+]
+
+ABS_TOL_P = 1e-10
+REL_TOL_P = 5e-7
+
+_POLICIES_3 = ("throw", "warn", "ignore")
+_POLICIES_2 = ("throw", "warn")
+
+
+class UnderlyingObs:
+    pass
+
+
+@pytree
+class SpotObs(UnderlyingObs):
+    S: Any = 0.0
+
+
+@pytree
+class ForwardObs(UnderlyingObs):
+    F: Any = 0.0
+
+
+@pytree
+class FuturesObs(UnderlyingObs):
+    G: Any = 0.0
+
+
+def _spot_from_obs(und: UnderlyingObs, D):
+    if isinstance(und, SpotObs):
+        return und.S
+    if isinstance(und, ForwardObs):
+        return und.F * D
+    return und.G * D  # futures as forwards; no convexity adjustment
+
+
+def _forward_from_obs(und: UnderlyingObs, D):
+    if isinstance(und, SpotObs):
+        return und.S / D
+    if isinstance(und, ForwardObs):
+        return und.F
+    return und.G
+
+
+def underlying_spot(und: UnderlyingObs, r, ref, expiry):
+    """Spot-equivalent S* of an observation (vol_quotes.jl:6-21)."""
+    D = df(FlatRateCurve(to_ticks(ref), r), to_ticks(expiry))
+    return _spot_from_obs(und, D)
+
+
+def underlying_forward(und: UnderlyingObs, r, ref, expiry):
+    """Forward F of an observation (vol_quotes.jl:23-35)."""
+    D = df(FlatRateCurve(to_ticks(ref), r), to_ticks(expiry))
+    return _forward_from_obs(und, D)
+
+
+# ---------------------------------------------------------------- policies
+
+
+def _handle(policy: str, msg: str, valid=_POLICIES_3):
+    if policy not in valid:
+        raise ValueError(f"invalid policy {policy!r}; expected one of {valid}")
+    if policy == "throw":
+        raise ValueError(msg)
+    if policy == "warn":
+        warnings.warn(msg, stacklevel=3)
+
+
+@dataclasses.dataclass(frozen=True)
+class VolQuoteConfig:
+    """Construction/validation policy bundle (vol_quotes.jl:287-364)."""
+
+    iv_model: Any = BlackScholesAnalytic()
+    iv_guess: float = 0.5
+    abs_tol_p: float = ABS_TOL_P
+    rel_tol_p: float = REL_TOL_P
+    vol_price_inconsistency_handling: str = "warn"  # throw | warn | ignore
+    missing_mid_handling: str = "throw"  # throw | warn
+    price_monotonicity_handling: str = "warn"  # throw | warn
+    iv_monotonicity_handling: str = "warn"  # throw | warn
+    normalized_input: bool = False
+
+    def __post_init__(self):
+        checks = [
+            (self.vol_price_inconsistency_handling, _POLICIES_3, "vol_price_inconsistency_handling"),
+            (self.missing_mid_handling, _POLICIES_2, "missing_mid_handling"),
+            (self.price_monotonicity_handling, _POLICIES_2, "price_monotonicity_handling"),
+            (self.iv_monotonicity_handling, _POLICIES_2, "iv_monotonicity_handling"),
+        ]
+        for value, valid, name in checks:
+            if value not in valid:
+                raise ValueError(f"{name} must be one of {valid}, got {value!r}")
+
+
+# ---------------------------------------------------------------- conversions
+
+
+def iv_to_price(payoff, underlying_price, interest_rate, iv, reference_date, method=None):
+    """Price from IV under ``method`` (default BS analytic), vol_quotes.jl:495-507."""
+    method = method or BlackScholesAnalytic()
+    curve = FlatRateCurve(to_ticks(reference_date), interest_rate)
+    market = BlackScholesInputs(to_ticks(reference_date), curve, underlying_price, iv)
+    return solve(PricingProblem(payoff, market), method).price
+
+
+def price_to_iv(
+    payoff,
+    underlying_price,
+    interest_rate,
+    price,
+    reference_date,
+    method=None,
+    *,
+    iv_guess: float = 0.5,
+    normalized_input: bool = False,
+):
+    """Implied vol under ``method`` via root-finding (vol_quotes.jl:520-551).
+
+    With ``normalized_input=True``, ``price`` is forward-normalized (price/F)
+    and is denormalized via F = S*/DF before inversion.
+    """
+    method = method or BlackScholesAnalytic()
+    ref_ticks = to_ticks(reference_date)
+    curve = FlatRateCurve(ref_ticks, interest_rate)
+    DF = df(curve, payoff.expiry)
+    F = underlying_price / DF
+    target = price * F if normalized_input else price
+
+    if isinstance(method, BlackScholesAnalytic):
+        # fast path: closed-form residual, batched solver
+        T = yearfrac(ref_ticks, payoff.expiry)
+        return implied_vol_bs(target, payoff.strike, T, underlying_price, interest_rate, payoff.call_put())
+    market = BlackScholesInputs(ref_ticks, curve, underlying_price, iv_guess)
+    calib = CalibrationProblem(
+        BasketPricingProblem([payoff], market),
+        jnp.asarray([target]),
+        jnp.asarray([iv_guess]),
+        method,
+        (FieldLens("market_inputs.sigma.sigma"),),
+    )
+    return solve(calib, RootFinderAlgo()).u
+
+
+# ---------------------------------------------------------------- VolQuote
+
+
+def _isnan(x) -> bool:
+    try:
+        return math.isnan(float(x))
+    except (TypeError, ValueError):
+        return False
+
+
+def _denormalize(bid, mid, ask, F, normalized: bool):
+    if not normalized:
+        return bid, mid, ask
+    return tuple(x if _isnan(x) else x * F for x in (bid, mid, ask))
+
+
+def _resolve_pair(price, iv, price_from_iv, iv_from_price, config: VolQuoteConfig):
+    """Given price and/or IV, return a consistent (price, iv) pair
+    (vol_quotes.jl:107-151)."""
+    if _isnan(price) and _isnan(iv):
+        return float("nan"), float("nan")
+    if not _isnan(price) and _isnan(iv):
+        return price, float(iv_from_price(price))
+    if _isnan(price) and not _isnan(iv):
+        return float(price_from_iv(iv)), iv
+    price_check = float(price_from_iv(iv))
+    consistent = abs(price - price_check) <= config.abs_tol_p + config.rel_tol_p * abs(price)
+    if not consistent:
+        _handle(
+            config.vol_price_inconsistency_handling,
+            f"Inconsistent price/IV: price={price}, price_from_iv={price_check}",
+        )
+    return price, iv
+
+
+def _validate_monotonicity(bid, mid, ask, label: str, policy: str):
+    if _isnan(bid) or _isnan(mid) or _isnan(ask):
+        return
+    if not (bid <= mid <= ask):
+        _handle(policy, f"{label} monotonicity violated: bid={bid} mid={mid} ask={ask}", _POLICIES_2)
+
+
+@dataclasses.dataclass(frozen=True)
+class VolQuote:
+    """A resolved market option quote: payoff + observation + consistent
+    bid/mid/ask prices and IVs (vol_quotes.jl:49-61).
+
+    Build with :meth:`VolQuote.build` (the validating constructor,
+    vol_quotes.jl:420-493).
+    """
+
+    payoff: Any
+    underlying: UnderlyingObs
+    interest_rate: float
+    mid_price: float
+    bid_price: float
+    ask_price: float
+    mid_iv: float
+    bid_iv: float
+    ask_iv: float
+    reference_date: int
+    iv_model: Any = BlackScholesAnalytic()
+
+    @classmethod
+    def build(
+        cls,
+        payoff,
+        underlying: UnderlyingObs,
+        interest_rate: float,
+        *,
+        mid_price: float = float("nan"),
+        mid_iv: float = float("nan"),
+        bid_price: float = float("nan"),
+        bid_iv: float = float("nan"),
+        ask_price: float = float("nan"),
+        ask_iv: float = float("nan"),
+        reference_date,
+        config: Optional[VolQuoteConfig] = None,
+    ) -> "VolQuote":
+        config = config or VolQuoteConfig()
+        ref_ticks = to_ticks(reference_date)
+
+        # input validation (vol_quotes.jl:211-233)
+        if float(payoff.expiry) <= ref_ticks:
+            raise ValueError(
+                f"Expiry ({payoff.expiry}) must be after reference_date ({ref_ticks})"
+            )
+        S_obs = (
+            underlying.S
+            if isinstance(underlying, SpotObs)
+            else underlying.F if isinstance(underlying, ForwardObs) else underlying.G
+        )
+        if float(S_obs) <= 0:
+            raise ValueError(f"Underlying price must be positive, got {S_obs}")
+        if abs(interest_rate) > 1.0:
+            warnings.warn(f"Interest rate seems unrealistic: {interest_rate}", stacklevel=2)
+        if _isnan(mid_price) and _isnan(mid_iv):
+            _handle(
+                config.missing_mid_handling,
+                "VolQuote requires at least one of mid_price or mid_iv",
+                _POLICIES_2,
+            )
+
+        D = df(FlatRateCurve(ref_ticks, interest_rate), payoff.expiry)
+        S_spot = _spot_from_obs(underlying, D)
+        F = _forward_from_obs(underlying, D)
+
+        bid_price, mid_price, ask_price = _denormalize(
+            bid_price, mid_price, ask_price, float(F), config.normalized_input
+        )
+
+        def price_from_iv(iv):
+            return iv_to_price(payoff, S_spot, interest_rate, iv, ref_ticks, config.iv_model)
+
+        def iv_from_price(p):
+            return price_to_iv(
+                payoff, S_spot, interest_rate, p, ref_ticks, config.iv_model, iv_guess=config.iv_guess
+            )
+
+        bid_price, bid_iv = _resolve_pair(bid_price, bid_iv, price_from_iv, iv_from_price, config)
+        mid_price, mid_iv = _resolve_pair(mid_price, mid_iv, price_from_iv, iv_from_price, config)
+        ask_price, ask_iv = _resolve_pair(ask_price, ask_iv, price_from_iv, iv_from_price, config)
+
+        _validate_monotonicity(
+            bid_price, mid_price, ask_price, "Price", config.price_monotonicity_handling
+        )
+        _validate_monotonicity(bid_iv, mid_iv, ask_iv, "IV", config.iv_monotonicity_handling)
+
+        return cls(
+            payoff,
+            underlying,
+            interest_rate,
+            mid_price,
+            bid_price,
+            ask_price,
+            mid_iv,
+            bid_iv,
+            ask_iv,
+            ref_ticks,
+            config.iv_model,
+        )
+
+    # ---- quote-level conversion helpers (vol_quotes.jl:554-622) ----
+
+    def price_to_iv(self, price, *, iv_guess: float = 0.5, normalized_input: bool = False):
+        S_spot = underlying_spot(
+            self.underlying, self.interest_rate, self.reference_date, self.payoff.expiry
+        )
+        return price_to_iv(
+            self.payoff,
+            S_spot,
+            self.interest_rate,
+            price,
+            self.reference_date,
+            self.iv_model,
+            iv_guess=iv_guess,
+            normalized_input=normalized_input,
+        )
+
+    def iv_to_price(self, iv, *, normalize: bool = True):
+        S_spot = underlying_spot(
+            self.underlying, self.interest_rate, self.reference_date, self.payoff.expiry
+        )
+        price_abs = iv_to_price(
+            self.payoff, S_spot, self.interest_rate, iv, self.reference_date, self.iv_model
+        )
+        if normalize:
+            F = underlying_forward(
+                self.underlying, self.interest_rate, self.reference_date, self.payoff.expiry
+            )
+            return price_abs / F
+        return price_abs
