@@ -130,14 +130,19 @@ class MonteCarlo(AbstractPricingMethod):
 # ------------------ Normal draws ------------------
 
 
-def _normals(seed: int, shape, antithetic_pair: bool):
-    """Standard normals; under antithetic pairing returns the (Z, -Z) stack
-    along a leading axis of 2."""
-    key = jax.random.PRNGKey(seed)
+def _normals(key, shape, antithetic_pair: bool):
+    """Standard normals from a (possibly traced) PRNG key; under antithetic
+    pairing returns the (Z, -Z) stack along a leading axis of 2."""
     z = jax.random.normal(key, shape, dtype=jnp.float64)
     if antithetic_pair:
         return jnp.stack([z, -z])
     return z[None]
+
+
+def _base_key(config: "SimulationConfig", key):
+    """Resolve the RNG key: explicit traced key (sharded callers fold in their
+    device index) or the config's static seed."""
+    return jax.random.PRNGKey(config.seed) if key is None else key
 
 
 # ------------------ Per-model simulation kernels (pure JAX) ------------------
@@ -152,15 +157,15 @@ def _sim_params(prob: PricingProblem):
     return market, T, r0
 
 
-def _gbm_exact_terminal(prob, config) -> jnp.ndarray:
+def _gbm_exact_terminal(prob, config, key) -> jnp.ndarray:
     """(n_groups, paths) terminal prices via one exact lognormal draw."""
     anti = isinstance(config.variance_reduction, Antithetic)
-    z = _normals(config.seed, (config.trajectories,), anti)
+    z = _normals(key, (config.trajectories,), anti)
     mean, std = lognormal_terminal_law(prob.market_inputs, prob.payoff.expiry)
     return jnp.exp(mean + std * z)
 
 
-def _gbm_euler_paths(prob, config, *, return_grid: bool):
+def _gbm_euler_paths(prob, config, key, *, return_grid: bool):
     """Log-Euler GBM paths: terminal (n_groups, paths) or full grid
     (n_groups, steps+1, paths)."""
     market, T, r0 = _sim_params(prob)
@@ -172,7 +177,7 @@ def _gbm_euler_paths(prob, config, *, return_grid: bool):
     steps = config.steps
     dt = T / steps
     anti = isinstance(config.variance_reduction, Antithetic)
-    z = _normals(config.seed, (steps, config.trajectories), anti)  # (g, steps, paths)
+    z = _normals(key, (steps, config.trajectories), anti)  # (g, steps, paths)
     drift = (r0 - 0.5 * sigma**2) * dt
     vol_dt = sigma * jnp.sqrt(dt)
     x0 = jnp.full((z.shape[0], config.trajectories), jnp.log(market.spot))
@@ -189,7 +194,7 @@ def _gbm_euler_paths(prob, config, *, return_grid: bool):
     return jnp.exp(x_final)
 
 
-def _heston_euler_paths(prob, config, *, return_grid: bool):
+def _heston_euler_paths(prob, config, key, *, return_grid: bool):
     """Full-truncation log-Euler Heston paths (heston.jl:7-31 semantics):
 
       logS += (r − V⁺/2)dt + √(V⁺ dt)·Z₁
@@ -201,7 +206,7 @@ def _heston_euler_paths(prob, config, *, return_grid: bool):
     dt = T / steps
     sqrt_dt = jnp.sqrt(dt)
     anti = isinstance(config.variance_reduction, Antithetic)
-    z = _normals(config.seed, (steps, 2, config.trajectories), anti)  # (g, steps, 2, paths)
+    z = _normals(key, (steps, 2, config.trajectories), anti)  # (g, steps, 2, paths)
     n_groups = z.shape[0]
     rho_bar = jnp.sqrt(1.0 - rho**2)
 
@@ -232,34 +237,39 @@ def _heston_euler_paths(prob, config, *, return_grid: bool):
 # ------------------ Strategy dispatch ------------------
 
 
-def simulate_terminal_prices(prob: PricingProblem, method: MonteCarlo) -> jnp.ndarray:
+def simulate_terminal_prices(
+    prob: PricingProblem, method: MonteCarlo, key=None, device_id=0
+) -> jnp.ndarray:
     """Terminal asset prices, shape (n_groups, trajectories) with n_groups==2
     under antithetic pairing (original, mirrored) else 1.
+
+    ``key``/``device_id`` let sharded callers derive independent per-device
+    streams; by default the config's static seed is used.
 
     Replaces reference get_final_samples (montecarlo.jl:442-459).
     """
     dyn, strat, config = method.dynamics, method.strategy, method.config
     if isinstance(strat, EulerMaruyama):
         if isinstance(dyn, LognormalDynamics):
-            return _gbm_euler_paths(prob, config, return_grid=False)
+            return _gbm_euler_paths(prob, config, _base_key(config, key), return_grid=False)
         if isinstance(dyn, HestonDynamics):
             if strat.use_kernel:
                 from ..ops.heston_kernel import heston_euler_terminal_pallas
 
-                return heston_euler_terminal_pallas(prob, config)
-            return _heston_euler_paths(prob, config, return_grid=False)
+                return heston_euler_terminal_pallas(prob, config, device_id=device_id)
+            return _heston_euler_paths(prob, config, _base_key(config, key), return_grid=False)
     if isinstance(strat, BlackScholesExact) and isinstance(dyn, LognormalDynamics):
-        return _gbm_exact_terminal(prob, config)
+        return _gbm_exact_terminal(prob, config, _base_key(config, key))
     if isinstance(strat, HestonBroadieKaya) and isinstance(dyn, HestonDynamics):
         from ..distributions.broadie_kaya import broadie_kaya_terminal_prices
 
-        return broadie_kaya_terminal_prices(prob, config, strat)
+        return broadie_kaya_terminal_prices(prob, config, strat, key=key)
     raise TypeError(
         f"unsupported (dynamics, strategy) = ({type(dyn).__name__}, {type(strat).__name__})"
     )
 
 
-def simulate_price_grid(prob: PricingProblem, method: MonteCarlo) -> jnp.ndarray:
+def simulate_price_grid(prob: PricingProblem, method: MonteCarlo, key=None) -> jnp.ndarray:
     """Full price grid (n_groups, steps+1, trajectories) for grid methods (LSM).
 
     Exact-GBM strategies step with exact lognormal per-step transitions
@@ -270,9 +280,9 @@ def simulate_price_grid(prob: PricingProblem, method: MonteCarlo) -> jnp.ndarray
     if isinstance(dyn, LognormalDynamics):
         # Exact per-step lognormal transitions == log-Euler with exact drift:
         # both produce S_{k+1} = S_k·exp((r−σ²/2)dt + σ√dt·Z).
-        return _gbm_euler_paths(prob, config, return_grid=True)
+        return _gbm_euler_paths(prob, config, _base_key(config, key), return_grid=True)
     if isinstance(dyn, HestonDynamics) and isinstance(strat, EulerMaruyama):
-        return _heston_euler_paths(prob, config, return_grid=True)
+        return _heston_euler_paths(prob, config, _base_key(config, key), return_grid=True)
     raise TypeError(
         f"unsupported grid simulation ({type(dyn).__name__}, {type(strat).__name__})"
     )
