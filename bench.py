@@ -37,8 +37,10 @@ def main() -> None:
     payoff = hh.VanillaOption(100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot())
     prob = hh.PricingProblem(payoff, market)
 
-    # accuracy oracle: Carr-Madan Fourier price
-    cm_price = float(hh.solve(prob, hh.CarrMadan(1.0, 32.0, hh.HestonDynamics())).price)
+    # accuracy oracle: Carr-Madan Fourier price (complex128 → CPU backend;
+    # TPU has no native c128 and the oracle is a one-off tiny computation)
+    with jax.default_device(jax.devices("cpu")[0]):
+        cm_price = float(hh.solve(prob, hh.CarrMadan(1.0, 32.0, hh.HestonDynamics())).price)
 
     from hedgehog_tpu.methods.montecarlo import reduce_payoffs
 

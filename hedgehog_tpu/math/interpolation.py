@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 __all__ = ["interp1d", "interp2d_nested", "INTERP_KINDS"]
 
-INTERP_KINDS = ("linear", "cubic")
+INTERP_KINDS = ("linear", "quadratic", "cubic")
 
 
 def _natural_cubic_second_derivs(xs, ys):
@@ -62,6 +62,18 @@ def interp1d(x, xs, ys, kind: str = "linear"):
     xq = jnp.clip(x, xs[0], xs[-1])
     if kind == "linear":
         return jnp.interp(xq, xs, ys)
+    if kind == "quadratic":
+        if xs.shape[0] == 2:
+            return jnp.interp(xq, xs, ys)
+        # Lagrange quadratic through the three knots around the query interval
+        # (QuadraticInterpolation parity, reference rate-curve tests use it).
+        i = jnp.clip(jnp.searchsorted(xs, xq, side="right") - 1, 1, xs.shape[0] - 2)
+        x0, x1, x2 = xs[i - 1], xs[i], xs[i + 1]
+        y0, y1, y2 = ys[i - 1], ys[i], ys[i + 1]
+        l0 = (xq - x1) * (xq - x2) / ((x0 - x1) * (x0 - x2))
+        l1 = (xq - x0) * (xq - x2) / ((x1 - x0) * (x1 - x2))
+        l2 = (xq - x0) * (xq - x1) / ((x2 - x0) * (x2 - x1))
+        return y0 * l0 + y1 * l1 + y2 * l2
     if kind == "cubic":
         M = _natural_cubic_second_derivs(xs, ys)
         i = jnp.clip(jnp.searchsorted(xs, xq, side="right") - 1, 0, xs.shape[0] - 2)

@@ -30,7 +30,21 @@ __all__ = [
     "heston_cf",
     "lognormal_cf",
     "terminal_log_cf",
+    "log_dynamics",
 ]
+
+
+def log_dynamics(method) -> "PriceDynamics":
+    """Dynamics assumed by a pricing method (reference log_dynamics,
+    black_scholes.jl:18-20; for methods carrying a dynamics field, that
+    field)."""
+    if hasattr(method, "dynamics"):
+        return method.dynamics
+    from ..methods.black_scholes import BlackScholesAnalytic
+
+    if isinstance(method, BlackScholesAnalytic):
+        return LognormalDynamics()
+    raise TypeError(f"no log dynamics for {type(method).__name__}")
 
 
 class PriceDynamics:

@@ -169,8 +169,11 @@ def heston_euler_terminal(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # explicit i32 index maps: unblocked specs synthesize default
+            # index maps whose 0-literals trace as i64 under jax_enable_x64,
+            # which Mosaic refuses to legalize
+            pl.BlockSpec((8,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (n_groups, _ROWS, _LANES),
