@@ -113,6 +113,7 @@ from .methods.montecarlo import (  # noqa: E402
     BlackScholesExact,
     EulerMaruyama,
     HestonBroadieKaya,
+    HestonQE,
     MonteCarlo,
     NoVarianceReduction,
     SimulationConfig,
@@ -223,6 +224,7 @@ __all__ = [
     "MonteCarlo",
     "SimulationConfig",
     "EulerMaruyama",
+    "HestonQE",
     "BlackScholesExact",
     "HestonBroadieKaya",
     "NoVarianceReduction",

@@ -48,6 +48,7 @@ __all__ = [
     "SimulationConfig",
     "MonteCarlo",
     "EulerMaruyama",
+    "HestonQE",
     "BlackScholesExact",
     "HestonBroadieKaya",
     "NoVarianceReduction",
@@ -86,6 +87,16 @@ class EulerMaruyama(SimulationStrategy):
     """Euler-Maruyama log-space stepping; optionally via the fused Pallas
     TPU kernel (``use_kernel=True``, see hedgehog_tpu.ops)."""
 
+    use_kernel: bool = static_field(default=False)
+
+
+@pytree
+class HestonQE(SimulationStrategy):
+    """Andersen Quadratic-Exponential discretization (QE-M) — near-exact
+    per-step CIR moments, sub-bp vanilla bias at ~8-16 steps vs ~100 for
+    Euler. Beyond-reference capability (see models/heston_qe.py)."""
+
+    martingale_correction: bool = static_field(default=True)
     use_kernel: bool = static_field(default=False)
 
 
@@ -234,6 +245,43 @@ def _heston_euler_paths(prob, config, key, *, return_grid: bool):
     return jnp.exp(x_final)
 
 
+def _heston_qe_paths(prob, config, key, strat: "HestonQE", *, return_grid: bool):
+    """Andersen QE(-M) Heston paths (models/heston_qe.py)."""
+    from ..models.heston_qe import qe_constants, qe_step
+
+    market, T, r0 = _sim_params(prob)
+    steps = config.steps
+    dt = T / steps
+    c = qe_constants(market.kappa, market.theta, market.sigma, market.rho, r0, dt)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    k_z, k_u = jax.random.split(_base_key(config, key))
+    z = _normals(k_z, (steps, 2, config.trajectories), anti)  # (g, steps, 2, paths)
+    # uniforms shared across the antithetic pair via 1-u mirroring
+    u = jax.random.uniform(k_u, (steps, config.trajectories), dtype=jnp.float64)
+    us = jnp.stack([u, 1.0 - u]) if anti else u[None]  # (g, steps, paths)
+    n_groups = z.shape[0]
+
+    x0 = jnp.full((n_groups, config.trajectories), jnp.log(market.spot))
+    v0 = jnp.full((n_groups, config.trajectories), market.V0)
+
+    def step(carry, inp):
+        x, v = carry
+        zk, uk = inp
+        x_new, v_new = qe_step(
+            x, v, zk[:, 0, :], zk[:, 1, :], uk, c,
+            martingale_correction=strat.martingale_correction,
+        )
+        return (x_new, v_new), (x_new if return_grid else None)
+
+    zs = jnp.moveaxis(z, 1, 0)  # (steps, g, 2, paths)
+    us_s = jnp.moveaxis(us, 1, 0)  # (steps, g, paths)
+    (x_final, _), xs = jax.lax.scan(step, (x0, v0), (zs, us_s))
+    if return_grid:
+        grid = jnp.concatenate([x0[None], xs], axis=0)
+        return jnp.exp(jnp.moveaxis(grid, 1, 0))
+    return jnp.exp(x_final)
+
+
 # ------------------ Strategy dispatch ------------------
 
 
@@ -258,6 +306,12 @@ def simulate_terminal_prices(
 
                 return heston_euler_terminal_pallas(prob, config, device_id=device_id)
             return _heston_euler_paths(prob, config, _base_key(config, key), return_grid=False)
+    if isinstance(strat, HestonQE) and isinstance(dyn, HestonDynamics):
+        if strat.use_kernel:
+            from ..ops.heston_qe_kernel import heston_qe_terminal_pallas
+
+            return heston_qe_terminal_pallas(prob, config, strat, device_id=device_id)
+        return _heston_qe_paths(prob, config, key, strat, return_grid=False)
     if isinstance(strat, BlackScholesExact) and isinstance(dyn, LognormalDynamics):
         return _gbm_exact_terminal(prob, config, _base_key(config, key))
     if isinstance(strat, HestonBroadieKaya) and isinstance(dyn, HestonDynamics):
@@ -283,6 +337,8 @@ def simulate_price_grid(prob: PricingProblem, method: MonteCarlo, key=None) -> j
         return _gbm_euler_paths(prob, config, _base_key(config, key), return_grid=True)
     if isinstance(dyn, HestonDynamics) and isinstance(strat, EulerMaruyama):
         return _heston_euler_paths(prob, config, _base_key(config, key), return_grid=True)
+    if isinstance(dyn, HestonDynamics) and isinstance(strat, HestonQE):
+        return _heston_qe_paths(prob, config, key, strat, return_grid=True)
     raise TypeError(
         f"unsupported grid simulation ({type(dyn).__name__}, {type(strat).__name__})"
     )

@@ -1,0 +1,221 @@
+"""Fused Andersen QE-M Heston kernel (Pallas TPU) — the throughput flagship.
+
+Same megabatch structure as ops/heston_kernel.py (one (ROWS × 128) tile of
+paths per program, on-chip PRNG, fp32, antithetic pair in-register) but
+stepping with the Andersen Quadratic-Exponential scheme
+(models/heston_qe.py): ~6× fewer steps than full-truncation Euler at the same
+vanilla-price bias, which is what carries the paths/sec-at-<5bp metric past
+the 1e9 north star.
+
+Antithetic pairing mirrors both the normals (z → −z) and the exponential-
+branch uniform (u → 1−u), so the pair is antithetic under both QE branches.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .heston_kernel import _uniform_from_bits
+
+__all__ = ["heston_qe_terminal", "heston_qe_terminal_pallas"]
+
+_ROWS = 256
+_LANES = 128
+_PSI_CRIT = 1.5
+
+
+def _rcp(x):
+    """Fast reciprocal: hardware approx + one Newton polish (~fp32 accurate).
+
+    Exact fp32 division is the dominant cost of the QE step (6 divides/step);
+    the polished approx is ~5× cheaper on the VPU."""
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
+def _box_muller_with_uniform(shape):
+    """(z1, z2, u) from two bit draws: Box-Muller pair + the raw uniform u2.
+
+    u is reused for the QE exponential branch: z1 (quadratic branch) and u
+    (exponential branch) are consumed on *mutually exclusive* ψ-branches per
+    path-step, so their statistical dependence is never observable — saving a
+    third PRNG draw per step."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u1 = jnp.maximum(_uniform_from_bits(b1), 1.1754944e-38)
+    u2 = _uniform_from_bits(b2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = 2.0 * math.pi * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta), u1
+
+
+def _qe_advance(x, v, z_v, z_x, u, c):
+    """One QE-M step on fp32 tiles (branchless; mirrors models/heston_qe.py).
+
+    x64-pitfall notes: min/max instead of jnp.clip (clip materializes strong
+    f64 bound constants), jnp.log instead of log1p (f64 lowering path) — both
+    fail Mosaic legalization (tpu.truncf).
+    """
+    theta = c["theta"]
+    m = theta + (v - theta) * c["e"]
+    s2 = v * c["c_s2_v"] + c["c_s2_c"]
+    m_safe = jnp.maximum(m, 1e-20)
+    inv_m = _rcp(m_safe)
+    psi = jnp.maximum(s2 * inv_m * inv_m, 1e-6)
+
+    two_over_psi = 2.0 * _rcp(psi)
+    t1 = jnp.maximum(two_over_psi - 1.0, 0.0)
+    b2 = t1 + jnp.sqrt(two_over_psi * t1)
+    a = m * _rcp(1.0 + b2)
+    v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
+
+    p = jnp.minimum(jnp.maximum((psi - 1.0) * _rcp(psi + 1.0), 0.0), 1.0 - 1e-6)
+    one_m_p = 1.0 - p
+    beta = one_m_p * inv_m
+    inv_beta = m_safe * _rcp(one_m_p)
+    u_safe = jnp.minimum(jnp.maximum(u, 1e-7), 1.0 - 1e-7)
+    v_exp = jnp.where(
+        u_safe <= p,
+        0.0,
+        jnp.log(one_m_p * _rcp(jnp.maximum(1.0 - u_safe, 1e-20))) * inv_beta,
+    )
+
+    use_quad = psi <= _PSI_CRIT
+    v_new = jnp.where(use_quad, v_quad, v_exp)
+
+    A = c["A"]
+    two_aa = jnp.minimum(2.0 * A * a, 1.0 - 1e-6)
+    inv_1m2aa = _rcp(1.0 - two_aa)
+    log_m_quad = A * b2 * a * inv_1m2aa - 0.5 * jnp.log(1.0 - two_aa)
+    denom = jnp.maximum(beta - A, 1e-20)
+    log_m_exp = jnp.log(jnp.maximum(p + beta * one_m_p * _rcp(denom), 1e-20))
+    k0_star = -jnp.where(use_quad, log_m_quad, log_m_exp) - c["K1_half_K3"] * v
+
+    var_x = jnp.maximum(c["K3"] * v + c["K4"] * v_new, 0.0)
+    x_new = x + c["r_dt"] + k0_star + c["K1"] * v + c["K2"] * v_new + jnp.sqrt(var_x) * z_x
+    return x_new, v_new
+
+
+def _qe_kernel(params_ref, seed_ref, out_ref, *, steps: int, antithetic: bool):
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+
+    log_s0 = params_ref[0]
+    v0 = params_ref[1]
+    c = dict(
+        theta=params_ref[2],
+        e=params_ref[3],
+        c_s2_v=params_ref[4],
+        c_s2_c=params_ref[5],
+        K1=params_ref[6],
+        K2=params_ref[7],
+        K3=params_ref[8],
+        K4=params_ref[9],
+        A=params_ref[10],
+        r_dt=params_ref[11],
+        K1_half_K3=params_ref[12],
+    )
+
+    shape = (_ROWS, _LANES)
+    x = jnp.full(shape, log_s0, dtype=jnp.float32)
+    v = jnp.full(shape, v0, dtype=jnp.float32)
+    if antithetic:
+        xa, va = x, v
+
+    def step(carry):
+        z_v, z_x, u = _box_muller_with_uniform(shape)
+        if antithetic:
+            x, v, xa, va = carry
+            x, v = _qe_advance(x, v, z_v, z_x, u, c)
+            xa, va = _qe_advance(xa, va, -z_v, -z_x, 1.0 - u, c)
+            return (x, v, xa, va)
+        x, v = carry
+        return _qe_advance(x, v, z_v, z_x, u, c)
+
+    lo, hi = jnp.int32(0), jnp.int32(steps)
+    if antithetic:
+        x, v, xa, va = jax.lax.fori_loop(lo, hi, lambda _, cr: step(cr), (x, v, xa, va))
+        out_ref[0] = jnp.exp(x)
+        out_ref[1] = jnp.exp(xa)
+    else:
+        x, v = jax.lax.fori_loop(lo, hi, lambda _, cr: step(cr), (x, v))
+        out_ref[0] = jnp.exp(x)
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "steps", "antithetic"))
+def heston_qe_terminal(
+    log_s0, v0, r, kappa, theta, sigma, rho, dt,
+    *, n_paths: int, steps: int, seed, antithetic: bool = False, device_id=0,
+):
+    """Terminal Heston prices via the fused QE-M Pallas kernel
+    ((n_groups, n_paths) fp32)."""
+    from ..models.heston_qe import qe_constants
+
+    block = _ROWS * _LANES
+    n_blocks = -(-n_paths // block)
+    padded = n_blocks * block
+    n_groups = 2 if antithetic else 1
+
+    c = qe_constants(kappa, theta, sigma, rho, r, dt)
+    params = jnp.stack(
+        [
+            jnp.float32(log_s0),
+            jnp.float32(v0),
+            jnp.float32(theta),
+            jnp.float32(c["e"]),
+            jnp.float32(c["c_s2_v"]),
+            jnp.float32(c["c_s2_c"]),
+            jnp.float32(c["K1"]),
+            jnp.float32(c["K2"]),
+            jnp.float32(c["K3"]),
+            jnp.float32(c["K4"]),
+            jnp.float32(c["A"]),
+            jnp.float32(c["r_dt"]),
+            jnp.float32(c["K1"] + 0.5 * c["K3"]),
+        ]
+    )
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+
+    kernel = functools.partial(_qe_kernel, steps=steps, antithetic=antithetic)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((13,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_groups, _ROWS, _LANES),
+            lambda i: (jnp.int32(0), i, jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_groups, n_blocks * _ROWS, _LANES), jnp.float32),
+    )(params, seed_arr)
+    return out.reshape(n_groups, padded)[:, :n_paths]
+
+
+def heston_qe_terminal_pallas(prob, config, strat, device_id=0):
+    """Adapter for MonteCarlo(HestonDynamics, HestonQE(use_kernel=True))."""
+    from ..core.dates import yearfrac
+    from ..market.rate_curve import zero_rate_yf
+    from ..methods.montecarlo import Antithetic, _heston_qe_paths
+
+    market = prob.market_inputs
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if jax.default_backend() in ("cpu",):
+        key = jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
+        return _heston_qe_paths(prob, config, key, strat, return_grid=False)
+    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    r0 = zero_rate_yf(market.rate, 0.0)
+    out = heston_qe_terminal(
+        jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
+        market.sigma, market.rho, T / config.steps,
+        n_paths=config.trajectories, steps=config.steps, seed=config.seed,
+        antithetic=anti, device_id=device_id,
+    )
+    return out.astype(jnp.float64)
