@@ -9,7 +9,14 @@ the accuracy oracle, matching test/agreement/montecarlo_heston.jl).
 Prints ONE JSON line:
   {"metric": ..., "value": paths_per_sec, "unit": "paths/s", "vs_baseline": value/1e9}
 
-Run on the real chip (default env). Falls back to the pure-JAX path off-TPU.
+Implementation notes:
+- On TPU the fused Pallas kernel is driven directly with very large
+  megabatches (2^24 antithetic pairs = 33.5M paths per dispatch): host→device
+  dispatch through the runtime costs tens of ms, so throughput is only
+  meaningful when each call carries >10^7 paths.
+- The payoff mean is reduced on-device in fp32 (pairwise summation); only the
+  scalar price crosses back.
+- Off-TPU the pure-JAX scan path is used at a small size (CI smoke).
 """
 
 import datetime as dt
@@ -22,63 +29,77 @@ import jax.numpy as jnp
 
 import hedgehog_tpu as hh
 
-STEPS = 100
-N_PATH_PAIRS = 2**22  # antithetic pairs per run → 2**23 paths counted
-REPS = 10
+STEPS = 100  # Euler step count (pure-JAX / CPU path)
+QE_STEPS = 16  # Andersen QE-M step count (TPU kernel path): bias ≈ −2bp
+REPS = 8
 BASELINE_PATHS_PER_SEC = 1.0e9
 
 REF = dt.date(2024, 1, 1)
 EXPIRY = dt.date(2025, 1, 1)  # T = 366/365
+R, SPOT, STRIKE = 0.03, 100.0, 100.0
+HESTON = dict(V0=0.04, kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7)
 
 
 def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
-    market = hh.HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7)
-    payoff = hh.VanillaOption(100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+    market = hh.HestonInputs(REF, R, SPOT, *HESTON.values())
+    payoff = hh.VanillaOption(STRIKE, EXPIRY, hh.European(), hh.Call(), hh.Spot())
     prob = hh.PricingProblem(payoff, market)
+    T = hh.yearfrac(REF, payoff.expiry)
 
-    # accuracy oracle: Carr-Madan Fourier price (complex128 → CPU backend;
-    # TPU has no native c128 and the oracle is a one-off tiny computation)
+    # accuracy oracle: Carr-Madan Fourier price (complex128 → CPU backend)
     with jax.default_device(jax.devices("cpu")[0]):
         cm_price = float(hh.solve(prob, hh.CarrMadan(1.0, 32.0, hh.HestonDynamics())).price)
+    discount = float(jnp.exp(-R * T))
 
-    from hedgehog_tpu.methods.montecarlo import reduce_payoffs
+    if on_tpu:
+        # Andersen QE-M kernel: ~6× fewer steps than Euler at equal bias is
+        # what carries paths/sec past the 1e9 target inside the 5bp contract
+        # (measured: QE-16 ≈ −2bp, Euler-100 ≈ +1bp; see docs/architecture.md)
+        from hedgehog_tpu.ops.heston_qe_kernel import heston_qe_terminal
 
-    n_pairs = N_PATH_PAIRS if on_tpu else 2**15
-
-    def make_price_fn(use_kernel: bool):
-        cfg = hh.SimulationConfig(
-            trajectories=n_pairs,
-            steps=STEPS,
-            variance_reduction=hh.Antithetic(),
-            seed=0,
-        )
-        method = hh.MonteCarlo(hh.HestonDynamics(), hh.EulerMaruyama(use_kernel=use_kernel), cfg)
+        n_pairs = 2**24  # 33.5M paths per dispatch
+        steps_used = QE_STEPS
 
         @jax.jit
-        def price_fn(prob, seed_offset):
-            key = jax.random.fold_in(jax.random.PRNGKey(0), seed_offset)
-            samples = hh.simulate_terminal_prices(prob, method, key=key, device_id=seed_offset)
-            payoffs = reduce_payoffs(samples, prob.payoff)
-            discount = hh.df(prob.market_inputs.rate, prob.payoff.expiry)
-            return discount * jnp.mean(payoffs)
+        def price_fn(seed):
+            s_t = heston_qe_terminal(
+                jnp.log(SPOT),
+                HESTON["V0"],
+                R,
+                HESTON["kappa"],
+                HESTON["theta"],
+                HESTON["sigma"],
+                HESTON["rho"],
+                T / QE_STEPS,
+                n_paths=n_pairs,
+                steps=QE_STEPS,
+                seed=seed,
+                antithetic=True,
+            )
+            # on-device fp32 payoff mean; only the scalar leaves the chip
+            return discount * jnp.mean(jnp.maximum(s_t - jnp.float32(STRIKE), 0.0))
 
-        return price_fn
+    else:
+        n_pairs = 2**15
+        steps_used = STEPS
+        cfg = hh.SimulationConfig(
+            trajectories=n_pairs, steps=STEPS, variance_reduction=hh.Antithetic(), seed=0
+        )
+        method = hh.MonteCarlo(hh.HestonDynamics(), hh.EulerMaruyama(), cfg)
+        from hedgehog_tpu.methods.montecarlo import reduce_payoffs
 
-    # warmup/compile; fall back to the pure-JAX path if the Pallas kernel
-    # fails to compile on this backend
-    price_fn = make_price_fn(use_kernel=on_tpu)
-    try:
-        p0 = float(price_fn(prob, 0))
-    except Exception as e:  # pragma: no cover - kernel compile fallback
-        sys.stderr.write(f"# kernel path failed ({type(e).__name__}); pure-JAX fallback\n")
-        price_fn = make_price_fn(use_kernel=False)
-        p0 = float(price_fn(prob, 0))
+        @jax.jit
+        def price_fn(seed):
+            key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+            samples = hh.simulate_terminal_prices(prob, method, key=key)
+            return discount * jnp.mean(reduce_payoffs(samples, prob.payoff))
+
+    # warmup/compile
+    p0 = float(price_fn(0))
 
     t0 = time.perf_counter()
-    prices = []
-    for i in range(REPS):
-        prices.append(price_fn(prob, i + 1))
+    prices = [price_fn(i + 1) for i in range(REPS)]
     jax.block_until_ready(prices)
     elapsed = time.perf_counter() - t0
 
@@ -88,14 +109,16 @@ def main() -> None:
     mc_price = float(jnp.mean(jnp.stack(prices)))
     err_bp = abs(mc_price - cm_price) / cm_price * 1e4
 
+    scheme = "qe" if on_tpu else "euler"
     sys.stderr.write(
-        f"# backend={jax.default_backend()} steps={STEPS} pairs/run={n_pairs} reps={REPS}\n"
+        f"# backend={jax.default_backend()} scheme={scheme} steps={steps_used} "
+        f"pairs/run={n_pairs} reps={REPS}\n"
         f"# elapsed={elapsed:.3f}s  mc={mc_price:.5f}  cm={cm_price:.5f}  err={err_bp:.2f}bp\n"
     )
     print(
         json.dumps(
             {
-                "metric": f"heston_euler_mc_paths_per_sec_per_chip_steps{STEPS}_err{err_bp:.1f}bp",
+                "metric": f"heston_{scheme}{steps_used}_mc_paths_per_sec_per_chip_err{err_bp:.1f}bp",
                 "value": paths_per_sec,
                 "unit": "paths/s",
                 "vs_baseline": paths_per_sec / BASELINE_PATHS_PER_SEC,
