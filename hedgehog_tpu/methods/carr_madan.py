@@ -39,12 +39,18 @@ __all__ = ["CarrMadan"]
 @pytree
 class CarrMadan(AbstractPricingMethod):
     """Carr-Madan method: damping ``alpha``, integration ``bound``, model
-    ``dynamics``, fixed Gauss-Legendre ``nodes`` (replaces QuadGKJL)."""
+    ``dynamics``, fixed Gauss-Legendre ``nodes`` (replaces QuadGKJL).
+
+    ``engine``: "complex" evaluates the CF in native complex128 (CPU/GPU);
+    "pair" evaluates in split real/imag arithmetic, which is what runs
+    natively on TPU (no c128 there); "auto" picks by backend.
+    """
 
     alpha: float = static_field(default=1.0)
     bound: float = static_field(default=32.0)
     dynamics: Any = static_field(default=LognormalDynamics())
     nodes: int = static_field(default=256)
+    engine: str = static_field(default="auto")
 
 
 def _gl_nodes(bound: float, n: int):
@@ -63,16 +69,37 @@ def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolut
     logK = jnp.log(K)
     alpha = method.alpha
     D = df(market.rate, payoff.expiry)
-    phi = terminal_log_cf(prob, method.dynamics)
+
+    engine = method.engine
+    if engine == "auto":
+        import jax
+
+        engine = "pair" if jax.default_backend() == "tpu" else "complex"
 
     v, w = _gl_nodes(method.bound, method.nodes)
-    # ψ(v): Fourier transform of the damped call (carr_madan.jl:88-92)
-    numerator = D * phi(v - (alpha + 1.0) * 1j)
-    denominator = alpha**2 + alpha - v**2 + 1j * v * (2.0 * alpha + 1.0)
     damp = jnp.exp(-alpha * logK) / (2.0 * jnp.pi)
-    integrand = damp * (numerator / denominator) * jnp.exp(-1j * v * logK)
 
-    integral = jnp.sum(w * integrand)
-    call_price = jnp.real(integral)
+    if engine == "pair":
+        # split-complex evaluation (TPU-native; math/complexops.py)
+        from ..math.complexops import cdiv, cmul
+        from ..models.dynamics import terminal_log_cf_pair
+
+        phi_pair = terminal_log_cf_pair(prob, method.dynamics)
+        # u = v − (α+1)i
+        phi = phi_pair(v, jnp.full_like(v, -(alpha + 1.0)))
+        denom = (alpha**2 + alpha - v**2, v * (2.0 * alpha + 1.0))
+        psi = cdiv((D * phi[0], D * phi[1]), denom)
+        osc = (jnp.cos(v * logK), -jnp.sin(v * logK))  # e^{-i v logK}
+        integrand_re = damp * cmul(psi, osc)[0]
+        call_price = jnp.sum(w * integrand_re)
+        integral = call_price
+    else:
+        # native complex128 (carr_madan.jl:88-92)
+        phi = terminal_log_cf(prob, method.dynamics)
+        numerator = D * phi(v - (alpha + 1.0) * 1j)
+        denominator = alpha**2 + alpha - v**2 + 1j * v * (2.0 * alpha + 1.0)
+        integrand = damp * (numerator / denominator) * jnp.exp(-1j * v * logK)
+        integral = jnp.sum(w * integrand)
+        call_price = jnp.real(integral)
     price = parity_transform(call_price, payoff, market.spot, market.rate)
     return CarrMadanSolution(prob, method, price, integral)

@@ -15,9 +15,11 @@ Semantics preserved exactly:
 
 TPU-native regression: the reference's ``Polynomials.fit`` on dynamically-
 sized ITM subsets becomes a masked weighted least-squares via the
-(degree+1)² normal equations — fixed shapes, one small `solve` per scan step,
-and exactly two ``psum``-able reductions when the path axis is sharded
-(SURVEY §5: the only genuinely communicating algorithm in the framework).
+(degree+1)² normal equations — fixed shapes, one small `solve` per scan step.
+When the path axis is sharded (``psum_axis``), the normal equations are the
+only cross-device communication: two tiny psums per time step, making LSM the
+single genuinely communicating algorithm in the framework (SURVEY §5) —
+every device then regresses against the *global* continuation fit.
 Regressors are normalized by the strike for conditioning (the reference fits
 raw spot levels of order 1; at spot~100 a raw degree-5 Vandermonde would be
 numerically singular — same math, stable basis).
@@ -25,7 +27,7 @@ numerically singular — same math, stable basis).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +40,7 @@ from ..market.rate_curve import df
 from ..methods.montecarlo import MonteCarlo, simulate_price_grid
 from ..utils.pytree import pytree, static_field
 
-__all__ = ["LSM"]
+__all__ = ["LSM", "lsm_backward_induction"]
 
 
 @pytree
@@ -49,61 +51,79 @@ class LSM(AbstractPricingMethod):
     degree: int = static_field(default=4)
 
 
-def _masked_polyfit_eval(x, y, w, degree: int):
+def _masked_polyfit_eval(x, y, w, degree: int, psum_axis: Optional[str]):
     """Fit y ~ poly(x) on rows where w==1; return fitted values at all x.
 
     Weighted normal equations with a tiny ridge: singular systems (e.g. no
-    ITM paths) stay solvable and are masked out downstream.
+    ITM paths) stay solvable and are masked out downstream.  Under path
+    sharding the (degree+1)² system is psum'ed so the regression is global.
     """
     powers = jnp.arange(degree + 1)
     phi = x[:, None] ** powers[None, :]  # (paths, d+1)
     phw = phi * w[:, None]
-    A = phw.T @ phi  # (d+1, d+1) — psum target when sharded
-    b = phw.T @ y  # (d+1,)    — psum target when sharded
+    A = phw.T @ phi  # (d+1, d+1)
+    b = phw.T @ y  # (d+1,)
+    if psum_axis is not None:
+        A = jax.lax.psum(A, psum_axis)
+        b = jax.lax.psum(b, psum_axis)
     ridge = 1e-10 * jnp.eye(degree + 1) * (1.0 + jnp.trace(A) / (degree + 1))
     beta = jnp.linalg.solve(A + ridge, b)
     return phi @ beta
 
 
-@register_solver(LSM)
-def _solve_lsm(prob: PricingProblem, method: LSM) -> LSMSolution:
-    payoff = prob.payoff
-    if not isinstance(payoff.exercise_style, American):
-        raise TypeError("LSM prices American options (lsm.jl solve signature :99-102).")
-    market = prob.market_inputs
+def lsm_backward_induction(
+    spots, payoff, log_disc, degree: int, strike_scale, psum_axis: Optional[str] = None
+):
+    """Backward stopping-rule induction over a (steps+1, paths) price grid.
 
-    grid = simulate_price_grid(prob, method.mc_method)  # (g, steps+1, paths)
-    n_groups, ntimes, npaths = grid.shape
-    spots = jnp.moveaxis(grid, 0, 1).reshape(ntimes, n_groups * npaths)  # (steps+1, P)
-    nsteps = ntimes - 1
-
-    T = yearfrac(market.reference_date, payoff.expiry)
-    # single-step discount factor (lsm.jl:110)
-    disc = df(market.rate, add_yearfrac(market.reference_date, T / nsteps))
-    log_disc = jnp.log(disc)
-    strike_scale = jnp.asarray(payoff.strike, jnp.float64)
-
+    Returns (tau, value) per path.  ``psum_axis`` enables the sharded global
+    regression (see module docstring).
+    """
+    nsteps = spots.shape[0] - 1
     tau0 = jnp.full((spots.shape[1],), nsteps, dtype=jnp.float64)
     value0 = payoff(spots[nsteps])
 
     def step(carry, t):
         tau, value = carry
-        s_t = spots_rev_lookup(t)
+        s_t = jax.lax.dynamic_index_in_dim(spots, t, axis=0, keepdims=False)
         continuation = jnp.exp((tau - t) * log_disc) * value
         payoff_t = payoff(s_t)
         itm = payoff_t > 0.0
         w = itm.astype(jnp.float64)
-        fitted = _masked_polyfit_eval(s_t / strike_scale, continuation, w, method.degree)
+        fitted = _masked_polyfit_eval(
+            s_t / strike_scale, continuation, w, degree, psum_axis
+        )
         exercise = itm & (payoff_t > fitted)
         tau = jnp.where(exercise, t.astype(jnp.float64), tau)
         value = jnp.where(exercise, payoff_t, value)
         return (tau, value), None
 
-    def spots_rev_lookup(t):
-        return jax.lax.dynamic_index_in_dim(spots, t, axis=0, keepdims=False)
-
     ts = jnp.arange(nsteps - 1, 0, -1)  # nsteps-1 … 1 (t=0 excluded, lsm.jl:114)
     (tau, value), _ = jax.lax.scan(step, (tau0, value0), ts)
+    return tau, value
 
+
+def _lsm_setup(prob: PricingProblem, method: LSM):
+    payoff = prob.payoff
+    if not isinstance(payoff.exercise_style, American):
+        raise TypeError("LSM prices American options (lsm.jl solve signature :99-102).")
+    market = prob.market_inputs
+    T = yearfrac(market.reference_date, payoff.expiry)
+    nsteps = method.mc_method.config.steps
+    # single-step discount factor (lsm.jl:110)
+    disc = df(market.rate, add_yearfrac(market.reference_date, T / nsteps))
+    return jnp.log(disc), jnp.asarray(payoff.strike, jnp.float64)
+
+
+@register_solver(LSM)
+def _solve_lsm(prob: PricingProblem, method: LSM) -> LSMSolution:
+    log_disc, strike_scale = _lsm_setup(prob, method)
+    grid = simulate_price_grid(prob, method.mc_method)  # (g, steps+1, paths)
+    n_groups, ntimes, npaths = grid.shape
+    spots = jnp.moveaxis(grid, 0, 1).reshape(ntimes, n_groups * npaths)
+
+    tau, value = lsm_backward_induction(
+        spots, prob.payoff, log_disc, method.degree, strike_scale
+    )
     price = jnp.mean(jnp.exp(tau * log_disc) * value)
     return LSMSolution(prob, method, price, (tau, value), spots)

@@ -83,9 +83,12 @@ def lognormal_terminal_law(market, expiry_ticks):
 def lognormal_cf(u, mean, std):
     """CF of a Normal(mean, std) log-price: E[e^{iuX}] (sample_from_cf.jl:14-16).
 
-    ``u`` may be complex (Carr-Madan evaluates at v − (α+1)i).
+    ``u`` may be complex (Carr-Madan evaluates at v − (α+1)i).  The input's
+    complex dtype is preserved (complex64 on TPU, complex128 elsewhere).
     """
-    u = jnp.asarray(u, jnp.complex128)
+    u = jnp.asarray(u)
+    if not jnp.iscomplexobj(u):
+        u = u.astype(jnp.complex128)
     return jnp.exp(1j * u * mean - 0.5 * (std**2) * u**2)
 
 
@@ -98,8 +101,17 @@ def heston_cf(u, S0, V0, kappa, theta, sigma, rho, r, T):
       C  = κθ/σ² · ((κ − ρσiu − d)T − 2·log((1 − g e^{−dT})/(1 − g)))
       D  = (κ − ρσiu − d)/σ² · (1 − e^{−dT})/(1 − g e^{−dT})
       φ  = exp(C + D·V0 + iu·log S0 + iu·rT)
+
+    Input complex dtype is preserved (complex64 on TPU, complex128 elsewhere).
     """
-    u = jnp.asarray(u, jnp.complex128)
+    u = jnp.asarray(u)
+    if not jnp.iscomplexobj(u):
+        u = u.astype(jnp.complex128)
+    # pin all parameters to u's precision so c64 inputs stay c64 end-to-end
+    rdt = jnp.finfo(u.dtype).dtype
+    S0, V0, kappa, theta, sigma, rho, r, T = (
+        jnp.asarray(p, rdt) for p in (S0, V0, kappa, theta, sigma, rho, r, T)
+    )
     iu = 1j * u
     beta = kappa - rho * sigma * iu
     d = jnp.sqrt(beta**2 + sigma**2 * (iu + u**2))
@@ -108,6 +120,72 @@ def heston_cf(u, S0, V0, kappa, theta, sigma, rho, r, T):
     C = (kappa * theta / sigma**2) * ((beta - d) * T - 2.0 * jnp.log((1.0 - g * e_dt) / (1.0 - g)))
     D = ((beta - d) / sigma**2) * ((1.0 - e_dt) / (1.0 - g * e_dt))
     return jnp.exp(C + D * V0 + iu * jnp.log(S0) + iu * r * T)
+
+
+def heston_cf_pair(u_re, u_im, S0, V0, kappa, theta, sigma, rho, r, T):
+    """Heston CF of log S_T in split-complex (re, im) pairs — pure real
+    arithmetic, so Fourier pricing runs natively on TPU (math/complexops.py).
+
+    Math identical to :func:`heston_cf`.
+    """
+    from ..math.complexops import cdiv, cexp, clog, cmul, csqrt
+
+    dt = jnp.result_type(u_re)
+    S0, V0, kappa, theta, sigma, rho, r, T = (
+        jnp.asarray(p, dt) for p in (S0, V0, kappa, theta, sigma, rho, r, T)
+    )
+    iu = (-u_im, u_re)  # i·u
+    beta = (kappa - rho * sigma * iu[0], -rho * sigma * iu[1])
+    # d = sqrt(beta² + σ²(iu + u²));  u² = (u_re+i·u_im)²
+    u2 = (u_re * u_re - u_im * u_im, 2.0 * u_re * u_im)
+    inner = cmul(beta, beta)
+    inner = (inner[0] + sigma**2 * (iu[0] + u2[0]), inner[1] + sigma**2 * (iu[1] + u2[1]))
+    d = csqrt(inner)
+    bmd = (beta[0] - d[0], beta[1] - d[1])
+    bpd = (beta[0] + d[0], beta[1] + d[1])
+    g = cdiv(bmd, bpd)
+    e_dt = cexp((-d[0] * T, -d[1] * T))
+    one_m_ge = (1.0 - (g[0] * e_dt[0] - g[1] * e_dt[1]), -(g[0] * e_dt[1] + g[1] * e_dt[0]))
+    one_m_g = (1.0 - g[0], -g[1])
+    log_ratio = clog(cdiv(one_m_ge, one_m_g))
+    C = (
+        (kappa * theta / sigma**2) * (bmd[0] * T - 2.0 * log_ratio[0]),
+        (kappa * theta / sigma**2) * (bmd[1] * T - 2.0 * log_ratio[1]),
+    )
+    one_m_e = (1.0 - e_dt[0], -e_dt[1])
+    D = cmul((bmd[0] / sigma**2, bmd[1] / sigma**2), cdiv(one_m_e, one_m_ge))
+    expo = (
+        C[0] + D[0] * V0 + iu[0] * (jnp.log(S0) + r * T),
+        C[1] + D[1] * V0 + iu[1] * (jnp.log(S0) + r * T),
+    )
+    return cexp(expo)
+
+
+def lognormal_cf_pair(u_re, u_im, mean, std):
+    """Normal log-price CF in split-complex pairs (see heston_cf_pair)."""
+    from ..math.complexops import cexp, cmul
+
+    iu = (-u_im, u_re)
+    u2 = (u_re * u_re - u_im * u_im, 2.0 * u_re * u_im)
+    expo = (iu[0] * mean - 0.5 * std**2 * u2[0], iu[1] * mean - 0.5 * std**2 * u2[1])
+    return cexp(expo)
+
+
+def terminal_log_cf_pair(prob, dynamics: PriceDynamics):
+    """φ(u) in pair form: returns fn(u_re, u_im) -> (re, im)."""
+    market = prob.market_inputs
+    expiry = prob.payoff.expiry
+    if isinstance(dynamics, LognormalDynamics):
+        mean, std = lognormal_terminal_law(market, expiry)
+        return lambda ur, ui: lognormal_cf_pair(ur, ui, mean, std)
+    if isinstance(dynamics, HestonDynamics):
+        r = zero_rate(market.rate, expiry)
+        T = yearfrac(market.rate.reference_date, expiry)
+        return lambda ur, ui: heston_cf_pair(
+            ur, ui, market.spot, market.V0, market.kappa, market.theta,
+            market.sigma, market.rho, r, T,
+        )
+    raise TypeError(f"no terminal law for dynamics {type(dynamics).__name__}")
 
 
 def terminal_log_cf(prob, dynamics: PriceDynamics):

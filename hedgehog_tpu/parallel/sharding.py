@@ -27,7 +27,13 @@ from ..core.problems import PricingProblem
 from ..market.rate_curve import df
 from ..methods.montecarlo import MonteCarlo, reduce_payoffs, simulate_terminal_prices
 
-__all__ = ["make_paths_mesh", "sharded_mc_price", "sharded_mc_price_fn"]
+__all__ = [
+    "make_paths_mesh",
+    "sharded_mc_price",
+    "sharded_mc_price_fn",
+    "sharded_lsm_price",
+    "sharded_lsm_price_fn",
+]
 
 
 def make_paths_mesh(devices=None, axis_name: str = "paths") -> Mesh:
@@ -83,3 +89,49 @@ def sharded_mc_price(prob: PricingProblem, method: MonteCarlo, mesh: Optional[Me
     """Price a European option with paths sharded across all devices."""
     mesh = mesh or make_paths_mesh()
     return sharded_mc_price_fn(method, mesh)(prob)
+
+
+def sharded_lsm_price_fn(method, mesh: Mesh, axis_name: str = "paths"):
+    """Build a path-sharded LSM American pricer over ``mesh``.
+
+    The price grid is simulated device-locally (independent RNG streams); the
+    per-step continuation regression runs GLOBALLY via two psum'ed
+    (degree+1)² normal-equation reductions — the framework's one genuinely
+    communicating algorithm (SURVEY §5), the closest analog of sequence
+    parallelism this domain has.
+    """
+    from ..methods.lsm import LSM, _lsm_setup, lsm_backward_induction
+    from ..methods.montecarlo import simulate_price_grid
+
+    assert isinstance(method, LSM)
+    n_dev = mesh.shape[axis_name]
+    local_mc = _local_method(method.mc_method, n_dev)
+    total_paths_factor = n_dev
+
+    def price(prob: PricingProblem):
+        log_disc, strike_scale = _lsm_setup(prob, method)
+
+        @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(), check_rep=False)
+        def inner(prob):
+            idx = jax.lax.axis_index(axis_name)
+            key = jax.random.fold_in(jax.random.PRNGKey(local_mc.config.seed), idx)
+            grid = simulate_price_grid(prob, local_mc, key=key)  # (g, steps+1, P_local)
+            n_groups, ntimes, npaths = grid.shape
+            spots = jnp.moveaxis(grid, 0, 1).reshape(ntimes, n_groups * npaths)
+            tau, value = lsm_backward_induction(
+                spots, prob.payoff, log_disc, method.degree, strike_scale,
+                psum_axis=axis_name,
+            )
+            local_sum = jnp.sum(jnp.exp(tau * log_disc) * value)
+            total = jax.lax.psum(local_sum, axis_name)
+            return total / (spots.shape[1] * total_paths_factor)
+
+        return inner(prob)
+
+    return price
+
+
+def sharded_lsm_price(prob: PricingProblem, method, mesh: Optional[Mesh] = None):
+    """Price an American option via LSM with paths sharded across devices."""
+    mesh = mesh or make_paths_mesh()
+    return sharded_lsm_price_fn(method, mesh)(prob)

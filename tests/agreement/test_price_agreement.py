@@ -54,3 +54,22 @@ def test_carr_madan_vs_analytic_maturity_grid(T_days, cp):
     cm = float(solve(prob, CarrMadan(1.5, 64.0, LognormalDynamics(), nodes=512)).price)
     bs = float(solve(prob, BlackScholesAnalytic()).price)
     assert cm == pytest.approx(bs, abs=1e-6)
+
+
+def test_carr_madan_pair_engine_matches_complex():
+    """Split-complex (TPU-native) CM engine vs native complex128 — must agree
+    to f64 roundoff; the pair path is what runs on-chip (no c128 on TPU)."""
+    from hedgehog_tpu import HestonDynamics, HestonInputs
+
+    market = HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7)
+    payoff = VanillaOption(100.0, dt.date(2021, 1, 1), European(), Call(), Spot())
+    prob = PricingProblem(payoff, market)
+    pc = float(solve(prob, CarrMadan(1.0, 32.0, HestonDynamics(), engine="complex")).price)
+    pp = float(solve(prob, CarrMadan(1.0, 32.0, HestonDynamics(), engine="pair")).price)
+    assert pp == pytest.approx(pc, abs=1e-12)
+
+    bs_market = BlackScholesInputs(REF, 0.05, 100.0, 0.2)
+    prob2 = PricingProblem(payoff, bs_market)
+    pc2 = float(solve(prob2, CarrMadan(1.0, 16.0, LognormalDynamics(), engine="complex")).price)
+    pp2 = float(solve(prob2, CarrMadan(1.0, 16.0, LognormalDynamics(), engine="pair")).price)
+    assert pp2 == pytest.approx(pc2, abs=1e-12)

@@ -97,3 +97,23 @@ def test_uneven_paths_rejected():
     method = MonteCarlo(LognormalDynamics(), BlackScholesExact(), cfg)
     with pytest.raises(ValueError, match="divide evenly"):
         sharded_mc_price(BS_PROB, method, mesh)
+
+
+def test_sharded_lsm_vs_crr():
+    """Path-sharded LSM with psum'ed global regression vs CRR (the
+    communicating-algorithm tier of SURVEY §5)."""
+    from hedgehog_tpu import American, CoxRossRubinsteinMethod, LSM, Put
+    from hedgehog_tpu.parallel.sharding import sharded_lsm_price
+
+    mesh = make_paths_mesh()
+    payoff = VanillaOption(100.0, EXPIRY, American(), Put(), Spot())
+    prob = PricingProblem(payoff, BS_MARKET)
+    cfg = SimulationConfig(
+        trajectories=16_000, steps=50, seed=0, variance_reduction=Antithetic()
+    )
+    lsm = LSM(MonteCarlo(LognormalDynamics(), BlackScholesExact(), cfg), 4)
+    p_sharded = float(sharded_lsm_price(prob, lsm, mesh))
+    p_crr = float(solve(prob, CoxRossRubinsteinMethod(500)).price)
+    assert p_sharded == pytest.approx(p_crr, rel=2.5e-2)
+    # determinism across calls
+    assert float(sharded_lsm_price(prob, lsm, mesh)) == p_sharded
