@@ -109,6 +109,33 @@ def main() -> None:
     mc_price = float(jnp.mean(jnp.stack(prices)))
     err_bp = abs(mc_price - cm_price) / cm_price * 1e4
 
+    # ---- secondary serving metric (stderr only): batched price+greeks ----
+    # One vmapped value_and_grad gives every option its price AND its
+    # (delta, vega, rho) in a single pass — the "<2× price cost" greek story
+    # at serving scale (BASELINE.json: "batched price+Greeks options/sec").
+    from hedgehog_tpu.methods.black_scholes import bs_price
+
+    n_opts = 2**18
+    strikes = jnp.linspace(50.0, 150.0, n_opts, dtype=jnp.float32)
+
+    def one_price(K, spot, sigma, r):
+        D = jnp.exp(-r * jnp.float32(T))
+        return bs_price(spot / D, K, sigma, jnp.float32(T), D, 1.0)
+
+    @jax.jit
+    def priced_greeked(spot, sigma, r):
+        f = lambda K: jax.value_and_grad(one_price, argnums=(1, 2, 3))(K, spot, sigma, r)
+        return jax.vmap(f)(strikes)
+
+    args32 = (jnp.float32(SPOT), jnp.float32(0.2), jnp.float32(R))
+    jax.block_until_ready(priced_greeked(*args32))
+    t1 = time.perf_counter()
+    for _ in range(5):
+        out = priced_greeked(*args32)
+    jax.block_until_ready(out)
+    opts_per_sec = 5 * n_opts / (time.perf_counter() - t1)
+    sys.stderr.write(f"# batched price+greeks (BS, delta/vega/rho per option): {opts_per_sec:.3e} options/s\n")
+
     scheme = "qe" if on_tpu else "euler"
     sys.stderr.write(
         f"# backend={jax.default_backend()} scheme={scheme} steps={steps_used} "

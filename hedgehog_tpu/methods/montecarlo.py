@@ -106,7 +106,10 @@ class ExactSimulation(SimulationStrategy):
 
 @pytree
 class BlackScholesExact(ExactSimulation):
-    """Exact terminal lognormal draw (no path discretization error)."""
+    """Exact terminal lognormal draw (no path discretization error);
+    ``use_kernel=True`` routes through the fused Pallas sampler on TPU."""
+
+    use_kernel: bool = static_field(default=False)
 
 
 @pytree
@@ -313,6 +316,10 @@ def simulate_terminal_prices(
             return heston_qe_terminal_pallas(prob, config, strat, device_id=device_id)
         return _heston_qe_paths(prob, config, key, strat, return_grid=False)
     if isinstance(strat, BlackScholesExact) and isinstance(dyn, LognormalDynamics):
+        if strat.use_kernel:
+            from ..ops.gbm_kernel import gbm_exact_terminal_pallas
+
+            return gbm_exact_terminal_pallas(prob, config, device_id=device_id)
         return _gbm_exact_terminal(prob, config, _base_key(config, key))
     if isinstance(strat, HestonBroadieKaya) and isinstance(dyn, HestonDynamics):
         from ..distributions.broadie_kaya import broadie_kaya_terminal_prices
