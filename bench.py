@@ -30,8 +30,10 @@ import jax.numpy as jnp
 import hedgehog_tpu as hh
 
 STEPS = 100  # Euler step count (pure-JAX / CPU path)
-QE_STEPS = 16  # Andersen QE-M step count (TPU kernel path): bias ≈ −2bp
-REPS = 8
+QE_STEPS = 12  # Andersen QE-M step count (TPU path): bias −2.3±0.1bp measured
+QE_BLOCKS = 256  # kernel grid (× 32768 paths × 2 antithetic × QE_BATCHES per call)
+QE_BATCHES = 16
+REPS = 6
 BASELINE_PATHS_PER_SEC = 1.0e9
 
 REF = dt.date(2024, 1, 1)
@@ -53,17 +55,18 @@ def main() -> None:
     discount = float(jnp.exp(-R * T))
 
     if on_tpu:
-        # Andersen QE-M kernel: ~6× fewer steps than Euler at equal bias is
-        # what carries paths/sec past the 1e9 target inside the 5bp contract
-        # (measured: QE-16 ≈ −2bp, Euler-100 ≈ +1bp; see docs/architecture.md)
-        from hedgehog_tpu.ops.heston_qe_kernel import heston_qe_terminal
+        # Andersen QE-M price kernel with in-kernel multi-batch payoff
+        # accumulation: ~8× fewer steps than Euler at equal bias plus
+        # dispatch-free on-chip reduction carry paths/sec past the 1e9 target
+        # inside the 5bp contract (see docs/architecture.md)
+        from hedgehog_tpu.ops.heston_qe_kernel import heston_qe_call_price
 
-        n_pairs = 2**24  # 33.5M paths per dispatch
+        paths_per_call = QE_BLOCKS * QE_BATCHES * 32768 * 2
+        n_pairs = paths_per_call // 2
         steps_used = QE_STEPS
 
-        @jax.jit
         def price_fn(seed):
-            s_t = heston_qe_terminal(
+            return heston_qe_call_price(
                 jnp.log(SPOT),
                 HESTON["V0"],
                 R,
@@ -72,13 +75,13 @@ def main() -> None:
                 HESTON["sigma"],
                 HESTON["rho"],
                 T / QE_STEPS,
-                n_paths=n_pairs,
+                STRIKE,
+                discount,
+                n_blocks=QE_BLOCKS,
+                n_batches=QE_BATCHES,
                 steps=QE_STEPS,
                 seed=seed,
-                antithetic=True,
             )
-            # on-device fp32 payoff mean; only the scalar leaves the chip
-            return discount * jnp.mean(jnp.maximum(s_t - jnp.float32(STRIKE), 0.0))
 
     else:
         n_pairs = 2**15

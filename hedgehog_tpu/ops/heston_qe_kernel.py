@@ -199,6 +199,82 @@ def heston_qe_terminal(
     return out.reshape(n_groups, padded)[:, :n_paths]
 
 
+def _qe_price_kernel(params_ref, seed_ref, out_ref, *, steps: int, n_batches: int):
+    """Multi-batch antithetic QE-M European-call pricing: each program
+    simulates ``n_batches`` fresh (ROWS×LANES) antithetic tile pairs and
+    accumulates call payoffs on-chip, so one host dispatch carries
+    n_blocks × n_batches × 32768 × 2 paths and returns only (8,128) partial
+    sums per program — the dispatch-amortized bench configuration."""
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+
+    log_s0 = params_ref[0]
+    v0 = params_ref[1]
+    c = dict(
+        theta=params_ref[2], e=params_ref[3], c_s2_v=params_ref[4], c_s2_c=params_ref[5],
+        K1=params_ref[6], K2=params_ref[7], K3=params_ref[8], K4=params_ref[9],
+        A=params_ref[10], r_dt=params_ref[11], K1_half_K3=params_ref[12],
+    )
+    strike = params_ref[13]
+
+    shape = (_ROWS, _LANES)
+
+    def one_batch(_, acc):
+        x = jnp.full(shape, log_s0, dtype=jnp.float32)
+        v = jnp.full(shape, v0, dtype=jnp.float32)
+        xa, va = x, v
+
+        def step(carry):
+            x, v, xa, va = carry
+            z_v, z_x, u = _box_muller_with_uniform(shape)
+            x, v = _qe_advance(x, v, z_v, z_x, u, c)
+            xa, va = _qe_advance(xa, va, -z_v, -z_x, 1.0 - u, c)
+            return (x, v, xa, va)
+
+        x, v, xa, va = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(steps), lambda _, cr: step(cr), (x, v, xa, va)
+        )
+        payoff = jnp.maximum(jnp.exp(x) - strike, 0.0) + jnp.maximum(jnp.exp(xa) - strike, 0.0)
+        # fold (ROWS, LANES) → (8, LANES) partial sums to bound fp32 accumulation depth
+        return acc + jnp.sum(payoff.reshape(_ROWS // 8, 8, _LANES), axis=0)
+
+    acc0 = jnp.zeros((8, _LANES), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "n_batches", "steps"))
+def heston_qe_call_price(
+    log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, discount,
+    *, n_blocks: int, n_batches: int, steps: int, seed, device_id=0,
+):
+    """Discounted European-call price over n_blocks·n_batches·65536 antithetic
+    QE-M paths, with ONE host dispatch and on-chip payoff accumulation."""
+    from ..models.heston_qe import qe_constants
+
+    c = qe_constants(kappa, theta, sigma, rho, r, dt)
+    params = jnp.stack(
+        [jnp.float32(p) for p in (
+            log_s0, v0, theta, c["e"], c["c_s2_v"], c["c_s2_c"], c["K1"], c["K2"],
+            c["K3"], c["K4"], c["A"], c["r_dt"], c["K1"] + 0.5 * c["K3"], strike,
+        )]
+    )
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+    kernel = functools.partial(_qe_price_kernel, steps=steps, n_batches=n_batches)
+    sums = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((14,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, _LANES), lambda i: (i, jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, _LANES), jnp.float32),
+    )(params, seed_arr)
+    total_paths = n_blocks * n_batches * _ROWS * _LANES * 2
+    return discount * jnp.sum(sums.astype(jnp.float64)) / total_paths
+
+
 def heston_qe_terminal_pallas(prob, config, strat, device_id=0):
     """Adapter for MonteCarlo(HestonDynamics, HestonQE(use_kernel=True))."""
     from ..core.dates import yearfrac
