@@ -41,6 +41,7 @@ from .market.rate_curve import (  # noqa: E402
     df,
     df_yf,
     forward_rate,
+    is_flat,
     spine_tenors,
     spine_zeros,
     zero_rate,
@@ -52,8 +53,11 @@ from .market.vol_surface import (  # noqa: E402
     RectVolSurface,
     get_vol,
     get_vol_yf,
+    spine_strikes,
+    spine_vols,
+    surface_spine_tenors,
 )
-from .market.inputs import BlackScholesInputs, HestonInputs  # noqa: E402
+from .market.inputs import AbstractMarketInputs, BlackScholesInputs, HestonInputs  # noqa: E402
 from .market.vol_quotes import (  # noqa: E402
     ForwardObs,
     FuturesObs,
@@ -102,6 +106,7 @@ from .calibration.calibration import (  # noqa: E402
     RootFinderAlgo,
 )
 from .calibration.implied import (  # noqa: E402
+    implied_vol,
     implied_vol_bs,
     iv_to_price_bs,
     rect_vol_surface_from_prices,
@@ -160,8 +165,14 @@ __all__ = [
     "zero_rate",
     "zero_rate_yf",
     "forward_rate",
+    "is_flat",
     "spine_tenors",
     "spine_zeros",
+    "spine_strikes",
+    "spine_vols",
+    "surface_spine_tenors",
+    "AbstractMarketInputs",
+    "implied_vol",
     "FlatVolSurface",
     "RectVolSurface",
     "Interpolator2D",

@@ -25,7 +25,7 @@ from ..market.vol_surface import RectVolSurface
 from ..math.rootfind import implicit_root
 from ..methods.black_scholes import bs_price
 
-__all__ = ["implied_vol_bs", "iv_to_price_bs", "rect_vol_surface_from_prices"]
+__all__ = ["implied_vol", "implied_vol_bs", "iv_to_price_bs", "rect_vol_surface_from_prices"]
 
 IV_BRACKET = (1e-6, 5.0)
 
@@ -113,3 +113,8 @@ def rect_vol_surface_from_prices(
         interp_time=interp_time,
         interp_strike=interp_strike,
     )
+
+
+# The reference exports `implied_vol` (src/Hedgehog.jl:79) but never defines
+# it; here it is the batched Black-Scholes inversion.
+implied_vol = implied_vol_bs

@@ -17,7 +17,11 @@ from ..utils.pytree import pytree
 from .rate_curve import FlatRateCurve, RateCurve
 from .vol_surface import FlatVolSurface, RectVolSurface
 
-__all__ = ["BlackScholesInputs", "HestonInputs"]
+__all__ = ["AbstractMarketInputs", "BlackScholesInputs", "HestonInputs"]
+
+
+class AbstractMarketInputs:
+    """Base marker for market-input containers (market_inputs.jl:6)."""
 
 
 def _wrap_rate(rate, reference_date):
@@ -33,7 +37,7 @@ def _wrap_vol(sigma, reference_date):
 
 
 @pytree
-class BlackScholesInputs:
+class BlackScholesInputs(AbstractMarketInputs):
     """Black-Scholes market data: reference date (ticks), rate curve, spot,
     vol surface. Scalars for ``rate``/``sigma`` are auto-wrapped
     (market_inputs.jl:28-36)."""
@@ -51,7 +55,7 @@ class BlackScholesInputs:
 
 
 @pytree
-class HestonInputs:
+class HestonInputs(AbstractMarketInputs):
     """Heston market data: dS/S = r dt + √V dW₁; dV = κ(θ−V) dt + σ√V dW₂,
     corr(dW₁,dW₂)=ρ (market_inputs.jl:55-88)."""
 

@@ -30,6 +30,7 @@ __all__ = [
     "forward_rate",
     "spine_tenors",
     "spine_zeros",
+    "is_flat",
 ]
 
 
@@ -128,6 +129,11 @@ def spine_tenors(curve: AnyRateCurve):
     if isinstance(curve, FlatRateCurve):
         return jnp.asarray([0.0])
     return curve.tenors
+
+
+def is_flat(curve: AnyRateCurve) -> bool:
+    """True for constant-rate curves (reference export, src/Hedgehog.jl:72)."""
+    return isinstance(curve, FlatRateCurve)
 
 
 def spine_zeros(curve: AnyRateCurve):

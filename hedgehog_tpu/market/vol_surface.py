@@ -30,6 +30,9 @@ __all__ = [
     "Interpolator2D",
     "get_vol",
     "get_vol_yf",
+    "spine_strikes",
+    "spine_vols",
+    "surface_spine_tenors",
 ]
 
 
@@ -120,6 +123,23 @@ def get_vol_yf(surface: AnyVolSurface, t, strike):
         kind_x=surface.interp_time,
         kind_y=surface.interp_strike,
     )
+
+
+def spine_strikes(surface: RectVolSurface):
+    """Strike grid of a rect surface (reference export, src/Hedgehog.jl:75)."""
+    return surface.strikes
+
+
+def spine_vols(surface: AnyVolSurface):
+    """Vol grid (rect) or constant vol (flat)."""
+    if isinstance(surface, FlatVolSurface):
+        return jnp.asarray([[surface.sigma]])
+    return surface.vols
+
+
+def surface_spine_tenors(surface: RectVolSurface):
+    """Tenor grid of a rect surface (yearfracs from its reference date)."""
+    return surface.tenors
 
 
 def get_vol(surface: AnyVolSurface, expiry, strike):
