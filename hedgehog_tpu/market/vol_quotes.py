@@ -160,11 +160,18 @@ def price_to_iv(
     *,
     iv_guess: float = 0.5,
     normalized_input: bool = False,
+    bracket=(0.01, 2.0),
 ):
     """Implied vol under ``method`` via root-finding (vol_quotes.jl:520-551).
 
     With ``normalized_input=True``, ``price`` is forward-normalized (price/F)
     and is denormalized via F = S*/DF before inversion.
+
+    For non-Black-Scholes ``method``s the inversion brackets on ``bracket``;
+    the method must price accurately over that vol range (e.g. fixed-bound
+    Carr-Madan degrades outside roughly [0.1, 2] at default settings — widen
+    its ``bound``/``nodes`` if you need a wider bracket).  The BS fast path
+    uses the reference's (1e-6, 5.0).
     """
     method = method or BlackScholesAnalytic()
     ref_ticks = to_ticks(reference_date)
@@ -185,7 +192,7 @@ def price_to_iv(
         method,
         (FieldLens("market_inputs.sigma.sigma"),),
     )
-    return solve(calib, RootFinderAlgo()).u
+    return solve(calib, RootFinderAlgo(lo=bracket[0], hi=bracket[1])).u
 
 
 # ---------------------------------------------------------------- VolQuote

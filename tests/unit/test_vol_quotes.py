@@ -153,3 +153,14 @@ def test_normalized_input_prices():
     )
     assert vq.mid_price == pytest.approx(p_abs, rel=1e-12)
     assert vq.mid_iv == pytest.approx(0.25, abs=1e-10)
+
+
+def test_price_to_iv_with_carr_madan_model():
+    """iv_model can be any pricing method (VolQuoteConfig(CarrMadan...) in the
+    reference examples): root-find through the Fourier pricer."""
+    from hedgehog_tpu import CarrMadan, LognormalDynamics
+
+    method = CarrMadan(1.0, 16.0, LognormalDynamics())
+    p = float(iv_to_price(OPT, 100.0, 0.02, 0.35, REF, method))
+    iv = float(price_to_iv(OPT, 100.0, 0.02, p, REF, method))
+    assert iv == pytest.approx(0.35, abs=1e-8)
