@@ -18,8 +18,6 @@ from __future__ import annotations
 import datetime as _dt
 from typing import Union
 
-import jax.numpy as jnp
-
 __all__ = [
     "SECONDS_IN_YEAR_365",
     "MILLISECONDS_IN_YEAR_365",
@@ -85,11 +83,3 @@ def ticks_to_datetime(ticks: Union[int, float]) -> _dt.datetime:
     days, ms = divmod(ticks, MILLISECONDS_IN_DAY)
     base = _dt.datetime.fromordinal(days - _ORDINAL_OFFSET_DAYS)
     return base + _dt.timedelta(milliseconds=ms)
-
-
-def _as_float_ticks(x: DateLike):
-    """Internal: ticks as a float64-friendly value for jnp arithmetic."""
-    t = to_ticks(x)
-    if isinstance(t, (int, float)):
-        return float(t)
-    return jnp.asarray(t, dtype=jnp.float64)

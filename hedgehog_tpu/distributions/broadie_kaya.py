@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import gammaln, ndtri
+from jax.scipy.special import gammaln
 
 from ..core.dates import yearfrac
 from ..market.rate_curve import zero_rate
@@ -119,12 +119,10 @@ def heston_integrated_variance_weights(VT, V0, kappa, theta_lt, sigma, T, n_term
             a, VT, V0, kappa, sigma, T, nu, zeta_k, eta_k, log_I_k, theta_prev
         )
 
-    # moments via central differences at h0 = 1e-2 (sample_from_cf.jl:50-64)
+    # moments via central differences at h0 = 1e-2 (sample_from_cf.jl:50-64);
+    # unwrapping starts at the real-axis angle of νκ (0 for positive reals)
     h0 = 1e-2
-    theta0 = jnp.full(VT.shape, jnp.nan)
-    theta0 = jnp.angle(
-        jnp.sqrt(V0 * VT) * 4.0 * kappa * jnp.exp(-0.5 * kappa * T) / (sigma**2 * em) + 0j
-    )  # start unwrapping at the real-axis angle (0)
+    theta0 = jnp.angle(nu_k + 0j)
     phi_p, th = phi(h0, theta0)
     phi_m, _ = phi(-h0, th)
     first_deriv = (phi_p - phi_m) / (2.0 * h0)

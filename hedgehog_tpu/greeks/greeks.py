@@ -166,17 +166,18 @@ def _solve_reverse_ad(gprob, method: ReverseAD, pricing_method):
     prob = gprob.pricing_problem
     if isinstance(gprob, SecondOrderGreekProblem):
         lens1, lens2 = gprob.wrt1, gprob.wrt2
-        x0, y0 = lens1.get(prob), lens2.get(prob)
-        f = _price_fn2(prob, lens1, lens2, pricing_method)
-        deriv = jax.grad(jax.grad(f, argnums=0), argnums=1)(
-            jnp.asarray(x0, jnp.float64), jnp.asarray(y0, jnp.float64)
-        )
+        x0 = lens1.get(prob)
         if lens1 == lens2:
-            # lens1 == lens2 means a single underlying parameter: total second
-            # derivative d²f/dx² = f_xx + 2 f_xy + f_yy of f(x,y)=price(set x then y)
-            # collapses to the plain second derivative of g(x)=price(set x).
+            # single underlying parameter: plain second derivative of
+            # g(x)=price(set x) — no mixed-derivative pass needed
             g = _price_fn(prob, lens1, pricing_method)
             deriv = jax.grad(jax.grad(g))(jnp.asarray(x0, jnp.float64))
+        else:
+            y0 = lens2.get(prob)
+            f = _price_fn2(prob, lens1, lens2, pricing_method)
+            deriv = jax.grad(jax.grad(f, argnums=0), argnums=1)(
+                jnp.asarray(x0, jnp.float64), jnp.asarray(y0, jnp.float64)
+            )
         return GreekResult(deriv)
     lens = gprob.wrt
     x0 = jnp.asarray(lens.get(prob), jnp.float64)

@@ -23,24 +23,25 @@ INTERP_KINDS = ("linear", "quadratic", "cubic")
 def _natural_cubic_second_derivs(xs, ys):
     """Second derivatives M_i of the natural cubic spline through (xs, ys).
 
-    Solves the standard tridiagonal system densely (spine sizes are tiny —
-    dozens of knots), which keeps the whole thing differentiable and
-    compiler-friendly without a custom Thomas scan.
+    Thomas tridiagonal solve (math/linalg.py) — TPU cannot lower an f64
+    LuDecomposition, so no jnp.linalg.solve here.
     """
+    from .linalg import tridiag_solve
+
     n = xs.shape[0]
     h = xs[1:] - xs[:-1]  # (n-1,)
     # Interior equations: h[i-1] M[i-1] + 2(h[i-1]+h[i]) M[i] + h[i] M[i+1] = rhs
-    A = jnp.zeros((n, n), dtype=ys.dtype)
-    A = A.at[0, 0].set(1.0)
-    A = A.at[n - 1, n - 1].set(1.0)
-    idx = jnp.arange(1, n - 1)
-    A = A.at[idx, idx - 1].set(h[:-1])
-    A = A.at[idx, idx].set(2.0 * (h[:-1] + h[1:]))
-    A = A.at[idx, idx + 1].set(h[1:])
+    # Natural boundaries: M[0] = M[n-1] = 0.
+    dl = jnp.concatenate([jnp.zeros((1,), ys.dtype), h[:-1], jnp.zeros((1,), ys.dtype)])
+    d = jnp.concatenate(
+        [jnp.ones((1,), ys.dtype), 2.0 * (h[:-1] + h[1:]), jnp.ones((1,), ys.dtype)]
+    )
+    du = jnp.concatenate([jnp.zeros((1,), ys.dtype), h[1:], jnp.zeros((1,), ys.dtype)])
     slope = (ys[1:] - ys[:-1]) / h
-    rhs = jnp.zeros((n,), dtype=ys.dtype)
-    rhs = rhs.at[idx].set(6.0 * (slope[1:] - slope[:-1]))
-    return jnp.linalg.solve(A, rhs)
+    rhs = jnp.concatenate(
+        [jnp.zeros((1,), ys.dtype), 6.0 * (slope[1:] - slope[:-1]), jnp.zeros((1,), ys.dtype)]
+    )
+    return tridiag_solve(dl, d, du, rhs)
 
 
 def interp1d(x, xs, ys, kind: str = "linear"):
@@ -95,12 +96,21 @@ def interp2d_nested(x, y, x_vals, y_vals, values, kind_x: str = "linear", kind_y
     Semantics match the reference Interpolator2D (src/market_inputs/
     vol_surface.jl:12-57): first interpolate each x-row along y, then
     interpolate the resulting column along x.  ``values`` has shape
-    (len(x_vals), len(y_vals)); x/y are scalars or broadcastable arrays.
+    (len(x_vals), len(y_vals)); x/y are scalars or broadcastable arrays
+    (array queries — e.g. a whole strike grid — are vmapped pointwise).
     """
-    values = jnp.asarray(values)
-    # Interpolate along y for every x-row: rows_at_y[i] = interp(values[i,:])(y)
     import jax
 
-    rows_at_y = jax.vmap(lambda row: interp1d(y, y_vals, row, kind=kind_y))(values)
-    # rows_at_y: (n_x,) + shape(y). Then interpolate along x.
-    return interp1d(x, x_vals, rows_at_y, kind=kind_x)
+    values = jnp.asarray(values)
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+
+    def scalar_query(xq, yq):
+        rows_at_y = jax.vmap(lambda row: interp1d(yq, y_vals, row, kind=kind_y))(values)
+        return interp1d(xq, x_vals, rows_at_y, kind=kind_x)
+
+    if x.ndim == 0 and y.ndim == 0:
+        return scalar_query(x, y)
+    xb, yb = jnp.broadcast_arrays(x, y)
+    flat = jax.vmap(scalar_query)(xb.ravel(), yb.ravel())
+    return flat.reshape(xb.shape)

@@ -23,19 +23,12 @@ import jax.numpy as jnp
 __all__ = ["bisect_root", "implicit_root"]
 
 
-def bisect_root(f: Callable, lo, hi, iters: int = 80):
-    """Root of scalar-monotone ``f`` on [lo, hi] by bisection (primal only).
-
-    ``f`` must be vectorized; ``lo``/``hi`` may be arrays (batched brackets).
-    With 80 iterations the bracket shrinks by 2^-80 ≈ 1e-24 — beyond f64.
-    If f(lo) and f(hi) share a sign, returns the endpoint with smaller |f|
-    (the reference's clamp-with-warn fallback, sample_from_cf.jl:124-127).
-    """
+def _bisect_root_impl(f: Callable, lo, hi, iters: int):
+    """Bisection core: returns (root, bracketed_mask)."""
     lo = jnp.asarray(lo, jnp.float64)
     hi = jnp.asarray(hi, jnp.float64)
     f_lo0 = f(lo)
     f_hi0 = f(hi)
-    f_lo = f_lo0
 
     def body(_, carry):
         lo, hi, f_lo = carry
@@ -47,12 +40,23 @@ def bisect_root(f: Callable, lo, hi, iters: int = 80):
         new_hi = jnp.where(go_left, hi, mid)
         return new_lo, new_hi, new_f_lo
 
-    lo_f, hi_f, _ = jax.lax.fori_loop(0, iters, body, (lo, hi, f_lo))
+    lo_f, hi_f, _ = jax.lax.fori_loop(0, iters, body, (lo, hi, f_lo0))
     x = 0.5 * (lo_f + hi_f)
     # No-sign-change fallback: pick the better endpoint.
     bracketed = jnp.sign(f_lo0) != jnp.sign(f_hi0)
     better_endpoint = jnp.where(jnp.abs(f_lo0) < jnp.abs(f_hi0), lo, hi)
-    return jnp.where(bracketed, x, better_endpoint)
+    return jnp.where(bracketed, x, better_endpoint), bracketed
+
+
+def bisect_root(f: Callable, lo, hi, iters: int = 80):
+    """Root of scalar-monotone ``f`` on [lo, hi] by bisection (primal only).
+
+    ``f`` must be vectorized; ``lo``/``hi`` may be arrays (batched brackets).
+    With 80 iterations the bracket shrinks by 2^-80 ≈ 1e-24 — beyond f64.
+    If f(lo) and f(hi) share a sign, returns the endpoint with smaller |f|
+    (the reference's clamp-with-warn fallback, sample_from_cf.jl:124-127).
+    """
+    return _bisect_root_impl(f, lo, hi, iters)[0]
 
 
 def implicit_root(f: Callable, lo, hi, iters: int = 80):
@@ -63,9 +67,9 @@ def implicit_root(f: Callable, lo, hi, iters: int = 80):
     while its derivative w.r.t. any traced parameter captured in ``f`` equals
     the implicit-function-theorem sensitivity ``−f_θ/f_x``.
     """
-    lo = jnp.asarray(lo, jnp.float64)
-    hi = jnp.asarray(hi, jnp.float64)
-    x_star = jax.lax.stop_gradient(bisect_root(f, lo, hi, iters=iters))
+    root, bracketed = _bisect_root_impl(f, lo, hi, iters)
+    x_star = jax.lax.stop_gradient(root)
+    bracketed = jax.lax.stop_gradient(bracketed)
 
     # One Newton step, fully on the tape.
     fx, f_prime = jax.jvp(f, (x_star,), (jnp.ones_like(x_star),))
@@ -74,5 +78,4 @@ def implicit_root(f: Callable, lo, hi, iters: int = 80):
     # Unbracketed targets (e.g. a quote outside the attainable price range)
     # must not be extrapolated by the polish: return the clamp endpoint, the
     # reference's fall-back-with-warn behavior (sample_from_cf.jl:124-127).
-    bracketed = jax.lax.stop_gradient(jnp.sign(f(lo)) != jnp.sign(f(hi)))
     return jnp.where(bracketed, polished, x_star)

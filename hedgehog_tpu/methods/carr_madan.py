@@ -79,6 +79,11 @@ def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolut
     v, w = _gl_nodes(method.bound, method.nodes)
     damp = jnp.exp(-alpha * logK) / (2.0 * jnp.pi)
 
+    # Array strikes: broadcast K against the quadrature axis and reduce over
+    # the trailing (nodes) axis only, so strike grids vectorize like the
+    # BS/CRR pricers instead of collapsing into one scalar.
+    logK_b = jnp.asarray(logK)[..., None]  # (..., 1) vs v: (nodes,)
+
     if engine == "pair":
         # split-complex evaluation (TPU-native; math/complexops.py)
         from ..math.complexops import cdiv, cmul
@@ -89,17 +94,20 @@ def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolut
         phi = phi_pair(v, jnp.full_like(v, -(alpha + 1.0)))
         denom = (alpha**2 + alpha - v**2, v * (2.0 * alpha + 1.0))
         psi = cdiv((D * phi[0], D * phi[1]), denom)
-        osc = (jnp.cos(v * logK), -jnp.sin(v * logK))  # e^{-i v logK}
-        integrand_re = damp * cmul(psi, osc)[0]
-        call_price = jnp.sum(w * integrand_re)
+        osc = (jnp.cos(v * logK_b), -jnp.sin(v * logK_b))  # e^{-i v logK}
+        integrand_re = damp[..., None] * cmul(psi, osc)[0]
+        call_price = jnp.sum(w * integrand_re, axis=-1)
         integral = call_price
     else:
         # native complex128 (carr_madan.jl:88-92)
         phi = terminal_log_cf(prob, method.dynamics)
         numerator = D * phi(v - (alpha + 1.0) * 1j)
         denominator = alpha**2 + alpha - v**2 + 1j * v * (2.0 * alpha + 1.0)
-        integrand = damp * (numerator / denominator) * jnp.exp(-1j * v * logK)
-        integral = jnp.sum(w * integrand)
+        integrand = damp[..., None] * (numerator / denominator) * jnp.exp(-1j * v * logK_b)
+        integral = jnp.sum(w * integrand, axis=-1)
         call_price = jnp.real(integral)
+    if jnp.ndim(K) == 0:
+        call_price = jnp.reshape(call_price, ())
+        integral = jnp.reshape(integral, ())
     price = parity_transform(call_price, payoff, market.spot, market.rate)
     return CarrMadanSolution(prob, method, price, integral)

@@ -58,6 +58,8 @@ def _masked_polyfit_eval(x, y, w, degree: int, psum_axis: Optional[str]):
     ITM paths) stay solvable and are masked out downstream.  Under path
     sharding the (degree+1)² system is psum'ed so the regression is global.
     """
+    from ..math.linalg import cholesky_solve_small
+
     powers = jnp.arange(degree + 1)
     phi = x[:, None] ** powers[None, :]  # (paths, d+1)
     phw = phi * w[:, None]
@@ -67,7 +69,9 @@ def _masked_polyfit_eval(x, y, w, degree: int, psum_axis: Optional[str]):
         A = jax.lax.psum(A, psum_axis)
         b = jax.lax.psum(b, psum_axis)
     ridge = 1e-10 * jnp.eye(degree + 1) * (1.0 + jnp.trace(A) / (degree + 1))
-    beta = jnp.linalg.solve(A + ridge, b)
+    # unrolled Cholesky (math/linalg.py): jnp.linalg.solve lowers to an f64
+    # LuDecomposition that TPU cannot compile
+    beta = cholesky_solve_small(A + ridge, b)
     return phi @ beta
 
 

@@ -302,6 +302,14 @@ def simulate_terminal_prices(
     dyn, strat, config = method.dynamics, method.strategy, method.config
     if isinstance(strat, EulerMaruyama):
         if isinstance(dyn, LognormalDynamics):
+            if strat.use_kernel:
+                # Log-Euler GBM increments sum exactly, so the terminal
+                # distribution equals the exact sampler's — route to the
+                # fused lognormal kernel rather than silently ignoring the
+                # flag.
+                from ..ops.gbm_kernel import gbm_exact_terminal_pallas
+
+                return gbm_exact_terminal_pallas(prob, config, device_id=device_id)
             return _gbm_euler_paths(prob, config, _base_key(config, key), return_grid=False)
         if isinstance(dyn, HestonDynamics):
             if strat.use_kernel:

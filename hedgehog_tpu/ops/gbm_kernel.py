@@ -67,7 +67,7 @@ def gbm_exact_terminal_pallas(prob, config, device_id=0):
     from ..models.dynamics import lognormal_terminal_law
 
     anti = isinstance(config.variance_reduction, Antithetic)
-    if jax.default_backend() in ("cpu",):
+    if jax.default_backend() != "tpu":
         key = jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
         return _gbm_exact_terminal(prob, config, key)
     mean, std = lognormal_terminal_law(prob.market_inputs, prob.payoff.expiry)

