@@ -83,6 +83,26 @@ def main() -> None:
                 seed=seed,
             )
 
+        try:
+            price_fn(0)  # compile-check the kernel; fall back if Mosaic balks
+        except Exception as e:  # pragma: no cover
+            sys.stderr.write(
+                f"# QE kernel failed ({type(e).__name__}); Euler kernel fallback\n"
+            )
+            from hedgehog_tpu.ops.heston_kernel import heston_euler_terminal
+
+            n_pairs = 2**23
+            steps_used = STEPS
+
+            @jax.jit
+            def price_fn(seed):
+                s_t = heston_euler_terminal(
+                    jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"], HESTON["theta"],
+                    HESTON["sigma"], HESTON["rho"], T / STEPS,
+                    n_paths=n_pairs, steps=STEPS, seed=seed, antithetic=True,
+                )
+                return discount * jnp.mean(jnp.maximum(s_t - jnp.float32(STRIKE), 0.0))
+
     else:
         n_pairs = 2**15
         steps_used = STEPS

@@ -80,3 +80,31 @@ def test_qe_beats_euler_at_equal_steps():
     euler_err = abs(price(EulerMaruyama()) - cm)
     assert qe_err < euler_err
     assert qe_err / cm < 1e-3
+
+
+def test_lsm_on_qe_grid():
+    """American Heston via LSM on an Andersen QE grid — grid simulation path
+    for the QE strategy."""
+    from hedgehog_tpu import American, EulerMaruyama, LSM, Put
+
+    market = HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7)
+    amer = PricingProblem(
+        VanillaOption(100.0, EXPIRY, American(), Put(), Spot()), market
+    )
+    cfg = SimulationConfig(
+        trajectories=20_000, steps=32, seed=0, variance_reduction=Antithetic()
+    )
+    p_qe = float(solve(amer, LSM(MonteCarlo(HestonDynamics(), HestonQE(), cfg), 4)).price)
+    cfg_em = SimulationConfig(
+        trajectories=20_000, steps=100, seed=0, variance_reduction=Antithetic()
+    )
+    p_em = float(solve(amer, LSM(MonteCarlo(HestonDynamics(), EulerMaruyama(), cfg_em), 4)).price)
+    assert p_qe == pytest.approx(p_em, rel=3e-2)
+    # American >= European
+    euro_cm = float(
+        solve(
+            PricingProblem(VanillaOption(100.0, EXPIRY, European(), Put(), Spot()), market),
+            CarrMadan(1.0, 32.0, HestonDynamics()),
+        ).price
+    )
+    assert p_qe >= euro_cm - 0.02
