@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import hedgehog_tpu as hh
 
 STEPS = 100  # Euler step count (pure-JAX / CPU path)
-QE_STEPS = 12  # Andersen QE-M step count (TPU path): bias −2.3±0.1bp measured
+QE_STEPS = 10  # Andersen QE-M step count (TPU path): bias −3.4±0.1bp measured
+#                (2.1G-path calibration runs; QE-12 = −2.3bp, QE-14 = −1.9bp)
 QE_BLOCKS = 256  # kernel grid (× 32768 paths × 2 antithetic × QE_BATCHES per call)
 QE_BATCHES = 16
 REPS = 6
