@@ -126,12 +126,19 @@ class SimulationConfig:
 
     ``seed`` is the base of the counter-based RNG stream (replaces the
     reference's per-trajectory seed vector; see module docstring).
+
+    ``qmc=True`` replaces iid draws with a digitally-shifted Sobol' sequence
+    (math/sobol.py) in the pure-JAX samplers (exact GBM, Euler, QE): near
+    O(N⁻¹) error decay for smooth payoffs — beyond-reference capability.
+    The seed selects the randomization, so re-seeding gives independent
+    unbiased estimates for confidence intervals.
     """
 
     trajectories: int = static_field(default=10_000)
     steps: int = static_field(default=1)
     variance_reduction: VarianceReductionStrategy = static_field(default=NoVarianceReduction())
     seed: int = static_field(default=0)
+    qmc: bool = static_field(default=False)
 
 
 @pytree
@@ -159,6 +166,32 @@ def _base_key(config: "SimulationConfig", key):
     return jax.random.PRNGKey(config.seed) if key is None else key
 
 
+def _qmc_normals(key, steps: int, comps: int, paths: int):
+    """(steps, comps, paths) standard normals from a randomized Sobol' grid
+    (dimension = step-major × component; path = point index)."""
+    from jax.scipy.special import ndtri
+
+    from ..math.sobol import sobol_uniforms
+
+    u = sobol_uniforms(key, paths, steps * comps)  # (paths, dims)
+    z = ndtri(u)
+    return jnp.moveaxis(z.reshape(paths, steps, comps), 0, -1)
+
+
+def _qmc_normals_and_uniforms(key, steps: int, n_normal: int, paths: int):
+    """Normals (steps, n_normal, paths) plus one uniform stream (steps, paths)
+    from a single Sobol' grid — the QE draw layout."""
+    from jax.scipy.special import ndtri
+
+    from ..math.sobol import sobol_uniforms
+
+    comps = n_normal + 1
+    u = sobol_uniforms(key, paths, steps * comps)  # (paths, dims)
+    u = u.reshape(paths, steps, comps)
+    z = ndtri(u[..., :n_normal])
+    return jnp.moveaxis(z, 0, -1), jnp.moveaxis(u[..., n_normal], 0, -1)
+
+
 # ------------------ Per-model simulation kernels (pure JAX) ------------------
 
 
@@ -174,7 +207,11 @@ def _sim_params(prob: PricingProblem):
 def _gbm_exact_terminal(prob, config, key) -> jnp.ndarray:
     """(n_groups, paths) terminal prices via one exact lognormal draw."""
     anti = isinstance(config.variance_reduction, Antithetic)
-    z = _normals(key, (config.trajectories,), anti)
+    if config.qmc:
+        zb = _qmc_normals(key, 1, 1, config.trajectories)[0, 0]
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+    else:
+        z = _normals(key, (config.trajectories,), anti)
     mean, std = lognormal_terminal_law(prob.market_inputs, prob.payoff.expiry)
     return jnp.exp(mean + std * z)
 
@@ -191,7 +228,11 @@ def _gbm_euler_paths(prob, config, key, *, return_grid: bool):
     steps = config.steps
     dt = T / steps
     anti = isinstance(config.variance_reduction, Antithetic)
-    z = _normals(key, (steps, config.trajectories), anti)  # (g, steps, paths)
+    if config.qmc:
+        zb = _qmc_normals(key, steps, 1, config.trajectories)[:, 0, :]  # (steps, paths)
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+    else:
+        z = _normals(key, (steps, config.trajectories), anti)  # (g, steps, paths)
     drift = (r0 - 0.5 * sigma**2) * dt
     vol_dt = sigma * jnp.sqrt(dt)
     x0 = jnp.full((z.shape[0], config.trajectories), jnp.log(market.spot))
@@ -220,7 +261,11 @@ def _heston_euler_paths(prob, config, key, *, return_grid: bool):
     dt = T / steps
     sqrt_dt = jnp.sqrt(dt)
     anti = isinstance(config.variance_reduction, Antithetic)
-    z = _normals(key, (steps, 2, config.trajectories), anti)  # (g, steps, 2, paths)
+    if config.qmc:
+        zb = _qmc_normals(key, steps, 2, config.trajectories)  # (steps, 2, paths)
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+    else:
+        z = _normals(key, (steps, 2, config.trajectories), anti)  # (g, steps, 2, paths)
     n_groups = z.shape[0]
     rho_bar = jnp.sqrt(1.0 - rho**2)
 
@@ -258,10 +303,15 @@ def _heston_qe_paths(prob, config, key, strat: "HestonQE", *, return_grid: bool)
     c = qe_constants(market.kappa, market.theta, market.sigma, market.rho, r0, dt)
     anti = isinstance(config.variance_reduction, Antithetic)
     k_z, k_u = jax.random.split(_base_key(config, key))
-    z = _normals(k_z, (steps, 2, config.trajectories), anti)  # (g, steps, 2, paths)
-    # uniforms shared across the antithetic pair via 1-u mirroring
-    u = jax.random.uniform(k_u, (steps, config.trajectories), dtype=jnp.float64)
-    us = jnp.stack([u, 1.0 - u]) if anti else u[None]  # (g, steps, paths)
+    if config.qmc:
+        zb, ub = _qmc_normals_and_uniforms(k_z, steps, 2, config.trajectories)
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+        us = jnp.stack([ub, 1.0 - ub]) if anti else ub[None]
+    else:
+        z = _normals(k_z, (steps, 2, config.trajectories), anti)  # (g, steps, 2, paths)
+        # uniforms shared across the antithetic pair via 1-u mirroring
+        u = jax.random.uniform(k_u, (steps, config.trajectories), dtype=jnp.float64)
+        us = jnp.stack([u, 1.0 - u]) if anti else u[None]  # (g, steps, paths)
     n_groups = z.shape[0]
 
     x0 = jnp.full((n_groups, config.trajectories), jnp.log(market.spot))
