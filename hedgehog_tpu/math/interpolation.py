@@ -77,17 +77,23 @@ def interp1d(x, xs, ys, kind: str = "linear"):
         return y0 * l0 + y1 * l1 + y2 * l2
     if kind == "cubic":
         M = _natural_cubic_second_derivs(xs, ys)
-        i = jnp.clip(jnp.searchsorted(xs, xq, side="right") - 1, 0, xs.shape[0] - 2)
-        x0, x1 = xs[i], xs[i + 1]
-        h = x1 - x0
-        t0 = (x1 - xq) / h
-        t1 = (xq - x0) / h
-        return (
-            t0 * ys[i]
-            + t1 * ys[i + 1]
-            + ((t0**3 - t0) * M[i] + (t1**3 - t1) * M[i + 1]) * (h**2) / 6.0
-        )
+        return _cubic_eval(xq, xs, ys, M)
     raise ValueError(f"unknown interpolation kind {kind!r}; expected one of {INTERP_KINDS}")
+
+
+def _cubic_eval(xq, xs, ys, M):
+    """Evaluate a natural cubic spline from precomputed second derivatives M
+    (xq must already be clamped to [xs[0], xs[-1]])."""
+    i = jnp.clip(jnp.searchsorted(xs, xq, side="right") - 1, 0, xs.shape[0] - 2)
+    x0, x1 = xs[i], xs[i + 1]
+    h = x1 - x0
+    t0 = (x1 - xq) / h
+    t1 = (xq - x0) / h
+    return (
+        t0 * ys[i]
+        + t1 * ys[i + 1]
+        + ((t0**3 - t0) * M[i] + (t1**3 - t1) * M[i + 1]) * (h**2) / 6.0
+    )
 
 
 def interp2d_nested(x, y, x_vals, y_vals, values, kind_x: str = "linear", kind_y: str = "linear"):
@@ -102,12 +108,26 @@ def interp2d_nested(x, y, x_vals, y_vals, values, kind_x: str = "linear", kind_y
     import jax
 
     values = jnp.asarray(values)
+    y_vals_arr = jnp.asarray(y_vals)
     x = jnp.asarray(x)
     y = jnp.asarray(y)
 
+    if kind_y == "cubic" and y_vals_arr.shape[0] > 1:
+        # hoist the per-row tridiagonal solves out of the query vmap: the
+        # spline coefficients depend only on the grid, not on the queries
+        Ms = jax.vmap(lambda row: _natural_cubic_second_derivs(y_vals_arr, row))(values)
+
+        def rows_at(yq):
+            yc = jnp.clip(yq, y_vals_arr[0], y_vals_arr[-1])
+            return jax.vmap(lambda row, M: _cubic_eval(yc, y_vals_arr, row, M))(values, Ms)
+
+    else:
+
+        def rows_at(yq):
+            return jax.vmap(lambda row: interp1d(yq, y_vals, row, kind=kind_y))(values)
+
     def scalar_query(xq, yq):
-        rows_at_y = jax.vmap(lambda row: interp1d(yq, y_vals, row, kind=kind_y))(values)
-        return interp1d(xq, x_vals, rows_at_y, kind=kind_x)
+        return interp1d(xq, x_vals, rows_at(yq), kind=kind_x)
 
     if x.ndim == 0 and y.ndim == 0:
         return scalar_query(x, y)

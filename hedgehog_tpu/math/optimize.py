@@ -83,14 +83,17 @@ def minimize_lbfgs(
         better = value < best_val
         best_y = jnp.where(better, carry[0], best_y)
         best_val = jnp.where(better, value, best_val)
-        return (y, state, best_y, best_val), jnp.max(jnp.abs(grad))
+        return (y, state, best_y, best_val), None
 
     init = (y0, state0, y0, obj(y0))
-    (y_final, _, best_y, best_val), gnorms = jax.lax.scan(step, init, None, length=max_iters)
+    (y_final, _, best_y, best_val), _ = jax.lax.scan(step, init, None, length=max_iters)
     final_val = obj(y_final)
     take_final = final_val <= best_val
     y_out = jnp.where(take_final, y_final, best_y)
     loss = jnp.where(take_final, final_val, best_val)
     x_out = _to_constrained(y_out, lb, ub) if bounded else y_out
-    converged = gnorms[-1] < grad_tol
+    # convergence judged at the RETURNED point (not the last scan iterate,
+    # which may differ when the final linesearch step wandered)
+    grad_out = jax.grad(obj)(y_out)
+    converged = jnp.max(jnp.abs(grad_out)) < grad_tol
     return LBFGSResult(x=x_out, loss=loss, iterations=jnp.asarray(max_iters), converged=converged)

@@ -41,8 +41,13 @@ def sobol_uniforms(key, n_points: int, dims: int, skip: int = 0):
     point offset so devices take disjoint slices of one sequence).
     ``key`` drives the XOR digital-shift randomization.
     """
+    if isinstance(skip, int) and skip + n_points > 2**_BITS:
+        raise ValueError(
+            f"Sobol' sequence period is 2^{_BITS} points; skip+n_points = "
+            f"{skip + n_points} would wrap and duplicate points"
+        )
     V = jnp.asarray(_direction_numbers(dims))  # (dims, BITS) uint32
-    n = jnp.arange(skip, skip + n_points, dtype=jnp.uint32)[:, None]  # (N, 1)
+    n = jnp.arange(n_points, dtype=jnp.uint32)[:, None] + jnp.asarray(skip, jnp.uint32)  # (N, 1)
 
     acc = jnp.zeros((n_points, dims), dtype=jnp.uint32)
     for b in range(_BITS):

@@ -166,19 +166,20 @@ def _base_key(config: "SimulationConfig", key):
     return jax.random.PRNGKey(config.seed) if key is None else key
 
 
-def _qmc_normals(key, steps: int, comps: int, paths: int):
+def _qmc_normals(key, steps: int, comps: int, paths: int, skip=0):
     """(steps, comps, paths) standard normals from a randomized Sobol' grid
-    (dimension = step-major × component; path = point index)."""
+    (dimension = step-major × component; path = point index; ``skip`` gives
+    sharded devices disjoint slices of one sequence)."""
     from jax.scipy.special import ndtri
 
     from ..math.sobol import sobol_uniforms
 
-    u = sobol_uniforms(key, paths, steps * comps)  # (paths, dims)
+    u = sobol_uniforms(key, paths, steps * comps, skip=skip)  # (paths, dims)
     z = ndtri(u)
     return jnp.moveaxis(z.reshape(paths, steps, comps), 0, -1)
 
 
-def _qmc_normals_and_uniforms(key, steps: int, n_normal: int, paths: int):
+def _qmc_normals_and_uniforms(key, steps: int, n_normal: int, paths: int, skip=0):
     """Normals (steps, n_normal, paths) plus one uniform stream (steps, paths)
     from a single Sobol' grid — the QE draw layout."""
     from jax.scipy.special import ndtri
@@ -186,7 +187,7 @@ def _qmc_normals_and_uniforms(key, steps: int, n_normal: int, paths: int):
     from ..math.sobol import sobol_uniforms
 
     comps = n_normal + 1
-    u = sobol_uniforms(key, paths, steps * comps)  # (paths, dims)
+    u = sobol_uniforms(key, paths, steps * comps, skip=skip)  # (paths, dims)
     u = u.reshape(paths, steps, comps)
     z = ndtri(u[..., :n_normal])
     return jnp.moveaxis(z, 0, -1), jnp.moveaxis(u[..., n_normal], 0, -1)
@@ -204,11 +205,11 @@ def _sim_params(prob: PricingProblem):
     return market, T, r0
 
 
-def _gbm_exact_terminal(prob, config, key) -> jnp.ndarray:
+def _gbm_exact_terminal(prob, config, key, point_offset=0) -> jnp.ndarray:
     """(n_groups, paths) terminal prices via one exact lognormal draw."""
     anti = isinstance(config.variance_reduction, Antithetic)
     if config.qmc:
-        zb = _qmc_normals(key, 1, 1, config.trajectories)[0, 0]
+        zb = _qmc_normals(key, 1, 1, config.trajectories, skip=point_offset)[0, 0]
         z = jnp.stack([zb, -zb]) if anti else zb[None]
     else:
         z = _normals(key, (config.trajectories,), anti)
@@ -216,7 +217,7 @@ def _gbm_exact_terminal(prob, config, key) -> jnp.ndarray:
     return jnp.exp(mean + std * z)
 
 
-def _gbm_euler_paths(prob, config, key, *, return_grid: bool):
+def _gbm_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
     """Log-Euler GBM paths: terminal (n_groups, paths) or full grid
     (n_groups, steps+1, paths)."""
     market, T, r0 = _sim_params(prob)
@@ -229,7 +230,7 @@ def _gbm_euler_paths(prob, config, key, *, return_grid: bool):
     dt = T / steps
     anti = isinstance(config.variance_reduction, Antithetic)
     if config.qmc:
-        zb = _qmc_normals(key, steps, 1, config.trajectories)[:, 0, :]  # (steps, paths)
+        zb = _qmc_normals(key, steps, 1, config.trajectories, skip=point_offset)[:, 0, :]
         z = jnp.stack([zb, -zb]) if anti else zb[None]
     else:
         z = _normals(key, (steps, config.trajectories), anti)  # (g, steps, paths)
@@ -249,7 +250,7 @@ def _gbm_euler_paths(prob, config, key, *, return_grid: bool):
     return jnp.exp(x_final)
 
 
-def _heston_euler_paths(prob, config, key, *, return_grid: bool):
+def _heston_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
     """Full-truncation log-Euler Heston paths (heston.jl:7-31 semantics):
 
       logS += (r − V⁺/2)dt + √(V⁺ dt)·Z₁
@@ -262,7 +263,7 @@ def _heston_euler_paths(prob, config, key, *, return_grid: bool):
     sqrt_dt = jnp.sqrt(dt)
     anti = isinstance(config.variance_reduction, Antithetic)
     if config.qmc:
-        zb = _qmc_normals(key, steps, 2, config.trajectories)  # (steps, 2, paths)
+        zb = _qmc_normals(key, steps, 2, config.trajectories, skip=point_offset)
         z = jnp.stack([zb, -zb]) if anti else zb[None]
     else:
         z = _normals(key, (steps, 2, config.trajectories), anti)  # (g, steps, 2, paths)
@@ -293,7 +294,7 @@ def _heston_euler_paths(prob, config, key, *, return_grid: bool):
     return jnp.exp(x_final)
 
 
-def _heston_qe_paths(prob, config, key, strat: "HestonQE", *, return_grid: bool):
+def _heston_qe_paths(prob, config, key, strat: "HestonQE", *, return_grid: bool, point_offset=0):
     """Andersen QE(-M) Heston paths (models/heston_qe.py)."""
     from ..models.heston_qe import qe_constants, qe_step
 
@@ -304,7 +305,7 @@ def _heston_qe_paths(prob, config, key, strat: "HestonQE", *, return_grid: bool)
     anti = isinstance(config.variance_reduction, Antithetic)
     k_z, k_u = jax.random.split(_base_key(config, key))
     if config.qmc:
-        zb, ub = _qmc_normals_and_uniforms(k_z, steps, 2, config.trajectories)
+        zb, ub = _qmc_normals_and_uniforms(k_z, steps, 2, config.trajectories, skip=point_offset)
         z = jnp.stack([zb, -zb]) if anti else zb[None]
         us = jnp.stack([ub, 1.0 - ub]) if anti else ub[None]
     else:
@@ -339,13 +340,14 @@ def _heston_qe_paths(prob, config, key, strat: "HestonQE", *, return_grid: bool)
 
 
 def simulate_terminal_prices(
-    prob: PricingProblem, method: MonteCarlo, key=None, device_id=0
+    prob: PricingProblem, method: MonteCarlo, key=None, device_id=0, point_offset=0
 ) -> jnp.ndarray:
     """Terminal asset prices, shape (n_groups, trajectories) with n_groups==2
     under antithetic pairing (original, mirrored) else 1.
 
     ``key``/``device_id`` let sharded callers derive independent per-device
-    streams; by default the config's static seed is used.
+    streams; under QMC, ``point_offset`` gives each device a disjoint slice of
+    ONE Sobol' sequence (sharding must not replicate points).
 
     Replaces reference get_final_samples (montecarlo.jl:442-459).
     """
@@ -360,25 +362,25 @@ def simulate_terminal_prices(
                 from ..ops.gbm_kernel import gbm_exact_terminal_pallas
 
                 return gbm_exact_terminal_pallas(prob, config, device_id=device_id)
-            return _gbm_euler_paths(prob, config, _base_key(config, key), return_grid=False)
+            return _gbm_euler_paths(prob, config, _base_key(config, key), return_grid=False, point_offset=point_offset)
         if isinstance(dyn, HestonDynamics):
             if strat.use_kernel:
                 from ..ops.heston_kernel import heston_euler_terminal_pallas
 
                 return heston_euler_terminal_pallas(prob, config, device_id=device_id)
-            return _heston_euler_paths(prob, config, _base_key(config, key), return_grid=False)
+            return _heston_euler_paths(prob, config, _base_key(config, key), return_grid=False, point_offset=point_offset)
     if isinstance(strat, HestonQE) and isinstance(dyn, HestonDynamics):
         if strat.use_kernel:
             from ..ops.heston_qe_kernel import heston_qe_terminal_pallas
 
             return heston_qe_terminal_pallas(prob, config, strat, device_id=device_id)
-        return _heston_qe_paths(prob, config, key, strat, return_grid=False)
+        return _heston_qe_paths(prob, config, key, strat, return_grid=False, point_offset=point_offset)
     if isinstance(strat, BlackScholesExact) and isinstance(dyn, LognormalDynamics):
         if strat.use_kernel:
             from ..ops.gbm_kernel import gbm_exact_terminal_pallas
 
             return gbm_exact_terminal_pallas(prob, config, device_id=device_id)
-        return _gbm_exact_terminal(prob, config, _base_key(config, key))
+        return _gbm_exact_terminal(prob, config, _base_key(config, key), point_offset=point_offset)
     if isinstance(strat, HestonBroadieKaya) and isinstance(dyn, HestonDynamics):
         from ..distributions.broadie_kaya import broadie_kaya_terminal_prices
 

@@ -25,8 +25,7 @@ PSI_CRIT = 1.5
 
 def qe_constants(kappa, theta, sigma, rho, r, dt, gamma1=0.5, gamma2=0.5):
     """Per-step scalar constants of the QE scheme (precomputed once)."""
-    e = jnp.exp(-kappa * dt)
-    c_m1 = e  # m = theta + (V - theta)·e
+    e = jnp.exp(-kappa * dt)  # m = theta + (V - theta)·e
     c_s2_v = sigma**2 * e * (1.0 - e) / kappa
     c_s2_c = theta * sigma**2 * (1.0 - e) ** 2 / (2.0 * kappa)
     k_over = kappa * rho / sigma - 0.5
@@ -37,7 +36,7 @@ def qe_constants(kappa, theta, sigma, rho, r, dt, gamma1=0.5, gamma2=0.5):
     K4 = gamma2 * dt * (1.0 - rho**2)
     A = K2 + 0.5 * K4
     return dict(
-        e=e, c_m1=c_m1, c_s2_v=c_s2_v, c_s2_c=c_s2_c,
+        e=e, c_s2_v=c_s2_v, c_s2_c=c_s2_c,
         K0=K0, K1=K1, K2=K2, K3=K3, K4=K4, A=A,
         r_dt=r * dt, theta=theta,
     )
@@ -50,7 +49,7 @@ def qe_step(x, v, z_v, z_x, u, c, *, martingale_correction: bool = True):
     Branchless over the ψ ≤ 1.5 (quadratic) / ψ > 1.5 (exponential) split.
     """
     theta = c["theta"]
-    m = theta + (v - theta) * c["c_m1"]
+    m = theta + (v - theta) * c["e"]
     s2 = v * c["c_s2_v"] + c["c_s2_c"]
     m_safe = jnp.maximum(m, 1e-30)
     psi = jnp.maximum(s2 / (m_safe * m_safe), 1e-12)

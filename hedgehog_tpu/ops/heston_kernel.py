@@ -74,7 +74,6 @@ def _heston_kernel(params_ref, seed_ref, out_ref, *, steps: int, antithetic: boo
     rho = params_ref[6]
     dt = params_ref[7]
 
-    sqrt_dt = jnp.sqrt(dt)
     rho_bar = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
     drift_r = r * dt
 
@@ -225,7 +224,6 @@ def heston_euler_terminal_pallas(prob, config, device_id=0):
         steps=config.steps,
         seed=config.seed,
         antithetic=anti,
-        interpret=not on_tpu,
         device_id=device_id,
     )
     return out.astype(jnp.float64)

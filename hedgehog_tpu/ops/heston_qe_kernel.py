@@ -14,14 +14,13 @@ branch uniform (u → 1−u), so the pair is antithetic under both QE branches.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .heston_kernel import _uniform_from_bits
+from .heston_kernel import _box_muller, _uniform_from_bits
 
 __all__ = ["heston_qe_terminal", "heston_qe_terminal_pallas", "heston_qe_call_price"]
 
@@ -47,18 +46,14 @@ def _box_muller_with_uniform(shape):
     V' with the price-update normal and breaks the QE-M per-step martingale
     property (measured ≈ −3.6e-4 per step in the ψ>1.5 regime).  Three bit
     draws per step; bit generation is cheap next to the transcendentals."""
-    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    b3 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    u1 = jnp.maximum(_uniform_from_bits(b1), 1.1754944e-38)
-    u2 = _uniform_from_bits(b2)
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    theta = 2.0 * math.pi * u2
-    return r * jnp.cos(theta), r * jnp.sin(theta), _uniform_from_bits(b3)
+    z1, z2 = _box_muller(shape)
+    u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+    return z1, z2, u
 
 
-def _qe_advance(x, v, z_v, z_x, u, c):
-    """One QE-M step on fp32 tiles (branchless; mirrors models/heston_qe.py).
+def _qe_advance(x, v, z_v, z_x, u, c, *, mcorr: bool = True):
+    """One QE(-M) step on fp32 tiles (branchless; mirrors models/heston_qe.py).
+    ``mcorr`` selects the martingale-corrected K0* (QE-M) vs plain K0.
 
     x64-pitfall notes: min/max instead of jnp.clip (clip materializes strong
     f64 bound constants), jnp.log instead of log1p (f64 lowering path) — both
@@ -91,20 +86,23 @@ def _qe_advance(x, v, z_v, z_x, u, c):
     use_quad = psi <= _PSI_CRIT
     v_new = jnp.where(use_quad, v_quad, v_exp)
 
-    A = c["A"]
-    two_aa = jnp.minimum(2.0 * A * a, 1.0 - 1e-6)
-    inv_1m2aa = _rcp(1.0 - two_aa)
-    log_m_quad = A * b2 * a * inv_1m2aa - 0.5 * jnp.log(1.0 - two_aa)
-    denom = jnp.maximum(beta - A, 1e-20)
-    log_m_exp = jnp.log(jnp.maximum(p + beta * one_m_p * _rcp(denom), 1e-20))
-    k0_star = -jnp.where(use_quad, log_m_quad, log_m_exp) - c["K1_half_K3"] * v
+    if mcorr:
+        A = c["A"]
+        two_aa = jnp.minimum(2.0 * A * a, 1.0 - 1e-6)
+        inv_1m2aa = _rcp(1.0 - two_aa)
+        log_m_quad = A * b2 * a * inv_1m2aa - 0.5 * jnp.log(1.0 - two_aa)
+        denom = jnp.maximum(beta - A, 1e-20)
+        log_m_exp = jnp.log(jnp.maximum(p + beta * one_m_p * _rcp(denom), 1e-20))
+        k0_star = -jnp.where(use_quad, log_m_quad, log_m_exp) - c["K1_half_K3"] * v
+    else:
+        k0_star = c["K0"]
 
     var_x = jnp.maximum(c["K3"] * v + c["K4"] * v_new, 0.0)
     x_new = x + c["r_dt"] + k0_star + c["K1"] * v + c["K2"] * v_new + jnp.sqrt(var_x) * z_x
     return x_new, v_new
 
 
-def _qe_kernel(params_ref, seed_ref, out_ref, *, steps: int, antithetic: bool):
+def _qe_kernel(params_ref, seed_ref, out_ref, *, steps: int, antithetic: bool, mcorr: bool):
     pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
 
     log_s0 = params_ref[0]
@@ -121,6 +119,7 @@ def _qe_kernel(params_ref, seed_ref, out_ref, *, steps: int, antithetic: bool):
         A=params_ref[10],
         r_dt=params_ref[11],
         K1_half_K3=params_ref[12],
+        K0=params_ref[13],
     )
 
     shape = (_ROWS, _LANES)
@@ -133,11 +132,11 @@ def _qe_kernel(params_ref, seed_ref, out_ref, *, steps: int, antithetic: bool):
         z_v, z_x, u = _box_muller_with_uniform(shape)
         if antithetic:
             x, v, xa, va = carry
-            x, v = _qe_advance(x, v, z_v, z_x, u, c)
-            xa, va = _qe_advance(xa, va, -z_v, -z_x, 1.0 - u, c)
+            x, v = _qe_advance(x, v, z_v, z_x, u, c, mcorr=mcorr)
+            xa, va = _qe_advance(xa, va, -z_v, -z_x, 1.0 - u, c, mcorr=mcorr)
             return (x, v, xa, va)
         x, v = carry
-        return _qe_advance(x, v, z_v, z_x, u, c)
+        return _qe_advance(x, v, z_v, z_x, u, c, mcorr=mcorr)
 
     lo, hi = jnp.int32(0), jnp.int32(steps)
     if antithetic:
@@ -149,10 +148,13 @@ def _qe_kernel(params_ref, seed_ref, out_ref, *, steps: int, antithetic: bool):
         out_ref[0] = jnp.exp(x)
 
 
-@functools.partial(jax.jit, static_argnames=("n_paths", "steps", "antithetic"))
+@functools.partial(
+    jax.jit, static_argnames=("n_paths", "steps", "antithetic", "martingale_correction")
+)
 def heston_qe_terminal(
     log_s0, v0, r, kappa, theta, sigma, rho, dt,
     *, n_paths: int, steps: int, seed, antithetic: bool = False, device_id=0,
+    martingale_correction: bool = True,
 ):
     """Terminal Heston prices via the fused QE-M Pallas kernel
     ((n_groups, n_paths) fp32)."""
@@ -179,16 +181,19 @@ def heston_qe_terminal(
             jnp.float32(c["A"]),
             jnp.float32(c["r_dt"]),
             jnp.float32(c["K1"] + 0.5 * c["K3"]),
+            jnp.float32(c["K0"]),
         ]
     )
     seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
 
-    kernel = functools.partial(_qe_kernel, steps=steps, antithetic=antithetic)
+    kernel = functools.partial(
+        _qe_kernel, steps=steps, antithetic=antithetic, mcorr=martingale_correction
+    )
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((13,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            pl.BlockSpec((14,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
             pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -215,8 +220,9 @@ def _qe_price_kernel(params_ref, seed_ref, out_ref, *, steps: int, n_batches: in
         theta=params_ref[2], e=params_ref[3], c_s2_v=params_ref[4], c_s2_c=params_ref[5],
         K1=params_ref[6], K2=params_ref[7], K3=params_ref[8], K4=params_ref[9],
         A=params_ref[10], r_dt=params_ref[11], K1_half_K3=params_ref[12],
+        K0=params_ref[13],
     )
-    strike = params_ref[13]
+    strike = params_ref[14]
 
     shape = (_ROWS, _LANES)
 
@@ -256,7 +262,7 @@ def heston_qe_call_price(
     params = jnp.stack(
         [jnp.float32(p) for p in (
             log_s0, v0, theta, c["e"], c["c_s2_v"], c["c_s2_c"], c["K1"], c["K2"],
-            c["K3"], c["K4"], c["A"], c["r_dt"], c["K1"] + 0.5 * c["K3"], strike,
+            c["K3"], c["K4"], c["A"], c["r_dt"], c["K1"] + 0.5 * c["K3"], c["K0"], strike,
         )]
     )
     seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
@@ -265,7 +271,7 @@ def heston_qe_call_price(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((14,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            pl.BlockSpec((15,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
             pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -295,5 +301,6 @@ def heston_qe_terminal_pallas(prob, config, strat, device_id=0):
         market.sigma, market.rho, T / config.steps,
         n_paths=config.trajectories, steps=config.steps, seed=config.seed,
         antithetic=anti, device_id=device_id,
+        martingale_correction=strat.martingale_correction,
     )
     return out.astype(jnp.float64)

@@ -75,7 +75,15 @@ def sharded_mc_price_fn(method: MonteCarlo, mesh: Mesh, axis_name: str = "paths"
     def price(prob: PricingProblem):
         idx = jax.lax.axis_index(axis_name)
         key = jax.random.fold_in(jax.random.PRNGKey(local.config.seed), idx)
-        samples = simulate_terminal_prices(prob, local, key=key, device_id=idx)
+        # under QMC every device must take a DISJOINT slice of one Sobol'
+        # sequence (same key, offset points) — re-keying per device would
+        # replicate the first N/D points instead
+        if local.config.qmc:
+            key = jax.random.PRNGKey(local.config.seed)
+        samples = simulate_terminal_prices(
+            prob, local, key=key, device_id=idx,
+            point_offset=idx * local.config.trajectories,
+        )
         payoffs = reduce_payoffs(samples, prob.payoff)
         local_sum = jnp.sum(payoffs)
         total = jax.lax.psum(local_sum, axis_name)

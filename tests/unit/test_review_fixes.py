@@ -138,3 +138,79 @@ def test_qe_exponential_branch_martingale():
     growth = float(jnp.mean(jnp.exp(x1)))
     se = float(jnp.std(jnp.exp(x1))) / np.sqrt(n)
     assert abs(growth - 1.0) < 4 * se + 1e-5
+
+
+def test_qe_kernel_martingale_flag_cpu_path():
+    """HestonQE(martingale_correction=False, use_kernel=True) honors the flag
+    (CPU fallback mirrors the kernel contract)."""
+    import datetime as dt
+
+    from hedgehog_tpu import HestonQE, MonteCarlo, SimulationConfig, solve
+
+    market = HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7)
+    prob = PricingProblem(VanillaOption(100.0, EXPIRY, European(), Call(), Spot()), market)
+    cfg = SimulationConfig(trajectories=50_000, steps=8, seed=0)
+    p_m = float(solve(prob, MonteCarlo(HestonDynamics(), HestonQE(martingale_correction=True), cfg)).price)
+    p_nm = float(solve(prob, MonteCarlo(HestonDynamics(), HestonQE(martingale_correction=False), cfg)).price)
+    assert p_m != p_nm  # the flag changes the scheme
+    cm = float(solve(prob, CarrMadan(1.0, 32.0, HestonDynamics())).price)
+    assert abs(p_m - cm) / cm < 2e-2 and abs(p_nm - cm) / cm < 2e-2
+
+
+def test_sobol_wraparound_guard():
+    with pytest.raises(ValueError, match="period"):
+        from hedgehog_tpu.math.sobol import sobol_uniforms
+
+        sobol_uniforms(jax.random.PRNGKey(0), 8, 2, skip=2**30 - 4)
+
+
+def test_sharded_qmc_disjoint_points():
+    """Sharded QMC devices take disjoint Sobol' slices: the D-device estimate
+    must equal the single-device estimate with the same total paths (same
+    sequence, same randomization key, just partitioned)."""
+    from hedgehog_tpu import (
+        BlackScholesExact,
+        BlackScholesInputs,
+        LognormalDynamics,
+        MonteCarlo,
+        SimulationConfig,
+        solve,
+    )
+    from hedgehog_tpu.parallel.sharding import make_paths_mesh, sharded_mc_price
+
+    market = BlackScholesInputs(REF, 0.05, 100.0, 0.2)
+    prob = PricingProblem(VanillaOption(100.0, EXPIRY, European(), Call(), Spot()), market)
+    n = 32_768
+    cfg = SimulationConfig(trajectories=n, steps=1, seed=3, qmc=True)
+    m = MonteCarlo(LognormalDynamics(), BlackScholesExact(), cfg)
+    p_single = float(solve(prob, m).price)
+    p_sharded = float(sharded_mc_price(prob, m, make_paths_mesh()))
+    assert p_sharded == pytest.approx(p_single, rel=1e-12)
+
+
+def test_interp2d_cubic_precompute_consistency():
+    """Hoisted cubic row coefficients must give identical results to the
+    generic per-query path."""
+    import jax.numpy as jnp
+
+    from hedgehog_tpu.math.interpolation import interp1d, interp2d_nested
+
+    x_vals = jnp.array([0.25, 0.5, 1.0, 2.0])
+    y_vals = jnp.array([80.0, 95.0, 105.0, 120.0])
+    rng = np.random.default_rng(0)
+    values = jnp.asarray(rng.uniform(0.1, 0.4, (4, 4)))
+    xq = jnp.asarray(rng.uniform(0.2, 2.1, 16))
+    yq = jnp.asarray(rng.uniform(75.0, 125.0, 16))
+    fast = interp2d_nested(xq, yq, x_vals, y_vals, values, "linear", "cubic")
+    slow = jnp.stack(
+        [
+            interp1d(
+                xq[i],
+                x_vals,
+                jnp.stack([interp1d(yq[i], y_vals, values[r], "cubic") for r in range(4)]),
+                "linear",
+            )
+            for i in range(16)
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=1e-13)
