@@ -390,7 +390,9 @@ def simulate_terminal_prices(
     )
 
 
-def simulate_price_grid(prob: PricingProblem, method: MonteCarlo, key=None) -> jnp.ndarray:
+def simulate_price_grid(
+    prob: PricingProblem, method: MonteCarlo, key=None, point_offset=0
+) -> jnp.ndarray:
     """Full price grid (n_groups, steps+1, trajectories) for grid methods (LSM).
 
     Exact-GBM strategies step with exact lognormal per-step transitions
@@ -401,11 +403,11 @@ def simulate_price_grid(prob: PricingProblem, method: MonteCarlo, key=None) -> j
     if isinstance(dyn, LognormalDynamics):
         # Exact per-step lognormal transitions == log-Euler with exact drift:
         # both produce S_{k+1} = S_k·exp((r−σ²/2)dt + σ√dt·Z).
-        return _gbm_euler_paths(prob, config, _base_key(config, key), return_grid=True)
+        return _gbm_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, HestonDynamics) and isinstance(strat, EulerMaruyama):
-        return _heston_euler_paths(prob, config, _base_key(config, key), return_grid=True)
+        return _heston_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, HestonDynamics) and isinstance(strat, HestonQE):
-        return _heston_qe_paths(prob, config, key, strat, return_grid=True)
+        return _heston_qe_paths(prob, config, key, strat, return_grid=True, point_offset=point_offset)
     raise TypeError(
         f"unsupported grid simulation ({type(dyn).__name__}, {type(strat).__name__})"
     )

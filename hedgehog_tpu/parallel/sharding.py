@@ -123,7 +123,11 @@ def sharded_lsm_price_fn(method, mesh: Mesh, axis_name: str = "paths"):
         def inner(prob):
             idx = jax.lax.axis_index(axis_name)
             key = jax.random.fold_in(jax.random.PRNGKey(local_mc.config.seed), idx)
-            grid = simulate_price_grid(prob, local_mc, key=key)  # (g, steps+1, P_local)
+            if local_mc.config.qmc:
+                key = jax.random.PRNGKey(local_mc.config.seed)  # disjoint Sobol' slices
+            grid = simulate_price_grid(
+                prob, local_mc, key=key, point_offset=idx * local_mc.config.trajectories
+            )  # (g, steps+1, P_local)
             n_groups, ntimes, npaths = grid.shape
             spots = jnp.moveaxis(grid, 0, 1).reshape(ntimes, n_groups * npaths)
             tau, value = lsm_backward_induction(
