@@ -230,7 +230,13 @@ def _gbm_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
     dt = T / steps
     anti = isinstance(config.variance_reduction, Antithetic)
     if config.qmc:
-        zb = _qmc_normals(key, steps, 1, config.trajectories, skip=point_offset)[:, 0, :]
+        # Brownian-bridge ordering: Sobol' dim 0 drives the terminal value so
+        # the QMC rate survives long paths (math/brownian_bridge.py)
+        from ..math.brownian_bridge import brownian_bridge_increments
+
+        zq = _qmc_normals(key, steps, 1, config.trajectories, skip=point_offset)[:, 0, :]
+        dw = brownian_bridge_increments(zq.T, dt, steps)  # (paths, steps), ~N(0, dt)
+        zb = dw.T / jnp.sqrt(dt)  # back to unit normals for the shared scan
         z = jnp.stack([zb, -zb]) if anti else zb[None]
     else:
         z = _normals(key, (steps, config.trajectories), anti)  # (g, steps, paths)

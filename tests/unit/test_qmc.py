@@ -99,3 +99,42 @@ def test_qmc_heston_qe_beats_mc():
         return np.sqrt(np.mean((np.array(out) - cm) ** 2))
 
     assert rmse(True) < rmse(False) / 1.5  # 24-dim QMC still clearly wins
+
+
+def test_brownian_bridge_exact_law():
+    """Bridge-ordered increments must have the exact Brownian law: iid N(0,dt)
+    increments, independent across steps (checked via moments at 200k paths)."""
+    from hedgehog_tpu.math.brownian_bridge import brownian_bridge_increments
+
+    steps, dt, n = 7, 0.1, 200_000  # odd step count exercises uneven bisection
+    z = jax.random.normal(jax.random.PRNGKey(0), (n, steps))
+    dw = np.asarray(brownian_bridge_increments(z, dt, steps))
+    assert dw.shape == (n, steps)
+    np.testing.assert_allclose(dw.mean(axis=0), 0.0, atol=4 * np.sqrt(dt / n))
+    np.testing.assert_allclose(dw.var(axis=0), dt, rtol=0.02)
+    # cross-step correlations vanish
+    c = np.corrcoef(dw.T)
+    off = c[~np.eye(steps, dtype=bool)]
+    assert np.abs(off).max() < 0.01
+
+
+def test_qmc_bb_gbm_euler_long_path():
+    """QMC + Brownian bridge on a 64-step Euler GBM must beat iid MC by a wide
+    margin (plain-increment QMC would lose most of its edge at 64 dims)."""
+    from hedgehog_tpu import EulerMaruyama, LognormalDynamics
+
+    market = BlackScholesInputs(REF, 0.05, 100.0, 0.2)
+    prob = PricingProblem(OPT, market)
+    truth = float(solve(prob, BlackScholesAnalytic()).price)
+    n, reps, steps = 4096, 10, 64
+
+    def rmse(qmc):
+        out = []
+        for i in range(reps):
+            cfg = SimulationConfig(trajectories=n, steps=steps, seed=i, qmc=qmc)
+            out.append(
+                float(solve(prob, MonteCarlo(LognormalDynamics(), EulerMaruyama(), cfg)).price)
+            )
+        return np.sqrt(np.mean((np.array(out) - truth) ** 2))
+
+    assert rmse(True) < rmse(False) / 4
