@@ -269,7 +269,16 @@ def _heston_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0)
     sqrt_dt = jnp.sqrt(dt)
     anti = isinstance(config.variance_reduction, Antithetic)
     if config.qmc:
-        zb = _qmc_normals(key, steps, 2, config.trajectories, skip=point_offset)
+        # bridge-order BOTH driving Brownians; dims interleave as
+        # (W1_bridge_level, W2_bridge_level) per construction step
+        from ..math.brownian_bridge import brownian_bridge_increments
+
+        zq = _qmc_normals(key, steps, 2, config.trajectories, skip=point_offset)
+        # zq: (steps, 2, paths) in Sobol'-dimension order → bridge each factor
+        dw = jax.vmap(
+            lambda zf: brownian_bridge_increments(zf.T, dt, steps).T, in_axes=1, out_axes=1
+        )(zq)
+        zb = dw / jnp.sqrt(dt)
         z = jnp.stack([zb, -zb]) if anti else zb[None]
     else:
         z = _normals(key, (steps, 2, config.trajectories), anti)  # (g, steps, 2, paths)
