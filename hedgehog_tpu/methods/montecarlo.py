@@ -39,7 +39,7 @@ from ..core.dates import yearfrac
 from ..core.payoffs import European, Spot
 from ..core.problems import MonteCarloSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
-from ..market.rate_curve import df, zero_rate, zero_rate_yf
+from ..market.rate_curve import df, zero_rate_yf
 from ..market.vol_surface import FlatVolSurface, get_vol
 from ..models.dynamics import HestonDynamics, LognormalDynamics, lognormal_terminal_law
 from ..utils.pytree import pytree, static_field
@@ -367,6 +367,14 @@ def simulate_terminal_prices(
     Replaces reference get_final_samples (montecarlo.jl:442-459).
     """
     dyn, strat, config = method.dynamics, method.strategy, method.config
+    if config.qmc and (getattr(strat, "use_kernel", False) or isinstance(strat, HestonBroadieKaya)):
+        # the Pallas kernels and the Broadie-Kaya sampler draw their own PRNG
+        # streams — a silent pseudo-random fallback would betray the qmc=True
+        # accuracy contract the caller sized their path count for
+        raise ValueError(
+            "qmc=True is not supported with use_kernel strategies or "
+            "HestonBroadieKaya; use the pure-JAX samplers"
+        )
     if isinstance(strat, EulerMaruyama):
         if isinstance(dyn, LognormalDynamics):
             if strat.use_kernel:

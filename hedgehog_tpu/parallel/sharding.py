@@ -50,8 +50,28 @@ def _local_method(method: MonteCarlo, n_dev: int) -> MonteCarlo:
         raise ValueError(
             f"trajectories ({cfg.trajectories}) must divide evenly over {n_dev} devices"
         )
+    if cfg.qmc and cfg.trajectories > 2**30:
+        # the in-device guard in math/sobol.py cannot fire on traced offsets,
+        # so the global period check lives here where sizes are Python ints
+        raise ValueError(
+            f"Sobol' sequence period is 2^30 points; total trajectories "
+            f"({cfg.trajectories}) would wrap and duplicate points"
+        )
     local_cfg = dataclasses.replace(cfg, trajectories=cfg.trajectories // n_dev)
     return dataclasses.replace(method, config=local_cfg)
+
+
+def _device_key_and_offset(cfg, idx, axis_name_unused=None):
+    """Per-device RNG coordinates.
+
+    PRNG: fold the device index into the key (independent streams).
+    QMC: every device must share ONE key (one randomized Sobol' sequence) and
+    instead take a disjoint point-offset slice — re-keying per device would
+    replicate the first N/D points.
+    """
+    if cfg.qmc:
+        return jax.random.PRNGKey(cfg.seed), idx * cfg.trajectories
+    return jax.random.fold_in(jax.random.PRNGKey(cfg.seed), idx), idx * cfg.trajectories
 
 
 def sharded_mc_price_fn(method: MonteCarlo, mesh: Mesh, axis_name: str = "paths"):
@@ -74,15 +94,9 @@ def sharded_mc_price_fn(method: MonteCarlo, mesh: Mesh, axis_name: str = "paths"
     )
     def price(prob: PricingProblem):
         idx = jax.lax.axis_index(axis_name)
-        key = jax.random.fold_in(jax.random.PRNGKey(local.config.seed), idx)
-        # under QMC every device must take a DISJOINT slice of one Sobol'
-        # sequence (same key, offset points) — re-keying per device would
-        # replicate the first N/D points instead
-        if local.config.qmc:
-            key = jax.random.PRNGKey(local.config.seed)
+        key, offset = _device_key_and_offset(local.config, idx)
         samples = simulate_terminal_prices(
-            prob, local, key=key, device_id=idx,
-            point_offset=idx * local.config.trajectories,
+            prob, local, key=key, device_id=idx, point_offset=offset
         )
         payoffs = reduce_payoffs(samples, prob.payoff)
         local_sum = jnp.sum(payoffs)
@@ -122,11 +136,9 @@ def sharded_lsm_price_fn(method, mesh: Mesh, axis_name: str = "paths"):
         @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(), check_rep=False)
         def inner(prob):
             idx = jax.lax.axis_index(axis_name)
-            key = jax.random.fold_in(jax.random.PRNGKey(local_mc.config.seed), idx)
-            if local_mc.config.qmc:
-                key = jax.random.PRNGKey(local_mc.config.seed)  # disjoint Sobol' slices
+            key, offset = _device_key_and_offset(local_mc.config, idx)
             grid = simulate_price_grid(
-                prob, local_mc, key=key, point_offset=idx * local_mc.config.trajectories
+                prob, local_mc, key=key, point_offset=offset
             )  # (g, steps+1, P_local)
             n_groups, ntimes, npaths = grid.shape
             spots = jnp.moveaxis(grid, 0, 1).reshape(ntimes, n_groups * npaths)

@@ -138,3 +138,26 @@ def test_qmc_bb_gbm_euler_long_path():
         return np.sqrt(np.mean((np.array(out) - truth) ** 2))
 
     assert rmse(True) < rmse(False) / 4
+
+
+def test_qmc_kernel_combo_rejected():
+    from hedgehog_tpu import BlackScholesInputs, EulerMaruyama
+
+    market = BlackScholesInputs(REF, 0.05, 100.0, 0.2)
+    prob = PricingProblem(OPT, market)
+    cfg = SimulationConfig(trajectories=1024, steps=4, seed=0, qmc=True)
+    with pytest.raises(ValueError, match="qmc"):
+        from hedgehog_tpu import LognormalDynamics, simulate_terminal_prices
+
+        simulate_terminal_prices(prob, MonteCarlo(LognormalDynamics(), EulerMaruyama(use_kernel=True), cfg))
+
+
+def test_sharded_qmc_period_guard():
+    from hedgehog_tpu import BlackScholesExact, BlackScholesInputs, LognormalDynamics
+    from hedgehog_tpu.parallel.sharding import make_paths_mesh, sharded_mc_price
+
+    market = BlackScholesInputs(REF, 0.05, 100.0, 0.2)
+    prob = PricingProblem(OPT, market)
+    cfg = SimulationConfig(trajectories=2**30 + 8, steps=1, seed=0, qmc=True)
+    with pytest.raises(ValueError, match="period"):
+        sharded_mc_price(prob, MonteCarlo(LognormalDynamics(), BlackScholesExact(), cfg), make_paths_mesh())
