@@ -4,6 +4,11 @@ Mirrors the reference's single-suite strategy (test/runtests.jl) but adds the
 TPU-specific tier from SURVEY.md §4: multi-chip sharding logic is validated on
 a virtual 8-device CPU mesh (`--xla_force_host_platform_device_count=8`), the
 standard stand-in for a real slice.
+
+NOTE: this environment's sitecustomize imports jax (with JAX_PLATFORMS=axon)
+before pytest loads this file, so setting os.environ alone is too late — the
+live jax config must be updated too.  XLA_FLAGS is still read lazily at first
+backend initialization, which has not happened yet at conftest time.
 """
 
 import os
@@ -15,4 +20,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
