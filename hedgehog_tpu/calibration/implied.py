@@ -18,9 +18,9 @@ from typing import Any, Optional
 
 import jax.numpy as jnp
 
-from ..core.dates import add_yearfrac, to_ticks, yearfrac
-from ..core.payoffs import Call, CallPut
-from ..market.rate_curve import FlatRateCurve, df_yf
+from ..core.dates import to_ticks
+from ..core.payoffs import CallPut
+from ..market.rate_curve import FlatRateCurve
 from ..market.vol_surface import RectVolSurface
 from ..math.rootfind import implicit_root
 from ..methods.black_scholes import bs_price

@@ -21,7 +21,7 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 
-from ..market.rate_curve import FlatRateCurve, RateCurve
+from ..market.rate_curve import FlatRateCurve
 from ..market.vol_surface import FlatVolSurface, RectVolSurface
 from ..utils.pytree import pytree, static_field
 

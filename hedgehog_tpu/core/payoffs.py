@@ -31,6 +31,7 @@ __all__ = [
     "Forward",
     "VanillaOption",
     "parity_transform",
+    "require_european",
 ]
 
 
@@ -102,6 +103,16 @@ class VanillaOption:
         """Intrinsic value, broadcasting over arrays of spot prices."""
         cp = self.call_put()
         return jnp.maximum(cp * (jnp.asarray(spot) - self.strike), 0.0)
+
+
+def require_european(payoff: "VanillaOption", method_name: str, spot_only: bool = False):
+    """Dispatch guard shared by the European-only pricers (mirrors the
+    reference's restricted solve signatures, e.g. black_scholes.jl:38-41,
+    montecarlo.jl:479)."""
+    if not isinstance(payoff.exercise_style, European):
+        raise TypeError(f"{method_name} prices European options only.")
+    if spot_only and not isinstance(payoff.underlying, Spot):
+        raise TypeError(f"{method_name} prices options on Spot only.")
 
 
 def parity_transform(call_price, opt: VanillaOption, spot, rate_curve):

@@ -25,7 +25,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 
 from ..calibration.calibration import CalibrationProblem, RootFinderAlgo
-from ..calibration.implied import implied_vol_bs, iv_to_price_bs
+from ..calibration.implied import implied_vol_bs
 from ..core.dates import to_ticks, yearfrac
 from ..core.lenses import FieldLens
 from ..core.problems import BasketPricingProblem, PricingProblem
@@ -33,7 +33,7 @@ from ..core.solve import solve
 from ..market.inputs import BlackScholesInputs
 from ..market.rate_curve import FlatRateCurve, df
 from ..methods.black_scholes import BlackScholesAnalytic
-from ..utils.pytree import pytree, static_field
+from ..utils.pytree import pytree
 
 __all__ = [
     "SpotObs",

@@ -21,7 +21,7 @@ from typing import Any, Union
 import jax.numpy as jnp
 
 from ..core.dates import to_ticks, yearfrac
-from ..math.interpolation import interp1d, interp2d_nested
+from ..math.interpolation import interp2d_nested
 from ..utils.pytree import pytree, static_field
 
 __all__ = [

@@ -13,7 +13,7 @@ through the full pricing pipeline.  The whole optimization is one
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

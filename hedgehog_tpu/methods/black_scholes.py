@@ -45,11 +45,9 @@ def bs_price(forward, strike, vol, T, discount, cp):
 def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> AnalyticSolution:
     payoff = prob.payoff
     market = prob.market_inputs
-    from ..core.payoffs import European
+    from ..core.payoffs import require_european
 
-    if not isinstance(payoff.exercise_style, European):
-        # Mirrors the reference's European-only dispatch (black_scholes.jl:38-41).
-        raise TypeError("BlackScholesAnalytic prices European options only.")
+    require_european(payoff, "BlackScholesAnalytic")
 
     K = payoff.strike
     sigma = get_vol(market.sigma, payoff.expiry, K)

@@ -24,8 +24,7 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.dates import yearfrac
-from ..core.payoffs import European, Spot
+from ..core.payoffs import require_european
 from ..core.problems import CarrMadanSolution, PricingProblem
 from ..core.payoffs import parity_transform
 from ..core.solve import AbstractPricingMethod, register_solver
@@ -61,8 +60,8 @@ def _gl_nodes(bound: float, n: int):
 @register_solver(CarrMadan)
 def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolution:
     payoff = prob.payoff
-    if not isinstance(payoff.exercise_style, European) or not isinstance(payoff.underlying, Spot):
-        raise TypeError("CarrMadan prices European options on Spot only (carr_madan.jl:48).")
+    # European×Spot-only (carr_madan.jl:48)
+    require_european(payoff, "CarrMadan", spot_only=True)
     market = prob.market_inputs
 
     K = payoff.strike

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.dates import add_yearfrac, yearfrac
-from ..core.payoffs import American, Forward, Spot
+from ..core.payoffs import American, Spot
 from ..core.problems import CRRSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df, zero_rate

@@ -27,7 +27,7 @@ numerically singular — same math, stable basis).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

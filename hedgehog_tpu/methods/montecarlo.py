@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.dates import yearfrac
-from ..core.payoffs import European, Spot
+from ..core.payoffs import require_european
 from ..core.problems import MonteCarloSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df, zero_rate_yf
@@ -448,9 +448,8 @@ def reduce_payoffs(samples: jnp.ndarray, payoff) -> jnp.ndarray:
 @register_solver(MonteCarlo)
 def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSolution:
     payoff = prob.payoff
-    if not isinstance(payoff.exercise_style, European) or not isinstance(payoff.underlying, Spot):
-        # Mirrors the European×Spot-only MC solve signature (montecarlo.jl:479).
-        raise TypeError("MonteCarlo prices European options on Spot only (use LSM for American).")
+    # European×Spot-only MC solve signature (montecarlo.jl:479)
+    require_european(payoff, "MonteCarlo", spot_only=True)
     samples = simulate_terminal_prices(prob, method)
     payoffs = reduce_payoffs(samples, payoff)
     discount = df(prob.market_inputs.rate, payoff.expiry)

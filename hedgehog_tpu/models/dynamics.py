@@ -13,8 +13,6 @@ only when α == 1 (all its tests use T=1).  We implement the correct
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 
 from ..core.dates import yearfrac
