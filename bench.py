@@ -60,9 +60,9 @@ def main() -> None:
         # accumulation: ~8× fewer steps than Euler at equal bias plus
         # dispatch-free on-chip reduction carry paths/sec past the 1e9 target
         # inside the 5bp contract (see docs/architecture.md)
-        from hedgehog_tpu.ops.heston_qe_kernel import heston_qe_call_price
+        from hedgehog_tpu.ops.heston_qe_kernel import _LANES, _ROWS, heston_qe_call_price
 
-        paths_per_call = QE_BLOCKS * QE_BATCHES * 32768 * 2
+        paths_per_call = QE_BLOCKS * QE_BATCHES * _ROWS * _LANES * 2
         n_pairs = paths_per_call // 2
         steps_used = QE_STEPS
 
