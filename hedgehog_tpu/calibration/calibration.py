@@ -156,4 +156,6 @@ def _solve_calibration_root(calib: CalibrationProblem, algo: RootFinderAlgo):
         return solve(lens.set(prob, x), calib.pricing_method).price - quotes[0]
 
     root = implicit_root(f, algo.lo, algo.hi, iters=algo.iters)
-    return CalibrationSolution(calib, jnp.asarray([root])[0], loss=f(root) ** 2)
+    # loss intentionally not evaluated: it would cost one extra full pricing
+    # solve per calibration for a diagnostic most callers never read
+    return CalibrationSolution(calib, jnp.asarray([root])[0], loss=jnp.nan)

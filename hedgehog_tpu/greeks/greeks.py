@@ -26,11 +26,10 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.stats import norm
 
-from ..core.dates import MILLISECONDS_IN_YEAR_365, yearfrac
+from ..core.dates import MILLISECONDS_IN_YEAR_365
 from ..core.lenses import FieldLens, Lens, SpotLens, VolLens
 from ..core.solve import register_solver, solve
-from ..market.rate_curve import df, zero_rate_yf
-from ..market.vol_surface import get_vol_yf
+from ..market.rate_curve import zero_rate_yf
 from ..utils.pytree import pytree, static_field
 
 __all__ = [
@@ -242,12 +241,15 @@ def _solve_fd(gprob, method: FiniteDifference, pricing_method):
     x0 = lens.get(prob)
     f = _price_fn(prob, lens, pricing_method)
     scheme = method.scheme
+    # relative bump x0·(1±ε) as in the reference (greeks_problem.jl:279-303),
+    # degrading to an absolute ε bump when x0 == 0 (the reference NaNs there)
+    scale = jnp.where(jnp.abs(jnp.asarray(x0, jnp.float64)) > 1e-12, x0, 1.0)
     if isinstance(scheme, FDForward):
-        deriv = (f(x0 * (1 + eps)) - f(x0)) / (x0 * eps)
+        deriv = (f(x0 + scale * eps) - f(x0)) / (scale * eps)
     elif isinstance(scheme, FDBackward):
-        deriv = (f(x0) - f(x0 * (1 - eps))) / (x0 * eps)
+        deriv = (f(x0) - f(x0 - scale * eps)) / (scale * eps)
     else:
-        deriv = (f(x0 * (1 + eps)) - f(x0 * (1 - eps))) / (2 * eps * x0)
+        deriv = (f(x0 + scale * eps) - f(x0 - scale * eps)) / (2 * eps * scale)
     return GreekResult(deriv)
 
 
@@ -255,17 +257,15 @@ def _solve_fd(gprob, method: FiniteDifference, pricing_method):
 
 
 def _bs_geometry(prob):
-    inputs = prob.market_inputs
-    payoff = prob.payoff
-    T = yearfrac(inputs.reference_date, payoff.expiry)
-    K = payoff.strike
-    sigma = get_vol_yf(inputs.sigma, T, K)
-    D = df(inputs.rate, payoff.expiry)
-    F = inputs.spot / D
-    sqrtT = jnp.sqrt(T)
-    d1 = (jnp.log(F / K) + 0.5 * sigma**2 * T) / (sigma * sqrtT)
-    d2 = d1 - sigma * sqrtT
-    return inputs, payoff, T, K, sigma, D, F, sqrtT, d1, d2
+    # shared with the pricer (methods/black_scholes.bs_geometry) so analytic
+    # greeks differentiate the price actually produced — in particular the
+    # surface vol is looked up from the SURFACE's reference date, exactly as
+    # the pricer does (the reference itself diverges here,
+    # greeks_problem.jl:453 vs black_scholes.jl:47)
+    from ..methods.black_scholes import bs_geometry
+
+    T, K, sigma, D, F, sqrtT, d1, d2 = bs_geometry(prob)
+    return prob.market_inputs, prob.payoff, T, K, sigma, D, F, sqrtT, d1, d2
 
 
 def _is_spot_lens(lens) -> bool:
@@ -278,8 +278,21 @@ def _is_expiry_lens(lens) -> bool:
     return isinstance(lens, FieldLens) and lens.path == "payoff.expiry"
 
 
+def _is_vol_lens(lens) -> bool:
+    return isinstance(lens, VolLens) or (
+        isinstance(lens, FieldLens) and lens.path == "market_inputs.sigma.sigma"
+    )
+
+
 @register_solver(AnalyticGreek)
 def _solve_analytic_greek(gprob, method: AnalyticGreek, pricing_method=None):
+    if isinstance(gprob, BatchGreekProblem):
+        return {
+            lens: _solve_analytic_greek(
+                GreekProblem(gprob.pricing_problem, lens), method, pricing_method
+            ).greek
+            for lens in gprob.lenses
+        }
     prob = gprob.pricing_problem
     inputs, payoff, T, K, sigma, D, F, sqrtT, d1, d2 = _bs_geometry(prob)
     cp = payoff.call_put()
@@ -289,7 +302,7 @@ def _solve_analytic_greek(gprob, method: AnalyticGreek, pricing_method=None):
         if _is_spot_lens(lens1) and _is_spot_lens(lens2):
             # Gamma = φ(d1) / (S σ √T)
             greek = norm.pdf(d1) / (inputs.spot * sigma * sqrtT)
-        elif isinstance(lens1, VolLens) and isinstance(lens2, VolLens):
+        elif _is_vol_lens(lens1) and _is_vol_lens(lens2):
             vega = D * F * norm.pdf(d1) * sqrtT
             greek = vega * d1 * d2 / sigma
         else:
@@ -299,7 +312,7 @@ def _solve_analytic_greek(gprob, method: AnalyticGreek, pricing_method=None):
     lens = gprob.wrt
     if _is_spot_lens(lens):
         greek = cp * norm.cdf(cp * d1)
-    elif isinstance(lens, VolLens):
+    elif _is_vol_lens(lens):
         greek = D * F * norm.pdf(d1) * sqrtT
     elif _is_expiry_lens(lens):
         # dPrice/d(expiry ticks): flat-rate assumption, per-tick convention

@@ -72,8 +72,10 @@ class RateCurve:
             raise ValueError("Mismatched lengths for 'tenors' and 'dfs'.")
         if not np.all(np.diff(tenors_np) > 0):
             raise ValueError("'tenors' must be sorted strictly increasing.")
-        if tenors_np[0] < 0:
-            raise ValueError("First tenor must be non-negative.")
+        if tenors_np[0] <= 0:
+            # zr = -log(df)/tenor: a zero tenor would silently produce a
+            # NaN/Inf spine point that poisons every interpolated lookup
+            raise ValueError("First tenor must be positive.")
         if not np.all(dfs_np > 0):
             raise ValueError("All discount factors must be positive.")
         zr = -jnp.log(jnp.asarray(dfs)) / jnp.asarray(tenors)
@@ -111,11 +113,13 @@ def df(curve: AnyRateCurve, t):
 
 def forward_rate(curve: AnyRateCurve, t1, t2):
     """Continuously-compounded forward rate between two year fractions or dates
-    (rate_curve.jl:220-241)."""
+    (rate_curve.jl:220-241).  Dates convert independently, so mixed
+    (yearfrac, date) arguments are well-defined."""
     import datetime as _dt
 
     if isinstance(t1, (_dt.date, _dt.datetime)):
         t1 = yearfrac(curve.reference_date, t1)
+    if isinstance(t2, (_dt.date, _dt.datetime)):
         t2 = yearfrac(curve.reference_date, t2)
     if isinstance(t1, (int, float)) and isinstance(t2, (int, float)) and t1 >= t2:
         raise ValueError("Start time must be before end time.")

@@ -19,12 +19,33 @@ from ..market.rate_curve import df
 from ..market.vol_surface import get_vol
 from ..utils.pytree import pytree
 
-__all__ = ["BlackScholesAnalytic"]
+__all__ = ["BlackScholesAnalytic", "bs_price", "bs_geometry"]
 
 
 @pytree
 class BlackScholesAnalytic(AbstractPricingMethod):
     """Closed-form Black-Scholes for European vanilla options."""
+
+
+def bs_geometry(prob: PricingProblem):
+    """Shared Black-Scholes geometry (T, K, σ, D, F, √T, d1, d2).
+
+    Single source of truth for the pricer AND the analytic greeks — the vol
+    is looked up exactly as the pricer does (surface's own reference date),
+    so greeks are derivatives of the price actually produced.
+    """
+    payoff = prob.payoff
+    market = prob.market_inputs
+    K = payoff.strike
+    sigma = get_vol(market.sigma, payoff.expiry, K)
+    T = yearfrac(market.reference_date, payoff.expiry)
+    D = df(market.rate, payoff.expiry)
+    F = market.spot / D
+    sqrtT = jnp.sqrt(T)
+    sigma_safe = jnp.where(sigma > 0, sigma, 1.0)
+    d1 = (jnp.log(F / K) + 0.5 * sigma_safe**2 * T) / (sigma_safe * sqrtT)
+    d2 = d1 - sigma_safe * sqrtT
+    return T, K, sigma, D, F, sqrtT, d1, d2
 
 
 def bs_price(forward, strike, vol, T, discount, cp):

@@ -214,3 +214,67 @@ def test_interp2d_cubic_precompute_consistency():
         ]
     )
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=1e-13)
+
+
+def test_third_review_round_fixes():
+    """Round-3 review findings: analytic greeks consistent with the pricer's
+    vol lookup, batch AnalyticGreek, FD at x0=0, mixed-type forward_rate,
+    zero-tenor rejection, vol FieldLens in AnalyticGreek."""
+    import datetime as dt
+
+    from hedgehog_tpu import (
+        AnalyticGreek,
+        BatchGreekProblem,
+        FieldLens,
+        FiniteDifference,
+        ForwardAD,
+        GreekProblem,
+        RateCurve,
+        ReverseAD,
+        SpotLens,
+        VolLens,
+        ZeroRateSpineLens,
+        forward_rate,
+        solve,
+    )
+
+    # 1: analytic delta == AD delta even when surface ref date != market ref date
+    surf = RectVolSurface(dt.date(2023, 7, 1), jnp.array([0.5, 2.0]), jnp.array([80.0, 120.0]),
+                          jnp.full((2, 2), 0.2))
+    market = BlackScholesInputs(REF, 0.05, 100.0, surf)
+    prob = PricingProblem(VanillaOption(100.0, EXPIRY, European(), Call(), Spot()), market)
+    d_ad = float(solve(GreekProblem(prob, SpotLens()), ForwardAD(), BlackScholesAnalytic()).greek)
+    d_an = float(solve(GreekProblem(prob, SpotLens()), AnalyticGreek(), BlackScholesAnalytic()).greek)
+    assert d_an == pytest.approx(d_ad, rel=1e-10)
+
+    # 2: batch AnalyticGreek works
+    flat = BlackScholesInputs(REF, 0.05, 100.0, 0.2)
+    prob2 = PricingProblem(VanillaOption(100.0, EXPIRY, European(), Call(), Spot()), flat)
+    batch = solve(BatchGreekProblem(prob2, (SpotLens(), VolLens(1, 1))), AnalyticGreek(),
+                  BlackScholesAnalytic())
+    assert set(batch) == {SpotLens(), VolLens(1, 1)}
+
+    # 3: FD at x0 == 0 gives the derivative, not NaN
+    zero_rate_mkt = BlackScholesInputs(REF, 0.0, 100.0, 0.2)
+    prob3 = PricingProblem(VanillaOption(100.0, EXPIRY, European(), Call(), Spot()), zero_rate_mkt)
+    fd = float(solve(GreekProblem(prob3, ZeroRateSpineLens(0)), FiniteDifference(1e-5),
+                     BlackScholesAnalytic()).greek)
+    ad = float(solve(GreekProblem(prob3, ZeroRateSpineLens(0)), ReverseAD(),
+                     BlackScholesAnalytic()).greek)
+    assert np.isfinite(fd) and fd == pytest.approx(ad, rel=1e-4)
+
+    # 4: mixed-type forward_rate
+    curve = RateCurve.from_dfs(REF, [0.5, 1.0, 2.0], [0.99, 0.975, 0.95])
+    fr = float(forward_rate(curve, 0.5, dt.date(2025, 1, 1)))
+    assert np.isfinite(fr)
+
+    # 5: zero first tenor rejected
+    with pytest.raises(ValueError, match="positive"):
+        RateCurve.from_dfs(REF, [0.0, 1.0], [1.0, 0.97])
+
+    # 6: vol FieldLens accepted by AnalyticGreek
+    vega = float(solve(GreekProblem(prob2, FieldLens("market_inputs.sigma.sigma")),
+                       AnalyticGreek(), BlackScholesAnalytic()).greek)
+    vega_ad = float(solve(GreekProblem(prob2, FieldLens("market_inputs.sigma.sigma")),
+                          ForwardAD(), BlackScholesAnalytic()).greek)
+    assert vega == pytest.approx(vega_ad, rel=1e-10)
