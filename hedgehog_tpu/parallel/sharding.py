@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.problems import PricingProblem
 from ..market.rate_curve import df
@@ -90,7 +90,7 @@ def sharded_mc_price_fn(method: MonteCarlo, mesh: Mesh, axis_name: str = "paths"
         mesh=mesh,
         in_specs=(P(),),  # problem replicated; path axis is implicit in RNG
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def price(prob: PricingProblem):
         idx = jax.lax.axis_index(axis_name)
@@ -133,7 +133,7 @@ def sharded_lsm_price_fn(method, mesh: Mesh, axis_name: str = "paths"):
     def price(prob: PricingProblem):
         log_disc, strike_scale = _lsm_setup(prob, method)
 
-        @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(), check_rep=False)
+        @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False)
         def inner(prob):
             idx = jax.lax.axis_index(axis_name)
             key, offset = _device_key_and_offset(local_mc.config, idx)
