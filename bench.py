@@ -43,6 +43,50 @@ R, SPOT, STRIKE = 0.03, 100.0, 100.0
 HESTON = dict(V0=0.04, kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7)
 
 
+def flagship_greek_ratio(on_tpu: bool, n_pairs: int | None = None, steps: int = 10):
+    """time(full 7-param gradient) / time(price) for the flagship Heston QE
+    pure-JAX Monte Carlo price (greeks_agreement.jl:170-241 semantics: fixed
+    RNG, pathwise derivative).  Returns (ratio, t_price, t_grad)."""
+    if n_pairs is None:
+        n_pairs = 2**19 if on_tpu else 2**13
+    cfg = hh.SimulationConfig(
+        trajectories=n_pairs, steps=steps, variance_reduction=hh.Antithetic(), seed=0
+    )
+    method = hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(), cfg)
+    payoff = hh.VanillaOption(STRIKE, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+
+    def price(params):
+        spot, v0, kappa, theta, sigma, rho, r = params
+        market = hh.HestonInputs(REF, r, spot, v0, kappa, theta, sigma, rho)
+        return hh.solve(hh.PricingProblem(payoff, market), method).price
+
+    params = tuple(
+        jnp.float64(x)
+        for x in (SPOT, HESTON["V0"], HESTON["kappa"], HESTON["theta"],
+                  HESTON["sigma"], HESTON["rho"], R)
+    )
+    price_jit = jax.jit(price)
+    grad_jit = jax.jit(jax.value_and_grad(price))
+    jax.block_until_ready(price_jit(params))  # compile
+    jax.block_until_ready(grad_jit(params))
+
+    reps = 8
+
+    def best_of(fn):
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(params)
+            jax.block_until_ready(out)
+            times.append((time.perf_counter() - t0) / reps)
+        return min(times)
+
+    t_price = best_of(price_jit)
+    t_grad = best_of(grad_jit)
+    return t_grad / t_price, t_price, t_grad
+
+
 def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     market = hh.HestonInputs(REF, R, SPOT, *HESTON.values())
@@ -159,6 +203,19 @@ def main() -> None:
     jax.block_until_ready(out)
     opts_per_sec = 5 * n_opts / (time.perf_counter() - t1)
     sys.stderr.write(f"# batched price+greeks (BS, delta/vega/rho per option): {opts_per_sec:.3e} options/s\n")
+
+    # ---- flagship greek-vector ratio (stderr): full 7-param Heston gradient
+    # (spot, V0, κ, θ, σ, ρ, r) via jax.grad through the pure-JAX QE-M path
+    # vs the price-only call — the "<2× price cost" north star measured on
+    # the flagship model itself (BASELINE.json north star #2).  The Pallas
+    # kernels are primal-only (no AD through pltpu.prng_*), so the pure-JAX
+    # QE pair is the apples-to-apples measurement on every backend.
+    ratio, t_price, t_grad = flagship_greek_ratio(on_tpu)
+    sys.stderr.write(
+        f"# flagship greek vector (7-param Heston QE pure-JAX, reverse AD): "
+        f"price={t_price*1e3:.1f}ms grad={t_grad*1e3:.1f}ms ratio={ratio:.2f} "
+        f"(target < 2)\n"
+    )
 
     scheme = "qe" if on_tpu else "euler"
     sys.stderr.write(

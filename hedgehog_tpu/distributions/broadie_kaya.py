@@ -12,56 +12,40 @@ TPU-native redesign (SURVEY §7 step 9):
 
 - χ'² via the Poisson-mixture representation: N~Poisson(λ/2),
   V_T = c·2·Gamma(d/2+N) — both samplers exist in jax.random, fully batched.
-- The CF series weights Re φ(h·j) do **not** depend on the CDF argument x, so
-  they are precomputed once per path by a single `lax.scan` over the series
-  index (which also threads the Bessel angle unwrapping, the sequential part
-  of the reference algorithm).  Each CDF evaluation then costs one
-  (paths × J) sin-reduction, so the whole inversion is J-term series × fixed
-  bisection — no data-dependent loops (the reference's tolerance-based
-  truncation at up to 1e9 terms and Newton→bisection fallback chain,
-  sample_from_cf.jl:84-93/:105-135, become fixed-shape masked iterations).
-- Complex-argument log I_ν(z) — the hardest kernel (SURVEY "hard parts") — is
-  a power series in z²/4 with gammaln coefficients, evaluated in log-polar
-  form so the unwrapped angle enters only through the prefactor ν·log(z/2),
-  exactly the reference's ``log(besseli(ν, z_unwrapped)) + iν(θ_unw − θ)``
-  correction (heston.jl:220-238).
+- Step 2 is the *generic* CF-inversion machinery of
+  distributions/sample_from_cf.py (moment-matched h, trapezoid CDF series,
+  fixed-trip bisection), driven by the Heston ∫V conditional CF below.  The
+  Bessel angle-unwrapping state — the sequential part of the reference
+  algorithm — is threaded through the series scan as the CF carry.
+- Complex-argument log I_ν(z) lives in math/besseli.py (series + uniform
+  large-p expansion with Stokes smoothing, accurate to ≲1e-6 for the orders
+  ν = 2κθ/σ² − 1 ≲ 40 that market Heston parameters produce).
+
+TPU story: the CF machinery is complex128, which TPU does not lower.  When
+the default backend is not CPU, ``broadie_kaya_terminal_prices`` runs the
+whole sampler on the host via ``jax.pure_callback`` (documented, tested
+fallback — same prices, host speed).  The flagship TPU paths are the QE-M /
+Euler kernels; BK is the high-accuracy oracle, exactly the role it plays in
+the reference (heston.jl:246-300).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import gammaln
 
 from ..core.dates import yearfrac
 from ..market.rate_curve import zero_rate
+from ..math.besseli import log_besseli_complex
+from .sample_from_cf import cdf_series_weights, invert_cdf_series
 
 __all__ = [
     "log_besseli_complex",
     "sample_noncentral_chisq",
     "heston_integrated_variance_weights",
+    "heston_integrated_variance_cf",
     "broadie_kaya_terminal_prices",
 ]
-
-
-def log_besseli_complex(nu, z_abs, theta, n_terms: int = 64):
-    """log I_ν(z) for z = |z|·e^{iθ} with θ an *unwrapped* (continuous) angle.
-
-    Power series I_ν(z) = (z/2)^ν Σ_k (z²/4)^k / (k! Γ(ν+k+1)).  The Σ part is
-    single-valued in z²; branch continuity enters only via ν·log(z/2) which we
-    take with the unwrapped θ.  Accurate to f64 roundoff for |z| ≲ 40 with 64
-    terms (BK arguments satisfy |νγ| ≤ νκ which is ~O(1-30) for market params).
-    """
-    z_abs = jnp.asarray(z_abs)
-    z2_4 = (z_abs**2) * jnp.exp(2j * theta) / 4.0  # single-valued
-    k = jnp.arange(n_terms)
-    log_coeff = -(gammaln(k + 1.0) + gammaln(nu + k + 1.0))  # (K,)
-    # guard log(0): |z| can be 0 only if V_T == 0 (measure zero); clamp.
-    log_z2_4 = jnp.log(jnp.maximum(jnp.abs(z2_4), 1e-300)) + 1j * jnp.angle(z2_4)
-    terms = jnp.exp(k * log_z2_4[..., None] + log_coeff)  # (..., K)
-    S = jnp.sum(terms, axis=-1)
-    log_prefactor = nu * (jnp.log(jnp.maximum(z_abs, 1e-300) / 2.0) + 1j * theta)
-    return log_prefactor + jnp.log(S)
 
 
 def sample_noncentral_chisq(key, d, lam, shape):
@@ -74,38 +58,12 @@ def sample_noncentral_chisq(key, d, lam, shape):
     return 2.0 * jax.random.gamma(k_gamma, alpha, shape, dtype=jnp.float64)
 
 
-def _phi_integrated_var(a, VT, V0, kappa, sigma, T, nu, zeta_k, eta_k, log_I_k, theta_prev):
-    """CF of ∫₀ᵀ V dt conditional on (V0, V_T) at real frequency ``a``,
-    with Bessel-angle unwrapping state threaded through (heston.jl:184-212).
+def heston_integrated_variance_cf(VT, V0, kappa, theta_lt, sigma, T):
+    """The conditional CF of ∫₀ᵀ V dt given (V0, V_T) as a *stateful* CF
+    ``cf(a, theta_prev) -> (φ(a), theta_unwrapped)`` for sample_from_cf
+    (heston.jl:150-212).  Vectorized over paths (VT is (paths,)).
 
-    Vectorized over paths (VT, theta_prev are (paths,); ``a`` scalar).
-    """
-    a_c = jnp.asarray(a, jnp.complex128)
-    gamma = jnp.sqrt(kappa**2 - 2.0 * sigma**2 * a_c * 1j)
-    e_g = jnp.exp(-gamma * T)
-    zeta_g = (1.0 - e_g) / gamma
-    eta_g = gamma * (1.0 + e_g) / (1.0 - e_g)
-    nu_g = jnp.sqrt(V0 * VT) * 4.0 * gamma * jnp.exp(-0.5 * gamma * T) / (sigma**2 * (1.0 - e_g))
-
-    first = jnp.exp(-0.5 * (gamma - kappa) * T) * (zeta_k / zeta_g)
-    second = jnp.exp((V0 + VT) / sigma**2 * (eta_k - eta_g))
-
-    theta = jnp.angle(nu_g)
-    delta = theta - theta_prev
-    delta = delta - 2.0 * jnp.pi * jnp.round(delta / (2.0 * jnp.pi))
-    theta_unwrapped = theta_prev + delta
-    log_I_g = log_besseli_complex(nu, jnp.abs(nu_g), theta_unwrapped)
-    bessel_ratio = jnp.exp(log_I_g - log_I_k)
-
-    return first * second * bessel_ratio, theta_unwrapped
-
-
-def heston_integrated_variance_weights(VT, V0, kappa, theta_lt, sigma, T, n_terms: int):
-    """Per-path (mean, std, h, weights) of the ∫V CDF series.
-
-    CDF(x) = h·x/π + Σ_{j=1..J} w_j·sin(h·j·x),  w_j = (2/π)·Re φ(h·j)/j
-    (sample_from_cf.jl:75-96), with h = π/(mean + 5·std) (:37).
-    """
+    Returns (cf, carry0) where the carry is the unwrapped Bessel angle."""
     d = 4.0 * kappa * theta_lt / sigma**2
     nu = 0.5 * d - 1.0
     em = -jnp.expm1(-kappa * T)  # 1 - e^{-κT}
@@ -114,55 +72,119 @@ def heston_integrated_variance_weights(VT, V0, kappa, theta_lt, sigma, T, n_term
     nu_k = jnp.sqrt(V0 * VT) * 4.0 * kappa * jnp.exp(-0.5 * kappa * T) / (sigma**2 * em)
     log_I_k = log_besseli_complex(nu, nu_k, jnp.zeros_like(nu_k))
 
-    def phi(a, theta_prev):
-        return _phi_integrated_var(
-            a, VT, V0, kappa, sigma, T, nu, zeta_k, eta_k, log_I_k, theta_prev
+    def cf(a, theta_prev):
+        """φ(a) with Bessel-angle unwrapping threaded (heston.jl:184-212).
+
+        ``a`` is a scalar frequency or a (B, 1) block of *increasing*
+        frequencies (sample_from_cf block protocol); for a block, the angle
+        unwrap runs as an in-block cumsum chained off the carry."""
+        a_c = jnp.asarray(a, jnp.complex128)
+        block = a_c.ndim > 0
+        gamma = jnp.sqrt(kappa**2 - 2.0 * sigma**2 * a_c * 1j)
+        e_g = jnp.exp(-gamma * T)
+        zeta_g = (1.0 - e_g) / gamma
+        eta_g = gamma * (1.0 + e_g) / (1.0 - e_g)
+        nu_g = (
+            jnp.sqrt(V0 * VT) * 4.0 * gamma * jnp.exp(-0.5 * gamma * T)
+            / (sigma**2 * (1.0 - e_g))
         )
 
-    # moments via central differences at h0 = 1e-2 (sample_from_cf.jl:50-64);
-    # unwrapping starts at the real-axis angle of νκ (0 for positive reals)
-    h0 = 1e-2
-    theta0 = jnp.angle(nu_k + 0j)
-    phi_p, th = phi(h0, theta0)
-    phi_m, _ = phi(-h0, th)
-    first_deriv = (phi_p - phi_m) / (2.0 * h0)
-    second_deriv = (phi_p - 2.0 + phi_m) / h0**2  # φ(0) == 1
-    mean = jnp.real(-1j * first_deriv)
-    var = jnp.maximum(jnp.real(-second_deriv - mean**2), 1e-12)
-    std = jnp.sqrt(var)
+        first = jnp.exp(-0.5 * (gamma - kappa) * T) * (zeta_k / zeta_g)
+        second = jnp.exp((V0 + VT) / sigma**2 * (eta_k - eta_g))
 
-    h = jnp.pi / (mean + 5.0 * std)  # per-path step (sample_from_cf.jl:37)
+        theta = jnp.angle(nu_g)
+        if block:
+            prev = jnp.concatenate([jnp.broadcast_to(theta_prev, theta[:1].shape), theta[:-1]], axis=0)
+            delta = theta - prev
+            delta = delta - 2.0 * jnp.pi * jnp.round(delta / (2.0 * jnp.pi))
+            theta_unwrapped = theta_prev + jnp.cumsum(delta, axis=0)
+            carry_out = theta_unwrapped[-1]
+        else:
+            delta = theta - theta_prev
+            delta = delta - 2.0 * jnp.pi * jnp.round(delta / (2.0 * jnp.pi))
+            theta_unwrapped = theta_prev + delta
+            carry_out = theta_unwrapped
+        log_I_g = log_besseli_complex(nu, jnp.abs(nu_g), theta_unwrapped)
+        return first * second * jnp.exp(log_I_g - log_I_k), carry_out
 
-    def scan_step(theta_prev, j):
-        phi_j, theta_next = phi(h * j, theta_prev)
-        w_j = (2.0 / jnp.pi) * jnp.real(phi_j) / j
-        return theta_next, w_j
-
-    js = jnp.arange(1, n_terms + 1, dtype=jnp.float64)
-    _, weights = jax.lax.scan(scan_step, theta0, js)  # weights: (J, paths)
-    return mean, std, h, weights
+    carry0 = jnp.angle(nu_k + 0j)  # real-axis start for the unwrapping
+    return cf, carry0
 
 
-def _invert_cdf(u, mean, std, h, weights, iters: int):
-    """Bisection-invert CDF(x) = u on [0, mean + 11·std] (fixed trip count;
-    replaces the Newton→bisection→clamp chain of sample_from_cf.jl:105-135)."""
-    js = jnp.arange(1, weights.shape[0] + 1, dtype=jnp.float64)
+def heston_integrated_variance_weights(VT, V0, kappa, theta_lt, sigma, T, n_terms: int):
+    """Per-path CFSeries (mean, std, h, weights) of the ∫V CDF series —
+    the generic cdf_series_weights applied to the Heston conditional CF.
 
-    def cdf(x):
-        # x: (paths,) → series term matrix (J, paths)
-        return h * x / jnp.pi + jnp.sum(weights * jnp.sin(h * x * js[:, None]), axis=0)
+    CDF(x) = h·x/π + Σ_{j=1..J} w_j·sin(h·j·x),  w_j = (2/π)·Re φ(h·j)/j
+    (sample_from_cf.jl:75-96), with h = π/(mean + 5·std) (:37).
+    """
+    cf, carry0 = heston_integrated_variance_cf(VT, V0, kappa, theta_lt, sigma, T)
+    block = 8 if n_terms % 8 == 0 else 1
+    return cdf_series_weights(cf, n_terms, carry0=carry0, block_size=block)
 
-    lo = jnp.zeros_like(u)
-    hi = mean + 11.0 * std
 
-    def body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        below = cdf(mid) < u
-        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+def _bk_terminal_from_params(
+    key, S0, V0, kappa, theta_lt, sigma, rho, r, T, n, antithetic, cf_terms, iters
+):
+    """Pure-array BK sampler: (n_groups, n) terminal prices."""
+    k_vt, k_u, k_z = jax.random.split(key, 3)
 
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return 0.5 * (lo + hi)
+    # Step 1: V_T ~ c·χ'²(d, λ) (heston.jl:125-133)
+    em = -jnp.expm1(-kappa * T)
+    d = 4.0 * kappa * theta_lt / sigma**2
+    lam = 4.0 * kappa * jnp.exp(-kappa * T) * V0 / (sigma**2 * em)
+    c = sigma**2 * em / (4.0 * kappa)
+    VT = c * sample_noncentral_chisq(k_vt, d, lam, (n,))
+
+    # Step 2: ∫V | V0, V_T via generic CF inversion (one scan for series
+    # weights, one fixed bisection for the inverse CDF)
+    series = heston_integrated_variance_weights(VT, V0, kappa, theta_lt, sigma, T, cf_terms)
+    u = jax.random.uniform(k_u, (n,), dtype=jnp.float64, minval=1e-12, maxval=1.0 - 1e-12)
+    integral_V = invert_cdf_series(u, series, iters=iters)
+
+    # Step 3: log S_T | V_T, ∫V conditionally Gaussian (heston.jl:278-300)
+    mu = (
+        jnp.log(S0)
+        + r * T
+        - 0.5 * integral_V
+        + (rho / sigma) * (VT - V0 - kappa * theta_lt * T + kappa * integral_V)
+    )
+    cond_std = jnp.sqrt(jnp.maximum((1.0 - rho**2) * integral_V, 0.0))
+    z = jax.random.normal(k_z, (n,), dtype=jnp.float64)
+    if antithetic:
+        zs = jnp.stack([z, -z])
+    else:
+        zs = z[None]
+    return jnp.exp(mu + cond_std * zs)
+
+
+def _bk_via_host_callback(key, params, n, antithetic, cf_terms, iters):
+    """Run the BK sampler on the host CPU via pure_callback.
+
+    The CF machinery is complex128, which XLA:TPU cannot lower; on a TPU
+    backend the sampler executes host-side and ships only the (n_groups, n)
+    terminal prices back.  Gradients do not flow (BK is a sampler/oracle,
+    matching the reference's usage)."""
+    n_groups = 2 if antithetic else 1
+    raw = key if key.dtype == jnp.uint32 else jax.random.key_data(key)
+
+    def host(raw_key, *host_params):
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            out = _bk_terminal_from_params(
+                jnp.asarray(raw_key),
+                *[jnp.asarray(p) for p in host_params],
+                n=n,
+                antithetic=antithetic,
+                cf_terms=cf_terms,
+                iters=iters,
+            )
+        import numpy as np
+
+        return np.asarray(out)
+
+    result_shape = jax.ShapeDtypeStruct((n_groups, n), jnp.float64)
+    return jax.pure_callback(host, result_shape, raw, *params)
 
 
 def broadie_kaya_terminal_prices(prob, config, strat, key=None):
@@ -174,48 +196,30 @@ def broadie_kaya_terminal_prices(prob, config, strat, key=None):
     from ..methods.montecarlo import Antithetic  # avoid circular import
 
     market = prob.market_inputs
-    kappa, theta_lt, sigma, rho, V0 = (
+    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    r = zero_rate(market.rate, prob.payoff.expiry)
+    params = (
+        market.spot,
+        market.V0,
         market.kappa,
         market.theta,
         market.sigma,
         market.rho,
-        market.V0,
+        r,
+        T,
     )
-    T = yearfrac(market.reference_date, prob.payoff.expiry)
-    r = zero_rate(market.rate, prob.payoff.expiry)
-    S0 = market.spot
     n = config.trajectories
+    antithetic = isinstance(config.variance_reduction, Antithetic)
 
     if key is None:
         key = jax.random.PRNGKey(config.seed)
-    k_vt, k_u, k_z = jax.random.split(key, 3)
 
-    # Step 1: V_T ~ c·χ'²(d, λ) (heston.jl:125-133)
-    em = -jnp.expm1(-kappa * T)
-    d = 4.0 * kappa * theta_lt / sigma**2
-    lam = 4.0 * kappa * jnp.exp(-kappa * T) * V0 / (sigma**2 * em)
-    c = sigma**2 * em / (4.0 * kappa)
-    VT = c * sample_noncentral_chisq(k_vt, d, lam, (n,))
-
-    # Step 2: ∫V | V0, V_T via CF inversion (one scan for series weights,
-    # one fixed bisection for the inverse CDF)
-    mean, std, h, weights = heston_integrated_variance_weights(
-        VT, V0, kappa, theta_lt, sigma, T, strat.cf_terms
+    if jax.default_backend() != "cpu":
+        return _bk_via_host_callback(
+            key, params, n, antithetic, strat.cf_terms, strat.inversion_iters
+        )
+    S0, V0, kappa, theta_lt, sigma, rho, r, T = params
+    return _bk_terminal_from_params(
+        key, S0, V0, kappa, theta_lt, sigma, rho, r, T,
+        n, antithetic, strat.cf_terms, strat.inversion_iters,
     )
-    u = jax.random.uniform(k_u, (n,), dtype=jnp.float64, minval=1e-12, maxval=1.0 - 1e-12)
-    integral_V = _invert_cdf(u, mean, std, h, weights, strat.inversion_iters)
-
-    # Step 3: log S_T | V_T, ∫V conditionally Gaussian (heston.jl:278-300)
-    mu = (
-        jnp.log(S0)
-        + r * T
-        - 0.5 * integral_V
-        + (rho / sigma) * (VT - V0 - kappa * theta_lt * T + kappa * integral_V)
-    )
-    cond_std = jnp.sqrt(jnp.maximum((1.0 - rho**2) * integral_V, 0.0))
-    z = jax.random.normal(k_z, (n,), dtype=jnp.float64)
-    if isinstance(config.variance_reduction, Antithetic):
-        zs = jnp.stack([z, -z])
-    else:
-        zs = z[None]
-    return jnp.exp(mu + cond_std * zs)
