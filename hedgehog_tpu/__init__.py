@@ -61,11 +61,13 @@ from .market.inputs import AbstractMarketInputs, BlackScholesInputs, HestonInput
 from .market.vol_quotes import (  # noqa: E402
     ForwardObs,
     FuturesObs,
+    ResolvedQuotes,
     SpotObs,
     VolQuote,
     VolQuoteConfig,
     iv_to_price,
     price_to_iv,
+    resolve_quotes_batch,
     underlying_forward,
     underlying_spot,
 )
@@ -186,6 +188,8 @@ __all__ = [
     "FuturesObs",
     "VolQuote",
     "VolQuoteConfig",
+    "ResolvedQuotes",
+    "resolve_quotes_batch",
     "iv_to_price",
     "price_to_iv",
     "underlying_spot",

@@ -73,6 +73,7 @@ class CalibrationSolution:
     u: Any
     loss: Any = 0.0
     converged: Any = True
+    iterations: Any = 0
 
     @property
     def price(self):  # convenience for symmetric APIs
@@ -137,7 +138,9 @@ def _solve_calibration_opt(calib: CalibrationProblem, algo: OptimizerAlgo, *, lb
 
     x0 = jnp.asarray(calib.initial_guess, jnp.float64)
     res = minimize_lbfgs(objective, x0, lb=lb, ub=ub, max_iters=algo.max_iters)
-    return CalibrationSolution(calib, res.x, loss=res.loss, converged=res.converged)
+    return CalibrationSolution(
+        calib, res.x, loss=res.loss, converged=res.converged, iterations=res.iterations
+    )
 
 
 @register_solver(RootFinderAlgo)

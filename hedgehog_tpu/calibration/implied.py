@@ -18,9 +18,9 @@ from typing import Any, Optional
 
 import jax.numpy as jnp
 
-from ..core.dates import to_ticks
+from ..core.dates import to_ticks, yearfrac
 from ..core.payoffs import CallPut
-from ..market.rate_curve import FlatRateCurve
+from ..market.rate_curve import FlatRateCurve, RateCurve, zero_rate_yf
 from ..market.vol_surface import RectVolSurface
 from ..math.rootfind import implicit_root
 from ..methods.black_scholes import bs_price
@@ -75,12 +75,23 @@ def rect_vol_surface_from_prices(
 ) -> RectVolSurface:
     """Calibrate a RectVolSurface from an option price grid.
 
-    ``tenors`` are ACT/365 year fractions from ``reference_date``; ``prices``
-    has shape (len(tenors), len(strikes)).  ``call_put_matrix`` holds ±1
-    indicators or Call()/Put() markers (defaults to all calls, matching
-    vol_surface.jl:207-208).  The whole grid is inverted in one batched solve.
+    ``tenors`` are ACT/365 year fractions from ``reference_date`` — or
+    dates/datetimes, which are converted via ``yearfrac`` (the reference ctor
+    accepts Periods/Dates the same way, vol_surface.jl:188-242).  ``rate`` may
+    be a scalar, a FlatRateCurve, or a full RateCurve (the per-tenor zero rate
+    enters the inversion).  ``prices`` has shape (len(tenors), len(strikes)).
+    ``call_put_matrix`` holds ±1 indicators or Call()/Put() markers (defaults
+    to all calls, matching vol_surface.jl:207-208).  The whole grid is
+    inverted in one batched solve.
     """
-    tenors = jnp.asarray(tenors, jnp.float64)
+    ref_ticks = to_ticks(reference_date)
+    tenors = jnp.asarray(
+        [
+            yearfrac(ref_ticks, to_ticks(t)) if hasattr(t, "year") else t
+            for t in tenors
+        ],
+        jnp.float64,
+    )
     strikes = jnp.asarray(strikes, jnp.float64)
     prices = jnp.asarray(prices, jnp.float64)
     n_t, n_k = tenors.shape[0], strikes.shape[0]
@@ -97,8 +108,9 @@ def rect_vol_surface_from_prices(
 
     if isinstance(rate, FlatRateCurve):
         rate_val = rate.rate
-    elif hasattr(rate, "zero_rates"):
-        raise TypeError("rect_vol_surface_from_prices expects a flat rate (scalar or FlatRateCurve)")
+    elif isinstance(rate, RateCurve) or hasattr(rate, "zero_rates"):
+        # per-tenor zero rate from the curve enters each row's inversion
+        rate_val = zero_rate_yf(rate, tenors)[:, None]
     else:
         rate_val = rate
 
@@ -106,7 +118,7 @@ def rect_vol_surface_from_prices(
     K_grid = jnp.broadcast_to(strikes[None, :], (n_t, n_k))
     vols = implied_vol_bs(prices, K_grid, T_grid, spot, rate_val, cp)
     return RectVolSurface(
-        to_ticks(reference_date),
+        ref_ticks,
         tenors,
         strikes,
         vols,

@@ -45,6 +45,8 @@ __all__ = [
     "VolQuoteConfig",
     "iv_to_price",
     "price_to_iv",
+    "ResolvedQuotes",
+    "resolve_quotes_batch",
 ]
 
 ABS_TOL_P = 1e-10
@@ -193,6 +195,149 @@ def price_to_iv(
         (FieldLens("market_inputs.sigma.sigma"),),
     )
     return solve(calib, RootFinderAlgo(lo=bracket[0], hi=bracket[1])).u
+
+
+# ------------------------------------------------------ batched resolution
+
+
+class ResolvedQuotes:
+    """Structure-of-arrays result of :func:`resolve_quotes_batch`: consistent
+    (price, iv) arrays per level, NaN where the input level was missing."""
+
+    def __init__(self, bid_price, mid_price, ask_price, bid_iv, mid_iv, ask_iv):
+        self.bid_price, self.mid_price, self.ask_price = bid_price, mid_price, ask_price
+        self.bid_iv, self.mid_iv, self.ask_iv = bid_iv, mid_iv, ask_iv
+
+
+def _resolve_level_batch(price, iv, K, T, S, r, cp, config):
+    """Branchless batched price/IV pair resolution; returns
+    (price, iv, inconsistent_mask)."""
+    from ..calibration.implied import implied_vol_bs, iv_to_price_bs
+
+    has_p, has_iv = ~jnp.isnan(price), ~jnp.isnan(iv)
+    p_safe = jnp.where(has_p, price, 1.0)
+    iv_safe = jnp.where(has_iv, iv, 0.2)
+    iv_from_p = implied_vol_bs(p_safe, K, T, S, r, cp)
+    p_from_iv = iv_to_price_bs(iv_safe, K, T, S, r, cp)
+    out_p = jnp.where(has_p, price, jnp.where(has_iv, p_from_iv, jnp.nan))
+    out_iv = jnp.where(has_iv, iv, jnp.where(has_p, iv_from_p, jnp.nan))
+    bad = (
+        has_p
+        & has_iv
+        & (jnp.abs(price - p_from_iv) > config.abs_tol_p + config.rel_tol_p * jnp.abs(price))
+    )
+    return out_p, out_iv, bad
+
+
+def resolve_quotes_batch(
+    strikes,
+    expiries,
+    underlying: UnderlyingObs,
+    interest_rate,
+    reference_date,
+    *,
+    bid_price=None,
+    mid_price=None,
+    ask_price=None,
+    bid_iv=None,
+    mid_iv=None,
+    ask_iv=None,
+    call_put=1.0,
+    config: Optional[VolQuoteConfig] = None,
+) -> ResolvedQuotes:
+    """Resolve a whole surface of bid/mid/ask quotes in ONE batched program.
+
+    The reference resolves each quote with up to three serial scalar
+    root-finds (vol_quotes.jl:420-493); here every level of every quote is a
+    lane of one batched Black-Scholes inversion + one closed-form pricing
+    pass (instrument parallelism, SURVEY §2c).  NaN marks missing entries,
+    exactly like the scalar :meth:`VolQuote.build`.
+
+    - ``strikes``/``expiries`` broadcast to the quote-grid shape; expiries are
+      ticks or dates (converted via to_ticks element-wise if not an array).
+    - ``underlying`` holds a scalar or per-quote array observation.
+    - policies (inconsistency / monotonicity) run vectorized after the solve;
+      "throw"/"warn" messages report the number of violating lanes.
+    - the batch path supports the Black-Scholes iv_model only (the scalar
+      ``VolQuote.build`` handles arbitrary methods).
+    """
+    config = config or VolQuoteConfig()
+    if not isinstance(config.iv_model, BlackScholesAnalytic):
+        raise TypeError("resolve_quotes_batch supports BlackScholesAnalytic iv_model only")
+    ref_ticks = to_ticks(reference_date)
+    if hasattr(expiries, "__iter__") and not hasattr(expiries, "dtype"):
+        expiries = jnp.asarray([to_ticks(e) for e in expiries], jnp.float64)
+    else:
+        expiries = jnp.asarray(expiries, jnp.float64)
+    T = yearfrac(ref_ticks, expiries)
+    strikes = jnp.asarray(strikes, jnp.float64)
+    r = jnp.asarray(interest_rate, jnp.float64)
+    cp = jnp.asarray(call_put, jnp.float64)
+
+    D = jnp.exp(-r * T)
+    S = _spot_from_obs(underlying, D)
+    F = _forward_from_obs(underlying, D)
+
+    shape = jnp.broadcast_shapes(
+        strikes.shape, T.shape, jnp.shape(S), jnp.shape(cp), jnp.shape(r)
+    )
+    nanfull = jnp.full(shape, jnp.nan)
+
+    def as_grid(x):
+        return nanfull if x is None else jnp.broadcast_to(jnp.asarray(x, jnp.float64), shape)
+
+    levels = {}
+    bad_counts = {}
+    for name, p_in, iv_in in (
+        ("bid", bid_price, bid_iv),
+        ("mid", mid_price, mid_iv),
+        ("ask", ask_price, ask_iv),
+    ):
+        p = as_grid(p_in)
+        if config.normalized_input:
+            p = p * F  # forward-normalized prices (vol_quotes.jl:79-95)
+        p_out, iv_out, bad = _resolve_level_batch(
+            p, as_grid(iv_in), strikes, T, S, r, cp, config
+        )
+        levels[name] = (p_out, iv_out)
+        bad_counts[name] = int(jnp.sum(bad))
+
+    total_bad = sum(bad_counts.values())
+    if total_bad:
+        _handle(
+            config.vol_price_inconsistency_handling,
+            f"Inconsistent price/IV in {total_bad} quote level(s): "
+            + ", ".join(f"{k}={v}" for k, v in bad_counts.items() if v),
+        )
+
+    (bid_p, bid_v), (mid_p, mid_v), (ask_p, ask_v) = (
+        levels["bid"],
+        levels["mid"],
+        levels["ask"],
+    )
+    if int(jnp.sum(jnp.isnan(mid_p) & jnp.isnan(mid_v))):
+        _handle(
+            config.missing_mid_handling,
+            "resolve_quotes_batch: quotes with neither mid_price nor mid_iv",
+            _POLICIES_2,
+        )
+    all_p = ~(jnp.isnan(bid_p) | jnp.isnan(mid_p) | jnp.isnan(ask_p))
+    n_bad_p = int(jnp.sum(all_p & ~((bid_p <= mid_p) & (mid_p <= ask_p))))
+    if n_bad_p:
+        _handle(
+            config.price_monotonicity_handling,
+            f"Price monotonicity violated in {n_bad_p} quote(s)",
+            _POLICIES_2,
+        )
+    all_v = ~(jnp.isnan(bid_v) | jnp.isnan(mid_v) | jnp.isnan(ask_v))
+    n_bad_v = int(jnp.sum(all_v & ~((bid_v <= mid_v) & (mid_v <= ask_v))))
+    if n_bad_v:
+        _handle(
+            config.iv_monotonicity_handling,
+            f"IV monotonicity violated in {n_bad_v} quote(s)",
+            _POLICIES_2,
+        )
+    return ResolvedQuotes(bid_p, mid_p, ask_p, bid_v, mid_v, ask_v)
 
 
 # ---------------------------------------------------------------- VolQuote

@@ -48,11 +48,23 @@ def minimize_lbfgs(
     ub=None,
     *,
     max_iters: int = 200,
-    grad_tol: float = 1e-10,
+    grad_tol: float = 1e-8,
+    f_rel_tol: float = 1e-12,
 ) -> LBFGSResult:
     """Minimize ``fun(x)`` with optional elementwise box bounds.
 
-    Returns the best iterate in the original (constrained) space.
+    Runs a bounded ``lax.while_loop`` with early exit — mirroring Optim.jl's
+    behavior behind the reference's calibration (calibration.jl:74-98):
+
+    - ``converged`` is True iff an exit criterion fired before ``max_iters``:
+      gradient inf-norm < ``grad_tol`` (Optim's g_tol-style test) OR relative
+      objective change ≤ ``f_rel_tol``·max(1, |f|) between iterations — the
+      criterion realistic MC/Fourier calibrations actually meet.
+    - ``iterations`` is the real count of L-BFGS steps taken.
+
+    Returns the best iterate seen, in the original (constrained) space.
+    The while_loop is not reverse-differentiable; differentiate calibrated
+    quantities via the implicit function theorem (math/rootfind.py) instead.
     """
     x0 = jnp.asarray(x0, jnp.float64)
     bounded = lb is not None or ub is not None
@@ -75,25 +87,28 @@ def minimize_lbfgs(
     value_and_grad = optax.value_and_grad_from_state(obj)
     state0 = solver.init(y0)
 
-    def step(carry, _):
-        y, state, best_y, best_val = carry
+    def cond(carry):
+        _, _, _, _, _, it, done = carry
+        return jnp.logical_and(~done, it < max_iters)
+
+    def body(carry):
+        y, state, best_y, best_val, prev_val, it, _ = carry
         value, grad = value_and_grad(y, state=state)
         updates, state = solver.update(grad, state, y, value=value, grad=grad, value_fn=obj)
-        y = optax.apply_updates(y, updates)
+        y_new = optax.apply_updates(y, updates)
         better = value < best_val
-        best_y = jnp.where(better, carry[0], best_y)
-        best_val = jnp.where(better, value, best_val)
-        return (y, state, best_y, best_val), None
+        best_y = jnp.where(better, y, best_y)
+        best_val = jnp.minimum(value, best_val)
+        g_small = jnp.max(jnp.abs(grad)) < grad_tol
+        f_stalled = jnp.abs(prev_val - value) <= f_rel_tol * jnp.maximum(1.0, jnp.abs(value))
+        done = jnp.logical_or(g_small, f_stalled)
+        return (y_new, state, best_y, best_val, value, it + 1, done)
 
-    init = (y0, state0, y0, obj(y0))
-    (y_final, _, best_y, best_val), _ = jax.lax.scan(step, init, None, length=max_iters)
+    init = (y0, state0, y0, obj(y0), jnp.inf, jnp.asarray(0), jnp.asarray(False))
+    y_final, _, best_y, best_val, _, iters, done = jax.lax.while_loop(cond, body, init)
     final_val = obj(y_final)
     take_final = final_val <= best_val
     y_out = jnp.where(take_final, y_final, best_y)
     loss = jnp.where(take_final, final_val, best_val)
     x_out = _to_constrained(y_out, lb, ub) if bounded else y_out
-    # convergence judged at the RETURNED point (not the last scan iterate,
-    # which may differ when the final linesearch step wandered)
-    grad_out = jax.grad(obj)(y_out)
-    converged = jnp.max(jnp.abs(grad_out)) < grad_tol
-    return LBFGSResult(x=x_out, loss=loss, iterations=jnp.asarray(max_iters), converged=converged)
+    return LBFGSResult(x=x_out, loss=loss, iterations=iters, converged=done)

@@ -302,7 +302,10 @@ def _heston_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0)
         return (x_new, v_new), (x_new if return_grid else None)
 
     zs = jnp.moveaxis(z, 1, 0)  # (steps, g, 2, paths)
-    (x_final, _), xs = jax.lax.scan(step, (x0, v0), zs)
+    # remat the step: storing only the (logS, V) carries instead of every
+    # intermediate more than halves the reverse-AD cost of pathwise greeks
+    # (identity for primal-only use)
+    (x_final, _), xs = jax.lax.scan(jax.checkpoint(step), (x0, v0), zs)
     if return_grid:
         grid = jnp.concatenate([x0[None], xs], axis=0)
         return jnp.exp(jnp.moveaxis(grid, 1, 0))
@@ -344,7 +347,8 @@ def _heston_qe_paths(prob, config, key, strat: "HestonQE", *, return_grid: bool,
 
     zs = jnp.moveaxis(z, 1, 0)  # (steps, g, 2, paths)
     us_s = jnp.moveaxis(us, 1, 0)  # (steps, g, paths)
-    (x_final, _), xs = jax.lax.scan(step, (x0, v0), (zs, us_s))
+    # remat: see _heston_euler_paths — halves pathwise-greek reverse-AD cost
+    (x_final, _), xs = jax.lax.scan(jax.checkpoint(step), (x0, v0), (zs, us_s))
     if return_grid:
         grid = jnp.concatenate([x0[None], xs], axis=0)
         return jnp.exp(jnp.moveaxis(grid, 1, 0))
@@ -367,13 +371,18 @@ def simulate_terminal_prices(
     Replaces reference get_final_samples (montecarlo.jl:442-459).
     """
     dyn, strat, config = method.dynamics, method.strategy, method.config
-    if config.qmc and (getattr(strat, "use_kernel", False) or isinstance(strat, HestonBroadieKaya)):
-        # the Pallas kernels and the Broadie-Kaya sampler draw their own PRNG
-        # streams — a silent pseudo-random fallback would betray the qmc=True
-        # accuracy contract the caller sized their path count for
+    qe_kernel_qmc = isinstance(strat, HestonQE) and getattr(strat, "use_kernel", False)
+    if config.qmc and (
+        (getattr(strat, "use_kernel", False) and not qe_kernel_qmc)
+        or isinstance(strat, HestonBroadieKaya)
+    ):
+        # the GBM/Euler Pallas kernels and the Broadie-Kaya sampler draw their
+        # own PRNG streams — a silent pseudo-random fallback would betray the
+        # qmc=True accuracy contract the caller sized their path count for.
+        # (The QE kernel has an in-kernel Sobol' stream and IS supported.)
         raise ValueError(
-            "qmc=True is not supported with use_kernel strategies or "
-            "HestonBroadieKaya; use the pure-JAX samplers"
+            "qmc=True is not supported with the GBM/Euler kernel strategies or "
+            "HestonBroadieKaya; use the pure-JAX samplers or HestonQE(use_kernel=True)"
         )
     if isinstance(strat, EulerMaruyama):
         if isinstance(dyn, LognormalDynamics):
@@ -396,7 +405,9 @@ def simulate_terminal_prices(
         if strat.use_kernel:
             from ..ops.heston_qe_kernel import heston_qe_terminal_pallas
 
-            return heston_qe_terminal_pallas(prob, config, strat, device_id=device_id)
+            return heston_qe_terminal_pallas(
+                prob, config, strat, device_id=device_id, point_offset=point_offset
+            )
         return _heston_qe_paths(prob, config, key, strat, return_grid=False, point_offset=point_offset)
     if isinstance(strat, BlackScholesExact) and isinstance(dyn, LognormalDynamics):
         if strat.use_kernel:

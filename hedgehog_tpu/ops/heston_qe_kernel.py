@@ -28,6 +28,84 @@ _ROWS = 256
 _LANES = 128
 _PSI_CRIT = 1.5
 
+# ---- in-kernel randomized Sobol' (kernel-side QMC) ----
+# The flagship QE kernel can draw its (z_v, z_x, u) triples from a digitally-
+# shifted Sobol' sequence instead of the on-chip PRNG: dims = 3 per step
+# (step-major, matching the pure-JAX _qmc_normals_and_uniforms layout), one
+# point per path.  The generator is pure bit arithmetic over a (dims, 31)
+# int32 SMEM table ([:, :30] Joe-Kuo directions, [:, 30] digital shift), so —
+# unlike the PRNG path — it also runs under interpret mode, which is how the
+# CPU tests validate it bit-exactly against math/sobol.py.
+_SOBOL_BITS = 30
+_SOBOL_SCALE = 2.0**-_SOBOL_BITS
+
+
+def _sobol_table(seed, n_dims: int):
+    """(n_dims, 31) int32 host-side table: Joe-Kuo directions + digital shift.
+
+    The shift is derived from ``seed`` only (never the device id): sharded
+    devices must randomize ONE shared sequence and slice it disjointly via
+    point offsets (parallel/sharding.py)."""
+    import numpy as np
+
+    from ..math.sobol import _BITS, _direction_numbers
+
+    assert _BITS == _SOBOL_BITS
+    V = _direction_numbers(n_dims).astype(np.int64)  # (dims, 30), < 2^30
+    shift = jax.random.bits(
+        jax.random.PRNGKey(seed), (n_dims,), dtype=jnp.uint32
+    ) >> jnp.uint32(32 - _SOBOL_BITS)
+    table = jnp.concatenate(
+        [jnp.asarray(V, jnp.int32), shift.astype(jnp.int32)[:, None]], axis=1
+    )
+    return table
+
+
+def _sobol_uniforms_tile(idx, sob_ref, dims):
+    """Per-lane Sobol' uniforms for the static dimension list ``dims``.
+
+    ``idx``: (ROWS, LANES) int32 point indices; x_{n,d} = ⊕_{bits b of n}
+    V[d,b], XOR digital shift, centered → (0, 1) fp32.  All table indices are
+    static, so every load is an SMEM scalar broadcast (no gathers)."""
+    accs = [jnp.zeros(idx.shape, jnp.int32) for _ in dims]
+    for b in range(_SOBOL_BITS):
+        mask = (jax.lax.shift_right_logical(idx, jnp.int32(b)) & jnp.int32(1)) != 0
+        for i, d in enumerate(dims):
+            accs[i] = jnp.where(mask, accs[i] ^ sob_ref[d, b], accs[i])
+    return [
+        ((a ^ sob_ref[d, _SOBOL_BITS]).astype(jnp.float32) + 0.5) * _SOBOL_SCALE
+        for a, d in zip(accs, dims)
+    ]
+
+
+# Beasley-Springer-Moro inverse normal CDF (validated vs scipy.ndtri to
+# 3e-9 abs over (2^-31, 1−2^-31)).  QMC needs the MONOTONE per-dim map —
+# Box-Muller entangles two Sobol' dims through the shared radius and was
+# measured to cost ~2.3× of the variance reduction.
+_BSM_A = (2.50662823884, -18.61500062529, 41.39119773534, -25.44106049637)
+_BSM_B = (-8.47351093090, 23.08336743743, -21.06224101826, 3.13082909833)
+_BSM_C = (
+    0.3374754822726147, 0.9761690190917186, 0.1607979714918209,
+    0.0276438810333863, 0.0038405729373609, 0.0003951896511919,
+    0.0000321767881768, 0.0000002888167364, 0.0000003960315187,
+)
+
+
+def _ndtri_approx(u):
+    """Branchless fp32 Φ⁻¹(u) for u ∈ (0, 1) (Beasley-Springer-Moro)."""
+    r = u - 0.5
+    t = r * r
+    num = r * (_BSM_A[0] + t * (_BSM_A[1] + t * (_BSM_A[2] + t * _BSM_A[3])))
+    den = 1.0 + t * (_BSM_B[0] + t * (_BSM_B[1] + t * (_BSM_B[2] + t * _BSM_B[3])))
+    x_central = num * _rcp(den)
+    u_min = jnp.minimum(u, 1.0 - u)
+    s = jnp.log(-jnp.log(jnp.maximum(u_min, 1e-30)))
+    x_tail = jnp.float32(_BSM_C[-1])
+    for c in reversed(_BSM_C[:-1]):
+        x_tail = x_tail * s + c
+    x_tail = jnp.where(r > 0.0, x_tail, -x_tail)
+    return jnp.where(jnp.abs(r) <= 0.42, x_central, x_tail)
+
 
 def _rcp(x):
     """Fast reciprocal: hardware approx + one Newton polish (~fp32 accurate).
@@ -148,22 +226,75 @@ def _qe_kernel(params_ref, seed_ref, out_ref, *, steps: int, antithetic: bool, m
         out_ref[0] = jnp.exp(x)
 
 
+def _qe_kernel_qmc(
+    params_ref, sob_ref, offset_ref, out_ref, *, steps: int, antithetic: bool, mcorr: bool
+):
+    """QE-M kernel drawing from the in-kernel Sobol' stream (kernel-side QMC).
+
+    The time loop is unrolled (static step index selects the static Sobol'
+    dims 3s, 3s+1, 3s+2); antithetic pairs mirror (z → −z, u → 1−u) on the
+    SAME point, exactly like the pure-JAX QMC path."""
+    log_s0 = params_ref[0]
+    v0 = params_ref[1]
+    c = dict(
+        theta=params_ref[2], e=params_ref[3], c_s2_v=params_ref[4], c_s2_c=params_ref[5],
+        K1=params_ref[6], K2=params_ref[7], K3=params_ref[8], K4=params_ref[9],
+        A=params_ref[10], r_dt=params_ref[11], K1_half_K3=params_ref[12],
+        K0=params_ref[13],
+    )
+
+    shape = (_ROWS, _LANES)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = offset_ref[0] + pl.program_id(0) * jnp.int32(_ROWS * _LANES) + row * jnp.int32(_LANES) + lane
+
+    x = jnp.full(shape, log_s0, dtype=jnp.float32)
+    v = jnp.full(shape, v0, dtype=jnp.float32)
+    if antithetic:
+        xa, va = x, v
+
+    for s in range(steps):
+        u1, u2, u3 = _sobol_uniforms_tile(idx, sob_ref, (3 * s, 3 * s + 1, 3 * s + 2))
+        z_v, z_x = _ndtri_approx(u1), _ndtri_approx(u2)
+        x, v = _qe_advance(x, v, z_v, z_x, u3, c, mcorr=mcorr)
+        if antithetic:
+            xa, va = _qe_advance(xa, va, -z_v, -z_x, 1.0 - u3, c, mcorr=mcorr)
+
+    out_ref[0] = jnp.exp(x)
+    if antithetic:
+        out_ref[1] = jnp.exp(xa)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_paths", "steps", "antithetic", "martingale_correction")
+    jax.jit,
+    static_argnames=("n_paths", "steps", "antithetic", "martingale_correction", "qmc", "interpret"),
 )
 def heston_qe_terminal(
     log_s0, v0, r, kappa, theta, sigma, rho, dt,
     *, n_paths: int, steps: int, seed, antithetic: bool = False, device_id=0,
-    martingale_correction: bool = True,
+    martingale_correction: bool = True, qmc: bool = False, point_offset: int = 0,
+    interpret: bool = False,
 ):
     """Terminal Heston prices via the fused QE-M Pallas kernel
-    ((n_groups, n_paths) fp32)."""
+    ((n_groups, n_paths) fp32).
+
+    ``qmc=True`` draws every (z_v, z_x, u) triple from a seed-randomized
+    Sobol' sequence generated *inside the kernel* (point index = global path
+    index + ``point_offset``), giving the flagship TPU path the QMC RMSE
+    gains of the pure-JAX samplers; antithetic pairs share points.
+    """
     from ..models.heston_qe import qe_constants
 
     block = _ROWS * _LANES
     n_blocks = -(-n_paths // block)
     padded = n_blocks * block
     n_groups = 2 if antithetic else 1
+    if qmc and padded > 2**_SOBOL_BITS:
+        # per-call period guard; the global offset+size guard for sharded
+        # callers lives in parallel/sharding.py (offsets are traced here)
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {padded} paths would wrap"
+        )
 
     c = qe_constants(kappa, theta, sigma, rho, r, dt)
     params = jnp.stack(
@@ -184,8 +315,39 @@ def heston_qe_terminal(
             jnp.float32(c["K0"]),
         ]
     )
-    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+    out_specs = pl.BlockSpec(
+        (n_groups, _ROWS, _LANES),
+        lambda i: (jnp.int32(0), i, jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_groups, n_blocks * _ROWS, _LANES), jnp.float32)
 
+    if qmc:
+        n_dims = 3 * steps
+        table = _sobol_table(seed, n_dims)
+        offset_arr = jnp.asarray([point_offset], jnp.int32)
+        kernel = functools.partial(
+            _qe_kernel_qmc, steps=steps, antithetic=antithetic, mcorr=martingale_correction
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((14,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (n_dims, _SOBOL_BITS + 1),
+                    lambda i: (jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, table, offset_arr)
+        return out.reshape(n_groups, padded)[:, :n_paths]
+
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
     kernel = functools.partial(
         _qe_kernel, steps=steps, antithetic=antithetic, mcorr=martingale_correction
     )
@@ -196,12 +358,9 @@ def heston_qe_terminal(
             pl.BlockSpec((14,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
             pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (n_groups, _ROWS, _LANES),
-            lambda i: (jnp.int32(0), i, jnp.int32(0)),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_groups, n_blocks * _ROWS, _LANES), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
     )(params, seed_arr)
     return out.reshape(n_groups, padded)[:, :n_paths]
 
@@ -283,8 +442,11 @@ def heston_qe_call_price(
     return discount * jnp.sum(sums.astype(jnp.float64)) / total_paths
 
 
-def heston_qe_terminal_pallas(prob, config, strat, device_id=0):
-    """Adapter for MonteCarlo(HestonDynamics, HestonQE(use_kernel=True))."""
+def heston_qe_terminal_pallas(prob, config, strat, device_id=0, point_offset=0):
+    """Adapter for MonteCarlo(HestonDynamics, HestonQE(use_kernel=True)).
+
+    ``config.qmc=True`` routes to the in-kernel Sobol' stream (one sequence
+    per seed; sharded devices take disjoint ``point_offset`` slices)."""
     from ..core.dates import yearfrac
     from ..market.rate_curve import zero_rate_yf
     from ..methods.montecarlo import Antithetic, _heston_qe_paths
@@ -292,8 +454,14 @@ def heston_qe_terminal_pallas(prob, config, strat, device_id=0):
     market = prob.market_inputs
     anti = isinstance(config.variance_reduction, Antithetic)
     if jax.default_backend() != "tpu":
-        key = jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
-        return _heston_qe_paths(prob, config, key, strat, return_grid=False)
+        key = (
+            jax.random.PRNGKey(config.seed)
+            if config.qmc  # one shared sequence; offsets give disjoint slices
+            else jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
+        )
+        return _heston_qe_paths(
+            prob, config, key, strat, return_grid=False, point_offset=point_offset
+        )
     T = yearfrac(market.reference_date, prob.payoff.expiry)
     r0 = zero_rate_yf(market.rate, 0.0)
     out = heston_qe_terminal(
@@ -302,5 +470,6 @@ def heston_qe_terminal_pallas(prob, config, strat, device_id=0):
         n_paths=config.trajectories, steps=config.steps, seed=config.seed,
         antithetic=anti, device_id=device_id,
         martingale_correction=strat.martingale_correction,
+        qmc=config.qmc, point_offset=point_offset,
     )
     return out.astype(jnp.float64)

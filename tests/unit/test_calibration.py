@@ -53,6 +53,9 @@ def test_bs_vol_recovery_lbfgs():
     )
     result = solve(calib, OptimizerAlgo(max_iters=100))
     assert float(result.u[0]) == pytest.approx(sigma, abs=1e-5)
+    # honest optimizer diagnostics: early exit fired, real iteration count
+    assert bool(result.converged)
+    assert 0 < int(result.iterations) < 100
 
 
 def test_bs_implied_vol_rootfind():
@@ -103,6 +106,8 @@ def test_heston_calibration_recovery():
     lower = jnp.asarray([1e-5, 1e-3, 1e-5, 1e-3, -0.99])
     upper = jnp.asarray([1.0, 20.0, 1.0, 5.0, 0.99])
     result = solve(calib, OptimizerAlgo(max_iters=300), lb=lower, ub=upper)
+    assert bool(result.converged)
+    assert 0 < int(result.iterations) <= 300
     got = [float(v) for v in result.u]
     for g, (name, want) in zip(got, true_params.items()):
         assert g == pytest.approx(want, rel=1e-1), f"{name}: got {g}, want {want}"
