@@ -30,7 +30,11 @@ import jax.numpy as jnp
 import hedgehog_tpu as hh
 
 STEPS = 100  # Euler step count (pure-JAX / CPU path)
-QE_STEPS = 10  # Andersen QE-M step count (TPU path): bias −3.4±0.1bp measured
+MIX_STEPS = 12  # conditional-MC (Romano-Touzi mixing) QE step count: bias
+#                 +3.0±0.03bp measured on 6.4G-path calibration runs
+#                 (mixing-10 = +4.2bp, mixing-14 = +2.2bp); see
+#                 benchmarks/qe_mixing_kernel_bench.py
+QE_STEPS = 10  # Andersen QE-M step count (fallback): bias −3.4±0.1bp measured
 #                (2.1G-path calibration runs; QE-12 = −2.3bp, QE-14 = −1.9bp)
 QE_BLOCKS = 256  # kernel grid (× 32768 paths × 2 antithetic × QE_BATCHES per call)
 QE_BATCHES = 16
@@ -100,31 +104,30 @@ def main() -> None:
     discount = float(jnp.exp(-R * T))
 
     if on_tpu:
-        # Andersen QE-M price kernel with in-kernel multi-batch payoff
-        # accumulation: ~8× fewer steps than Euler at equal bias plus
-        # dispatch-free on-chip reduction carry paths/sec past the 1e9 target
-        # inside the 5bp contract (see docs/architecture.md)
-        from hedgehog_tpu.ops.heston_qe_kernel import _LANES, _ROWS, heston_qe_call_price
+        # Flagship: conditional-MC (Romano-Touzi mixing) QE kernel — only the
+        # variance path is simulated (one normal + one uniform per step; the
+        # CIR integral identity gives ∫√V dW) and each path finishes with the
+        # conditional Black-Scholes closed form.  ~1.7× cheaper per step than
+        # the QE-M price kernel and ~9× lower payoff variance, with on-chip
+        # multi-batch accumulation so one dispatch carries 268M paths.
+        # Fallback chain: mixing kernel → QE-M kernel → Euler kernel.
+        from hedgehog_tpu.ops.heston_qe_kernel import (
+            _LANES,
+            _ROWS,
+            heston_qe_call_price,
+            heston_qe_mixing_vanilla_price,
+        )
 
         paths_per_call = QE_BLOCKS * QE_BATCHES * _ROWS * _LANES * 2
         n_pairs = paths_per_call // 2
-        steps_used = QE_STEPS
+        steps_used = MIX_STEPS
+        scheme = "qe_mixing"
 
         def price_fn(seed):
-            return heston_qe_call_price(
-                jnp.log(SPOT),
-                HESTON["V0"],
-                R,
-                HESTON["kappa"],
-                HESTON["theta"],
-                HESTON["sigma"],
-                HESTON["rho"],
-                T / QE_STEPS,
-                STRIKE,
-                discount,
-                n_blocks=QE_BLOCKS,
-                n_batches=QE_BATCHES,
-                steps=QE_STEPS,
+            return heston_qe_mixing_vanilla_price(
+                jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"], HESTON["theta"],
+                HESTON["sigma"], HESTON["rho"], T / MIX_STEPS, STRIKE, discount,
+                n_blocks=QE_BLOCKS, n_batches=QE_BATCHES, steps=MIX_STEPS,
                 seed=seed,
             )
 
@@ -132,25 +135,45 @@ def main() -> None:
             price_fn(0)  # compile-check the kernel; fall back if Mosaic balks
         except Exception as e:  # pragma: no cover
             sys.stderr.write(
-                f"# QE kernel failed ({type(e).__name__}); Euler kernel fallback\n"
+                f"# mixing kernel failed ({type(e).__name__}); QE-M kernel fallback\n"
             )
-            from hedgehog_tpu.ops.heston_kernel import heston_euler_terminal
+            steps_used = QE_STEPS
+            scheme = "qe"
 
-            n_pairs = 2**23
-            steps_used = STEPS
-
-            @jax.jit
             def price_fn(seed):
-                s_t = heston_euler_terminal(
-                    jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"], HESTON["theta"],
-                    HESTON["sigma"], HESTON["rho"], T / STEPS,
-                    n_paths=n_pairs, steps=STEPS, seed=seed, antithetic=True,
+                return heston_qe_call_price(
+                    jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"],
+                    HESTON["theta"], HESTON["sigma"], HESTON["rho"],
+                    T / QE_STEPS, STRIKE, discount,
+                    n_blocks=QE_BLOCKS, n_batches=QE_BATCHES, steps=QE_STEPS,
+                    seed=seed,
                 )
-                return discount * jnp.mean(jnp.maximum(s_t - jnp.float32(STRIKE), 0.0))
+
+            try:
+                price_fn(0)
+            except Exception as e2:  # pragma: no cover
+                sys.stderr.write(
+                    f"# QE kernel failed ({type(e2).__name__}); Euler kernel fallback\n"
+                )
+                from hedgehog_tpu.ops.heston_kernel import heston_euler_terminal
+
+                n_pairs = 2**23
+                steps_used = STEPS
+                scheme = "euler"
+
+                @jax.jit
+                def price_fn(seed):
+                    s_t = heston_euler_terminal(
+                        jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"], HESTON["theta"],
+                        HESTON["sigma"], HESTON["rho"], T / STEPS,
+                        n_paths=n_pairs, steps=STEPS, seed=seed, antithetic=True,
+                    )
+                    return discount * jnp.mean(jnp.maximum(s_t - jnp.float32(STRIKE), 0.0))
 
     else:
         n_pairs = 2**15
         steps_used = STEPS
+        scheme = "euler"
         cfg = hh.SimulationConfig(
             trajectories=n_pairs, steps=STEPS, variance_reduction=hh.Antithetic(), seed=0
         )
@@ -217,7 +240,6 @@ def main() -> None:
         f"(target < 2)\n"
     )
 
-    scheme = "qe" if on_tpu else "euler"
     sys.stderr.write(
         f"# backend={jax.default_backend()} scheme={scheme} steps={steps_used} "
         f"pairs/run={n_pairs} reps={REPS}\n"

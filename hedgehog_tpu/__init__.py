@@ -124,6 +124,8 @@ from .methods.montecarlo import (  # noqa: E402
     MonteCarlo,
     NoVarianceReduction,
     SimulationConfig,
+    mc_path_values,
+    simulate_conditional_values,
     simulate_price_grid,
     simulate_terminal_prices,
 )
@@ -245,6 +247,8 @@ __all__ = [
     "NoVarianceReduction",
     "Antithetic",
     "simulate_terminal_prices",
+    "simulate_conditional_values",
+    "mc_path_values",
     "simulate_price_grid",
     # greeks
     "GreekProblem",

@@ -55,6 +55,8 @@ __all__ = [
     "Antithetic",
     "simulate_terminal_prices",
     "simulate_price_grid",
+    "simulate_conditional_values",
+    "mc_path_values",
 ]
 
 
@@ -94,10 +96,21 @@ class EulerMaruyama(SimulationStrategy):
 class HestonQE(SimulationStrategy):
     """Andersen Quadratic-Exponential discretization (QE-M) — near-exact
     per-step CIR moments, sub-bp vanilla bias at ~8-16 steps vs ~100 for
-    Euler. Beyond-reference capability (see models/heston_qe.py)."""
+    Euler. Beyond-reference capability (see models/heston_qe.py).
+
+    ``conditional=True`` switches European vanilla pricing to the
+    Romano-Touzi conditional (mixing) Monte Carlo estimator: only the
+    variance path is simulated (one normal + one uniform per step) and each
+    path is finished with the conditional Black-Scholes closed form — logS_T
+    given the V path is exactly normal via the CIR integral identity.
+    ~1.7× cheaper per step, ~12× lower payoff variance at |ρ|≈0.7, and a
+    smooth (kink-free) estimator, so pathwise AD greeks lose the
+    discontinuity noise.  Terminal samples do not exist under this
+    estimator: it prices through ``solve`` / ``mc_path_values`` only."""
 
     martingale_correction: bool = static_field(default=True)
     use_kernel: bool = static_field(default=False)
+    conditional: bool = static_field(default=False)
 
 
 class ExactSimulation(SimulationStrategy):
@@ -355,6 +368,113 @@ def _heston_qe_paths(prob, config, key, strat: "HestonQE", *, return_grid: bool,
     return jnp.exp(x_final)
 
 
+def _heston_qe_mixing_values(prob, config, key, point_offset=0):
+    """Per-path UNDISCOUNTED conditional vanilla values (n_groups, paths) —
+    the Romano-Touzi mixing estimator on a QE variance path.
+
+    Only V is simulated.  With W_s = ρ·W_v + √(1−ρ²)·W_⊥ and the CIR
+    integral identity J ≡ ∫√V dW_v = (V_T − V_0 − κθT + κ·IV)/σ,
+
+        logS_T | {V path}  ~  N(logS_0 + rT − ½IV + ρJ − ... , (1−ρ²)·IV)
+
+    so E[payoff | V path] is the Black-Scholes closed form at effective
+    forward F_eff = S0·e^{rT + ρJ − ρ²IV/2} and total variance (1−ρ²)·IV.
+    IV uses the same trapezoid proxy as the QE-M log-price update (γ=½).
+    Smooth in every parameter → pathwise AD greeks without kink noise.
+    """
+    from ..models.heston_qe import qe_constants, qe_v_step
+
+    market, T, r0 = _sim_params(prob)
+    steps = config.steps
+    dt = T / steps
+    c = qe_constants(market.kappa, market.theta, market.sigma, market.rho, r0, dt)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    base = _base_key(config, key)
+    if config.qmc:
+        # unsplit base key → the in-kernel Sobol' stream (ops/heston_qe_kernel
+        # _sobol_table(seed)) shares the identical digital shift, so the TPU
+        # kernel and this pure-JAX path draw the SAME randomized points
+        zb, ub = _qmc_normals_and_uniforms(base, steps, 1, config.trajectories, skip=point_offset)
+        zb = zb[:, 0, :]
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+        us = jnp.stack([ub, 1.0 - ub]) if anti else ub[None]
+    else:
+        k_z, k_u = jax.random.split(base)
+        z = _normals(k_z, (steps, config.trajectories), anti)  # (g, steps, paths)
+        u = jax.random.uniform(k_u, (steps, config.trajectories), dtype=jnp.float64)
+        us = jnp.stack([u, 1.0 - u]) if anti else u[None]
+    n_groups = z.shape[0]
+
+    kappa, sigma, rho = market.kappa, market.sigma, market.rho
+    ktd = kappa * market.theta * dt
+    v0 = jnp.full((n_groups, config.trajectories), market.V0)
+    zero = jnp.zeros_like(v0)
+
+    def step(carry, inp):
+        v, iv, j = carry
+        zk, uk = inp
+        v_new = qe_v_step(v, zk, uk, c)
+        iv_step = 0.5 * dt * (v + v_new)
+        j_new = j + (v_new - v - ktd + kappa * iv_step) / sigma
+        return (v_new, iv + iv_step, j_new), None
+
+    zs = jnp.moveaxis(z, 1, 0)  # (steps, g, paths)
+    us_s = jnp.moveaxis(us, 1, 0)
+    (v_t, iv, j), _ = jax.lax.scan(jax.checkpoint(step), (v0, zero, zero), (zs, us_s))
+
+    f_eff = market.spot * jnp.exp(r0 * T + rho * j - 0.5 * rho**2 * iv)
+    var = jnp.maximum((1.0 - rho**2) * iv, 1e-18)
+    sd = jnp.sqrt(var)
+    cp = prob.payoff.call_put()
+    strike = prob.payoff.strike
+    d1 = (jnp.log(f_eff / strike) + 0.5 * var) / sd
+    d2 = d1 - sd
+    ncdf = jax.scipy.stats.norm.cdf
+    return cp * (f_eff * ncdf(cp * d1) - strike * ncdf(cp * d2))
+
+
+def simulate_conditional_values(
+    prob: PricingProblem, method: MonteCarlo, key=None, device_id=0, point_offset=0
+) -> jnp.ndarray:
+    """Per-path undiscounted conditional vanilla values, (n_groups, paths) —
+    dispatcher for HestonQE(conditional=True) (kernel on TPU, pure JAX
+    elsewhere).  Same key/device/point-offset contract as
+    :func:`simulate_terminal_prices`."""
+    dyn, strat, config = method.dynamics, method.strategy, method.config
+    if not (isinstance(strat, HestonQE) and isinstance(dyn, HestonDynamics)):
+        raise TypeError(
+            "conditional Monte Carlo requires (HestonDynamics, HestonQE); got "
+            f"({type(dyn).__name__}, {type(strat).__name__})"
+        )
+    require_european(prob.payoff, "conditional MonteCarlo", spot_only=True)
+    if strat.use_kernel:
+        from ..ops.heston_qe_kernel import heston_qe_mixing_values_pallas
+
+        return heston_qe_mixing_values_pallas(
+            prob, config, strat, device_id=device_id, point_offset=point_offset
+        )
+    return _heston_qe_mixing_values(prob, config, key, point_offset=point_offset)
+
+
+def mc_path_values(
+    prob: PricingProblem, method: MonteCarlo, key=None, device_id=0, point_offset=0
+) -> jnp.ndarray:
+    """(paths,) per-path undiscounted value estimates, antithetic groups
+    averaged — the uniform interface the solve facade and the sharded pricer
+    reduce over, covering both terminal-sample strategies and the
+    conditional mixing estimator."""
+    strat = method.strategy
+    if isinstance(strat, HestonQE) and strat.conditional:
+        values = simulate_conditional_values(
+            prob, method, key=key, device_id=device_id, point_offset=point_offset
+        )
+        return jnp.mean(values, axis=0)
+    samples = simulate_terminal_prices(
+        prob, method, key=key, device_id=device_id, point_offset=point_offset
+    )
+    return reduce_payoffs(samples, prob.payoff)
+
+
 # ------------------ Strategy dispatch ------------------
 
 
@@ -371,6 +491,12 @@ def simulate_terminal_prices(
     Replaces reference get_final_samples (montecarlo.jl:442-459).
     """
     dyn, strat, config = method.dynamics, method.strategy, method.config
+    if isinstance(strat, HestonQE) and strat.conditional:
+        raise TypeError(
+            "HestonQE(conditional=True) never materializes terminal samples "
+            "(the mixing estimator integrates logS_T out analytically); price "
+            "through solve(...) or mc_path_values(...), or set conditional=False"
+        )
     qe_kernel_qmc = isinstance(strat, HestonQE) and getattr(strat, "use_kernel", False)
     if config.qmc and (
         (getattr(strat, "use_kernel", False) and not qe_kernel_qmc)
@@ -434,6 +560,11 @@ def simulate_price_grid(
     Euler strategies use the same steppers as terminal simulation.
     """
     dyn, strat, config = method.dynamics, method.strategy, method.config
+    if isinstance(strat, HestonQE) and strat.conditional:
+        raise TypeError(
+            "HestonQE(conditional=True) has no price grid (only the variance "
+            "path is simulated); use conditional=False for grid methods (LSM)"
+        )
     if isinstance(dyn, LognormalDynamics):
         # Exact per-step lognormal transitions == log-Euler with exact drift:
         # both produce S_{k+1} = S_k·exp((r−σ²/2)dt + σ√dt·Z).
@@ -461,8 +592,15 @@ def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSol
     payoff = prob.payoff
     # European×Spot-only MC solve signature (montecarlo.jl:479)
     require_european(payoff, "MonteCarlo", spot_only=True)
+    discount = df(prob.market_inputs.rate, payoff.expiry)
+    strat = method.strategy
+    if isinstance(strat, HestonQE) and strat.conditional:
+        # Romano-Touzi conditional MC: the ensemble payload is the per-path
+        # conditional (undiscounted) vanilla values, not terminal samples.
+        values = simulate_conditional_values(prob, method)
+        price = discount * jnp.mean(values)
+        return MonteCarloSolution(prob, method, price, values)
     samples = simulate_terminal_prices(prob, method)
     payoffs = reduce_payoffs(samples, payoff)
-    discount = df(prob.market_inputs.rate, payoff.expiry)
     price = discount * jnp.mean(payoffs)
     return MonteCarloSolution(prob, method, price, samples)

@@ -18,13 +18,52 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["qe_step", "qe_constants"]
+__all__ = ["qe_step", "qe_v_step", "qe_constants", "matched_gammas"]
 
 PSI_CRIT = 1.5
 
 
-def qe_constants(kappa, theta, sigma, rho, r, dt, gamma1=0.5, gamma2=0.5):
-    """Per-step scalar constants of the QE scheme (precomputed once)."""
+def matched_gammas(kappa, dt):
+    """Moment-matched ∫V weights (γ1, γ2) for one QE step.
+
+    The log-price update approximates the time-averaged variance as
+    γ1·V_t + γ2·V_{t+Δ}.  The central choice γ1 = γ2 = ½ carries an O(Δ²)
+    conditional-mean error; solving
+
+        γ1·V_t + γ2·E[V_{t+Δ} | V_t]  ≡  E[Δ⁻¹ ∫ V ds | V_t]   for all V_t
+
+    under the exact CIR law (both sides are affine in V_t) gives
+
+        γ2 = (1 − ā)/(1 − e),   γ1 = ā − γ2·e,
+        e = exp(−κΔ),  ā = (1 − e)/(κΔ),
+
+    which makes the conditional mean of the integrated-variance proxy exact
+    at every step size (→ (½, ½) as κΔ → 0).  Zero runtime cost: the γs only
+    enter the precomputed K1..K4.
+
+    Empirical caveat (measured on TPU, benchmarks/qe_bias_sweep.py, κ=2,
+    σ=0.3, ρ=−0.7, T≈1 ATM call): exact-mean weights do NOT reduce vanilla
+    price bias — they flip it positive and enlarge it (QE-8: −5.4bp central
+    → +13.0bp matched), because the price bias is dominated by the joint
+    (∫V, ∫√V dW) covariance error, not the ∫V mean.  The central default
+    stays γ1 = γ2 = ½ (Andersen 2008 §4.2); this rule is provided for study
+    and for TG-style schemes that need the exact-mean weights.
+    """
+    e = jnp.exp(-kappa * dt)
+    kdt = kappa * dt
+    abar = (1.0 - e) / kdt
+    gamma2 = (1.0 - abar) / (1.0 - e)
+    gamma1 = abar - gamma2 * e
+    return gamma1, gamma2
+
+
+def qe_constants(kappa, theta, sigma, rho, r, dt, gamma1=0.5, gamma2=0.5,
+                 *, match_gammas: bool = False):
+    """Per-step scalar constants of the QE scheme (precomputed once).
+
+    ``match_gammas=True`` overrides (γ1, γ2) with :func:`matched_gammas`."""
+    if match_gammas:
+        gamma1, gamma2 = matched_gammas(kappa, dt)
     e = jnp.exp(-kappa * dt)  # m = theta + (V - theta)·e
     c_s2_v = sigma**2 * e * (1.0 - e) / kappa
     c_s2_c = theta * sigma**2 * (1.0 - e) ** 2 / (2.0 * kappa)
@@ -42,9 +81,9 @@ def qe_constants(kappa, theta, sigma, rho, r, dt, gamma1=0.5, gamma2=0.5):
     )
 
 
-def qe_step(x, v, z_v, z_x, u, c, *, martingale_correction: bool = True):
-    """One QE(-M) step: (logS, V) → (logS', V') given normals z_v, z_x and a
-    uniform u. ``c`` is the dict from :func:`qe_constants`.
+def _qe_v_draw(v, z, u, c):
+    """Variance-only QE transition V → V' plus the intermediates the
+    martingale correction needs: returns (v_new, use_quad, a, b2, p, beta).
 
     Branchless over the ψ ≤ 1.5 (quadratic) / ψ > 1.5 (exponential) split.
     """
@@ -61,7 +100,7 @@ def qe_step(x, v, z_v, z_x, u, c, *, martingale_correction: bool = True):
     )
     a = m / (1.0 + b2)
     b = jnp.sqrt(b2)
-    v_quad = a * (b + z_v) ** 2
+    v_quad = a * (b + z) ** 2
 
     # --- exponential branch (psi > 1.5) ---
     p = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 1.0 - 1e-12)
@@ -72,7 +111,25 @@ def qe_step(x, v, z_v, z_x, u, c, *, martingale_correction: bool = True):
     )
 
     use_quad = psi <= PSI_CRIT
-    v_new = jnp.where(use_quad, v_quad, v_exp)
+    return jnp.where(use_quad, v_quad, v_exp), use_quad, a, b2, p, beta
+
+
+def qe_v_step(v, z, u, c):
+    """One variance-only QE step V → V' (normal z, uniform u, constants c).
+
+    The building block of the conditional (Romano-Touzi mixing) Monte Carlo
+    estimator, which never simulates logS: given the V path, logS_T is
+    exactly conditionally normal (methods/montecarlo.py)."""
+    return _qe_v_draw(v, z, u, c)[0]
+
+
+def qe_step(x, v, z_v, z_x, u, c, *, martingale_correction: bool = True):
+    """One QE(-M) step: (logS, V) → (logS', V') given normals z_v, z_x and a
+    uniform u. ``c`` is the dict from :func:`qe_constants`.
+
+    Branchless over the ψ ≤ 1.5 (quadratic) / ψ > 1.5 (exponential) split.
+    """
+    v_new, use_quad, a, b2, p, beta = _qe_v_draw(v, z_v, u, c)
 
     # --- log-price update ---
     K1, K2, K3, K4, A = c["K1"], c["K2"], c["K3"], c["K4"], c["A"]

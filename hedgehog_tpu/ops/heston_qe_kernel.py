@@ -22,7 +22,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .heston_kernel import _box_muller, _uniform_from_bits
 
-__all__ = ["heston_qe_terminal", "heston_qe_terminal_pallas", "heston_qe_call_price"]
+__all__ = [
+    "heston_qe_terminal",
+    "heston_qe_terminal_pallas",
+    "heston_qe_call_price",
+    "heston_qe_mixing_values",
+    "heston_qe_mixing_values_pallas",
+    "heston_qe_mixing_vanilla_price",
+]
 
 _ROWS = 256
 _LANES = 128
@@ -412,12 +419,13 @@ def _qe_price_kernel(params_ref, seed_ref, out_ref, *, steps: int, n_batches: in
 def heston_qe_call_price(
     log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, discount,
     *, n_blocks: int, n_batches: int, steps: int, seed, device_id=0,
+    gamma1=0.5, gamma2=0.5,
 ):
     """Discounted European-call price over n_blocks·n_batches·65536 antithetic
     QE-M paths, with ONE host dispatch and on-chip payoff accumulation."""
     from ..models.heston_qe import qe_constants
 
-    c = qe_constants(kappa, theta, sigma, rho, r, dt)
+    c = qe_constants(kappa, theta, sigma, rho, r, dt, gamma1, gamma2)
     params = jnp.stack(
         [jnp.float32(p) for p in (
             log_s0, v0, theta, c["e"], c["c_s2_v"], c["c_s2_c"], c["K1"], c["K2"],
@@ -440,6 +448,343 @@ def heston_qe_call_price(
     )(params, seed_arr)
     total_paths = n_blocks * n_batches * _ROWS * _LANES * 2
     return discount * jnp.sum(sums.astype(jnp.float64)) / total_paths
+
+
+# ---------------------------------------------------------------------------
+# Conditional (Romano-Touzi mixing) QE kernels — the throughput flagship v2.
+#
+# Given the V path, logS_T is EXACTLY conditionally normal (use the CIR
+# integral identity ∫√V dW_v = (V_T − V_0 − κθT + κ∫V)/σ and Cholesky-split
+# the price Brownian):  logS_T | {V} ~ N(logS_0 + rT − ½IV + ρJ, (1−ρ²)·IV)
+# with IV = ∫V dt, J = ∫√V dW_v.  So the kernel simulates ONLY the variance
+# path (one normal + one uniform per step — no z_x, no martingale-correction
+# logs, no logS carry) and finishes each path with the conditional
+# Black-Scholes closed form.  ~1.7× cheaper per step than the QE-M price
+# kernel and ~12× lower payoff variance at ρ=−0.7 (conditional MC smooths
+# the kink).  Bias is the V-path discretization alone, measured ≈ 430/n² bp
+# on the bench market (benchmarks/qe_mixing_bias.py).
+# ---------------------------------------------------------------------------
+
+_NCDF_P = 0.2316419
+_NCDF_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _norm_cdf(x):
+    """Branchless fp32 Φ(x) — Abramowitz-Stegun 26.2.17, |err| < 7.5e-8."""
+    ax = jnp.abs(x)
+    t = _rcp(1.0 + _NCDF_P * ax)
+    poly = t * (_NCDF_B[0] + t * (_NCDF_B[1] + t * (
+        _NCDF_B[2] + t * (_NCDF_B[3] + t * _NCDF_B[4]))))
+    upper = 1.0 - _INV_SQRT_2PI * jnp.exp(-0.5 * ax * ax) * poly
+    return jnp.where(x >= 0.0, upper, 1.0 - upper)
+
+
+def _qe_v_advance(v, z, u, c):
+    """Variance-only QE transition on fp32 tiles (mirrors models/heston_qe.py
+    ``qe_v_step``; same x64-pitfall rules as _qe_advance)."""
+    theta = c["theta"]
+    m = theta + (v - theta) * c["e"]
+    s2 = v * c["c_s2_v"] + c["c_s2_c"]
+    m_safe = jnp.maximum(m, 1e-20)
+    inv_m = _rcp(m_safe)
+    psi = jnp.maximum(s2 * inv_m * inv_m, 1e-6)
+
+    two_over_psi = 2.0 * _rcp(psi)
+    t1 = jnp.maximum(two_over_psi - 1.0, 0.0)
+    b2 = t1 + jnp.sqrt(two_over_psi * t1)
+    a = m * _rcp(1.0 + b2)
+    v_quad = a * (jnp.sqrt(b2) + z) ** 2
+
+    p = jnp.minimum(jnp.maximum((psi - 1.0) * _rcp(psi + 1.0), 0.0), 1.0 - 1e-6)
+    one_m_p = 1.0 - p
+    inv_beta = m_safe * _rcp(one_m_p)
+    u_safe = jnp.minimum(jnp.maximum(u, 1e-7), 1.0 - 1e-7)
+    v_exp = jnp.where(
+        u_safe <= p,
+        0.0,
+        jnp.log(one_m_p * _rcp(jnp.maximum(1.0 - u_safe, 1e-20))) * inv_beta,
+    )
+    return jnp.where(psi <= _PSI_CRIT, v_quad, v_exp)
+
+
+def _mix_advance(v, iv, j, z, u, c):
+    """One mixing step: QE V-draw + trapezoid IV + exact-identity J update."""
+    vn = _qe_v_advance(v, z, u, c)
+    iv_step = c["half_dt"] * (v + vn)
+    j_new = j + (vn - v) * c["inv_sigma"] + iv_step * c["k_over_sigma"] - c["ktd_over_sigma"]
+    return vn, iv + iv_step, j_new
+
+
+def _cond_bs_value(iv, j, c):
+    """Undiscounted conditional Black-Scholes vanilla value given (IV, J)."""
+    e_arg = c["rho"] * j - c["rho2_half"] * iv
+    f_eff = c["f_base"] * jnp.exp(e_arg)
+    var = jnp.maximum(c["rho_bar2"] * iv, 1e-10)
+    sd = jnp.sqrt(var)
+    inv_sd = _rcp(sd)
+    d1 = (c["log_f_over_k"] + e_arg + 0.5 * var) * inv_sd
+    d2 = d1 - sd
+    cp = c["cp"]
+    return cp * (f_eff * _norm_cdf(cp * d1) - c["strike"] * _norm_cdf(cp * d2))
+
+
+def _mix_c(params_ref):
+    return dict(
+        v0=params_ref[0], theta=params_ref[1], e=params_ref[2],
+        c_s2_v=params_ref[3], c_s2_c=params_ref[4], half_dt=params_ref[5],
+        inv_sigma=params_ref[6], k_over_sigma=params_ref[7],
+        ktd_over_sigma=params_ref[8], f_base=params_ref[9],
+        strike=params_ref[10], rho=params_ref[11], rho2_half=params_ref[12],
+        rho_bar2=params_ref[13], cp=params_ref[14], log_f_over_k=params_ref[15],
+    )
+
+
+def _mix_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, steps, strike, cp):
+    """16-entry fp32 SMEM parameter vector for the mixing kernels."""
+    import numpy as np  # host-side scalar math keeps the jit trace clean
+
+    from ..models.heston_qe import qe_constants
+
+    c = qe_constants(kappa, theta, sigma, rho, r, dt)
+    T = dt * steps
+    f_base = jnp.exp(log_s0 + r * T)
+    return jnp.stack([
+        jnp.float32(v0), jnp.float32(theta), jnp.float32(c["e"]),
+        jnp.float32(c["c_s2_v"]), jnp.float32(c["c_s2_c"]),
+        jnp.float32(0.5 * dt), jnp.float32(1.0 / sigma),
+        jnp.float32(kappa / sigma), jnp.float32(kappa * theta * dt / sigma),
+        jnp.float32(f_base), jnp.float32(strike), jnp.float32(rho),
+        jnp.float32(0.5 * rho**2), jnp.float32(1.0 - rho**2),
+        jnp.float32(cp), jnp.float32(jnp.log(f_base) - jnp.log(strike)),
+    ])
+
+
+def _mix_double_step_prng(carry, c, antithetic: bool):
+    """Two mixing steps from one Box-Muller normal pair + two bit uniforms
+    (2 bit-draws/step vs 3 for the QE-M price kernel)."""
+    z1, z2 = _box_muller((_ROWS, _LANES))
+    u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits((_ROWS, _LANES)), jnp.uint32))
+    u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits((_ROWS, _LANES)), jnp.uint32))
+    for z, u in ((z1, u1), (z2, u2)):
+        if antithetic:
+            v, iv, j, va, iva, ja = carry
+            v, iv, j = _mix_advance(v, iv, j, z, u, c)
+            va, iva, ja = _mix_advance(va, iva, ja, -z, 1.0 - u, c)
+            carry = (v, iv, j, va, iva, ja)
+        else:
+            v, iv, j = carry
+            carry = _mix_advance(v, iv, j, z, u, c)
+    return carry
+
+
+def _mix_single_step_prng(carry, c, antithetic: bool):
+    """Tail step for odd step counts (one Box-Muller normal is discarded)."""
+    z1, _z2, u = _box_muller_with_uniform((_ROWS, _LANES))
+    if antithetic:
+        v, iv, j, va, iva, ja = carry
+        v, iv, j = _mix_advance(v, iv, j, z1, u, c)
+        va, iva, ja = _mix_advance(va, iva, ja, -z1, 1.0 - u, c)
+        return (v, iv, j, va, iva, ja)
+    return _mix_advance(*carry, z1, u, c)
+
+
+def _mix_path_init(c, antithetic: bool):
+    shape = (_ROWS, _LANES)
+    v = jnp.full(shape, c["v0"], dtype=jnp.float32)
+    zero = jnp.zeros(shape, dtype=jnp.float32)
+    return (v, zero, zero, v, zero, zero) if antithetic else (v, zero, zero)
+
+
+def _mix_run_steps_prng(c, steps: int, antithetic: bool):
+    carry = _mix_path_init(c, antithetic)
+    carry = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(steps // 2),
+        lambda _, cr: _mix_double_step_prng(cr, c, antithetic), carry,
+    )
+    if steps % 2:
+        carry = _mix_single_step_prng(carry, c, antithetic)
+    return carry
+
+
+def _qe_mixing_values_kernel(params_ref, seed_ref, out_ref, *, steps: int, antithetic: bool):
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+    c = _mix_c(params_ref)
+    carry = _mix_run_steps_prng(c, steps, antithetic)
+    if antithetic:
+        out_ref[0] = _cond_bs_value(carry[1], carry[2], c)
+        out_ref[1] = _cond_bs_value(carry[4], carry[5], c)
+    else:
+        out_ref[0] = _cond_bs_value(carry[1], carry[2], c)
+
+
+def _qe_mixing_values_kernel_qmc(
+    params_ref, sob_ref, offset_ref, out_ref, *, steps: int, antithetic: bool
+):
+    """Mixing values from the in-kernel Sobol' stream: 2 dims per step
+    (z via inverse-CDF, u raw), step-major — matching the pure-JAX
+    _qmc_normals_and_uniforms(steps, 1, ·) layout.  Runs under interpret
+    mode, which is how CPU tests validate the kernel math."""
+    c = _mix_c(params_ref)
+    shape = (_ROWS, _LANES)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = offset_ref[0] + pl.program_id(0) * jnp.int32(_ROWS * _LANES) + row * jnp.int32(_LANES) + lane
+
+    carry = _mix_path_init(c, antithetic)
+    for s in range(steps):
+        u1, u2 = _sobol_uniforms_tile(idx, sob_ref, (2 * s, 2 * s + 1))
+        z = _ndtri_approx(u1)
+        if antithetic:
+            v, iv, j, va, iva, ja = carry
+            v, iv, j = _mix_advance(v, iv, j, z, u2, c)
+            va, iva, ja = _mix_advance(va, iva, ja, -z, 1.0 - u2, c)
+            carry = (v, iv, j, va, iva, ja)
+        else:
+            carry = _mix_advance(*carry, z, u2, c)
+
+    out_ref[0] = _cond_bs_value(carry[1], carry[2], c)
+    if antithetic:
+        out_ref[1] = _cond_bs_value(carry[4], carry[5], c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_paths", "steps", "antithetic", "qmc", "interpret"),
+)
+def heston_qe_mixing_values(
+    log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp,
+    *, n_paths: int, steps: int, seed, antithetic: bool = False, device_id=0,
+    qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+):
+    """Per-path UNDISCOUNTED conditional vanilla values ((n_groups, n_paths)
+    fp32) via the fused mixing kernel.  ``cp`` = +1 call / −1 put."""
+    block = _ROWS * _LANES
+    n_blocks = -(-n_paths // block)
+    padded = n_blocks * block
+    n_groups = 2 if antithetic else 1
+    if qmc and padded > 2**_SOBOL_BITS:
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {padded} paths would wrap"
+        )
+
+    params = _mix_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, steps, strike, cp)
+    out_specs = pl.BlockSpec(
+        (n_groups, _ROWS, _LANES),
+        lambda i: (jnp.int32(0), i, jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_groups, n_blocks * _ROWS, _LANES), jnp.float32)
+
+    if qmc:
+        table = _sobol_table(seed, 2 * steps)
+        offset_arr = jnp.asarray([point_offset], jnp.int32)
+        kernel = functools.partial(
+            _qe_mixing_values_kernel_qmc, steps=steps, antithetic=antithetic
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((16,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (2 * steps, _SOBOL_BITS + 1),
+                    lambda i: (jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, table, offset_arr)
+        return out.reshape(n_groups, padded)[:, :n_paths]
+
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+    kernel = functools.partial(_qe_mixing_values_kernel, steps=steps, antithetic=antithetic)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((16,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(params, seed_arr)
+    return out.reshape(n_groups, padded)[:, :n_paths]
+
+
+def _qe_mixing_price_kernel(params_ref, seed_ref, out_ref, *, steps: int, n_batches: int):
+    """Multi-batch antithetic mixing pricing with on-chip accumulation —
+    the dispatch-amortized bench configuration (mirrors _qe_price_kernel)."""
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+    c = _mix_c(params_ref)
+
+    def one_batch(_, acc):
+        carry = _mix_run_steps_prng(c, steps, antithetic=True)
+        val = _cond_bs_value(carry[1], carry[2], c) + _cond_bs_value(carry[4], carry[5], c)
+        return acc + jnp.sum(val.reshape(_ROWS // 8, 8, _LANES), axis=0)
+
+    acc0 = jnp.zeros((8, _LANES), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "n_batches", "steps"))
+def heston_qe_mixing_vanilla_price(
+    log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, discount,
+    *, n_blocks: int, n_batches: int, steps: int, seed, device_id=0, cp=1.0,
+):
+    """Discounted European vanilla price over n_blocks·n_batches·65536
+    antithetic conditional-MC paths, ONE host dispatch, on-chip accumulation."""
+    params = _mix_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, steps, strike, cp)
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+    kernel = functools.partial(_qe_mixing_price_kernel, steps=steps, n_batches=n_batches)
+    sums = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((16,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, _LANES), lambda i: (i, jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, _LANES), jnp.float32),
+    )(params, seed_arr)
+    total_paths = n_blocks * n_batches * _ROWS * _LANES * 2
+    return discount * jnp.sum(sums.astype(jnp.float64)) / total_paths
+
+
+def heston_qe_mixing_values_pallas(prob, config, strat, device_id=0, point_offset=0):
+    """Adapter for MonteCarlo(HestonDynamics, HestonQE(conditional=True,
+    use_kernel=True)): per-path conditional values, falling back to the
+    pure-JAX mixing estimator off-TPU (same seed → same QMC points)."""
+    from ..core.dates import yearfrac
+    from ..market.rate_curve import zero_rate_yf
+    from ..methods.montecarlo import Antithetic, _heston_qe_mixing_values
+
+    market = prob.market_inputs
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if jax.default_backend() != "tpu":
+        key = (
+            jax.random.PRNGKey(config.seed)
+            if config.qmc
+            else jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
+        )
+        return _heston_qe_mixing_values(prob, config, key, point_offset=point_offset)
+    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    r0 = zero_rate_yf(market.rate, 0.0)
+    out = heston_qe_mixing_values(
+        jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
+        market.sigma, market.rho, T / config.steps,
+        prob.payoff.strike, prob.payoff.call_put(),
+        n_paths=config.trajectories, steps=config.steps, seed=config.seed,
+        antithetic=anti, device_id=device_id,
+        qmc=config.qmc, point_offset=point_offset,
+    )
+    return out.astype(jnp.float64)
 
 
 def heston_qe_terminal_pallas(prob, config, strat, device_id=0, point_offset=0):

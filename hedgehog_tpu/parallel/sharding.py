@@ -25,7 +25,7 @@ from jax import shard_map
 
 from ..core.problems import PricingProblem
 from ..market.rate_curve import df
-from ..methods.montecarlo import MonteCarlo, reduce_payoffs, simulate_terminal_prices
+from ..methods.montecarlo import MonteCarlo, mc_path_values
 
 __all__ = [
     "make_paths_mesh",
@@ -95,11 +95,9 @@ def sharded_mc_price_fn(method: MonteCarlo, mesh: Mesh, axis_name: str = "paths"
     def price(prob: PricingProblem):
         idx = jax.lax.axis_index(axis_name)
         key, offset = _device_key_and_offset(local.config, idx)
-        samples = simulate_terminal_prices(
-            prob, local, key=key, device_id=idx, point_offset=offset
-        )
-        payoffs = reduce_payoffs(samples, prob.payoff)
-        local_sum = jnp.sum(payoffs)
+        # per-path values (terminal payoffs OR conditional-MC vanilla values)
+        values = mc_path_values(prob, local, key=key, device_id=idx, point_offset=offset)
+        local_sum = jnp.sum(values)
         total = jax.lax.psum(local_sum, axis_name)
         discount = df(prob.market_inputs.rate, prob.payoff.expiry)
         return discount * total / total_paths

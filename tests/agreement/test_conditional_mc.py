@@ -1,0 +1,180 @@
+"""Conditional (Romano-Touzi mixing) Monte Carlo agreement tier.
+
+The mixing estimator (HestonQE(conditional=True)) simulates only the variance
+path and finishes each path with the conditional Black-Scholes closed form —
+logS_T given the V path is exactly normal via the CIR integral identity
+(methods/montecarlo.py _heston_qe_mixing_values).  Beyond-reference capability
+layered on the reference's MC engine semantics (montecarlo.jl:478-493:
+price = df · mean(per-path values)).
+"""
+
+import datetime as dt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hedgehog_tpu import (
+    Antithetic,
+    Call,
+    CarrMadan,
+    European,
+    HestonDynamics,
+    HestonInputs,
+    HestonQE,
+    LognormalDynamics,
+    MonteCarlo,
+    PricingProblem,
+    Put,
+    SimulationConfig,
+    Spot,
+    VanillaOption,
+    mc_path_values,
+    simulate_price_grid,
+    simulate_terminal_prices,
+    solve,
+)
+
+REF = dt.date(2020, 1, 1)
+EXPIRY = dt.date(2021, 1, 1)
+MARKET = HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7)
+
+
+def _prob(cp):
+    return PricingProblem(VanillaOption(100.0, EXPIRY, European(), cp, Spot()), MARKET)
+
+
+def _cm_price(prob):
+    return float(solve(prob, CarrMadan(1.0, 64.0, HestonDynamics(), nodes=1024)).price)
+
+
+@pytest.mark.parametrize("cp", [Call(), Put()])
+def test_mixing_vs_carr_madan(cp):
+    prob = _prob(cp)
+    cfg = SimulationConfig(
+        trajectories=40_000, steps=24, variance_reduction=Antithetic(), seed=3
+    )
+    sol = solve(prob, MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg))
+    cm = _cm_price(prob)
+    assert float(sol.price) == pytest.approx(cm, rel=2e-2)
+    # ensemble payload = per-path conditional values, (2 groups, paths)
+    assert sol.ensemble.shape == (2, 40_000)
+
+
+@pytest.mark.parametrize("cp", [Call(), Put()])
+def test_mixing_qmc_tight(cp):
+    """Sobol'-driven mixing converges far inside the plain-MC tolerance."""
+    prob = _prob(cp)
+    cfg = SimulationConfig(
+        trajectories=40_000, steps=24, variance_reduction=Antithetic(), seed=3, qmc=True
+    )
+    sol = solve(prob, MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg))
+    assert float(sol.price) == pytest.approx(_cm_price(prob), rel=2e-3)
+
+
+def test_mixing_variance_reduction_vs_terminal_qe():
+    """Conditioning integrates the price Brownian out analytically — the
+    per-path value variance must drop by a large factor (measured ~12× at
+    ρ=−0.7)."""
+    prob = _prob(Call())
+    cfg = SimulationConfig(
+        trajectories=20_000, steps=12, variance_reduction=Antithetic(), seed=11
+    )
+    vals_mix = mc_path_values(prob, MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg))
+    vals_qe = mc_path_values(prob, MonteCarlo(HestonDynamics(), HestonQE(), cfg))
+    ratio = float(jnp.var(vals_qe) / jnp.var(vals_mix))
+    assert ratio > 3.0
+
+
+def test_mixing_price_matches_terminal_qe():
+    prob = _prob(Call())
+    cfg = SimulationConfig(
+        trajectories=50_000, steps=16, variance_reduction=Antithetic(), seed=5
+    )
+    p_mix = solve(prob, MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg)).price
+    p_qe = solve(prob, MonteCarlo(HestonDynamics(), HestonQE(), cfg)).price
+    assert float(p_mix) == pytest.approx(float(p_qe), rel=2e-2)
+
+
+def test_conditional_guards():
+    prob = _prob(Call())
+    cfg = SimulationConfig(trajectories=64, steps=2)
+    m = MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg)
+    with pytest.raises(TypeError, match="terminal samples"):
+        simulate_terminal_prices(prob, m)
+    with pytest.raises(TypeError, match="price grid"):
+        simulate_price_grid(prob, m)
+    bad = MonteCarlo(LognormalDynamics(), HestonQE(conditional=True), cfg)
+    with pytest.raises(TypeError, match="conditional Monte Carlo requires"):
+        solve(prob, bad)
+
+
+def test_mixing_sharded_matches_unsharded_qmc():
+    """Under QMC the devices take disjoint slices of ONE Sobol' sequence, so
+    the sharded price must equal the unsharded price to summation order."""
+    from hedgehog_tpu.parallel.sharding import make_paths_mesh, sharded_mc_price
+
+    prob = _prob(Call())
+    cfg = SimulationConfig(
+        trajectories=16_384, steps=8, variance_reduction=Antithetic(), seed=7, qmc=True
+    )
+    method = MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg)
+    p_single = float(solve(prob, method).price)
+    mesh = make_paths_mesh()
+    p_sharded = float(sharded_mc_price(prob, method, mesh))
+    assert p_sharded == pytest.approx(p_single, rel=1e-9)
+
+
+def test_mixing_pathwise_delta_vs_carr_madan():
+    """The conditional estimator is SMOOTH (no payoff kink), so the pathwise
+    AD delta converges cleanly; cross-check against a Carr-Madan FD delta."""
+    cfg = SimulationConfig(
+        trajectories=40_000, steps=16, variance_reduction=Antithetic(), seed=9, qmc=True
+    )
+    method = MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg)
+    payoff = VanillaOption(100.0, EXPIRY, European(), Call(), Spot())
+
+    def price(spot):
+        market = HestonInputs(REF, 0.03, spot, 0.04, 2.0, 0.04, 0.3, -0.7)
+        return solve(PricingProblem(payoff, market), method).price
+
+    delta_ad = float(jax.grad(price)(jnp.float64(100.0)))
+
+    def cm_price(spot):
+        market = HestonInputs(REF, 0.03, spot, 0.04, 2.0, 0.04, 0.3, -0.7)
+        return float(
+            solve(
+                PricingProblem(payoff, market),
+                CarrMadan(1.0, 64.0, HestonDynamics(), nodes=1024),
+            ).price
+        )
+
+    h = 0.05
+    delta_fd = (cm_price(100.0 + h) - cm_price(100.0 - h)) / (2 * h)
+    assert delta_ad == pytest.approx(delta_fd, rel=2e-2)
+
+
+def test_mixing_kernel_interpret_matches_pure_jax():
+    """The QMC mixing kernel (interpret mode) draws the SAME randomized
+    Sobol' points as the pure-JAX estimator (shared digital shift), so
+    per-path values agree to fp32-vs-f64 drift and the means tightly."""
+    from hedgehog_tpu.methods.montecarlo import _heston_qe_mixing_values
+    from hedgehog_tpu.ops.heston_qe_kernel import heston_qe_mixing_values
+
+    prob = _prob(Call())
+    steps, n = 2, 32_768
+    T = 366 / 365  # 2020 is a leap year: ACT/365 yearfrac of one calendar year
+    vals_k = heston_qe_mixing_values(
+        jnp.log(100.0), 0.04, 0.03, 2.0, 0.04, 0.3, -0.7, T / steps, 100.0, 1.0,
+        n_paths=n, steps=steps, seed=5, antithetic=True, qmc=True, interpret=True,
+    )
+    cfg = SimulationConfig(
+        trajectories=n, steps=steps, variance_reduction=Antithetic(), seed=5, qmc=True
+    )
+    vals_j = _heston_qe_mixing_values(prob, cfg, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(
+        float(jnp.mean(vals_k)), float(jnp.mean(vals_j)), rtol=1e-4
+    )
+    rel = jnp.abs(vals_k.astype(jnp.float64) - vals_j) / (jnp.abs(vals_j) + 1.0)
+    assert float(rel.max()) < 2e-2
