@@ -99,7 +99,7 @@ from .models.dynamics import (  # noqa: E402
     heston_cf,
     lognormal_cf,
 )
-from .methods.carr_madan import CarrMadan  # noqa: E402
+from .methods.carr_madan import CarrMadan, carr_madan_error_estimate  # noqa: E402
 from .methods.lsm import LSM  # noqa: E402
 from .calibration.calibration import (  # noqa: E402
     CalibrationProblem,
@@ -226,6 +226,7 @@ __all__ = [
     "heston_cf",
     "lognormal_cf",
     "CarrMadan",
+    "carr_madan_error_estimate",
     "LSM",
     # calibration & solvers
     "CalibrationProblem",

@@ -10,11 +10,22 @@ with the call price the real part of ∫_{-bound}^{bound} and puts recovered by
 parity (:67-68).
 
 TPU-native quadrature: the reference's adaptive quadgk is not XLA-expressible
-(data-dependent subdivision), so we use fixed-node Gauss-Legendre on
-(−bound, bound) — with the default 256 nodes the BS-agreement error is ≈1e-12,
-far inside the reference's 1e-6 tolerance (price_agreement.jl:53), and the
-whole pricer is one fused complex dot product that jit/vmaps over strikes and
-differentiates cleanly (Heston calibration gradients flow through here).
+(data-dependent subdivision), so we use a fixed-node two-scale panel rule.
+The integrand has TWO length scales: an α-driven central peak of width ~1
+(the rational denominator) and a CF-decay envelope of width ~1/(σ√T), which
+diverges for short-dated/low-vol options — a single Gauss-Legendre rule over
+(−bound, bound) needs O(bound) nodes to resolve the peak and silently loses
+the price when the bound must grow (measured +0.74 error on a 0.31 price at
+T=7d, σ=5% with the naive GL-256 rule).  The panel rule (``quadrature=
+"panel"``, default) spends ``nodes`` GL points on the peak [−c, c] and
+``nodes//2`` log-substituted GL points on each smooth tail [c, bound] — the
+log substitution makes accuracy independent of the bound, so ``bound="auto"``
+can scale with 1/(σ_eff√T) for free.  BS-agreement error ≈1e-13 across
+T ∈ [2d, 10y] × σ ∈ [2%, 80%], far inside the reference's 1e-6 tolerance
+(price_agreement.jl:53); the legacy single-GL rule stays available as
+``quadrature="gl"``.  Everything is one fused dot product that jit/vmaps
+over strikes and differentiates cleanly (Heston calibration gradients flow
+through here).
 """
 
 from __future__ import annotations
@@ -24,37 +35,106 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.dates import yearfrac
 from ..core.payoffs import require_european
 from ..core.problems import CarrMadanSolution, PricingProblem
 from ..core.payoffs import parity_transform
 from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df
-from ..models.dynamics import LognormalDynamics, terminal_log_cf
+from ..market.vol_surface import get_vol
+from ..models.dynamics import HestonDynamics, LognormalDynamics, terminal_log_cf
 from ..utils.pytree import pytree, static_field
 
-__all__ = ["CarrMadan"]
+__all__ = ["CarrMadan", "carr_madan_error_estimate"]
 
 
 @pytree
 class CarrMadan(AbstractPricingMethod):
     """Carr-Madan method: damping ``alpha``, integration ``bound``, model
-    ``dynamics``, fixed Gauss-Legendre ``nodes`` (replaces QuadGKJL).
+    ``dynamics``, ``nodes`` quadrature points (replaces QuadGKJL).
+
+    ``bound`` may be the string "auto": the truncation point then scales
+    with the CF decay length, 16/(σ_eff·√T) (σ_eff from the vol surface for
+    lognormal dynamics, from the mean integrated variance for Heston) — the
+    right choice for short-dated/low-vol options where any fixed bound
+    truncates real mass.
 
     ``engine``: "complex" evaluates the CF in native complex128 (CPU/GPU);
     "pair" evaluates in split real/imag arithmetic, which is what runs
     natively on TPU (no c128 there); "auto" picks by backend.
+
+    ``quadrature``: "panel" (default) = two-scale rule (GL peak panel +
+    log-substituted GL tails, accuracy independent of ``bound``);
+    "gl" = legacy single Gauss-Legendre rule over (−bound, bound).
     """
 
     alpha: float = static_field(default=1.0)
-    bound: float = static_field(default=32.0)
+    bound: Any = static_field(default=32.0)
     dynamics: Any = static_field(default=LognormalDynamics())
     nodes: int = static_field(default=256)
     engine: str = static_field(default="auto")
+    quadrature: str = static_field(default="panel")
 
 
-def _gl_nodes(bound: float, n: int):
+def _gl_nodes(bound, n: int):
     x, w = np.polynomial.legendre.leggauss(n)
-    return jnp.asarray(x * bound), jnp.asarray(w * bound)
+    return jnp.asarray(x) * bound, jnp.asarray(w) * bound
+
+
+def _panel_nodes(bound, n: int):
+    """Two-scale nodes: n-point GL on the central peak [−c, c] plus n//2
+    log-substituted GL points on each tail [±c, ±bound].
+
+    The tail substitution v = c·e^t turns the smooth power-law×Gaussian decay
+    into a low-order function of t over [0, ln(bound/c)], so node count does
+    NOT grow with the bound.  ``bound`` may be traced (auto mode)."""
+    bound = jnp.asarray(bound, jnp.float64)
+    c = jnp.minimum(8.0, 0.25 * bound)
+    xc, wc = np.polynomial.legendre.leggauss(n)
+    xt, wt = np.polynomial.legendre.leggauss(max(32, n // 2))
+    v_c = jnp.asarray(xc) * c
+    w_c = jnp.asarray(wc) * c
+    L = jnp.log(bound / c)
+    t = 0.5 * L * (jnp.asarray(xt) + 1.0)
+    v_t = c * jnp.exp(t)
+    w_t = 0.5 * L * jnp.asarray(wt) * v_t  # dv = v dt
+    v = jnp.concatenate([v_c, v_t, -v_t])
+    w = jnp.concatenate([w_c, w_t, w_t])
+    return v, w
+
+
+def _auto_bound(prob: PricingProblem, dynamics) -> jnp.ndarray:
+    """CF-decay-aware truncation: 16 / (σ_eff·√T), floored at 64."""
+    market = prob.market_inputs
+    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    if isinstance(dynamics, LognormalDynamics):
+        sigma = get_vol(market.sigma, prob.payoff.expiry, prob.payoff.strike)
+        s2 = sigma**2 * T
+    elif isinstance(dynamics, HestonDynamics):
+        # mean integrated variance E[∫V] = θT + (V0−θ)(1−e^{−κT})/κ
+        s2 = market.theta * T + (market.V0 - market.theta) * (
+            1.0 - jnp.exp(-market.kappa * T)
+        ) / market.kappa
+    else:
+        raise TypeError(
+            f"bound='auto' needs LognormalDynamics or HestonDynamics, got "
+            f"{type(dynamics).__name__}"
+        )
+    s = jnp.sqrt(jnp.maximum(s2, 1e-16))
+    return jnp.maximum(64.0, 16.0 / s)
+
+
+def _quad_nodes(prob: PricingProblem, method: "CarrMadan"):
+    bound = (
+        _auto_bound(prob, method.dynamics)
+        if isinstance(method.bound, str)
+        else method.bound
+    )
+    if method.quadrature == "panel":
+        return _panel_nodes(bound, method.nodes)
+    if method.quadrature == "gl":
+        return _gl_nodes(bound, method.nodes)
+    raise ValueError(f"unknown quadrature {method.quadrature!r} (use 'panel' or 'gl')")
 
 
 @register_solver(CarrMadan)
@@ -75,7 +155,7 @@ def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolut
 
         engine = "pair" if jax.default_backend() == "tpu" else "complex"
 
-    v, w = _gl_nodes(method.bound, method.nodes)
+    v, w = _quad_nodes(prob, method)
     damp = jnp.exp(-alpha * logK) / (2.0 * jnp.pi)
 
     # Array strikes: broadcast K against the quadrature axis and reduce over
@@ -110,3 +190,40 @@ def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolut
         integral = jnp.reshape(integral, ())
     price = parity_transform(call_price, payoff, market.spot, market.rate)
     return CarrMadanSolution(prob, method, price, integral)
+
+
+def carr_madan_error_estimate(prob: PricingProblem, method: CarrMadan) -> dict:
+    """Quadrature accuracy diagnostic for a Carr-Madan configuration.
+
+    Returns ``{"price", "refinement", "tail", "total"}`` where ``refinement``
+    is the |Δprice| from doubling the node count (resolution error),
+    ``tail`` the |Δprice| from doubling the bound at the refined node count
+    (truncation error), and ``total`` their sum — a practical error estimate
+    for the *configured* settings.  Three solves; intended for validating a
+    configuration against an accuracy budget (e.g. before a calibration run
+    on short-dated quotes), not for the hot path.
+
+    Addresses the reference's silent-accuracy gap: carr_madan.jl forwards
+    solver tolerances blindly and nothing reports what the fixed-parameter
+    quadrature actually achieved.
+    """
+    import dataclasses
+
+    p0 = float(_solve_carr_madan(prob, method).price)
+    fine = dataclasses.replace(method, nodes=2 * method.nodes)
+    p1 = float(_solve_carr_madan(prob, fine).price)
+    if isinstance(method.bound, str):
+        # auto mode: widen by re-deriving with half the effective decay rate
+        wide_bound = float(2.0 * _auto_bound(prob, method.dynamics))
+    else:
+        wide_bound = 2.0 * method.bound
+    wide = dataclasses.replace(method, nodes=2 * method.nodes, bound=wide_bound)
+    p2 = float(_solve_carr_madan(prob, wide).price)
+    refinement = abs(p1 - p0)
+    tail = abs(p2 - p1)
+    return {
+        "price": p0,
+        "refinement": refinement,
+        "tail": tail,
+        "total": refinement + tail,
+    }
