@@ -170,10 +170,11 @@ def price_to_iv(
     and is denormalized via F = S*/DF before inversion.
 
     For non-Black-Scholes ``method``s the inversion brackets on ``bracket``;
-    the method must price accurately over that vol range (e.g. fixed-bound
-    Carr-Madan degrades outside roughly [0.1, 2] at default settings — widen
-    its ``bound``/``nodes`` if you need a wider bracket).  The BS fast path
-    uses the reference's (1e-6, 5.0).
+    the method must price accurately over that vol range.  For Carr-Madan
+    use ``bound="auto"`` (the default panel quadrature then holds ~1e-10
+    accuracy down to very low σ√T; a fixed bound truncates real mass below
+    σ ≈ 0.1 on short maturities — ``carr_madan_error_estimate`` quantifies
+    any configuration).  The BS fast path uses the reference's (1e-6, 5.0).
     """
     method = method or BlackScholesAnalytic()
     ref_ticks = to_ticks(reference_date)
