@@ -426,7 +426,14 @@ def _heston_qe_mixing_values(prob, config, key, point_offset=0):
     var = jnp.maximum((1.0 - rho**2) * iv, 1e-18)
     sd = jnp.sqrt(var)
     cp = prob.payoff.call_put()
-    strike = prob.payoff.strike
+    strike = jnp.asarray(prob.payoff.strike)
+    if strike.ndim > 0:
+        # strike grid: ONE simulated variance-path set prices every strike —
+        # the conditional value is closed-form in K, so the (g, paths)
+        # factors broadcast against (m,) strikes to (g, m, paths) values
+        # (same instrument-parallel idiom as the Carr-Madan strike grid)
+        f_eff, sd, var = f_eff[:, None, :], sd[:, None, :], var[:, None, :]
+        strike = strike[None, :, None]
     d1 = (jnp.log(f_eff / strike) + 0.5 * var) / sd
     d2 = d1 - sd
     ncdf = jax.scipy.stats.norm.cdf
@@ -448,6 +455,11 @@ def simulate_conditional_values(
         )
     require_european(prob.payoff, "conditional MonteCarlo", spot_only=True)
     if strat.use_kernel:
+        if jnp.ndim(prob.payoff.strike) > 0:
+            raise TypeError(
+                "strike grids with conditional MC are a pure-JAX feature "
+                "(one V-path set prices every strike); drop use_kernel=True"
+            )
         from ..ops.heston_qe_kernel import heston_qe_mixing_values_pallas
 
         return heston_qe_mixing_values_pallas(
@@ -597,8 +609,10 @@ def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSol
     if isinstance(strat, HestonQE) and strat.conditional:
         # Romano-Touzi conditional MC: the ensemble payload is the per-path
         # conditional (undiscounted) vanilla values, not terminal samples.
+        # Mean over the (group, path) axes; an array-strike payoff keeps its
+        # strike axis — (g, m, paths) → (m,) prices from ONE path set.
         values = simulate_conditional_values(prob, method)
-        price = discount * jnp.mean(values)
+        price = discount * jnp.mean(values, axis=(0, -1))
         return MonteCarloSolution(prob, method, price, values)
     samples = simulate_terminal_prices(prob, method)
     payoffs = reduce_payoffs(samples, payoff)

@@ -95,11 +95,15 @@ def _qe_v_draw(v, z, u, c):
 
     # --- quadratic branch (psi <= 1.5) ---
     two_over_psi = 2.0 / psi
-    b2 = jnp.maximum(two_over_psi - 1.0, 0.0) + jnp.sqrt(
-        two_over_psi * jnp.maximum(two_over_psi - 1.0, 0.0)
-    )
+    t1 = jnp.maximum(two_over_psi - 1.0, 0.0)
+    # double-where: lanes with psi ≥ 2 have t1 == 0 (the exponential branch
+    # is selected there), but sqrt'(0) = ∞ would still poison reverse-mode
+    # gradients THROUGH the unselected branch — guard the sqrt argument
+    quad_live = t1 > 0.0
+    t1_safe = jnp.where(quad_live, t1, 1.0)
+    b2 = jnp.where(quad_live, t1 + jnp.sqrt(two_over_psi * t1_safe), 0.0)
     a = m / (1.0 + b2)
-    b = jnp.sqrt(b2)
+    b = jnp.where(quad_live, jnp.sqrt(jnp.where(quad_live, b2, 1.0)), 0.0)
     v_quad = a * (b + z) ** 2
 
     # --- exponential branch (psi > 1.5) ---

@@ -95,9 +95,10 @@ def sharded_mc_price_fn(method: MonteCarlo, mesh: Mesh, axis_name: str = "paths"
     def price(prob: PricingProblem):
         idx = jax.lax.axis_index(axis_name)
         key, offset = _device_key_and_offset(local.config, idx)
-        # per-path values (terminal payoffs OR conditional-MC vanilla values)
+        # per-path values (terminal payoffs OR conditional-MC vanilla values);
+        # sum over the path axis only so array-strike grids keep their axis
         values = mc_path_values(prob, local, key=key, device_id=idx, point_offset=offset)
-        local_sum = jnp.sum(values)
+        local_sum = jnp.sum(values, axis=-1)
         total = jax.lax.psum(local_sum, axis_name)
         discount = df(prob.market_inputs.rate, prob.payoff.expiry)
         return discount * total / total_paths

@@ -155,6 +155,117 @@ def test_mixing_pathwise_delta_vs_carr_madan():
     assert delta_ad == pytest.approx(delta_fd, rel=2e-2)
 
 
+def test_mixing_strike_grid_matches_scalar_solves():
+    """An array-strike payoff prices the whole grid from ONE simulated
+    V-path set; per strike it must equal the scalar solve exactly (same
+    seed → same paths → same conditional factors)."""
+    strikes = jnp.array([80.0, 90.0, 100.0, 110.0, 125.0])
+    cfg = SimulationConfig(
+        trajectories=8_000, steps=12, variance_reduction=Antithetic(), seed=4
+    )
+    method = MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg)
+    grid_payoff = VanillaOption(strikes, EXPIRY, European(), Call(), Spot())
+    sol = solve(PricingProblem(grid_payoff, MARKET), method)
+    assert sol.price.shape == (5,)
+    assert sol.ensemble.shape == (2, 5, 8_000)
+    for i, k in enumerate(strikes):
+        p_i = float(solve(_prob_k(float(k)), method).price)
+        assert float(sol.price[i]) == pytest.approx(p_i, rel=1e-12)
+
+
+def _prob_k(k):
+    return PricingProblem(VanillaOption(k, EXPIRY, European(), Call(), Spot()), MARKET)
+
+
+def test_mixing_strike_grid_vs_carr_madan_qmc():
+    strikes = jnp.array([85.0, 95.0, 100.0, 105.0, 120.0])
+    cfg = SimulationConfig(
+        trajectories=40_000, steps=24, variance_reduction=Antithetic(), seed=6, qmc=True
+    )
+    method = MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg)
+    grid_payoff = VanillaOption(strikes, EXPIRY, European(), Call(), Spot())
+    grid = solve(PricingProblem(grid_payoff, MARKET), method).price
+    for i, k in enumerate(strikes):
+        cm = _cm_price(_prob_k(float(k)))
+        assert float(grid[i]) == pytest.approx(cm, rel=5e-3), float(k)
+
+
+def test_mixing_strike_grid_sharded():
+    from hedgehog_tpu.parallel.sharding import make_paths_mesh, sharded_mc_price
+
+    strikes = jnp.array([90.0, 100.0, 110.0])
+    cfg = SimulationConfig(
+        trajectories=16_384, steps=8, variance_reduction=Antithetic(), seed=7, qmc=True
+    )
+    method = MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg)
+    prob = PricingProblem(VanillaOption(strikes, EXPIRY, European(), Call(), Spot()), MARKET)
+    p_single = solve(prob, method).price
+    p_sharded = sharded_mc_price(prob, method, make_paths_mesh())
+    np.testing.assert_allclose(np.asarray(p_sharded), np.asarray(p_single), rtol=1e-9)
+
+
+def test_mixing_strike_grid_rejects_kernel():
+    strikes = jnp.array([90.0, 100.0])
+    cfg = SimulationConfig(trajectories=64, steps=2)
+    method = MonteCarlo(HestonDynamics(), HestonQE(conditional=True, use_kernel=True), cfg)
+    prob = PricingProblem(VanillaOption(strikes, EXPIRY, European(), Call(), Spot()), MARKET)
+    with pytest.raises(TypeError, match="strike grids"):
+        solve(prob, method)
+
+
+def test_qe_gradient_finite_in_high_psi_regime():
+    """Regression: lanes with ψ ≥ 2 select the exponential branch, but the
+    unselected quadratic branch's sqrt(0) used to poison reverse-mode
+    gradients with NaN (double-where guard in models/heston_qe._qe_v_draw).
+    V0=0.09, σ=0.6 pushes many lanes past ψ=2."""
+    cfg = SimulationConfig(
+        trajectories=4_000, steps=12, variance_reduction=Antithetic(), seed=0, qmc=True
+    )
+    payoff = VanillaOption(100.0, EXPIRY, European(), Call(), Spot())
+
+    for strat in (HestonQE(conditional=True), HestonQE()):
+        def price(params, strat=strat):
+            v0, sigma = params
+            market = HestonInputs(REF, 0.03, 100.0, v0, 2.0, 0.04, sigma, -0.7)
+            return solve(
+                PricingProblem(payoff, market),
+                MonteCarlo(HestonDynamics(), strat, cfg),
+            ).price
+
+        g = jax.grad(price)(jnp.array([0.09, 0.6]))
+        assert bool(jnp.all(jnp.isfinite(g))), (type(strat).__name__, g)
+
+
+def test_mixing_mc_calibration_recovery():
+    """Differentiable calibration THROUGH the Monte Carlo pricer: recover
+    (V0, σ) from Carr-Madan quotes by L-BFGS on the QMC mixing strike-grid
+    price — the gradient is the pathwise derivative of the smooth
+    conditional estimator (no Fourier pricer in the loop)."""
+    from hedgehog_tpu.math.optimize import minimize_lbfgs
+
+    strikes = jnp.array([85.0, 95.0, 100.0, 105.0, 120.0])
+    quotes = jnp.array([_cm_price(_prob_k(float(k))) for k in strikes])
+    cfg = SimulationConfig(
+        trajectories=20_000, steps=12, variance_reduction=Antithetic(), seed=0, qmc=True
+    )
+    mc = MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg)
+    grid_payoff = VanillaOption(strikes, EXPIRY, European(), Call(), Spot())
+
+    def objective(params):
+        v0, sigma = params
+        market = HestonInputs(REF, 0.03, 100.0, v0, 2.0, 0.04, sigma, -0.7)
+        prices = solve(PricingProblem(grid_payoff, market), mc).price
+        return jnp.sum((prices - quotes) ** 2)
+
+    res = minimize_lbfgs(
+        objective, jnp.array([0.09, 0.6]),
+        jnp.array([1e-3, 0.05]), jnp.array([0.5, 1.5]), max_iters=80,
+    )
+    assert bool(res.converged)
+    assert float(res.x[0]) == pytest.approx(0.04, rel=5e-2)
+    assert float(res.x[1]) == pytest.approx(0.30, rel=5e-2)
+
+
 def test_mixing_kernel_interpret_matches_pure_jax():
     """The QMC mixing kernel (interpret mode) draws the SAME randomized
     Sobol' points as the pure-JAX estimator (shared digital shift), so
