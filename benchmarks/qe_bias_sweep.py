@@ -29,9 +29,15 @@ print(f"CM oracle: {cm:.6f}")
 N_BLOCKS, N_BATCHES = 256, 16
 paths_per_call = N_BLOCKS * N_BATCHES * _ROWS * _LANES * 2  # 268M
 
+from hedgehog_tpu.models.heston_qe import matched_gammas
+
 for match in (False, True):
     print(f"--- match_gammas={match} ---")
     for steps in (3, 4, 5, 6, 8, 10, 12, 16, 20):
+        if match:
+            g1, g2 = matched_gammas(HESTON["kappa"], T / steps)
+        else:
+            g1 = g2 = 0.5
         reps = 24
         prices = []
         t0 = time.perf_counter()
@@ -41,7 +47,7 @@ for match in (False, True):
                     jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"], HESTON["theta"],
                     HESTON["sigma"], HESTON["rho"], T / steps, STRIKE, discount,
                     n_blocks=N_BLOCKS, n_batches=N_BATCHES, steps=steps,
-                    seed=1000 * steps + i, match_gammas=match,
+                    seed=1000 * steps + i, gamma1=g1, gamma2=g2,
                 )
             )
         arr = jnp.stack(prices)

@@ -66,6 +66,10 @@ class CarrMadan(AbstractPricingMethod):
     ``quadrature``: "panel" (default) = two-scale rule (GL peak panel +
     log-substituted GL tails, accuracy independent of ``bound``);
     "gl" = legacy single Gauss-Legendre rule over (−bound, bound).
+
+    CF-evaluation budget: "gl" evaluates exactly ``nodes`` points; "panel"
+    evaluates ``nodes`` peak points plus ``max(32, nodes // 2)`` per tail —
+    512 total at the default ``nodes=256``.
     """
 
     alpha: float = static_field(default=1.0)
@@ -82,8 +86,9 @@ def _gl_nodes(bound, n: int):
 
 
 def _panel_nodes(bound, n: int):
-    """Two-scale nodes: n-point GL on the central peak [−c, c] plus n//2
-    log-substituted GL points on each tail [±c, ±bound].
+    """Two-scale nodes: n-point GL on the central peak [−c, c] plus
+    max(32, n//2) log-substituted GL points on each tail [±c, ±bound]
+    (n + 2·max(32, n//2) CF evaluations total).
 
     The tail substitution v = c·e^t turns the smooth power-law×Gaussian decay
     into a low-order function of t over [0, ln(bound/c)], so node count does
@@ -104,7 +109,12 @@ def _panel_nodes(bound, n: int):
 
 
 def _auto_bound(prob: PricingProblem, dynamics) -> jnp.ndarray:
-    """CF-decay-aware truncation: 16 / (σ_eff·√T), floored at 64."""
+    """CF-decay-aware truncation: 16 / (σ_eff·√T), floored at 64.
+
+    Always a SCALAR: with an array-strike payoff on a vol surface the
+    per-strike σ varies, and the bound takes the widest decay length (the
+    smallest σ) — conservative and free, since the panel rule's accuracy is
+    bound-independent."""
     market = prob.market_inputs
     T = yearfrac(market.reference_date, prob.payoff.expiry)
     if isinstance(dynamics, LognormalDynamics):
@@ -120,16 +130,19 @@ def _auto_bound(prob: PricingProblem, dynamics) -> jnp.ndarray:
             f"bound='auto' needs LognormalDynamics or HestonDynamics, got "
             f"{type(dynamics).__name__}"
         )
-    s = jnp.sqrt(jnp.maximum(s2, 1e-16))
+    s = jnp.sqrt(jnp.maximum(jnp.min(s2), 1e-16))
     return jnp.maximum(64.0, 16.0 / s)
 
 
 def _quad_nodes(prob: PricingProblem, method: "CarrMadan"):
-    bound = (
-        _auto_bound(prob, method.dynamics)
-        if isinstance(method.bound, str)
-        else method.bound
-    )
+    bound = method.bound
+    if isinstance(bound, str):
+        if bound != "auto":
+            raise ValueError(
+                f"string bound must be 'auto', got {bound!r} (pass a float "
+                "for a fixed truncation)"
+            )
+        bound = _auto_bound(prob, method.dynamics)
     if method.quadrature == "panel":
         return _panel_nodes(bound, method.nodes)
     if method.quadrature == "gl":
@@ -196,12 +209,14 @@ def carr_madan_error_estimate(prob: PricingProblem, method: CarrMadan) -> dict:
     """Quadrature accuracy diagnostic for a Carr-Madan configuration.
 
     Returns ``{"price", "refinement", "tail", "total"}`` where ``refinement``
-    is the |Δprice| from doubling the node count (resolution error),
-    ``tail`` the |Δprice| from doubling the bound at the refined node count
-    (truncation error), and ``total`` their sum — a practical error estimate
-    for the *configured* settings.  Three solves; intended for validating a
-    configuration against an accuracy budget (e.g. before a calibration run
-    on short-dated quotes), not for the hot path.
+    is the max |Δprice| from doubling the node count (resolution error),
+    ``tail`` the max |Δprice| from doubling the bound at the refined node
+    count (truncation error), and ``total`` their sum — a practical error
+    estimate for the *configured* settings.  ``price`` keeps the payoff's
+    strike shape (scalar or grid); the error fields are scalar maxima over
+    the grid.  Three solves; intended for validating a configuration against
+    an accuracy budget (e.g. before a calibration run on short-dated
+    quotes), not for the hot path.
 
     Addresses the reference's silent-accuracy gap: carr_madan.jl forwards
     solver tolerances blindly and nothing reports what the fixed-parameter
@@ -209,18 +224,18 @@ def carr_madan_error_estimate(prob: PricingProblem, method: CarrMadan) -> dict:
     """
     import dataclasses
 
-    p0 = float(_solve_carr_madan(prob, method).price)
+    p0 = _solve_carr_madan(prob, method).price
     fine = dataclasses.replace(method, nodes=2 * method.nodes)
-    p1 = float(_solve_carr_madan(prob, fine).price)
+    p1 = _solve_carr_madan(prob, fine).price
     if isinstance(method.bound, str):
         # auto mode: widen by re-deriving with half the effective decay rate
         wide_bound = float(2.0 * _auto_bound(prob, method.dynamics))
     else:
         wide_bound = 2.0 * method.bound
     wide = dataclasses.replace(method, nodes=2 * method.nodes, bound=wide_bound)
-    p2 = float(_solve_carr_madan(prob, wide).price)
-    refinement = abs(p1 - p0)
-    tail = abs(p2 - p1)
+    p2 = _solve_carr_madan(prob, wide).price
+    refinement = float(jnp.max(jnp.abs(p1 - p0)))
+    tail = float(jnp.max(jnp.abs(p2 - p1)))
     return {
         "price": p0,
         "refinement": refinement,

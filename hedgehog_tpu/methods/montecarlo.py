@@ -471,10 +471,12 @@ def simulate_conditional_values(
 def mc_path_values(
     prob: PricingProblem, method: MonteCarlo, key=None, device_id=0, point_offset=0
 ) -> jnp.ndarray:
-    """(paths,) per-path undiscounted value estimates, antithetic groups
-    averaged — the uniform interface the solve facade and the sharded pricer
-    reduce over, covering both terminal-sample strategies and the
-    conditional mixing estimator."""
+    """Per-path undiscounted value estimates, antithetic groups averaged —
+    the uniform interface the solve facade and the sharded pricer reduce
+    over, covering both terminal-sample strategies and the conditional
+    mixing estimator.  Shape ``(paths,)``, except an array-strike payoff
+    under ``HestonQE(conditional=True)`` which returns ``(m, paths)`` (the
+    path axis is always LAST — reduce over ``axis=-1``)."""
     strat = method.strategy
     if isinstance(strat, HestonQE) and strat.conditional:
         values = simulate_conditional_values(

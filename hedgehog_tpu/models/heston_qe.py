@@ -49,11 +49,19 @@ def matched_gammas(kappa, dt):
     stays γ1 = γ2 = ½ (Andersen 2008 §4.2); this rule is provided for study
     and for TG-style schemes that need the exact-mean weights.
     """
-    e = jnp.exp(-kappa * dt)
     kdt = kappa * dt
-    abar = (1.0 - e) / kdt
-    gamma2 = (1.0 - abar) / (1.0 - e)
-    gamma1 = abar - gamma2 * e
+    # expm1 keeps 1−e accurate for small κΔ; below ~1e-4 the (1−ā)/(1−e)
+    # ratio still cancels catastrophically, so switch to the Taylor series
+    # γ2 = ½ + κΔ/12 + O((κΔ)²) there (double-where keeps gradients clean)
+    small = jnp.abs(kdt) < 1e-4
+    kdt_safe = jnp.where(small, 1.0, kdt)
+    e = jnp.exp(-kdt)
+    one_m_e = -jnp.expm1(-kdt_safe)
+    abar = one_m_e / kdt_safe
+    gamma2_exact = (1.0 - abar) / one_m_e
+    gamma1_exact = abar - gamma2_exact * e
+    gamma1 = jnp.where(small, 0.5 - kdt / 12.0, gamma1_exact)
+    gamma2 = jnp.where(small, 0.5 + kdt / 12.0, gamma2_exact)
     return gamma1, gamma2
 
 

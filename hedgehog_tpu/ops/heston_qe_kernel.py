@@ -541,9 +541,8 @@ def _mix_c(params_ref):
 
 
 def _mix_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, steps, strike, cp):
-    """16-entry fp32 SMEM parameter vector for the mixing kernels."""
-    import numpy as np  # host-side scalar math keeps the jit trace clean
-
+    """16-entry fp32 SMEM parameter vector for the mixing kernels (scalars
+    are traced in f64 and cast once — nothing here runs per step)."""
     from ..models.heston_qe import qe_constants
 
     c = qe_constants(kappa, theta, sigma, rho, r, dt)

@@ -111,6 +111,73 @@ def test_error_estimate_flags_bad_config_and_passes_good():
     assert good["total"] < 1e-8  # approves the auto config
 
 
+def test_auto_bound_array_strikes_on_surface():
+    """bound='auto' with an array-strike payoff on a (tenor × strike) vol
+    surface: per-strike σ varies, so the bound reduces to the WIDEST decay
+    length (scalar) and each grid price must match its scalar solve."""
+    import jax.numpy as jnp
+
+    from hedgehog_tpu import RectVolSurface
+
+    surf = RectVolSurface(
+        REF, jnp.array([0.25, 1.0]), jnp.array([90.0, 100.0, 110.0]),
+        jnp.array([[0.25, 0.20, 0.18], [0.27, 0.22, 0.21]]),
+    )
+    mkt = BlackScholesInputs(REF, 0.03, 100.0, surf)
+    strikes = jnp.array([90.0, 100.0, 110.0])
+    expiry = REF + dt.timedelta(days=365)
+    grid_payoff = VanillaOption(strikes, expiry, European(), Call(), Spot())
+    grid = solve(
+        PricingProblem(grid_payoff, mkt), CarrMadan(1.0, "auto", LognormalDynamics())
+    ).price
+    assert grid.shape == (3,)
+    for i, k in enumerate(strikes):
+        p = VanillaOption(float(k), expiry, European(), Call(), Spot())
+        ref = float(solve(PricingProblem(p, mkt), CarrMadan(1.0, "auto", LognormalDynamics())).price)
+        assert float(grid[i]) == pytest.approx(ref, rel=1e-10)
+
+
+def test_string_bound_typo_raises():
+    prob = _bs_prob(365, 0.2, 100.0)
+    with pytest.raises(ValueError, match="auto"):
+        solve(prob, CarrMadan(1.0, "Auto", LognormalDynamics()))
+    with pytest.raises(ValueError, match="auto"):
+        solve(prob, CarrMadan(1.0, "32", LognormalDynamics()))
+
+
+def test_error_estimate_array_strikes():
+    import jax.numpy as jnp
+
+    mkt = BlackScholesInputs(REF, 0.03, 100.0, 0.2)
+    strikes = jnp.array([90.0, 100.0, 110.0])
+    payoff = VanillaOption(strikes, REF + dt.timedelta(days=365), European(), Call(), Spot())
+    est = carr_madan_error_estimate(
+        PricingProblem(payoff, mkt), CarrMadan(1.0, "auto", LognormalDynamics())
+    )
+    assert est["price"].shape == (3,)
+    assert est["total"] < 1e-8
+
+
+def test_matched_gammas_small_kdt_limit():
+    """γ weights must approach (½, ½) smoothly as κΔ → 0 (the exact ratio is
+    0/0 there; expm1 + series fallback in models/heston_qe.matched_gammas)."""
+    import jax.numpy as jnp
+
+    from hedgehog_tpu.models.heston_qe import matched_gammas
+
+    g1, g2 = matched_gammas(jnp.float64(2.0), jnp.float64(0.0))
+    assert float(g1) == pytest.approx(0.5) and float(g2) == pytest.approx(0.5)
+    # just past the series/exact switch (κΔ = 1.01e-4) the exact expm1 path
+    # must agree with the Taylor value ½ + κΔ/12 to the O((κΔ)³) truncation
+    kdt = 1.01e-4
+    _, g2_exact = matched_gammas(jnp.float64(1.0), jnp.float64(kdt))
+    assert float(g2_exact) == pytest.approx(0.5 + kdt / 12.0, abs=1e-9)
+    # moderate κΔ sanity (κΔ = 0.25 → γ2 ≈ 0.5219, measured in ADR notes)
+    g1m, g2m = matched_gammas(jnp.float64(2.0), jnp.float64(0.125))
+    assert float(g2m) == pytest.approx(0.5219, abs=2e-3)
+    assert float(g1m) + float(g2m) == pytest.approx(1.0, abs=1e-3)
+
+
 def test_auto_bound_rejects_unknown_dynamics():
     prob = _bs_prob(30, 0.2, 100.0)
 
