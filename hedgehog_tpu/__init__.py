@@ -124,6 +124,7 @@ from .methods.montecarlo import (  # noqa: E402
     MonteCarlo,
     NoVarianceReduction,
     SimulationConfig,
+    heston_surface_mc,
     mc_path_values,
     simulate_conditional_values,
     simulate_price_grid,
@@ -250,6 +251,7 @@ __all__ = [
     "simulate_terminal_prices",
     "simulate_conditional_values",
     "mc_path_values",
+    "heston_surface_mc",
     "simulate_price_grid",
     # greeks
     "GreekProblem",

@@ -39,7 +39,7 @@ from ..core.dates import yearfrac
 from ..core.payoffs import require_european
 from ..core.problems import MonteCarloSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
-from ..market.rate_curve import df, zero_rate_yf
+from ..market.rate_curve import df, df_yf, zero_rate_yf
 from ..market.vol_surface import FlatVolSurface, get_vol
 from ..models.dynamics import HestonDynamics, LognormalDynamics, lognormal_terminal_law
 from ..utils.pytree import pytree, static_field
@@ -57,6 +57,7 @@ __all__ = [
     "simulate_price_grid",
     "simulate_conditional_values",
     "mc_path_values",
+    "heston_surface_mc",
 ]
 
 
@@ -438,6 +439,115 @@ def _heston_qe_mixing_values(prob, config, key, point_offset=0):
     d2 = d1 - sd
     ncdf = jax.scipy.stats.norm.cdf
     return cp * (f_eff * ncdf(cp * d1) - strike * ncdf(cp * d2))
+
+
+def heston_surface_mc(
+    market, expiries, strikes, config: "SimulationConfig", cp=1.0,
+    key=None, point_offset=0,
+):
+    """Price a whole (expiry × strike) European vanilla surface from ONE
+    conditional-MC variance-path simulation: (n_expiries, n_strikes)
+    DISCOUNTED prices.
+
+    The V path runs once to the last expiry; at each expiry the accumulated
+    (∫V, ∫√V dW) factors close every strike with the conditional
+    Black-Scholes formula (Romano-Touzi, see _heston_qe_mixing_values).
+    All surface points share paths, so smile/term-structure SHAPES carry far
+    less noise than independent runs — and the whole surface is one
+    differentiable XLA program, the natural objective for full-surface
+    Heston calibration through the MC pricer.
+
+    ``config.steps`` is the step budget for the full horizon; segments
+    between expiries get steps proportional to their length (min 1), so the
+    bias matches a single-expiry run at the same steps-per-year.
+    ``expiries``: dates/ticks, strictly increasing.  ``cp``: +1 call / −1
+    put (scalar, applies to the whole surface).
+    """
+    from ..models.heston_qe import qe_constants, qe_v_step
+
+    ref = market.reference_date
+    n_exp = len(expiries)
+    if n_exp == 0:
+        raise ValueError("need at least one expiry")
+    # the segment/step structure must be STATIC (python floats, never jnp —
+    # a jnp constant inside a jit trace is a tracer and would break the
+    # host-side step allocation); that requires a concrete reference date
+    try:
+        T_host = [float(yearfrac(ref, e)) for e in expiries]
+    except jax.errors.ConcretizationTypeError as exc:  # pragma: no cover
+        raise TypeError(
+            "heston_surface_mc needs a concrete reference date to lay out "
+            "the expiry/step grid; don't pass the market (or its "
+            "reference_date) as a traced jit argument — close over it or "
+            "mark it static"
+        ) from exc
+    increasing = all(T_host[i] < T_host[i + 1] for i in range(n_exp - 1))
+    if not increasing or T_host[0] <= 0.0:
+        raise ValueError(
+            "expiries must be strictly increasing and after the reference "
+            f"date; got year-fractions {T_host}"
+        )
+    r0 = zero_rate_yf(market.rate, 0.0)
+    strikes = jnp.asarray(strikes)
+
+    # proportional step allocation over segments (static — T_host is host data)
+    T_total = T_host[-1]
+    seg_len = [T_host[0]] + [T_host[i + 1] - T_host[i] for i in range(n_exp - 1)]
+    seg_steps = [max(1, round(config.steps * s / T_total)) for s in seg_len]
+    total_steps = sum(seg_steps)
+
+    anti = isinstance(config.variance_reduction, Antithetic)
+    base = _base_key(config, key)
+    if config.qmc:
+        zb, ub = _qmc_normals_and_uniforms(
+            base, total_steps, 1, config.trajectories, skip=point_offset
+        )
+        zb = zb[:, 0, :]
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+        us = jnp.stack([ub, 1.0 - ub]) if anti else ub[None]
+    else:
+        k_z, k_u = jax.random.split(base)
+        z = _normals(k_z, (total_steps, config.trajectories), anti)
+        u = jax.random.uniform(k_u, (total_steps, config.trajectories), dtype=jnp.float64)
+        us = jnp.stack([u, 1.0 - u]) if anti else u[None]
+    n_groups = z.shape[0]
+
+    kappa, sigma, rho = market.kappa, market.sigma, market.rho
+    v = jnp.full((n_groups, config.trajectories), market.V0)
+    iv = jnp.zeros_like(v)
+    j = jnp.zeros_like(v)
+    ncdf = jax.scipy.stats.norm.cdf
+
+    rows = []
+    offset = 0
+    for i in range(n_exp):
+        dt_i = seg_len[i] / seg_steps[i]
+        c = qe_constants(kappa, market.theta, sigma, rho, r0, dt_i)
+        ktd = kappa * market.theta * dt_i
+
+        def step(carry, inp, c=c, ktd=ktd, dt_i=dt_i):
+            v, iv, j = carry
+            zk, uk = inp
+            v_new = qe_v_step(v, zk, uk, c)
+            iv_step = 0.5 * dt_i * (v + v_new)
+            j_new = j + (v_new - v - ktd + kappa * iv_step) / sigma
+            return (v_new, iv + iv_step, j_new), None
+
+        zs = jnp.moveaxis(z[:, offset : offset + seg_steps[i]], 1, 0)
+        us_s = jnp.moveaxis(us[:, offset : offset + seg_steps[i]], 1, 0)
+        offset += seg_steps[i]
+        (v, iv, j), _ = jax.lax.scan(jax.checkpoint(step), (v, iv, j), (zs, us_s))
+
+        f_eff = market.spot * jnp.exp(r0 * T_host[i] + rho * j - 0.5 * rho**2 * iv)
+        var = jnp.maximum((1.0 - rho**2) * iv, 1e-18)
+        sd = jnp.sqrt(var)
+        f_b, sd_b, var_b = f_eff[:, None, :], sd[:, None, :], var[:, None, :]
+        k_b = strikes[None, :, None]
+        d1 = (jnp.log(f_b / k_b) + 0.5 * var_b) / sd_b
+        d2 = d1 - sd_b
+        vals = cp * (f_b * ncdf(cp * d1) - k_b * ncdf(cp * d2))
+        rows.append(df_yf(market.rate, T_host[i]) * jnp.mean(vals, axis=(0, -1)))
+    return jnp.stack(rows)
 
 
 def simulate_conditional_values(

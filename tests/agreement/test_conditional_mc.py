@@ -266,6 +266,51 @@ def test_mixing_mc_calibration_recovery():
     assert float(res.x[1]) == pytest.approx(0.30, rel=5e-2)
 
 
+def test_heston_surface_mc_vs_carr_madan():
+    """One V-path simulation prices a whole (expiry × strike) surface:
+    every point must match Carr-Madan, and the surface must satisfy basic
+    no-arbitrage shape (calls decreasing in K, increasing in T)."""
+    from hedgehog_tpu import CarrMadan, heston_surface_mc
+
+    expiries = [dt.date(2020, 7, 1), dt.date(2021, 1, 1), dt.date(2022, 1, 1)]
+    strikes = jnp.array([85.0, 95.0, 100.0, 105.0, 120.0])
+    cfg = SimulationConfig(
+        trajectories=40_000, steps=32, variance_reduction=Antithetic(), seed=1, qmc=True
+    )
+    surf = heston_surface_mc(MARKET, expiries, strikes, cfg)
+    assert surf.shape == (3, 5)
+    for i, e in enumerate(expiries):
+        for jx, k in enumerate(strikes):
+            p = VanillaOption(float(k), e, European(), Call(), Spot())
+            cm = float(
+                solve(PricingProblem(p, MARKET), CarrMadan(1.0, "auto", HestonDynamics())).price
+            )
+            assert float(surf[i, jx]) == pytest.approx(cm, rel=5e-3), (e, float(k))
+    assert bool(jnp.all(jnp.diff(surf, axis=1) < 0))  # decreasing in strike
+    assert bool(jnp.all(jnp.diff(surf, axis=0) > 0))  # increasing in expiry
+
+
+def test_heston_surface_mc_validation_and_grad():
+    from hedgehog_tpu import heston_surface_mc
+
+    cfg = SimulationConfig(trajectories=2_000, steps=8, seed=0)
+    strikes = jnp.array([95.0, 105.0])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        heston_surface_mc(MARKET, [dt.date(2021, 1, 1), dt.date(2020, 7, 1)], strikes, cfg)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        heston_surface_mc(MARKET, [REF], strikes, cfg)
+
+    expiries = [dt.date(2020, 7, 1), dt.date(2021, 1, 1)]
+
+    def loss(params):
+        v0, sigma = params
+        m = HestonInputs(REF, 0.03, 100.0, v0, 2.0, 0.04, sigma, -0.7)
+        return jnp.sum(heston_surface_mc(m, expiries, strikes, cfg) ** 2)
+
+    g = jax.grad(loss)(jnp.array([0.04, 0.3]))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
 def test_mixing_kernel_interpret_matches_pure_jax():
     """The QMC mixing kernel (interpret mode) draws the SAME randomized
     Sobol' points as the pure-JAX estimator (shared digital shift), so
