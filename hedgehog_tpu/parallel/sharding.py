@@ -33,6 +33,7 @@ __all__ = [
     "sharded_mc_price_fn",
     "sharded_lsm_price",
     "sharded_lsm_price_fn",
+    "sharded_surface_fn",
 ]
 
 
@@ -110,6 +111,36 @@ def sharded_mc_price(prob: PricingProblem, method: MonteCarlo, mesh: Optional[Me
     """Price a European option with paths sharded across all devices."""
     mesh = mesh or make_paths_mesh()
     return sharded_mc_price_fn(method, mesh)(prob)
+
+
+def sharded_surface_fn(method: MonteCarlo, mesh: Mesh, axis_name: str = "paths"):
+    """Build ``surface(market, expiries, strikes) -> (n_exp, m)`` with the
+    path axis of :func:`hedgehog_tpu.heston_surface_mc` sharded over ``mesh``.
+
+    Same RNG/QMC stream discipline as the sharded vanilla pricer: PRNG runs
+    fold the device index into the key; QMC runs slice ONE Sobol' sequence
+    disjointly, so sharded == unsharded to summation order.  The whole
+    surface reduces with a single psum (the per-device partial surfaces are
+    already means over local paths — psum-average them)."""
+    from ..methods.montecarlo import heston_surface_mc
+
+    n_dev = mesh.shape[axis_name]
+    local = _local_method(method, n_dev)
+
+    def surface(market, expiries, strikes):
+        @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False)
+        def _run(strikes_arr):
+            idx = jax.lax.axis_index(axis_name)
+            key, offset = _device_key_and_offset(local.config, idx)
+            local_surf = heston_surface_mc(
+                market, expiries, strikes_arr, local.config,
+                key=key, point_offset=offset,
+            )
+            return jax.lax.pmean(local_surf, axis_name)
+
+        return _run(jnp.asarray(strikes))
+
+    return surface
 
 
 def sharded_lsm_price_fn(method, mesh: Mesh, axis_name: str = "paths"):

@@ -290,6 +290,24 @@ def test_heston_surface_mc_vs_carr_madan():
     assert bool(jnp.all(jnp.diff(surf, axis=0) > 0))  # increasing in expiry
 
 
+def test_sharded_surface_matches_unsharded_qmc():
+    """QMC devices slice ONE Sobol' sequence disjointly — the sharded
+    surface equals the unsharded one to summation order."""
+    from hedgehog_tpu import heston_surface_mc
+    from hedgehog_tpu.parallel.sharding import make_paths_mesh, sharded_surface_fn
+
+    expiries = [dt.date(2020, 7, 1), dt.date(2021, 1, 1)]
+    strikes = jnp.array([90.0, 100.0, 110.0])
+    cfg = SimulationConfig(
+        trajectories=16_384, steps=12, variance_reduction=Antithetic(), seed=3, qmc=True
+    )
+    method = MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg)
+    single = heston_surface_mc(MARKET, expiries, strikes, cfg)
+    surface = sharded_surface_fn(method, make_paths_mesh())
+    sharded = surface(MARKET, expiries, strikes)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-9)
+
+
 def test_heston_surface_mc_validation_and_grad():
     from hedgehog_tpu import heston_surface_mc
 
