@@ -29,6 +29,8 @@ __all__ = [
     "heston_qe_mixing_values",
     "heston_qe_mixing_values_pallas",
     "heston_qe_mixing_vanilla_price",
+    "heston_qe_mixing_surface_price",
+    "heston_surface_mc_tpu",
 ]
 
 _ROWS = 256
@@ -754,6 +756,168 @@ def heston_qe_mixing_vanilla_price(
     )(params, seed_arr)
     total_paths = n_blocks * n_batches * _ROWS * _LANES * 2
     return discount * jnp.sum(sums.astype(jnp.float64)) / total_paths
+
+
+# ---- kernel-side surface: a whole (expiry × strike) grid per dispatch ----
+#
+# The variance path runs once through per-expiry segments (possibly
+# different dt per segment); at each expiry the (IV, J) carries close EVERY
+# strike with the conditional BS formula and payoffs fold into on-chip
+# (8, LANES) partial sums — one dispatch prices n_exp × m surface points
+# over n_blocks × n_batches × 65536 antithetic paths.
+
+_SURF_GLOBALS = 8  # v0, theta, inv_sigma, k_over_sigma, rho, rho2_half, rho_bar2, cp
+_SURF_PER_SEG = 5  # e, c_s2_v, c_s2_c, half_dt, ktd_over_sigma
+
+
+def _surf_params(log_s0, v0, r, kappa, theta, sigma, rho, T_host, seg_steps, strikes, cp):
+    """SMEM params for the surface kernel: globals + per-segment constants +
+    per-expiry f_base + strikes + per-(expiry, strike) log(F/K)."""
+    from ..models.heston_qe import qe_constants
+
+    n_exp, m = len(T_host), len(strikes)
+    entries = [v0, theta, 1.0 / sigma, kappa / sigma, rho, 0.5 * rho**2,
+               1.0 - rho**2, cp]
+    t_prev = 0.0
+    for i in range(n_exp):
+        dt_i = (T_host[i] - t_prev) / seg_steps[i]
+        t_prev = T_host[i]
+        c = qe_constants(kappa, theta, sigma, rho, r, dt_i)
+        entries += [c["e"], c["c_s2_v"], c["c_s2_c"], 0.5 * dt_i,
+                    kappa * theta * dt_i / sigma]
+    f_bases = [jnp.exp(log_s0 + r * T_host[i]) for i in range(n_exp)]
+    entries += f_bases
+    entries += [strikes[k] for k in range(m)]
+    for i in range(n_exp):
+        for k in range(m):
+            entries.append(jnp.log(f_bases[i]) - jnp.log(strikes[k]))
+    return jnp.stack([jnp.float32(x) for x in entries])
+
+
+def _surf_c(params_ref, i: int, n_exp: int, m: int):
+    """Per-segment constants dict (mirrors _mix_c) from the SMEM layout."""
+    base = _SURF_GLOBALS + _SURF_PER_SEG * i
+    return dict(
+        v0=params_ref[0], theta=params_ref[1], inv_sigma=params_ref[2],
+        k_over_sigma=params_ref[3], rho=params_ref[4], rho2_half=params_ref[5],
+        rho_bar2=params_ref[6], cp=params_ref[7],
+        e=params_ref[base], c_s2_v=params_ref[base + 1], c_s2_c=params_ref[base + 2],
+        half_dt=params_ref[base + 3], ktd_over_sigma=params_ref[base + 4],
+    )
+
+
+def _qe_mixing_surface_kernel(
+    params_ref, seed_ref, out_ref, *, seg_steps, m: int, n_batches: int
+):
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+    n_exp = len(seg_steps)
+    shape = (_ROWS, _LANES)
+    f_off = _SURF_GLOBALS + _SURF_PER_SEG * n_exp
+    k_off = f_off + n_exp
+    lfk_off = k_off + m
+
+    def one_batch(_, acc):
+        c0 = _surf_c(params_ref, 0, n_exp, m)
+        v = jnp.full(shape, c0["v0"], dtype=jnp.float32)
+        zero = jnp.zeros(shape, dtype=jnp.float32)
+        carry = (v, zero, zero, v, zero, zero)
+        folds = []
+        for i, steps_i in enumerate(seg_steps):
+            c = _surf_c(params_ref, i, n_exp, m)
+            carry = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(steps_i // 2),
+                lambda _, cr, c=c: _mix_double_step_prng(cr, c, True), carry,
+            )
+            if steps_i % 2:
+                carry = _mix_single_step_prng(carry, c, True)
+            _, iv, j, _, iva, ja = carry
+            cp = c["cp"]
+            for k in range(m):
+                ck = dict(c, f_base=params_ref[f_off + i],
+                          strike=params_ref[k_off + k],
+                          log_f_over_k=params_ref[lfk_off + i * m + k])
+                val = _cond_bs_value(iv, j, ck) + _cond_bs_value(iva, ja, ck)
+                folds.append(jnp.sum(val.reshape(_ROWS // 8, 8, _LANES), axis=0))
+        return acc + jnp.stack(folds)  # (n_exp*m, 8, LANES)
+
+    acc0 = jnp.zeros((n_exp * m, 8, _LANES), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T_host", "seg_steps", "n_strikes", "n_blocks", "n_batches"),
+)
+def heston_qe_mixing_surface_price(
+    log_s0, v0, r, kappa, theta, sigma, rho, T_host, strikes, discounts,
+    *, seg_steps, n_strikes: int, n_blocks: int, n_batches: int, seed, cp=1.0,
+    device_id=0,
+):
+    """(n_exp, n_strikes) DISCOUNTED surface prices over
+    n_blocks·n_batches·65536 antithetic conditional-MC paths, one dispatch.
+
+    ``T_host``: tuple of host-float expiry year-fractions (strictly
+    increasing); ``seg_steps``: static per-segment step counts;
+    ``discounts``: (n_exp,) per-expiry discount factors."""
+    T_host = tuple(float(t) for t in T_host)
+    n_exp = len(T_host)
+    strikes = jnp.asarray(strikes)
+    params = _surf_params(
+        log_s0, v0, r, kappa, theta, sigma, rho, T_host, seg_steps, strikes, cp
+    )
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+    kernel = functools.partial(
+        _qe_mixing_surface_kernel, seg_steps=tuple(seg_steps), m=n_strikes,
+        n_batches=n_batches,
+    )
+    n_params = _SURF_GLOBALS + _SURF_PER_SEG * n_exp + n_exp + n_strikes + n_exp * n_strikes
+    sums = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_params,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_exp * n_strikes, 8, _LANES),
+            lambda i: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, n_exp * n_strikes, 8, _LANES), jnp.float32),
+    )(params, seed_arr)
+    total_paths = n_blocks * n_batches * _ROWS * _LANES * 2
+    grid_sums = jnp.sum(sums.astype(jnp.float64), axis=(0, 2, 3))  # (n_exp*m,)
+    surf = grid_sums.reshape(n_exp, n_strikes) / total_paths
+    return jnp.asarray(discounts)[:, None] * surf
+
+
+def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None):
+    """TPU adapter: kernel-side surface with the SAME segment/step allocation
+    as the pure-JAX :func:`hedgehog_tpu.heston_surface_mc` (so biases match);
+    falls back to the pure-JAX estimator off-TPU."""
+    from ..core.dates import yearfrac
+    from ..market.rate_curve import df_yf, zero_rate_yf
+    from ..methods.montecarlo import heston_surface_mc
+
+    if jax.default_backend() != "tpu":
+        return heston_surface_mc(market, expiries, strikes, config, cp=cp)
+    ref = market.reference_date
+    T_host = [float(yearfrac(ref, e)) for e in expiries]
+    T_total = T_host[-1]
+    seg_len = [T_host[0]] + [T_host[i + 1] - T_host[i] for i in range(len(T_host) - 1)]
+    seg_steps = tuple(max(1, round(config.steps * s / T_total)) for s in seg_len)
+    r0 = zero_rate_yf(market.rate, 0.0)
+    discounts = jnp.stack([df_yf(market.rate, t) for t in T_host])
+    block = _ROWS * _LANES
+    n_pairs = config.trajectories
+    n_blocks = max(1, -(-n_pairs // (block * 16)))
+    n_batches = -(-n_pairs // (block * n_blocks))
+    return heston_qe_mixing_surface_price(
+        jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
+        market.sigma, market.rho, tuple(T_host), jnp.asarray(strikes), discounts,
+        seg_steps=seg_steps, n_strikes=len(strikes), n_blocks=n_blocks,
+        n_batches=n_batches, seed=config.seed if seed is None else seed, cp=cp,
+    )
 
 
 def heston_qe_mixing_values_pallas(prob, config, strat, device_id=0, point_offset=0):

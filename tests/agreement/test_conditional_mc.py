@@ -308,6 +308,22 @@ def test_sharded_surface_matches_unsharded_qmc():
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-9)
 
 
+def test_surface_tpu_adapter_cpu_fallback():
+    """Off-TPU the kernel adapter must route to the pure-JAX estimator with
+    identical semantics (same config → same allocation rule)."""
+    from hedgehog_tpu import heston_surface_mc
+    from hedgehog_tpu.ops.heston_qe_kernel import heston_surface_mc_tpu
+
+    expiries = [dt.date(2020, 7, 1), dt.date(2021, 1, 1)]
+    strikes = jnp.array([95.0, 105.0])
+    cfg = SimulationConfig(
+        trajectories=4_000, steps=8, variance_reduction=Antithetic(), seed=2, qmc=True
+    )
+    a = heston_surface_mc_tpu(MARKET, expiries, strikes, cfg)
+    b = heston_surface_mc(MARKET, expiries, strikes, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
 def test_heston_surface_mc_validation_and_grad():
     from hedgehog_tpu import heston_surface_mc
 
