@@ -30,10 +30,11 @@ import jax.numpy as jnp
 import hedgehog_tpu as hh
 
 STEPS = 100  # Euler step count (pure-JAX / CPU path)
-MIX_STEPS = 12  # conditional-MC (Romano-Touzi mixing) QE step count: bias
-#                 +3.0±0.03bp measured on 6.4G-path calibration runs
-#                 (mixing-10 = +4.2bp, mixing-14 = +2.2bp); see
-#                 benchmarks/qe_mixing_kernel_bench.py
+MIX_STEPS = 11  # conditional-MC (Romano-Touzi mixing) QE step count: bias
+#                 +3.5±0.03bp measured on 6.4G-path calibration runs
+#                 (mixing-10 = +4.2bp, mixing-12 = +3.0bp, mixing-14 =
+#                 +2.2bp); 11 is the throughput knee inside the <5bp
+#                 contract; see benchmarks/qe_mixing_kernel_bench.py
 QE_STEPS = 10  # Andersen QE-M step count (fallback): bias −3.4±0.1bp measured
 #                (2.1G-path calibration runs; QE-12 = −2.3bp, QE-14 = −1.9bp)
 QE_BLOCKS = 256  # kernel grid (× 32768 paths × 2 antithetic × QE_BATCHES per call)
