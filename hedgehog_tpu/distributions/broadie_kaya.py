@@ -75,11 +75,14 @@ def heston_integrated_variance_cf(VT, V0, kappa, theta_lt, sigma, T):
     def cf(a, theta_prev):
         """φ(a) with Bessel-angle unwrapping threaded (heston.jl:184-212).
 
-        ``a`` is a scalar frequency or a (B, 1) block of *increasing*
-        frequencies (sample_from_cf block protocol); for a block, the angle
-        unwrap runs as an in-block cumsum chained off the carry."""
+        ``a`` is a (possibly path-batched) scalar frequency or a
+        (B, *batch) block of *increasing* frequencies (sample_from_cf block
+        protocol); for a block, the angle unwrap runs as an in-block cumsum
+        chained off the carry.  Block detection compares against the BATCH
+        rank (a path-batched scalar frequency has the same ndim as the
+        batched state — ndim alone cannot distinguish them)."""
         a_c = jnp.asarray(a, jnp.complex128)
-        block = a_c.ndim > 0
+        block = a_c.ndim > jnp.ndim(nu_k)
         gamma = jnp.sqrt(kappa**2 - 2.0 * sigma**2 * a_c * 1j)
         e_g = jnp.exp(-gamma * T)
         zeta_g = (1.0 - e_g) / gamma

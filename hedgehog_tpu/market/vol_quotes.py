@@ -22,6 +22,7 @@ import math
 import warnings
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..calibration.calibration import CalibrationProblem, RootFinderAlgo
@@ -278,6 +279,21 @@ def resolve_quotes_batch(
     D = jnp.exp(-r * T)
     S = _spot_from_obs(underlying, D)
     F = _forward_from_obs(underlying, D)
+
+    # input validation mirroring the scalar VolQuote.build (vol_quotes.jl:
+    # 211-233) — skipped lane-wise only when values are traced (jit callers)
+    try:
+        import numpy as _np
+
+        if bool(_np.any(_np.asarray(T) <= 0.0)):
+            raise ValueError(
+                "all expiries must be after reference_date; got year-fractions "
+                f"min={float(_np.min(_np.asarray(T)))}"
+            )
+        if bool(_np.any(_np.asarray(S) <= 0.0)):
+            raise ValueError("underlying price must be positive")
+    except jax.errors.ConcretizationTypeError:  # pragma: no cover
+        pass
 
     shape = jnp.broadcast_shapes(
         strikes.shape, T.shape, jnp.shape(S), jnp.shape(cp), jnp.shape(r)

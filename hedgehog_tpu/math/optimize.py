@@ -7,8 +7,14 @@ LBFGS with AutoForwardDiff and mandatory box bounds for Heston
 Bounds are enforced by a smooth sigmoid reparameterization
 ``x = lb + (ub−lb)·σ(y)`` so the inner optimizer (optax.lbfgs with zoom
 linesearch) runs unconstrained; gradients come from ``jax.value_and_grad``
-through the full pricing pipeline.  The whole optimization is one
-``lax.scan`` — jit-able, and vmappable over many independent calibrations.
+through the full pricing pipeline.  The optimization runs in a bounded
+``lax.while_loop`` with early exit and honest convergence diagnostics —
+jit-able and vmappable, but NOT reverse-differentiable through the loop
+(optax's zoom linesearch is itself a while_loop, so unrolling would not
+help).  To differentiate quantities downstream of a calibration, use
+:func:`argmin_ift`, which reattaches gradients to the solved optimum via
+the implicit function theorem — the multivariate sibling of
+math/rootfind.py's ``implicit_root``.
 """
 
 from __future__ import annotations
@@ -19,7 +25,51 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["minimize_lbfgs", "LBFGSResult"]
+__all__ = ["minimize_lbfgs", "LBFGSResult", "argmin_ift"]
+
+
+def argmin_ift(fun: Callable, x_star, args):
+    """Differentiable view of a solved optimum (implicit function theorem).
+
+    Given ``x_star ≈ argmin_x fun(x, args)`` from ANY optimizer (e.g.
+    :func:`minimize_lbfgs`, whose while_loop is not reverse-differentiable),
+    returns ``x_star`` re-attached to the autodiff graph of ``args`` via the
+    first-order condition ∇ₓf(x*, args) = 0:
+
+        dx*/dargs = −H⁻¹ · ∂²f/∂x∂args,   H = ∇²ₓf(x*, args),
+
+    implemented as a custom VJP with one dense Hessian solve (calibration
+    parameter vectors are small, ≤ ~10).  The returned value equals
+    ``x_star`` exactly; only its gradients change.  Typical use::
+
+        res  = minimize_lbfgs(lambda x: loss(x, args), x0, lb, ub)
+        x_d  = argmin_ift(loss, res.x, args)      # differentiable optimum
+        risk = jax.grad(lambda a: downstream(argmin_ift(loss, res.x, a)))
+
+    Accuracy of the gradients degrades with the optimizer's residual
+    ‖∇ₓf(x*)‖ — check ``res.converged`` first.  For box-constrained solves
+    the IFT is valid while the optimum is interior (active bounds make the
+    first-order condition inequality-constrained).
+    """
+
+    @jax.custom_vjp
+    def _attach(x_star, args):
+        return x_star
+
+    def _fwd(x_star, args):
+        return x_star, (x_star, args)
+
+    def _bwd(res, g):
+        x_star, args = res
+        H = jax.hessian(fun, argnums=0)(x_star, args)
+        n = x_star.size
+        w = jnp.linalg.solve(H.reshape(n, n), g.reshape(n)).reshape(x_star.shape)
+        _, vjp_args = jax.vjp(lambda a: jax.grad(fun, argnums=0)(x_star, a), args)
+        (g_args,) = vjp_args(-w)
+        return jnp.zeros_like(x_star), g_args
+
+    _attach.defvjp(_fwd, _bwd)
+    return _attach(x_star, args)
 
 
 class LBFGSResult(NamedTuple):
@@ -63,8 +113,10 @@ def minimize_lbfgs(
     - ``iterations`` is the real count of L-BFGS steps taken.
 
     Returns the best iterate seen, in the original (constrained) space.
-    The while_loop is not reverse-differentiable; differentiate calibrated
-    quantities via the implicit function theorem (math/rootfind.py) instead.
+    The optimization is NOT reverse-differentiable (the loop — and optax's
+    zoom linesearch inside it — are while_loops); to differentiate
+    quantities downstream of a calibration, reattach gradients to the
+    solved optimum with :func:`argmin_ift` (implicit function theorem).
     """
     x0 = jnp.asarray(x0, jnp.float64)
     bounded = lb is not None or ub is not None

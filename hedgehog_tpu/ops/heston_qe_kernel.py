@@ -70,17 +70,27 @@ def _sobol_table(seed, n_dims: int):
     return table
 
 
-def _sobol_uniforms_tile(idx, sob_ref, dims):
+def _sobol_masks(idx):
+    """The 30 per-bit masks of the point-index tile, computed ONCE per
+    program — the index never changes across timesteps, so callers hoist
+    these out of their step loops (saves 2·BITS tile ops per step)."""
+    return [
+        (jax.lax.shift_right_logical(idx, jnp.int32(b)) & jnp.int32(1)) != 0
+        for b in range(_SOBOL_BITS)
+    ]
+
+
+def _sobol_uniforms_tile(masks, sob_ref, dims):
     """Per-lane Sobol' uniforms for the static dimension list ``dims``.
 
-    ``idx``: (ROWS, LANES) int32 point indices; x_{n,d} = ⊕_{bits b of n}
-    V[d,b], XOR digital shift, centered → (0, 1) fp32.  All table indices are
-    static, so every load is an SMEM scalar broadcast (no gathers)."""
-    accs = [jnp.zeros(idx.shape, jnp.int32) for _ in dims]
+    ``masks``: the precomputed per-bit index masks (:func:`_sobol_masks`);
+    x_{n,d} = ⊕_{bits b of n} V[d,b], XOR digital shift, centered → (0, 1)
+    fp32.  All table indices are static, so every load is an SMEM scalar
+    broadcast (no gathers)."""
+    accs = [jnp.zeros(masks[0].shape, jnp.int32) for _ in dims]
     for b in range(_SOBOL_BITS):
-        mask = (jax.lax.shift_right_logical(idx, jnp.int32(b)) & jnp.int32(1)) != 0
         for i, d in enumerate(dims):
-            accs[i] = jnp.where(mask, accs[i] ^ sob_ref[d, b], accs[i])
+            accs[i] = jnp.where(masks[b], accs[i] ^ sob_ref[d, b], accs[i])
     return [
         ((a ^ sob_ref[d, _SOBOL_BITS]).astype(jnp.float32) + 0.5) * _SOBOL_SCALE
         for a, d in zip(accs, dims)
@@ -256,6 +266,7 @@ def _qe_kernel_qmc(
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     idx = offset_ref[0] + pl.program_id(0) * jnp.int32(_ROWS * _LANES) + row * jnp.int32(_LANES) + lane
+    masks = _sobol_masks(idx)  # hoisted: the index is step-invariant
 
     x = jnp.full(shape, log_s0, dtype=jnp.float32)
     v = jnp.full(shape, v0, dtype=jnp.float32)
@@ -263,7 +274,7 @@ def _qe_kernel_qmc(
         xa, va = x, v
 
     for s in range(steps):
-        u1, u2, u3 = _sobol_uniforms_tile(idx, sob_ref, (3 * s, 3 * s + 1, 3 * s + 2))
+        u1, u2, u3 = _sobol_uniforms_tile(masks, sob_ref, (3 * s, 3 * s + 1, 3 * s + 2))
         z_v, z_x = _ndtri_approx(u1), _ndtri_approx(u2)
         x, v = _qe_advance(x, v, z_v, z_x, u3, c, mcorr=mcorr)
         if antithetic:
@@ -274,11 +285,35 @@ def _qe_kernel_qmc(
         out_ref[1] = jnp.exp(xa)
 
 
+def heston_qe_terminal(
+    log_s0, v0, r, kappa, theta, sigma, rho, dt,
+    *, n_paths: int, steps: int, seed, antithetic: bool = False, device_id=0,
+    martingale_correction: bool = True, qmc: bool = False, point_offset: int = 0,
+    interpret: bool = False,
+):
+    """Host-side wrapper: period guard on concrete offsets, then the jitted
+    kernel (see _heston_qe_terminal_impl for the full docstring)."""
+    if qmc and isinstance(point_offset, int):
+        block = _ROWS * _LANES
+        padded = -(-n_paths // block) * block
+        if point_offset + padded > 2**_SOBOL_BITS:
+            raise ValueError(
+                f"Sobol' period is 2^{_SOBOL_BITS} points; offset "
+                f"{point_offset} + {padded} paths would wrap"
+            )
+    return _heston_qe_terminal_impl(
+        log_s0, v0, r, kappa, theta, sigma, rho, dt,
+        n_paths=n_paths, steps=steps, seed=seed, antithetic=antithetic,
+        device_id=device_id, martingale_correction=martingale_correction,
+        qmc=qmc, point_offset=point_offset, interpret=interpret,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_paths", "steps", "antithetic", "martingale_correction", "qmc", "interpret"),
 )
-def heston_qe_terminal(
+def _heston_qe_terminal_impl(
     log_s0, v0, r, kappa, theta, sigma, rho, dt,
     *, n_paths: int, steps: int, seed, antithetic: bool = False, device_id=0,
     martingale_correction: bool = True, qmc: bool = False, point_offset: int = 0,
@@ -290,7 +325,10 @@ def heston_qe_terminal(
     ``qmc=True`` draws every (z_v, z_x, u) triple from a seed-randomized
     Sobol' sequence generated *inside the kernel* (point index = global path
     index + ``point_offset``), giving the flagship TPU path the QMC RMSE
-    gains of the pure-JAX samplers; antithetic pairs share points.
+    gains of the pure-JAX samplers; antithetic pairs share points.  Under
+    QMC ``device_id`` is deliberately unused (all devices randomize ONE
+    sequence) — multi-device callers distribute via disjoint
+    ``point_offset`` slices, as parallel/sharding.py does.
     """
     from ..models.heston_qe import qe_constants
 
@@ -298,12 +336,10 @@ def heston_qe_terminal(
     n_blocks = -(-n_paths // block)
     padded = n_blocks * block
     n_groups = 2 if antithetic else 1
-    if qmc and padded > 2**_SOBOL_BITS:
-        # per-call period guard; the global offset+size guard for sharded
-        # callers lives in parallel/sharding.py (offsets are traced here)
-        raise ValueError(
-            f"Sobol' period is 2^{_SOBOL_BITS} points; {padded} paths would wrap"
-        )
+    # period guarding happens in the host-side wrapper (concrete offsets)
+    # and in parallel/sharding.py (traced sharded offsets).  NOTE: device_id
+    # is deliberately unused under QMC (one shared randomized sequence) —
+    # multi-device callers pass disjoint point_offset slices.
 
     c = qe_constants(kappa, theta, sigma, rho, r, dt)
     params = jnp.stack(
@@ -631,10 +667,11 @@ def _qe_mixing_values_kernel_qmc(
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     idx = offset_ref[0] + pl.program_id(0) * jnp.int32(_ROWS * _LANES) + row * jnp.int32(_LANES) + lane
+    masks = _sobol_masks(idx)  # hoisted: the index is step-invariant
 
     carry = _mix_path_init(c, antithetic)
     for s in range(steps):
-        u1, u2 = _sobol_uniforms_tile(idx, sob_ref, (2 * s, 2 * s + 1))
+        u1, u2 = _sobol_uniforms_tile(masks, sob_ref, (2 * s, 2 * s + 1))
         z = _ndtri_approx(u1)
         if antithetic:
             v, iv, j, va, iva, ja = carry
@@ -649,25 +686,46 @@ def _qe_mixing_values_kernel_qmc(
         out_ref[1] = _cond_bs_value(carry[4], carry[5], c)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_paths", "steps", "antithetic", "qmc", "interpret"),
-)
 def heston_qe_mixing_values(
     log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp,
     *, n_paths: int, steps: int, seed, antithetic: bool = False, device_id=0,
     qmc: bool = False, point_offset: int = 0, interpret: bool = False,
 ):
+    """Host-side wrapper: period guard on concrete offsets, then the jitted
+    kernel (see _heston_qe_mixing_values_impl for the full docstring)."""
+    if qmc and isinstance(point_offset, int):
+        block = _ROWS * _LANES
+        padded = -(-n_paths // block) * block
+        if point_offset + padded > 2**_SOBOL_BITS:
+            raise ValueError(
+                f"Sobol' period is 2^{_SOBOL_BITS} points; offset "
+                f"{point_offset} + {padded} paths would wrap"
+            )
+    return _heston_qe_mixing_values_impl(
+        log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp,
+        n_paths=n_paths, steps=steps, seed=seed, antithetic=antithetic,
+        device_id=device_id, qmc=qmc, point_offset=point_offset,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_paths", "steps", "antithetic", "qmc", "interpret"),
+)
+def _heston_qe_mixing_values_impl(
+    log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp,
+    *, n_paths: int, steps: int, seed, antithetic: bool = False, device_id=0,
+    qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+):
     """Per-path UNDISCOUNTED conditional vanilla values ((n_groups, n_paths)
-    fp32) via the fused mixing kernel.  ``cp`` = +1 call / −1 put."""
+    fp32) via the fused mixing kernel.  ``cp`` = +1 call / −1 put.
+    Under QMC ``device_id`` is unused — distribute via disjoint
+    ``point_offset`` slices (see heston_qe_terminal)."""
     block = _ROWS * _LANES
     n_blocks = -(-n_paths // block)
     padded = n_blocks * block
     n_groups = 2 if antithetic else 1
-    if qmc and padded > 2**_SOBOL_BITS:
-        raise ValueError(
-            f"Sobol' period is 2^{_SOBOL_BITS} points; {padded} paths would wrap"
-        )
 
     params = _mix_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, steps, strike, cp)
     out_specs = pl.BlockSpec(

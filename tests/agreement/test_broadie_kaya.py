@@ -87,3 +87,24 @@ def test_bk_variance_moments():
     )
     assert float(jnp.mean(vt)) == pytest.approx(mean_expected, rel=5e-3)
     assert float(jnp.var(vt)) == pytest.approx(var_expected, rel=2e-2)
+
+
+def test_bk_scalar_scan_path_with_batched_paths():
+    """cf_terms not divisible by 8 forces the scalar-scan CF path, which
+    must handle path-batched states (regression: the block detector used
+    ndim>0 and mistook the batch axis for a frequency block, crashing)."""
+    import jax.numpy as jnp
+
+    from hedgehog_tpu.distributions.broadie_kaya import (
+        heston_integrated_variance_weights,
+    )
+
+    VT = jnp.array([0.03, 0.05, 0.041])
+    s100 = heston_integrated_variance_weights(VT, 0.04, 2.0, 0.04, 0.3, 1.0, 100)
+    s104 = heston_integrated_variance_weights(VT, 0.04, 2.0, 0.04, 0.3, 1.0, 104)
+    # scalar-scan (100) and block (104) paths must agree on shared weights
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(s100.weights), np.asarray(s104.weights[:100]), rtol=1e-12
+    )

@@ -5,6 +5,7 @@ differences) and <2× price cost on TPU (measured 1.62 on v5e; bench.py
 reports it every run)."""
 
 import datetime as dt
+import os
 import sys
 
 import jax
@@ -14,7 +15,8 @@ import pytest
 
 import hedgehog_tpu as hh
 
-sys.path.insert(0, "/root/repo")
+# bench.py lives at the repo root (two levels up from this test file)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 REF, EXPIRY = dt.date(2024, 1, 1), dt.date(2025, 1, 1)
 SPOT, STRIKE, R = 100.0, 100.0, 0.03

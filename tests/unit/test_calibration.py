@@ -143,3 +143,31 @@ def test_rect_vol_surface_from_prices_roundtrip():
     assert float(get_vol_yf(surf, 0.375, 90.0)) == pytest.approx(
         float(np.mean([0.30, 0.25, 0.32, 0.26])), abs=1e-10
     )
+
+
+def test_argmin_ift_gradients():
+    """argmin_ift reattaches gradients to a solved optimum via the implicit
+    function theorem: for f(x, c) = |x - c|^2 + 0.1|x|^2, x*(c) = c/1.1 so
+    dx*/dc = I/1.1 exactly; the while_loop optimizer itself is not
+    reverse-differentiable (optax zoom linesearch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hedgehog_tpu.math.optimize import argmin_ift, minimize_lbfgs
+
+    def f(x, c):
+        return jnp.sum((x - c) ** 2) + 0.1 * jnp.sum(x**2)
+
+    c0 = jnp.array([0.5, 0.7])
+    res = minimize_lbfgs(lambda x: f(x, c0), jnp.array([2.0, -1.0]), max_iters=60)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(c0) / 1.1, rtol=1e-6)
+
+    def downstream(c):
+        x_d = argmin_ift(f, res.x, c)
+        return jnp.sum(x_d**2)
+
+    g = jax.grad(downstream)(c0)
+    # d/dc |x*(c)|^2 = 2 x* . dx*/dc = 2 (c/1.1) / 1.1
+    expected = 2.0 * np.asarray(c0) / 1.1**2
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-5)

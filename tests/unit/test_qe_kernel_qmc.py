@@ -18,6 +18,7 @@ from jax.experimental.pallas import tpu as pltpu
 import hedgehog_tpu as hh
 from hedgehog_tpu.math.sobol import sobol_uniforms
 from hedgehog_tpu.ops.heston_qe_kernel import (
+    _sobol_masks,
     _LANES,
     _ROWS,
     _SOBOL_BITS,
@@ -40,7 +41,7 @@ def test_kernel_sobol_bit_exact_vs_reference_impl():
         row = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
         idx = off_ref[0] + row * jnp.int32(_LANES) + lane
-        us = _sobol_uniforms_tile(idx, sob_ref, tuple(range(dims)))
+        us = _sobol_uniforms_tile(_sobol_masks(idx), sob_ref, tuple(range(dims)))
         for d in range(dims):
             out_ref[d] = us[d]
 
@@ -141,3 +142,19 @@ def test_qmc_flag_via_solve_facade():
     m = hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(use_kernel=True), cfg)
     p = float(hh.solve(hh.PricingProblem(payoff, market), m).price)
     assert 8.0 < p < 11.0
+
+
+def test_qmc_offset_period_guard():
+    """A host-concrete point_offset participates in the period check (a
+    wrapped offset would silently reuse points)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from hedgehog_tpu.ops.heston_qe_kernel import heston_qe_terminal
+
+    with pytest.raises(ValueError, match="offset"):
+        heston_qe_terminal(
+            jnp.log(100.0), 0.04, 0.03, 2.0, 0.04, 0.3, -0.7, 0.1,
+            n_paths=32768, steps=2, seed=0, qmc=True,
+            point_offset=2**30 - 1000, interpret=True,
+        )

@@ -190,3 +190,28 @@ def test_surface_ctor_date_tenors():
             assert float(hh.get_vol_yf(surf_dates, T, K)) == pytest.approx(
                 float(hh.get_vol_yf(surf_yfs, T, K)), abs=1e-12
             )
+
+
+def test_batch_validation_mirrors_scalar_build():
+    """Expired rows / nonpositive underlying raise, matching VolQuote.build
+    (previously the batch path silently produced garbage IVs)."""
+    import datetime as dt
+
+    import jax.numpy as jnp
+    import pytest
+
+    from hedgehog_tpu import SpotObs, resolve_quotes_batch, to_ticks
+
+    ref = dt.date(2024, 6, 1)
+    good = to_ticks(dt.date(2024, 12, 1))
+    bad = to_ticks(dt.date(2024, 1, 1))  # before reference date
+    with pytest.raises(ValueError, match="after reference_date"):
+        resolve_quotes_batch(
+            jnp.array([100.0, 100.0]), jnp.array([good, bad], dtype=jnp.float64),
+            SpotObs(100.0), 0.03, ref, mid_price=jnp.array([5.0, 5.0]),
+        )
+    with pytest.raises(ValueError, match="positive"):
+        resolve_quotes_batch(
+            jnp.array([100.0]), jnp.array([good], dtype=jnp.float64),
+            SpotObs(-1.0), 0.03, ref, mid_price=jnp.array([5.0]),
+        )
