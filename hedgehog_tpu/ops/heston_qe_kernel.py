@@ -172,7 +172,8 @@ def _qe_advance(x, v, z_v, z_x, u, c, *, mcorr: bool = True):
     p = jnp.minimum(jnp.maximum((psi - 1.0) * _rcp(psi + 1.0), 0.0), 1.0 - 1e-6)
     one_m_p = 1.0 - p
     beta = one_m_p * inv_m
-    inv_beta = m_safe * _rcp(one_m_p)
+    # 1/beta = m*(psi+1)/2 (algebraic identity, one fewer _rcp)
+    inv_beta = m_safe * (psi + 1.0) * 0.5
     u_safe = jnp.minimum(jnp.maximum(u, 1e-7), 1.0 - 1e-7)
     v_exp = jnp.where(
         u_safe <= p,
@@ -536,7 +537,9 @@ def _qe_v_advance(v, z, u, c):
 
     p = jnp.minimum(jnp.maximum((psi - 1.0) * _rcp(psi + 1.0), 0.0), 1.0 - 1e-6)
     one_m_p = 1.0 - p
-    inv_beta = m_safe * _rcp(one_m_p)
+    # algebraic identity: 1/beta = m/(1-p) = m*(psi+1)/2 (one fewer _rcp;
+    # exact while the p-clamp is inactive, i.e. psi < 2e6 - always in fp32)
+    inv_beta = m_safe * (psi + 1.0) * 0.5
     u_safe = jnp.minimum(jnp.maximum(u, 1e-7), 1.0 - 1e-7)
     v_exp = jnp.where(
         u_safe <= p,
