@@ -109,6 +109,15 @@ def _basket_prices(basket: BasketPricingProblem, method):
 
     import jax
 
+    from ..core.solve import _conditional_basket_fast_path
+
+    # conditional-MC Heston vanillas: the WHOLE basket prices from one
+    # variance-path simulation (expiry-grouped mixing surface) — the
+    # cheapest differentiable objective for MC-direct calibration
+    fast = _conditional_basket_fast_path(basket, method)
+    if fast is not None:
+        return jnp.stack([s.price for s in fast.solutions])
+
     payoffs = basket.payoffs
     if len(payoffs) > 1 and _homogeneous_payoffs(payoffs):
         strikes = jnp.stack([jnp.asarray(p.strike, jnp.float64) for p in payoffs])

@@ -45,9 +45,84 @@ def _lookup(method: Any) -> Callable:
     raise TypeError(f"no solver registered for method {type(method).__name__}")
 
 
+def _conditional_basket_fast_path(problem, method):
+    """One-simulation basket pricing for conditional-MC Heston vanillas.
+
+    When every payoff is a European×Spot vanilla with a scalar strike, the
+    market is Heston, and the method is MonteCarlo(HestonQE(conditional=
+    True)), the whole basket prices from ONE variance-path simulation:
+    payoffs group by expiry, the V path runs through the sorted expiry
+    segments, and every (strike, cp) closes with the conditional BS formula
+    (methods/montecarlo._mixing_surface_rows).  All basket points share
+    paths — tighter smile/term shapes and one differentiable program, which
+    is exactly what CalibrationProblem objectives iterate on.
+
+    Returns None (→ generic per-payoff loop) whenever the structure doesn't
+    qualify or the expiry layout isn't host-static.
+    """
+    import jax
+
+    from ..core.dates import yearfrac
+    from ..core.payoffs import European, Spot, VanillaOption
+    from ..market.inputs import HestonInputs
+    from ..methods.montecarlo import HestonQE, MonteCarlo, _mixing_surface_rows
+
+    market = problem.market_inputs
+    if not (
+        isinstance(method, MonteCarlo)
+        and isinstance(method.strategy, HestonQE)
+        and method.strategy.conditional
+        and not method.strategy.use_kernel
+        and isinstance(market, HestonInputs)
+    ):
+        return None
+    payoffs = problem.payoffs
+    import jax.numpy as jnp
+
+    for p in payoffs:
+        if not (
+            isinstance(p, VanillaOption)
+            and isinstance(p.exercise_style, European)
+            and isinstance(p.underlying, Spot)
+            and jnp.ndim(p.strike) == 0
+        ):
+            return None
+    try:
+        T_all = [float(yearfrac(market.reference_date, p.expiry)) for p in payoffs]
+    except jax.errors.ConcretizationTypeError:
+        return None
+    if min(T_all) <= 0.0:
+        return None
+
+    T_sorted = sorted(set(T_all))
+    groups = {t: [] for t in T_sorted}  # expiry → list of payoff indices
+    for idx, t in enumerate(T_all):
+        groups[t].append(idx)
+    per_strikes = [jnp.stack([jnp.asarray(payoffs[i].strike) for i in groups[t]]) for t in T_sorted]
+    per_cp = [jnp.asarray([payoffs[i].call_put() for i in groups[t]]) for t in T_sorted]
+
+    rows = _mixing_surface_rows(market, T_sorted, per_strikes, per_cp, method.config)
+    prices = [None] * len(payoffs)
+    for row, t in zip(rows, T_sorted):
+        for pos, idx in enumerate(groups[t]):
+            prices[idx] = row[pos]
+
+    from ..core.problems import MonteCarloSolution
+
+    sols = tuple(
+        MonteCarloSolution(PricingProblem(p, market), method, prices[i], None)
+        for i, p in enumerate(payoffs)
+    )
+    return BasketPricingSolution(problem, sols)
+
+
 def solve(problem: Any, method: Any, *args: Any, **kwargs: Any):
     """Solve a pricing / greek / calibration problem with the given method."""
     if isinstance(problem, BasketPricingProblem) and isinstance(method, AbstractPricingMethod):
+        if not args and not kwargs:
+            fast = _conditional_basket_fast_path(problem, method)
+            if fast is not None:
+                return fast
         sols = tuple(
             solve(PricingProblem(payoff, problem.market_inputs), method, *args, **kwargs)
             for payoff in problem.payoffs

@@ -487,8 +487,27 @@ def heston_surface_mc(
             "expiries must be strictly increasing and after the reference "
             f"date; got year-fractions {T_host}"
         )
-    r0 = zero_rate_yf(market.rate, 0.0)
     strikes = jnp.asarray(strikes)
+    rows = _mixing_surface_rows(
+        market, T_host, [strikes] * n_exp, [cp] * n_exp, config,
+        key=key, point_offset=point_offset,
+    )
+    return jnp.stack(rows)
+
+
+def _mixing_surface_rows(
+    market, T_host, per_exp_strikes, per_exp_cp, config, key=None, point_offset=0
+):
+    """Core of the one-simulation surface: ONE variance path through
+    per-expiry segments; at expiry i the (∫V, ∫√V dW) carries close the
+    (possibly ragged) strike array ``per_exp_strikes[i]`` with per-point
+    call/put signs ``per_exp_cp[i]``.  Returns a list of per-expiry
+    DISCOUNTED price rows (shapes (m_i,)).  ``T_host``: host floats,
+    strictly increasing."""
+    from ..models.heston_qe import qe_constants, qe_v_step
+
+    n_exp = len(T_host)
+    r0 = zero_rate_yf(market.rate, 0.0)
 
     # proportional step allocation over segments (static — T_host is host data)
     T_total = T_host[-1]
@@ -542,12 +561,15 @@ def heston_surface_mc(
         var = jnp.maximum((1.0 - rho**2) * iv, 1e-18)
         sd = jnp.sqrt(var)
         f_b, sd_b, var_b = f_eff[:, None, :], sd[:, None, :], var[:, None, :]
-        k_b = strikes[None, :, None]
+        k_b = jnp.asarray(per_exp_strikes[i])[None, :, None]
+        cp_b = jnp.asarray(per_exp_cp[i])
+        if cp_b.ndim > 0:
+            cp_b = cp_b[None, :, None]  # per-point call/put signs
         d1 = (jnp.log(f_b / k_b) + 0.5 * var_b) / sd_b
         d2 = d1 - sd_b
-        vals = cp * (f_b * ncdf(cp * d1) - k_b * ncdf(cp * d2))
+        vals = cp_b * (f_b * ncdf(cp_b * d1) - k_b * ncdf(cp_b * d2))
         rows.append(df_yf(market.rate, T_host[i]) * jnp.mean(vals, axis=(0, -1)))
-    return jnp.stack(rows)
+    return rows
 
 
 def simulate_conditional_values(

@@ -345,6 +345,72 @@ def test_heston_surface_mc_validation_and_grad():
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+def test_conditional_basket_fast_path():
+    """solve(BasketPricingProblem, MonteCarlo(conditional)) prices every
+    vanilla (mixed calls/puts, mixed expiries) from ONE simulation; each
+    price must match Carr-Madan, and non-qualifying baskets fall back to
+    the generic per-payoff loop."""
+    from hedgehog_tpu import BasketPricingProblem, CarrMadan
+
+    payoffs = []
+    for e in (dt.date(2020, 7, 1), EXPIRY):
+        for k, cp in ((90.0, Call()), (100.0, Put()), (110.0, Call())):
+            payoffs.append(VanillaOption(k, e, European(), cp, Spot()))
+    basket = BasketPricingProblem(tuple(payoffs), MARKET)
+    cfg = SimulationConfig(
+        trajectories=40_000, steps=24, variance_reduction=Antithetic(), seed=3, qmc=True
+    )
+    method = MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg)
+    sol = solve(basket, method)
+    assert len(sol.solutions) == 6
+    for p, s in zip(payoffs, sol.solutions):
+        cm = float(
+            solve(PricingProblem(p, MARKET), CarrMadan(1.0, "auto", HestonDynamics())).price
+        )
+        assert float(s.price) == pytest.approx(cm, rel=8e-3), float(p.strike)
+
+    # non-conditional method → generic loop still used and works
+    s2 = solve(BasketPricingProblem((payoffs[0],), MARKET),
+               MonteCarlo(HestonDynamics(), HestonQE(), cfg))
+    assert jnp.isfinite(s2.solutions[0].price)
+
+
+def test_calibration_through_conditional_mc_public_api():
+    """CalibrationProblem + OptimizerAlgo with the conditional MC method:
+    the reference-parity public API calibrates THROUGH the Monte Carlo
+    pricer (basket fast path: one simulation per objective evaluation)."""
+    from hedgehog_tpu import (
+        BasketPricingProblem,
+        CalibrationProblem,
+        FieldLens,
+        OptimizerAlgo,
+    )
+
+    strikes = [85.0, 95.0, 100.0, 105.0, 120.0]
+    payoffs = tuple(
+        VanillaOption(k, EXPIRY, European(), Call(), Spot()) for k in strikes
+    )
+    quotes = jnp.asarray([_cm_price(_prob_k(k)) for k in strikes])
+    cfg = SimulationConfig(
+        trajectories=20_000, steps=12, variance_reduction=Antithetic(), seed=0, qmc=True
+    )
+    method = MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg)
+
+    guess_market = HestonInputs(REF, 0.03, 100.0, 0.09, 2.0, 0.04, 0.6, -0.7)
+    calib = CalibrationProblem(
+        BasketPricingProblem(payoffs, guess_market),
+        quotes,
+        jnp.asarray([0.09, 0.6]),
+        method,
+        (FieldLens("market_inputs.V0"), FieldLens("market_inputs.sigma")),
+    )
+    res = solve(
+        calib, OptimizerAlgo(), lb=jnp.asarray([1e-3, 0.05]), ub=jnp.asarray([0.5, 1.5])
+    )
+    assert float(res.u[0]) == pytest.approx(0.04, rel=5e-2)
+    assert float(res.u[1]) == pytest.approx(0.30, rel=5e-2)
+
+
 def test_mixing_kernel_interpret_matches_pure_jax():
     """The QMC mixing kernel (interpret mode) draws the SAME randomized
     Sobol' points as the pure-JAX estimator (shared digital shift), so
