@@ -87,6 +87,8 @@ def _conditional_basket_fast_path(problem, method):
             and jnp.ndim(p.strike) == 0
         ):
             return None
+    if not payoffs:
+        return None  # generic loop returns the empty BasketPricingSolution
     try:
         T_all = [float(yearfrac(market.reference_date, p.expiry)) for p in payoffs]
     except jax.errors.ConcretizationTypeError:

@@ -281,15 +281,19 @@ def resolve_quotes_batch(
     F = _forward_from_obs(underlying, D)
 
     # input validation mirroring the scalar VolQuote.build (vol_quotes.jl:
-    # 211-233) — skipped lane-wise only when values are traced (jit callers)
-    try:
-        import numpy as _np
+    # 211-233) — each check independently skipped only when ITS value is
+    # traced (a traced T must not mask a concrete bad underlying)
+    import numpy as _np
 
+    try:
         if bool(_np.any(_np.asarray(T) <= 0.0)):
             raise ValueError(
                 "all expiries must be after reference_date; got year-fractions "
                 f"min={float(_np.min(_np.asarray(T)))}"
             )
+    except jax.errors.ConcretizationTypeError:  # pragma: no cover
+        pass
+    try:
         if bool(_np.any(_np.asarray(S) <= 0.0)):
             raise ValueError("underlying price must be positive")
     except jax.errors.ConcretizationTypeError:  # pragma: no cover

@@ -465,34 +465,46 @@ def heston_surface_mc(
     """
     from ..models.heston_qe import qe_constants, qe_v_step
 
-    ref = market.reference_date
     n_exp = len(expiries)
-    if n_exp == 0:
-        raise ValueError("need at least one expiry")
-    # the segment/step structure must be STATIC (python floats, never jnp —
-    # a jnp constant inside a jit trace is a tracer and would break the
-    # host-side step allocation); that requires a concrete reference date
-    try:
-        T_host = [float(yearfrac(ref, e)) for e in expiries]
-    except jax.errors.ConcretizationTypeError as exc:  # pragma: no cover
-        raise TypeError(
-            "heston_surface_mc needs a concrete reference date to lay out "
-            "the expiry/step grid; don't pass the market (or its "
-            "reference_date) as a traced jit argument — close over it or "
-            "mark it static"
-        ) from exc
-    increasing = all(T_host[i] < T_host[i + 1] for i in range(n_exp - 1))
-    if not increasing or T_host[0] <= 0.0:
-        raise ValueError(
-            "expiries must be strictly increasing and after the reference "
-            f"date; got year-fractions {T_host}"
-        )
+    T_host = validate_surface_expiries(market, expiries)
     strikes = jnp.asarray(strikes)
     rows = _mixing_surface_rows(
         market, T_host, [strikes] * n_exp, [cp] * n_exp, config,
         key=key, point_offset=point_offset,
     )
     return jnp.stack(rows)
+
+
+def surface_seg_steps(T_host, steps: int):
+    """Static per-segment step allocation shared by the pure-JAX surface and
+    the TPU surface kernel (biases match because this is the ONE place the
+    rounding rule lives): proportional to segment length, min 1/segment."""
+    T_total = T_host[-1]
+    seg_len = [T_host[0]] + [T_host[i + 1] - T_host[i] for i in range(len(T_host) - 1)]
+    return seg_len, [max(1, round(steps * s / T_total)) for s in seg_len]
+
+
+def validate_surface_expiries(market, expiries):
+    """Host-static expiry year-fractions with the surface contract checks
+    (concrete reference date, strictly increasing, after the reference);
+    shared by the pure-JAX surface and the TPU adapter."""
+    if len(expiries) == 0:
+        raise ValueError("need at least one expiry")
+    try:
+        T_host = [float(yearfrac(market.reference_date, e)) for e in expiries]
+    except jax.errors.ConcretizationTypeError as exc:
+        raise TypeError(
+            "surface pricing needs a concrete reference date to lay out the "
+            "expiry/step grid; don't pass the market (or its reference_date) "
+            "as a traced jit argument — close over it or mark it static"
+        ) from exc
+    increasing = all(T_host[i] < T_host[i + 1] for i in range(len(T_host) - 1))
+    if not increasing or T_host[0] <= 0.0:
+        raise ValueError(
+            "expiries must be strictly increasing and after the reference "
+            f"date; got year-fractions {T_host}"
+        )
+    return T_host
 
 
 def _mixing_surface_rows(
@@ -509,10 +521,7 @@ def _mixing_surface_rows(
     n_exp = len(T_host)
     r0 = zero_rate_yf(market.rate, 0.0)
 
-    # proportional step allocation over segments (static — T_host is host data)
-    T_total = T_host[-1]
-    seg_len = [T_host[0]] + [T_host[i + 1] - T_host[i] for i in range(n_exp - 1)]
-    seg_steps = [max(1, round(config.steps * s / T_total)) for s in seg_len]
+    seg_len, seg_steps = surface_seg_steps(T_host, config.steps)
     total_steps = sum(seg_steps)
 
     anti = isinstance(config.variance_reduction, Antithetic)

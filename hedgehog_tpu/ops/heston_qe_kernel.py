@@ -48,6 +48,10 @@ _PSI_CRIT = 1.5
 _SOBOL_BITS = 30
 _SOBOL_SCALE = 2.0**-_SOBOL_BITS
 
+import numpy as _np  # noqa: E402
+
+_np_int = _np.integer
+
 
 def _sobol_table(seed, n_dims: int):
     """(n_dims, 31) int32 host-side table: Joe-Kuo directions + digital shift.
@@ -172,8 +176,8 @@ def _qe_advance(x, v, z_v, z_x, u, c, *, mcorr: bool = True):
     p = jnp.minimum(jnp.maximum((psi - 1.0) * _rcp(psi + 1.0), 0.0), 1.0 - 1e-6)
     one_m_p = 1.0 - p
     beta = one_m_p * inv_m
-    # 1/beta = m*(psi+1)/2 (algebraic identity, one fewer _rcp)
-    inv_beta = m_safe * (psi + 1.0) * 0.5
+    # 1/beta = m*(psi+1)/2 capped at the old p-clamp bound (see _qe_v_advance)
+    inv_beta = m_safe * jnp.minimum((psi + 1.0) * 0.5, 1e6)
     u_safe = jnp.minimum(jnp.maximum(u, 1e-7), 1.0 - 1e-7)
     v_exp = jnp.where(
         u_safe <= p,
@@ -294,7 +298,7 @@ def heston_qe_terminal(
 ):
     """Host-side wrapper: period guard on concrete offsets, then the jitted
     kernel (see _heston_qe_terminal_impl for the full docstring)."""
-    if qmc and isinstance(point_offset, int):
+    if qmc and isinstance(point_offset, (int, _np_int)):
         block = _ROWS * _LANES
         padded = -(-n_paths // block) * block
         if point_offset + padded > 2**_SOBOL_BITS:
@@ -337,10 +341,15 @@ def _heston_qe_terminal_impl(
     n_blocks = -(-n_paths // block)
     padded = n_blocks * block
     n_groups = 2 if antithetic else 1
-    # period guarding happens in the host-side wrapper (concrete offsets)
-    # and in parallel/sharding.py (traced sharded offsets).  NOTE: device_id
-    # is deliberately unused under QMC (one shared randomized sequence) —
-    # multi-device callers pass disjoint point_offset slices.
+    if qmc and padded > 2**_SOBOL_BITS:
+        # size-only backstop for traced offsets; the offset+size check lives
+        # in the host wrapper (concrete offsets) and parallel/sharding.py
+        # (sharded offsets).  NOTE: device_id is deliberately unused under
+        # QMC (one shared randomized sequence) — multi-device callers pass
+        # disjoint point_offset slices.
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {padded} paths would wrap"
+        )
 
     c = qe_constants(kappa, theta, sigma, rho, r, dt)
     params = jnp.stack(
@@ -537,9 +546,10 @@ def _qe_v_advance(v, z, u, c):
 
     p = jnp.minimum(jnp.maximum((psi - 1.0) * _rcp(psi + 1.0), 0.0), 1.0 - 1e-6)
     one_m_p = 1.0 - p
-    # algebraic identity: 1/beta = m/(1-p) = m*(psi+1)/2 (one fewer _rcp;
-    # exact while the p-clamp is inactive, i.e. psi < 2e6 - always in fp32)
-    inv_beta = m_safe * (psi + 1.0) * 0.5
+    # algebraic identity: 1/beta = m/(1-p) = m*(psi+1)/2, capped where the
+    # p-clamp (1-1e-6) would have bounded the old m*rcp(1-p) form — psi CAN
+    # exceed 2e6 in Feller-violating corners (m floored at 1e-20)
+    inv_beta = m_safe * jnp.minimum((psi + 1.0) * 0.5, 1e6)
     u_safe = jnp.minimum(jnp.maximum(u, 1e-7), 1.0 - 1e-7)
     v_exp = jnp.where(
         u_safe <= p,
@@ -696,7 +706,7 @@ def heston_qe_mixing_values(
 ):
     """Host-side wrapper: period guard on concrete offsets, then the jitted
     kernel (see _heston_qe_mixing_values_impl for the full docstring)."""
-    if qmc and isinstance(point_offset, int):
+    if qmc and isinstance(point_offset, (int, _np_int)):
         block = _ROWS * _LANES
         padded = -(-n_paths // block) * block
         if point_offset + padded > 2**_SOBOL_BITS:
@@ -730,6 +740,10 @@ def _heston_qe_mixing_values_impl(
     padded = n_blocks * block
     n_groups = 2 if antithetic else 1
 
+    if qmc and padded > 2**_SOBOL_BITS:
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {padded} paths would wrap"
+        )
     params = _mix_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, steps, strike, cp)
     out_specs = pl.BlockSpec(
         (n_groups, _ROWS, _LANES),
@@ -855,7 +869,7 @@ def _surf_params(log_s0, v0, r, kappa, theta, sigma, rho, T_host, seg_steps, str
     return jnp.stack([jnp.float32(x) for x in entries])
 
 
-def _surf_c(params_ref, i: int, n_exp: int, m: int):
+def _surf_c(params_ref, i: int):
     """Per-segment constants dict (mirrors _mix_c) from the SMEM layout."""
     base = _SURF_GLOBALS + _SURF_PER_SEG * i
     return dict(
@@ -878,13 +892,13 @@ def _qe_mixing_surface_kernel(
     lfk_off = k_off + m
 
     def one_batch(_, acc):
-        c0 = _surf_c(params_ref, 0, n_exp, m)
+        c0 = _surf_c(params_ref, 0)
         v = jnp.full(shape, c0["v0"], dtype=jnp.float32)
         zero = jnp.zeros(shape, dtype=jnp.float32)
         carry = (v, zero, zero, v, zero, zero)
         folds = []
         for i, steps_i in enumerate(seg_steps):
-            c = _surf_c(params_ref, i, n_exp, m)
+            c = _surf_c(params_ref, i)
             carry = jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(steps_i // 2),
                 lambda _, cr, c=c: _mix_double_step_prng(cr, c, True), carry,
@@ -892,7 +906,6 @@ def _qe_mixing_surface_kernel(
             if steps_i % 2:
                 carry = _mix_single_step_prng(carry, c, True)
             _, iv, j, _, iva, ja = carry
-            cp = c["cp"]
             for k in range(m):
                 ck = dict(c, f_base=params_ref[f_off + i],
                           strike=params_ref[k_off + k],
@@ -954,19 +967,31 @@ def heston_qe_mixing_surface_price(
 
 def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None):
     """TPU adapter: kernel-side surface with the SAME segment/step allocation
-    as the pure-JAX :func:`hedgehog_tpu.heston_surface_mc` (so biases match);
-    falls back to the pure-JAX estimator off-TPU."""
-    from ..core.dates import yearfrac
-    from ..market.rate_curve import df_yf, zero_rate_yf
-    from ..methods.montecarlo import heston_surface_mc
+    as the pure-JAX :func:`hedgehog_tpu.heston_surface_mc` (one shared
+    rounding rule, so biases match).
 
-    if jax.default_backend() != "tpu":
+    The fused kernel path is on-chip-PRNG + antithetic only; runs requesting
+    ``qmc=True`` or no variance reduction route to the pure-JAX estimator
+    (on any backend), as do off-TPU runs.  ``seed`` overrides ``config.seed``
+    on every path."""
+    import dataclasses
+
+    from ..market.rate_curve import df_yf, zero_rate_yf
+    from ..methods.montecarlo import (
+        Antithetic,
+        heston_surface_mc,
+        surface_seg_steps,
+        validate_surface_expiries,
+    )
+
+    T_host = validate_surface_expiries(market, expiries)
+    if seed is not None:
+        config = dataclasses.replace(config, seed=seed)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if jax.default_backend() != "tpu" or config.qmc or not anti:
         return heston_surface_mc(market, expiries, strikes, config, cp=cp)
-    ref = market.reference_date
-    T_host = [float(yearfrac(ref, e)) for e in expiries]
-    T_total = T_host[-1]
-    seg_len = [T_host[0]] + [T_host[i + 1] - T_host[i] for i in range(len(T_host) - 1)]
-    seg_steps = tuple(max(1, round(config.steps * s / T_total)) for s in seg_len)
+    seg_len, seg_steps = surface_seg_steps(T_host, config.steps)
+    seg_steps = tuple(seg_steps)
     r0 = zero_rate_yf(market.rate, 0.0)
     discounts = jnp.stack([df_yf(market.rate, t) for t in T_host])
     block = _ROWS * _LANES
@@ -977,7 +1002,7 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None):
         jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
         market.sigma, market.rho, tuple(T_host), jnp.asarray(strikes), discounts,
         seg_steps=seg_steps, n_strikes=len(strikes), n_blocks=n_blocks,
-        n_batches=n_batches, seed=config.seed if seed is None else seed, cp=cp,
+        n_batches=n_batches, seed=config.seed, cp=cp,
     )
 
 
