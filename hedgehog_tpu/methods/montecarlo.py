@@ -463,8 +463,6 @@ def heston_surface_mc(
     ``expiries``: dates/ticks, strictly increasing.  ``cp``: +1 call / −1
     put (scalar, applies to the whole surface).
     """
-    from ..models.heston_qe import qe_constants, qe_v_step
-
     n_exp = len(expiries)
     T_host = validate_surface_expiries(market, expiries)
     strikes = jnp.asarray(strikes)
