@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..core.problems import BasketPricingProblem, PricingProblem
 from ..core.solve import register_solver, solve
 from ..math.optimize import minimize_lbfgs
-from ..math.rootfind import implicit_root
+from ..math.rootfind import implicit_root_full
 from ..utils.pytree import pytree, static_field
 
 __all__ = ["CalibrationProblem", "OptimizerAlgo", "RootFinderAlgo", "CalibrationSolution"]
@@ -167,7 +167,15 @@ def _solve_calibration_root(calib: CalibrationProblem, algo: RootFinderAlgo):
     def f(x):
         return solve(lens.set(prob, x), calib.pricing_method).price - quotes[0]
 
-    root = implicit_root(f, algo.lo, algo.hi, iters=algo.iters)
-    # loss intentionally not evaluated: it would cost one extra full pricing
-    # solve per calibration for a diagnostic most callers never read
-    return CalibrationSolution(calib, jnp.asarray([root])[0], loss=jnp.nan)
+    res = implicit_root_full(f, algo.lo, algo.hi, iters=algo.iters)
+    # diagnostics come free from the solve (calibration.jl:126-145 parity
+    # with OptimizerAlgo's loss/converged fields): the residual is f at the
+    # bisection root — already evaluated by the IFT Newton polish — and
+    # converged records whether the bracket actually contained a sign change
+    return CalibrationSolution(
+        calib,
+        jnp.asarray([res.root])[0],
+        loss=res.residual**2,
+        converged=res.converged,
+        iterations=algo.iters,
+    )

@@ -66,10 +66,15 @@ def _conditional_basket_fast_path(problem, method):
     from ..core.payoffs import European, Spot, VanillaOption
     from ..market.inputs import HestonInputs
     from ..methods.montecarlo import HestonQE, MonteCarlo, _mixing_surface_rows
+    from ..models.dynamics import HestonDynamics
 
     market = problem.market_inputs
     if not (
         isinstance(method, MonteCarlo)
+        # dynamics must qualify too: per-payoff dispatch rejects e.g. a
+        # (LognormalDynamics, HestonQE(conditional=True)) method object, so
+        # the basket path must not silently price it as Heston conditional MC
+        and isinstance(method.dynamics, HestonDynamics)
         and isinstance(method.strategy, HestonQE)
         and method.strategy.conditional
         and not method.strategy.use_kernel

@@ -63,7 +63,17 @@ def argmin_ift(fun: Callable, x_star, args):
         x_star, args = res
         H = jax.hessian(fun, argnums=0)(x_star, args)
         n = x_star.size
-        w = jnp.linalg.solve(H.reshape(n, n), g.reshape(n)).reshape(x_star.shape)
+        # Plain-arithmetic solve (math/linalg.py): jnp.linalg.solve lowers to
+        # an LU custom call that TPU only implements for f32/c64, so under
+        # this package's f64 default it fails to compile on the target
+        # hardware (and under vmapped cotangents, e.g. jax.jacobian of a
+        # calibrated optimum).  The Hessian at an interior optimum is SPD;
+        # symmetrize + ridge guard the nearly-converged case.
+        from .linalg import cholesky_solve_small
+
+        Hs = 0.5 * (H.reshape(n, n) + H.reshape(n, n).T)
+        Hs = Hs + 1e-12 * jnp.eye(n, dtype=Hs.dtype) * jnp.trace(Hs)
+        w = cholesky_solve_small(Hs, g.reshape(n)).reshape(x_star.shape)
         _, vjp_args = jax.vjp(lambda a: jax.grad(fun, argnums=0)(x_star, a), args)
         (g_args,) = vjp_args(-w)
         return jnp.zeros_like(x_star), g_args

@@ -15,12 +15,20 @@ Newton→bisection fallback chain).  Design per SURVEY §7:
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["bisect_root", "implicit_root"]
+__all__ = ["bisect_root", "implicit_root", "implicit_root_full", "RootResult"]
+
+
+class RootResult(NamedTuple):
+    """Root plus the diagnostics the solve produced for free."""
+
+    root: jnp.ndarray
+    converged: jnp.ndarray  # a sign change existed on the initial bracket
+    residual: jnp.ndarray  # f at the bisection root (pre-polish)
 
 
 def _bisect_root_impl(f: Callable, lo, hi, iters: int):
@@ -67,6 +75,15 @@ def implicit_root(f: Callable, lo, hi, iters: int = 80):
     while its derivative w.r.t. any traced parameter captured in ``f`` equals
     the implicit-function-theorem sensitivity ``−f_θ/f_x``.
     """
+    return implicit_root_full(f, lo, hi, iters).root
+
+
+def implicit_root_full(f: Callable, lo, hi, iters: int = 80) -> RootResult:
+    """:func:`implicit_root` plus free diagnostics (no extra ``f`` evals):
+    ``converged`` = a sign change existed on the bracket (without one the
+    result is the clamp endpoint, calibration.jl:126-145 semantics), and
+    ``residual`` = f at the bisection root — already computed by the Newton
+    polish, so reporting it costs nothing."""
     root, bracketed = _bisect_root_impl(f, lo, hi, iters)
     x_star = jax.lax.stop_gradient(root)
     bracketed = jax.lax.stop_gradient(bracketed)
@@ -78,4 +95,8 @@ def implicit_root(f: Callable, lo, hi, iters: int = 80):
     # Unbracketed targets (e.g. a quote outside the attainable price range)
     # must not be extrapolated by the polish: return the clamp endpoint, the
     # reference's fall-back-with-warn behavior (sample_from_cf.jl:124-127).
-    return jnp.where(bracketed, polished, x_star)
+    return RootResult(
+        root=jnp.where(bracketed, polished, x_star),
+        converged=bracketed,
+        residual=jax.lax.stop_gradient(fx),
+    )

@@ -142,6 +142,16 @@ def _quad_nodes(prob: PricingProblem, method: "CarrMadan"):
                 f"string bound must be 'auto', got {bound!r} (pass a float "
                 "for a fixed truncation)"
             )
+        if method.quadrature == "gl":
+            # the auto bound can reach ~1e9 for short-dated/low-vol inputs;
+            # a single Gauss-Legendre rule spreads its nodes over the whole
+            # interval and silently misses the O(1)-wide α-peak.  Only the
+            # two-scale panel rule is bound-independent.
+            raise ValueError(
+                "quadrature='gl' cannot resolve the bound='auto' interval "
+                "(the α-peak is O(1) wide while the auto bound scales like "
+                "16/(σ√T)); use quadrature='panel' or pass a fixed bound"
+            )
         bound = _auto_bound(prob, method.dynamics)
     if method.quadrature == "panel":
         return _panel_nodes(bound, method.nodes)

@@ -42,6 +42,17 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
     market = prob.market_inputs
     steps = method.steps
 
+    if jnp.ndim(payoff.strike) > 0:
+        # Strike grid: one tree per strike, batched along a LEADING strike
+        # axis with the node axis last — the same in-method grid contract as
+        # BS/Carr-Madan/conditional-MC.  The tree value vector becomes
+        # (m, steps+1); per-strike vols (RectVolSurface smiles) make u/p
+        # (m, 1) and broadcast cleanly through the backward contraction.
+        import dataclasses
+
+        payoff = dataclasses.replace(payoff, strike=jnp.asarray(payoff.strike)[:, None])
+        prob = PricingProblem(payoff, market)
+
     sigma = get_vol(market.sigma, payoff.expiry, payoff.strike)
     T = yearfrac(market.reference_date, payoff.expiry)
     D_T = df(market.rate, payoff.expiry)
@@ -62,7 +73,7 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
 
     def step_fn(value, i):
         # i runs steps-1 … 0. Contraction: v'[j] = disc·(p·v[j+1] + (1-p)·v[j]).
-        v_up = jnp.roll(value, -1)  # v[j+1]; last slot garbage, never consumed
+        v_up = jnp.roll(value, -1, axis=-1)  # v[j+1]; last slot garbage, never consumed
         continuation = step_discount * (p * v_up + (1.0 - p) * value)
         if is_american:
             fwd_nodes = forward * u ** (2 * j - i)
@@ -79,4 +90,4 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
 
     steps_rev = jnp.arange(steps - 1, -1, -1)
     value_final, _ = jax.lax.scan(step_fn, value0, steps_rev)
-    return CRRSolution(prob, method, value_final[0])
+    return CRRSolution(prob, method, value_final[..., 0])

@@ -602,7 +602,7 @@ def simulate_conditional_values(
         from ..ops.heston_qe_kernel import heston_qe_mixing_values_pallas
 
         return heston_qe_mixing_values_pallas(
-            prob, config, strat, device_id=device_id, point_offset=point_offset
+            prob, config, strat, key=key, device_id=device_id, point_offset=point_offset
         )
     return _heston_qe_mixing_values(prob, config, key, point_offset=point_offset)
 
@@ -613,9 +613,9 @@ def mc_path_values(
     """Per-path undiscounted value estimates, antithetic groups averaged —
     the uniform interface the solve facade and the sharded pricer reduce
     over, covering both terminal-sample strategies and the conditional
-    mixing estimator.  Shape ``(paths,)``, except an array-strike payoff
-    under ``HestonQE(conditional=True)`` which returns ``(m, paths)`` (the
-    path axis is always LAST — reduce over ``axis=-1``)."""
+    mixing estimator.  Shape ``(paths,)`` for scalar strikes; an array-strike
+    payoff returns ``(m, paths)`` under every strategy — the strikes share
+    one sample set (the path axis is always LAST — reduce over ``axis=-1``)."""
     strat = method.strategy
     if isinstance(strat, HestonQE) and strat.conditional:
         values = simulate_conditional_values(
@@ -672,27 +672,27 @@ def simulate_terminal_prices(
                 # flag.
                 from ..ops.gbm_kernel import gbm_exact_terminal_pallas
 
-                return gbm_exact_terminal_pallas(prob, config, device_id=device_id)
+                return gbm_exact_terminal_pallas(prob, config, key=key, device_id=device_id)
             return _gbm_euler_paths(prob, config, _base_key(config, key), return_grid=False, point_offset=point_offset)
         if isinstance(dyn, HestonDynamics):
             if strat.use_kernel:
                 from ..ops.heston_kernel import heston_euler_terminal_pallas
 
-                return heston_euler_terminal_pallas(prob, config, device_id=device_id)
+                return heston_euler_terminal_pallas(prob, config, key=key, device_id=device_id)
             return _heston_euler_paths(prob, config, _base_key(config, key), return_grid=False, point_offset=point_offset)
     if isinstance(strat, HestonQE) and isinstance(dyn, HestonDynamics):
         if strat.use_kernel:
             from ..ops.heston_qe_kernel import heston_qe_terminal_pallas
 
             return heston_qe_terminal_pallas(
-                prob, config, strat, device_id=device_id, point_offset=point_offset
+                prob, config, strat, key=key, device_id=device_id, point_offset=point_offset
             )
         return _heston_qe_paths(prob, config, key, strat, return_grid=False, point_offset=point_offset)
     if isinstance(strat, BlackScholesExact) and isinstance(dyn, LognormalDynamics):
         if strat.use_kernel:
             from ..ops.gbm_kernel import gbm_exact_terminal_pallas
 
-            return gbm_exact_terminal_pallas(prob, config, device_id=device_id)
+            return gbm_exact_terminal_pallas(prob, config, key=key, device_id=device_id)
         return _gbm_exact_terminal(prob, config, _base_key(config, key), point_offset=point_offset)
     if isinstance(strat, HestonBroadieKaya) and isinstance(dyn, HestonDynamics):
         from ..distributions.broadie_kaya import broadie_kaya_terminal_prices
@@ -736,7 +736,16 @@ def simulate_price_grid(
 
 def reduce_payoffs(samples: jnp.ndarray, payoff) -> jnp.ndarray:
     """Per-path payoffs; antithetic groups are averaged pairwise
-    (montecarlo.jl:428-432)."""
+    (montecarlo.jl:428-432).
+
+    An array-strike payoff gets the uniform grid contract (leading strike
+    axis, path axis last): samples (g, paths) → payoffs (m, paths), every
+    strike priced from the SAME terminal samples."""
+    if jnp.ndim(payoff.strike) > 0:
+        import dataclasses
+
+        payoff = dataclasses.replace(payoff, strike=jnp.asarray(payoff.strike)[:, None])
+        return jnp.mean(payoff(samples[:, None, :]), axis=0)
     return jnp.mean(payoff(samples), axis=0)
 
 
@@ -757,5 +766,6 @@ def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSol
         return MonteCarloSolution(prob, method, price, values)
     samples = simulate_terminal_prices(prob, method)
     payoffs = reduce_payoffs(samples, payoff)
-    price = discount * jnp.mean(payoffs)
+    # path axis is last: a strike-grid payoff keeps its leading (m,) axis
+    price = discount * jnp.mean(payoffs, axis=-1)
     return MonteCarloSolution(prob, method, price, samples)

@@ -61,18 +61,22 @@ def gbm_exact_terminal(mean, std, *, n_paths: int, seed, antithetic: bool = Fals
     return out.reshape(n_groups, n_blocks * block)[:, :n_paths]
 
 
-def gbm_exact_terminal_pallas(prob, config, device_id=0):
-    """Adapter matching simulate_terminal_prices' (n_groups, paths) contract."""
+def gbm_exact_terminal_pallas(prob, config, key=None, device_id=0):
+    """Adapter matching simulate_terminal_prices' (n_groups, paths) contract.
+    An explicit ``key`` reseeds the kernel stream (ops/heston_kernel.py
+    ``seed_from_key``)."""
     from ..methods.montecarlo import Antithetic, _gbm_exact_terminal
     from ..models.dynamics import lognormal_terminal_law
+    from .heston_kernel import seed_from_key
 
     anti = isinstance(config.variance_reduction, Antithetic)
     if jax.default_backend() != "tpu":
-        key = jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
+        if key is None:
+            key = jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
         return _gbm_exact_terminal(prob, config, key)
     mean, std = lognormal_terminal_law(prob.market_inputs, prob.payoff.expiry)
     out = gbm_exact_terminal(
-        mean, std, n_paths=config.trajectories, seed=config.seed,
+        mean, std, n_paths=config.trajectories, seed=seed_from_key(config, key),
         antithetic=anti, device_id=device_id,
     )
     return out.astype(jnp.float64)

@@ -34,7 +34,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["heston_euler_terminal", "heston_euler_terminal_pallas"]
+__all__ = ["heston_euler_terminal", "heston_euler_terminal_pallas", "seed_from_key"]
+
+
+def seed_from_key(config, key):
+    """Effective kernel seed: the config's static seed, or — when the caller
+    passes an explicit PRNG key — an int32 derived from that key, so distinct
+    keys give independent kernel streams (the same contract as every pure-JAX
+    strategy; the kernels take integer seeds, not keys, because the on-chip
+    PRNG is seeded with (seed, program_id) scalars)."""
+    if key is None:
+        return config.seed
+    data = jax.random.key_data(key).ravel().astype(jnp.uint32)
+    mixed = data[0] ^ (data[-1] * jnp.uint32(2654435761))  # Knuth multiplicative mix
+    return jax.lax.bitcast_convert_type(mixed, jnp.int32)
 
 _ROWS = 256  # sublanes per program: 256×128 = 32768 paths/program
 _LANES = 128
@@ -188,11 +201,12 @@ def heston_euler_terminal(
     return flat[:, :n_paths]
 
 
-def heston_euler_terminal_pallas(prob, config, device_id=0):
+def heston_euler_terminal_pallas(prob, config, key=None, device_id=0):
     """Adapter: MonteCarlo(HestonDynamics, EulerMaruyama(use_kernel=True)).
 
     Bridges the f64 problem definition to the fp32 kernel; returns terminal
     prices shaped like the pure-JAX path (n_groups, trajectories) in f64.
+    An explicit ``key`` reseeds the kernel stream (see :func:`seed_from_key`).
     """
     from ..core.dates import yearfrac
     from ..market.rate_curve import zero_rate_yf
@@ -209,7 +223,8 @@ def heston_euler_terminal_pallas(prob, config, device_id=0):
         # stream differs.
         from ..methods.montecarlo import _heston_euler_paths
 
-        key = jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
+        if key is None:
+            key = jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
         return _heston_euler_paths(prob, config, key, return_grid=False)
     out = heston_euler_terminal(
         jnp.log(market.spot),
@@ -222,7 +237,7 @@ def heston_euler_terminal_pallas(prob, config, device_id=0):
         T / config.steps,
         n_paths=config.trajectories,
         steps=config.steps,
-        seed=config.seed,
+        seed=seed_from_key(config, key),
         antithetic=anti,
         device_id=device_id,
     )

@@ -1006,22 +1006,27 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None):
     )
 
 
-def heston_qe_mixing_values_pallas(prob, config, strat, device_id=0, point_offset=0):
+def heston_qe_mixing_values_pallas(prob, config, strat, key=None, device_id=0, point_offset=0):
     """Adapter for MonteCarlo(HestonDynamics, HestonQE(conditional=True,
     use_kernel=True)): per-path conditional values, falling back to the
-    pure-JAX mixing estimator off-TPU (same seed → same QMC points)."""
+    pure-JAX mixing estimator off-TPU (same seed → same QMC points).
+    An explicit ``key`` reseeds the kernel stream / QMC randomization
+    (ops/heston_kernel.py ``seed_from_key``), matching the pure-JAX
+    strategies' distinct-keys → independent-draws contract."""
     from ..core.dates import yearfrac
     from ..market.rate_curve import zero_rate_yf
     from ..methods.montecarlo import Antithetic, _heston_qe_mixing_values
+    from .heston_kernel import seed_from_key
 
     market = prob.market_inputs
     anti = isinstance(config.variance_reduction, Antithetic)
     if jax.default_backend() != "tpu":
-        key = (
-            jax.random.PRNGKey(config.seed)
-            if config.qmc
-            else jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
-        )
+        if key is None:
+            key = (
+                jax.random.PRNGKey(config.seed)
+                if config.qmc
+                else jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
+            )
         return _heston_qe_mixing_values(prob, config, key, point_offset=point_offset)
     T = yearfrac(market.reference_date, prob.payoff.expiry)
     r0 = zero_rate_yf(market.rate, 0.0)
@@ -1029,30 +1034,35 @@ def heston_qe_mixing_values_pallas(prob, config, strat, device_id=0, point_offse
         jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
         market.sigma, market.rho, T / config.steps,
         prob.payoff.strike, prob.payoff.call_put(),
-        n_paths=config.trajectories, steps=config.steps, seed=config.seed,
+        n_paths=config.trajectories, steps=config.steps,
+        seed=seed_from_key(config, key),
         antithetic=anti, device_id=device_id,
         qmc=config.qmc, point_offset=point_offset,
     )
     return out.astype(jnp.float64)
 
 
-def heston_qe_terminal_pallas(prob, config, strat, device_id=0, point_offset=0):
+def heston_qe_terminal_pallas(prob, config, strat, key=None, device_id=0, point_offset=0):
     """Adapter for MonteCarlo(HestonDynamics, HestonQE(use_kernel=True)).
 
     ``config.qmc=True`` routes to the in-kernel Sobol' stream (one sequence
-    per seed; sharded devices take disjoint ``point_offset`` slices)."""
+    per seed; sharded devices take disjoint ``point_offset`` slices).
+    An explicit ``key`` reseeds the kernel stream / QMC randomization
+    (ops/heston_kernel.py ``seed_from_key``)."""
     from ..core.dates import yearfrac
     from ..market.rate_curve import zero_rate_yf
     from ..methods.montecarlo import Antithetic, _heston_qe_paths
+    from .heston_kernel import seed_from_key
 
     market = prob.market_inputs
     anti = isinstance(config.variance_reduction, Antithetic)
     if jax.default_backend() != "tpu":
-        key = (
-            jax.random.PRNGKey(config.seed)
-            if config.qmc  # one shared sequence; offsets give disjoint slices
-            else jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
-        )
+        if key is None:
+            key = (
+                jax.random.PRNGKey(config.seed)
+                if config.qmc  # one shared sequence; offsets give disjoint slices
+                else jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
+            )
         return _heston_qe_paths(
             prob, config, key, strat, return_grid=False, point_offset=point_offset
         )
@@ -1061,7 +1071,8 @@ def heston_qe_terminal_pallas(prob, config, strat, device_id=0, point_offset=0):
     out = heston_qe_terminal(
         jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
         market.sigma, market.rho, T / config.steps,
-        n_paths=config.trajectories, steps=config.steps, seed=config.seed,
+        n_paths=config.trajectories, steps=config.steps,
+        seed=seed_from_key(config, key),
         antithetic=anti, device_id=device_id,
         martingale_correction=strat.martingale_correction,
         qmc=config.qmc, point_offset=point_offset,
