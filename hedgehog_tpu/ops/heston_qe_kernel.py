@@ -130,13 +130,26 @@ def _ndtri_approx(u):
     return jnp.where(jnp.abs(r) <= 0.42, x_central, x_tail)
 
 
+@jax.custom_jvp
 def _rcp(x):
     """Fast reciprocal: hardware approx + one Newton polish (~fp32 accurate).
 
     Exact fp32 division is the dominant cost of the QE step (6 divides/step);
-    the polished approx is ~5× cheaper on the VPU."""
+    the polished approx is ~5× cheaper on the VPU.
+
+    custom_jvp (d(1/x) = −r²·dx, reusing the computed r) makes the kernels
+    linearizable in-kernel — pl.reciprocal has no JVP rule of its own — which
+    is what the fused price+greeks kernel's tangent propagation needs
+    (ops/heston_qe_greeks_kernel.py).  Primal lowering is unchanged."""
     r = pl.reciprocal(x, approx=True)
     return r * (2.0 - x * r)
+
+
+@_rcp.defjvp
+def _rcp_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    r = _rcp(x)
+    return r, -r * r * dx
 
 
 def _box_muller_with_uniform(shape):
@@ -807,29 +820,122 @@ def _qe_mixing_price_kernel(params_ref, seed_ref, out_ref, *, steps: int, n_batc
     out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "n_batches", "steps"))
+def _mix_batch_qmc(masks, sob_ref, c, steps: int, dim0: int = 0):
+    """One antithetic mixing tile pair from the in-kernel Sobol' stream
+    (2 dims/step starting at ``dim0``), given the point-index bit masks.
+    Returns the 6-tuple carry (v, iv, j, va, iva, ja)."""
+    carry = _mix_path_init(c, True)
+    for s in range(steps):
+        u1, u2 = _sobol_uniforms_tile(masks, sob_ref, (dim0 + 2 * s, dim0 + 2 * s + 1))
+        z = _ndtri_approx(u1)
+        v, iv, j, va, iva, ja = carry
+        v, iv, j = _mix_advance(v, iv, j, z, u2, c)
+        va, iva, ja = _mix_advance(va, iva, ja, -z, 1.0 - u2, c)
+        carry = (v, iv, j, va, iva, ja)
+    return carry
+
+
+def _program_base_idx(offset_ref, n_batches: int):
+    """First Sobol' point index of this program's batch range: batches take
+    consecutive 32768-point blocks of ONE sequence.  Must be called at kernel
+    top level (pl.program_id has no lowering inside nested control flow under
+    interpret mode)."""
+    block = jnp.int32(_ROWS * _LANES)
+    return offset_ref[0] + pl.program_id(0) * jnp.int32(n_batches) * block
+
+
+def _batch_masks(base_idx, b):
+    """Sobol' point-index masks for batch ``b`` given the program's base
+    index (:func:`_program_base_idx`)."""
+    shape = (_ROWS, _LANES)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = base_idx + b * jnp.int32(_ROWS * _LANES) + row * jnp.int32(_LANES) + lane
+    return _sobol_masks(idx)
+
+
+def _qe_mixing_price_kernel_qmc(
+    params_ref, sob_ref, offset_ref, out_ref, *, steps: int, n_batches: int
+):
+    """QMC twin of _qe_mixing_price_kernel: the accumulating serving kernel
+    drawing from the seed-randomized in-kernel Sobol' stream, so the QMC
+    variance win reaches the headline configuration.  Pure bit arithmetic →
+    validates under interpret mode against the pure-JAX Sobol' path."""
+    c = _mix_c(params_ref)
+    base_idx = _program_base_idx(offset_ref, n_batches)
+
+    def one_batch(b, acc):
+        masks = _batch_masks(base_idx, b)
+        carry = _mix_batch_qmc(masks, sob_ref, c, steps)
+        val = _cond_bs_value(carry[1], carry[2], c) + _cond_bs_value(carry[4], carry[5], c)
+        return acc + jnp.sum(val.reshape(_ROWS // 8, 8, _LANES), axis=0)
+
+    acc0 = jnp.zeros((8, _LANES), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "n_batches", "steps", "qmc", "interpret")
+)
 def heston_qe_mixing_vanilla_price(
     log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, discount,
     *, n_blocks: int, n_batches: int, steps: int, seed, device_id=0, cp=1.0,
+    qmc: bool = False, point_offset: int = 0, interpret: bool = False,
 ):
     """Discounted European vanilla price over n_blocks·n_batches·65536
-    antithetic conditional-MC paths, ONE host dispatch, on-chip accumulation."""
+    antithetic conditional-MC paths, ONE host dispatch, on-chip accumulation.
+
+    ``qmc=True`` draws from the seed-randomized in-kernel Sobol' stream
+    (batches take consecutive 32768-point blocks starting at
+    ``point_offset``); ``device_id`` is then unused — multi-device callers
+    slice ONE sequence disjointly, as everywhere else."""
     params = _mix_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, steps, strike, cp)
-    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
-    kernel = functools.partial(_qe_mixing_price_kernel, steps=steps, n_batches=n_batches)
-    sums = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((16,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
-            pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 8, _LANES), lambda i: (i, jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, _LANES), jnp.float32),
-    )(params, seed_arr)
-    total_paths = n_blocks * n_batches * _ROWS * _LANES * 2
+    total_pairs = n_blocks * n_batches * _ROWS * _LANES
+    if qmc and total_pairs > 2**_SOBOL_BITS:
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {total_pairs} pairs would wrap"
+        )
+    if qmc:
+        table = _sobol_table(seed, 2 * steps)
+        offset_arr = jnp.asarray([point_offset], jnp.int32)
+        kernel = functools.partial(
+            _qe_mixing_price_kernel_qmc, steps=steps, n_batches=n_batches
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((16,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (2 * steps, _SOBOL_BITS + 1),
+                    lambda i: (jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, _LANES), lambda i: (i, jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 8, _LANES), jnp.float32),
+            interpret=interpret,
+        )(params, table, offset_arr)
+    else:
+        seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+        kernel = functools.partial(_qe_mixing_price_kernel, steps=steps, n_batches=n_batches)
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((16,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, _LANES), lambda i: (i, jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 8, _LANES), jnp.float32),
+            interpret=interpret,
+        )(params, seed_arr)
+    total_paths = 2 * total_pairs
     return discount * jnp.sum(sums.astype(jnp.float64)) / total_paths
 
 
@@ -918,14 +1024,60 @@ def _qe_mixing_surface_kernel(
     out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
 
 
+def _qe_mixing_surface_kernel_qmc(
+    params_ref, sob_ref, offset_ref, out_ref, *, seg_steps, m: int, n_batches: int
+):
+    """QMC twin of _qe_mixing_surface_kernel: Sobol' dims run 2-per-step
+    across ALL segments (the V path is one trajectory), batches take
+    consecutive point blocks."""
+    n_exp = len(seg_steps)
+    f_off = _SURF_GLOBALS + _SURF_PER_SEG * n_exp
+    k_off = f_off + n_exp
+    lfk_off = k_off + m
+    base_idx = _program_base_idx(offset_ref, n_batches)
+
+    def one_batch(b, acc):
+        masks = _batch_masks(base_idx, b)
+        c0 = _surf_c(params_ref, 0)
+        v = jnp.full((_ROWS, _LANES), c0["v0"], dtype=jnp.float32)
+        zero = jnp.zeros((_ROWS, _LANES), dtype=jnp.float32)
+        carry = (v, zero, zero, v, zero, zero)
+        folds = []
+        dim0 = 0
+        for i, steps_i in enumerate(seg_steps):
+            c = _surf_c(params_ref, i)
+            for s in range(steps_i):
+                u1, u2 = _sobol_uniforms_tile(
+                    masks, sob_ref, (dim0 + 2 * s, dim0 + 2 * s + 1)
+                )
+                z = _ndtri_approx(u1)
+                v, iv, j, va, iva, ja = carry
+                v, iv, j = _mix_advance(v, iv, j, z, u2, c)
+                va, iva, ja = _mix_advance(va, iva, ja, -z, 1.0 - u2, c)
+                carry = (v, iv, j, va, iva, ja)
+            dim0 += 2 * steps_i
+            _, iv, j, _, iva, ja = carry
+            for k in range(m):
+                ck = dict(c, f_base=params_ref[f_off + i],
+                          strike=params_ref[k_off + k],
+                          log_f_over_k=params_ref[lfk_off + i * m + k])
+                val = _cond_bs_value(iv, j, ck) + _cond_bs_value(iva, ja, ck)
+                folds.append(jnp.sum(val.reshape(_ROWS // 8, 8, _LANES), axis=0))
+        return acc + jnp.stack(folds)
+
+    acc0 = jnp.zeros((n_exp * m, 8, _LANES), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("T_host", "seg_steps", "n_strikes", "n_blocks", "n_batches"),
+    static_argnames=("T_host", "seg_steps", "n_strikes", "n_blocks", "n_batches",
+                     "qmc", "interpret"),
 )
 def heston_qe_mixing_surface_price(
     log_s0, v0, r, kappa, theta, sigma, rho, T_host, strikes, discounts,
     *, seg_steps, n_strikes: int, n_blocks: int, n_batches: int, seed, cp=1.0,
-    device_id=0,
+    device_id=0, qmc: bool = False, point_offset: int = 0, interpret: bool = False,
 ):
     """(n_exp, n_strikes) DISCOUNTED surface prices over
     n_blocks·n_batches·65536 antithetic conditional-MC paths, one dispatch.
@@ -939,27 +1091,60 @@ def heston_qe_mixing_surface_price(
     params = _surf_params(
         log_s0, v0, r, kappa, theta, sigma, rho, T_host, seg_steps, strikes, cp
     )
-    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
-    kernel = functools.partial(
-        _qe_mixing_surface_kernel, seg_steps=tuple(seg_steps), m=n_strikes,
-        n_batches=n_batches,
-    )
     n_params = _SURF_GLOBALS + _SURF_PER_SEG * n_exp + n_exp + n_strikes + n_exp * n_strikes
-    sums = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((n_params,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
-            pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, n_exp * n_strikes, 8, _LANES),
-            lambda i: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, n_exp * n_strikes, 8, _LANES), jnp.float32),
-    )(params, seed_arr)
-    total_paths = n_blocks * n_batches * _ROWS * _LANES * 2
+    out_specs = pl.BlockSpec(
+        (1, n_exp * n_strikes, 8, _LANES),
+        lambda i: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_blocks, n_exp * n_strikes, 8, _LANES), jnp.float32)
+    total_pairs = n_blocks * n_batches * _ROWS * _LANES
+    if qmc and total_pairs > 2**_SOBOL_BITS:
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {total_pairs} pairs would wrap"
+        )
+    if qmc:
+        total_steps = sum(seg_steps)
+        table = _sobol_table(seed, 2 * total_steps)
+        offset_arr = jnp.asarray([point_offset], jnp.int32)
+        kernel = functools.partial(
+            _qe_mixing_surface_kernel_qmc, seg_steps=tuple(seg_steps), m=n_strikes,
+            n_batches=n_batches,
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((n_params,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (2 * total_steps, _SOBOL_BITS + 1),
+                    lambda i: (jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, table, offset_arr)
+    else:
+        seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+        kernel = functools.partial(
+            _qe_mixing_surface_kernel, seg_steps=tuple(seg_steps), m=n_strikes,
+            n_batches=n_batches,
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((n_params,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, seed_arr)
+    total_paths = 2 * total_pairs
     grid_sums = jnp.sum(sums.astype(jnp.float64), axis=(0, 2, 3))  # (n_exp*m,)
     surf = grid_sums.reshape(n_exp, n_strikes) / total_paths
     return jnp.asarray(discounts)[:, None] * surf
@@ -970,10 +1155,10 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None):
     as the pure-JAX :func:`hedgehog_tpu.heston_surface_mc` (one shared
     rounding rule, so biases match).
 
-    The fused kernel path is on-chip-PRNG + antithetic only; runs requesting
-    ``qmc=True`` or no variance reduction route to the pure-JAX estimator
-    (on any backend), as do off-TPU runs.  ``seed`` overrides ``config.seed``
-    on every path."""
+    The fused kernel path is antithetic-only (PRNG or, with ``config.qmc``,
+    the in-kernel Sobol' stream); runs with no variance reduction route to
+    the pure-JAX estimator, as do off-TPU runs.  ``seed`` overrides
+    ``config.seed`` on every path."""
     import dataclasses
 
     from ..market.rate_curve import df_yf, zero_rate_yf
@@ -988,7 +1173,7 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None):
     if seed is not None:
         config = dataclasses.replace(config, seed=seed)
     anti = isinstance(config.variance_reduction, Antithetic)
-    if jax.default_backend() != "tpu" or config.qmc or not anti:
+    if jax.default_backend() != "tpu" or not anti:
         return heston_surface_mc(market, expiries, strikes, config, cp=cp)
     seg_len, seg_steps = surface_seg_steps(T_host, config.steps)
     seg_steps = tuple(seg_steps)
@@ -1002,7 +1187,7 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None):
         jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
         market.sigma, market.rho, tuple(T_host), jnp.asarray(strikes), discounts,
         seg_steps=seg_steps, n_strikes=len(strikes), n_blocks=n_blocks,
-        n_batches=n_batches, seed=config.seed, cp=cp,
+        n_batches=n_batches, seed=config.seed, cp=cp, qmc=config.qmc,
     )
 
 
