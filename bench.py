@@ -76,7 +76,26 @@ def flagship_greek_ratio(
                   HESTON["sigma"], HESTON["rho"], R)
     )
     price_jit = jax.jit(price)
-    grad_jit = jax.jit(jax.value_and_grad(price))
+    if conditional:
+        # the mixing estimator's fast greek path is FORWARD mode: tangents
+        # ride the variance scan, (spot, rho, rate) close analytically
+        # (methods/mixing_greeks.py) — price + full 7-vector in one pass
+        from hedgehog_tpu.methods.mixing_greeks import (
+            GREEK_ORDER,
+            heston_mixing_price_and_greeks,
+        )
+
+        def value_and_greeks(params):
+            spot, v0, kappa, theta, sigma, rho, r = params
+            market = hh.HestonInputs(REF, r, spot, v0, kappa, theta, sigma, rho)
+            p, g = heston_mixing_price_and_greeks(
+                hh.PricingProblem(payoff, market), method
+            )
+            return p, jnp.stack([g[k] for k in GREEK_ORDER])
+
+        grad_jit = jax.jit(value_and_greeks)
+    else:
+        grad_jit = jax.jit(jax.value_and_grad(price))
     jax.block_until_ready(price_jit(params))  # compile
     jax.block_until_ready(grad_jit(params))
 
@@ -250,15 +269,41 @@ def main() -> None:
     opts_per_sec = 5 * n_opts / (time.perf_counter() - t1)
     sys.stderr.write(f"# batched price+greeks (BS, delta/vega/rho per option): {opts_per_sec:.3e} options/s\n")
 
-    # ---- flagship greek-vector ratio (stderr): full 7-param Heston gradient
-    # (spot, V0, κ, θ, σ, ρ, r) via jax.grad through the pure-JAX QE-M path
-    # vs the price-only call — the "<2× price cost" north star measured on
-    # the flagship model itself (BASELINE.json north star #2).  The Pallas
-    # kernels are primal-only (no AD through pltpu.prng_*), so the pure-JAX
-    # QE pair is the apples-to-apples measurement on every backend.  The
-    # conditional mixing estimator is reported alongside: its gradient is
-    # cheaper in ABSOLUTE terms (and ~9× lower variance), but its price is
-    # so fast that the ratio reads above 2 — both framings shown.
+    # ---- kernel-scale greek vector (stderr): the fused price+greeks Pallas
+    # kernel vs the price-only kernel at the SERVING configuration (268M
+    # paths/dispatch) — the "<2× the kernel price" framing the r2 verdict
+    # asked for.  The fused pass replays the price kernel's PRNG stream, so
+    # its price is bit-identical; the 7-param gradient is a forward-mode
+    # tangent propagation inside the kernel (ops/heston_qe_greeks_kernel.py).
+    if on_tpu and scheme == "qe_mixing" and budget_left():
+        try:
+            from hedgehog_tpu.ops.heston_qe_greeks_kernel import (
+                heston_qe_mixing_price_and_greeks,
+            )
+
+            gk_args = (jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"],
+                       HESTON["theta"], HESTON["sigma"], HESTON["rho"],
+                       T / MIX_STEPS, STRIKE, discount)
+            gk_kw = dict(n_blocks=QE_BLOCKS, n_batches=QE_BATCHES, steps=MIX_STEPS)
+            pg, _g7 = heston_qe_mixing_price_and_greeks(*gk_args, seed=0, **gk_kw)
+            jax.block_until_ready(pg)
+            t1 = time.perf_counter()
+            outs = [heston_qe_mixing_price_and_greeks(*gk_args, seed=i + 1, **gk_kw)
+                    for i in range(3)]
+            jax.block_until_ready(outs)
+            t_gk = (time.perf_counter() - t1) / 3
+            t_pk = elapsed / REPS  # price-only kernel time measured above
+            sys.stderr.write(
+                f"# KERNEL greek vector (fused price+7-greeks, "
+                f"{2 * n_pairs / 1e6:.0f}M paths/dispatch): price={t_pk*1e3:.0f}ms "
+                f"grads={t_gk*1e3:.0f}ms ratio={t_gk/t_pk:.2f} (target < 2, "
+                f"price bit-identical to price kernel)\n"
+            )
+        except Exception as e:  # pragma: no cover
+            sys.stderr.write(f"# kernel greek vector skipped ({type(e).__name__}: {e})\n")
+
+    # ---- pure-JAX greek-vector ratios (stderr): jax AD through solve on the
+    # QE-M pair and the conditional mixing estimator (forward-mode fast path)
     if budget_left():
         ratio, t_price, t_grad = flagship_greek_ratio(on_tpu)
         sys.stderr.write(
@@ -270,8 +315,8 @@ def main() -> None:
         ratio_m, t_price_m, t_grad_m = flagship_greek_ratio(on_tpu, steps=12, conditional=True)
         sys.stderr.write(
             f"# greek vector, conditional-MC estimator (same paths, ~9x lower "
-            f"variance): price={t_price_m*1e3:.1f}ms grad={t_grad_m*1e3:.1f}ms "
-            f"ratio={ratio_m:.2f}\n"
+            f"variance, forward-mode): price={t_price_m*1e3:.1f}ms "
+            f"grad={t_grad_m*1e3:.1f}ms ratio={ratio_m:.2f} (target < 2)\n"
         )
 
     # ---- surface serving metric (stderr): kernel-side (expiry × strike)

@@ -51,37 +51,56 @@ class LSM(AbstractPricingMethod):
     degree: int = static_field(default=4)
 
 
-def _masked_polyfit_eval(x, y, w, degree: int, psum_axis: Optional[str]):
-    """Fit y ~ poly(x) on rows where w==1; return fitted values at all x.
+def _masked_lstsq_eval(phi, y, w, psum_axis: Optional[str]):
+    """Fit y ~ phi·β on rows where w==1; return fitted values at all rows.
 
     Weighted normal equations with a tiny ridge: singular systems (e.g. no
     ITM paths) stay solvable and are masked out downstream.  Under path
-    sharding the (degree+1)² system is psum'ed so the regression is global.
+    sharding the n_terms² system is psum'ed so the regression is global.
     """
     from ..math.linalg import cholesky_solve_small
 
-    powers = jnp.arange(degree + 1)
-    phi = x[:, None] ** powers[None, :]  # (paths, d+1)
+    n_terms = phi.shape[1]
     phw = phi * w[:, None]
-    A = phw.T @ phi  # (d+1, d+1)
-    b = phw.T @ y  # (d+1,)
+    A = phw.T @ phi  # (n_terms, n_terms)
+    b = phw.T @ y  # (n_terms,)
     if psum_axis is not None:
         A = jax.lax.psum(A, psum_axis)
         b = jax.lax.psum(b, psum_axis)
-    ridge = 1e-10 * jnp.eye(degree + 1) * (1.0 + jnp.trace(A) / (degree + 1))
+    ridge = 1e-10 * jnp.eye(n_terms) * (1.0 + jnp.trace(A) / n_terms)
     # unrolled Cholesky (math/linalg.py): jnp.linalg.solve lowers to an f64
     # LuDecomposition that TPU cannot compile
     beta = cholesky_solve_small(A + ridge, b)
     return phi @ beta
 
 
+def _poly_basis(x, degree: int):
+    """(paths, degree+1) monomial basis — the reference's Polynomials.fit
+    regressor set (least_squares_montecarlo.jl:126)."""
+    powers = jnp.arange(degree + 1)
+    return x[:, None] ** powers[None, :]
+
+
+def _joint_basis(s, v, degree: int):
+    """Bivariate monomials s^i·v^j with total degree i+j ≤ degree.
+
+    V is part of Heston's Markov state: continuation values depend on
+    (S_t, V_t), so the conditional-grid LSM regresses on both (a plain-S
+    basis misspecifies the value function at high vol-of-vol)."""
+    terms = [s**i * v**j for i in range(degree + 1) for j in range(degree + 1 - i)]
+    return jnp.stack(terms, axis=1)
+
+
 def lsm_backward_induction(
-    spots, payoff, log_disc, degree: int, strike_scale, psum_axis: Optional[str] = None
+    spots, payoff, log_disc, degree: int, strike_scale,
+    psum_axis: Optional[str] = None, vols=None,
 ):
     """Backward stopping-rule induction over a (steps+1, paths) price grid.
 
     Returns (tau, value) per path.  ``psum_axis`` enables the sharded global
-    regression (see module docstring).
+    regression (see module docstring).  With ``vols`` (a matching variance
+    grid, e.g. from the conditional bridge), continuation regresses on the
+    joint (S, V) monomial basis instead of S alone.
     """
     nsteps = spots.shape[0] - 1
     tau0 = jnp.full((spots.shape[1],), nsteps, dtype=jnp.float64)
@@ -94,9 +113,12 @@ def lsm_backward_induction(
         payoff_t = payoff(s_t)
         itm = payoff_t > 0.0
         w = itm.astype(jnp.float64)
-        fitted = _masked_polyfit_eval(
-            s_t / strike_scale, continuation, w, degree, psum_axis
-        )
+        if vols is None:
+            phi = _poly_basis(s_t / strike_scale, degree)
+        else:
+            v_t = jax.lax.dynamic_index_in_dim(vols, t, axis=0, keepdims=False)
+            phi = _joint_basis(s_t / strike_scale, v_t, degree)
+        fitted = _masked_lstsq_eval(phi, continuation, w, psum_axis)
         exercise = itm & (payoff_t > fitted)
         tau = jnp.where(exercise, t.astype(jnp.float64), tau)
         value = jnp.where(exercise, payoff_t, value)
@@ -119,15 +141,34 @@ def _lsm_setup(prob: PricingProblem, method: LSM):
     return jnp.log(disc), jnp.asarray(payoff.strike, jnp.float64)
 
 
+def _is_conditional(mc_method: MonteCarlo) -> bool:
+    from .montecarlo import HestonQE
+
+    return isinstance(mc_method.strategy, HestonQE) and mc_method.strategy.conditional
+
+
+def _flatten_grid(grid):
+    n_groups, ntimes, npaths = grid.shape
+    return jnp.moveaxis(grid, 0, 1).reshape(ntimes, n_groups * npaths)
+
+
 @register_solver(LSM)
 def _solve_lsm(prob: PricingProblem, method: LSM) -> LSMSolution:
     log_disc, strike_scale = _lsm_setup(prob, method)
-    grid = simulate_price_grid(prob, method.mc_method)  # (g, steps+1, paths)
-    n_groups, ntimes, npaths = grid.shape
-    spots = jnp.moveaxis(grid, 0, 1).reshape(ntimes, n_groups * npaths)
+    if _is_conditional(method.mc_method):
+        # conditional LSM (American at flagship speed): variance-only QE path
+        # + one-normal exact conditional S bridge per step, regression on the
+        # joint (S, V) basis — see simulate_conditional_grid
+        from .montecarlo import simulate_conditional_grid
+
+        s_grid, v_grid = simulate_conditional_grid(prob, method.mc_method.config)
+        spots, vols = _flatten_grid(s_grid), _flatten_grid(v_grid)
+    else:
+        grid = simulate_price_grid(prob, method.mc_method)  # (g, steps+1, paths)
+        spots, vols = _flatten_grid(grid), None
 
     tau, value = lsm_backward_induction(
-        spots, prob.payoff, log_disc, method.degree, strike_scale
+        spots, prob.payoff, log_disc, method.degree, strike_scale, vols=vols
     )
     price = jnp.mean(jnp.exp(tau * log_disc) * value)
     return LSMSolution(prob, method, price, (tau, value), spots)

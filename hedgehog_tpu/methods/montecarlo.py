@@ -579,6 +579,68 @@ def _mixing_surface_rows(
     return rows
 
 
+def simulate_conditional_grid(prob, config, key=None, point_offset=0):
+    """(S, V) price/variance grids from the conditional lognormal bridge —
+    the grid companion of the mixing estimator, for grid methods (LSM).
+
+    Only the variance path is QE-simulated; S at step boundaries is drawn
+    from its EXACT conditional law given the V segment (trapezoid-IV proxy):
+    with W_s = ρ·W_v + √(1−ρ²)·W_⊥ and the per-segment CIR integral identity
+    J_k = (V_{k+1} − V_k − κθΔ + κ·IV_k)/σ,
+
+        logS_{k+1} = logS_k + rΔ − IV_k/2 + ρ·J_k + √((1−ρ²)·IV_k)·Z_⊥,
+
+    i.e. ONE extra normal per step (a full QE step needs a second normal
+    PLUS the martingale-correction logs).  Returns (S_grid, V_grid) each of
+    shape (n_groups, steps+1, paths) — V is part of Heston's Markov state,
+    so LSM regresses on both (methods/lsm.py joint basis).
+    """
+    from ..models.heston_qe import qe_constants, qe_v_step
+
+    market, T, r0 = _sim_params(prob)
+    steps = config.steps
+    dt = T / steps
+    kappa, sigma, rho = market.kappa, market.sigma, market.rho
+    c = qe_constants(kappa, market.theta, sigma, rho, r0, dt)
+    ktd = kappa * market.theta * dt
+    rho_bar2 = 1.0 - rho**2
+    anti = isinstance(config.variance_reduction, Antithetic)
+    base = _base_key(config, key)
+    if config.qmc:
+        # same (2 normals + 1 uniform)/step Sobol' layout as the QE grid path
+        zb, ub = _qmc_normals_and_uniforms(base, steps, 2, config.trajectories, skip=point_offset)
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+        us = jnp.stack([ub, 1.0 - ub]) if anti else ub[None]
+    else:
+        k_z, k_u = jax.random.split(base)
+        z = _normals(k_z, (steps, 2, config.trajectories), anti)
+        u = jax.random.uniform(k_u, (steps, config.trajectories), dtype=jnp.float64)
+        us = jnp.stack([u, 1.0 - u]) if anti else u[None]
+    n_groups = z.shape[0]
+
+    x0 = jnp.full((n_groups, config.trajectories), jnp.log(market.spot))
+    v0 = jnp.full((n_groups, config.trajectories), market.V0)
+
+    def step(carry, inp):
+        x, v = carry
+        zk, uk = inp
+        z_v, z_perp = zk[:, 0, :], zk[:, 1, :]
+        v_new = qe_v_step(v, z_v, uk, c)
+        iv = 0.5 * dt * (v + v_new)
+        j = (v_new - v - ktd + kappa * iv) / sigma
+        x_new = x + r0 * dt - 0.5 * iv + rho * j + jnp.sqrt(
+            jnp.maximum(rho_bar2 * iv, 1e-18)
+        ) * z_perp
+        return (x_new, v_new), (x_new, v_new)
+
+    zs = jnp.moveaxis(z, 1, 0)
+    us_s = jnp.moveaxis(us, 1, 0)
+    _, (xs, vs) = jax.lax.scan(jax.checkpoint(step), (x0, v0), (zs, us_s))
+    x_grid = jnp.concatenate([x0[None], xs], axis=0)  # (steps+1, g, paths)
+    v_grid = jnp.concatenate([v0[None], vs], axis=0)
+    return jnp.exp(jnp.moveaxis(x_grid, 1, 0)), jnp.moveaxis(v_grid, 1, 0)
+
+
 def simulate_conditional_values(
     prob: PricingProblem, method: MonteCarlo, key=None, device_id=0, point_offset=0
 ) -> jnp.ndarray:
@@ -714,10 +776,12 @@ def simulate_price_grid(
     """
     dyn, strat, config = method.dynamics, method.strategy, method.config
     if isinstance(strat, HestonQE) and strat.conditional:
-        raise TypeError(
-            "HestonQE(conditional=True) has no price grid (only the variance "
-            "path is simulated); use conditional=False for grid methods (LSM)"
-        )
+        # conditional bridge grid: QE variance path + one-normal exact
+        # conditional S draw per step (LSM additionally wants the V grid —
+        # it calls simulate_conditional_grid directly for the pair)
+        if not isinstance(dyn, HestonDynamics):
+            raise TypeError("HestonQE(conditional=True) requires HestonDynamics")
+        return simulate_conditional_grid(prob, config, key=key, point_offset=point_offset)[0]
     if isinstance(dyn, LognormalDynamics):
         # Exact per-step lognormal transitions == log-Euler with exact drift:
         # both produce S_{k+1} = S_k·exp((r−σ²/2)dt + σ√dt·Z).

@@ -61,51 +61,159 @@ __all__ = [
     "heston_qe_mixing_values_diff",
 ]
 
-# SMEM layout of the per-direction constant tangents: one row per direction,
-# columns = methods/mixing_greeks.mixing_cvec order
-_CKEYS = ("theta", "e", "c_s2_v", "c_s2_c", "half_dt", "inv_sigma",
-          "k_over_sigma", "ktd_over_sigma")
+# SMEM tangent table: one row per direction (V0, κ, θ, σ[, T]), columns =
+# [dθc, de, dc1, dc2, dhalf_dt | α, β, γ].  The first five are the tangents
+# of the V-draw/IV constants; (α, β, γ) close the J chain at the END of the
+# path (J telescopes: J = (V_T − V0 − κθT + κ·IV)/σ, so per-step dJ carries
+# are unnecessary — dJ_d = 1/σ·dV_T + κ/σ·dIV + α_d·IV + β_d + γ_d·J).
+_N_COLS = 8
+
+# static per-direction sparsity of the V-draw constant tangents — which of
+# (θc, e, c1, c2, half_dt) a direction actually perturbs; zero columns are
+# skipped at trace time (no wasted FMAs in the hot loop)
+_SPARSITY = (
+    (),            # V0 (enters only the initial state)
+    (1, 2, 3),     # kappa → e, c_s2_v, c_s2_c
+    (0, 3),        # theta → θc, c_s2_c
+    (2, 3),        # sigma → c_s2_v, c_s2_c
+    (1, 2, 3, 4),  # T     → e, c_s2_v, c_s2_c, half_dt
+)
 
 
-def _c_step(c):
-    """The 8 per-step constants _mix_advance consumes (linearization args)."""
-    return {k: c[k] for k in _CKEYS}
+def _qe_v_coeffs(v, z, u, c):
+    """QE variance draw + hand-derived tangent coefficient tiles.
 
+    Returns (vn, CM, CS) with ∂vn/∂x = CM·(∂m/∂x) + CS·(∂s2/∂x) for any
+    scalar/state input x — the full per-step derivative collapses onto the
+    two moment channels m = θc+(v−θc)e and s2 = v·c1+c2.  Mirrors
+    _qe_v_advance's primal exactly (same guards/clamps) and reuses its
+    intermediates, so the whole coefficient assembly costs ~3 extra
+    reciprocals + ~30 mul/adds — computed ONCE per step, after which each
+    tangent direction is a handful of FMAs.
 
-def _dc_dicts(dc_ref, n_dirs: int):
-    """Per-direction tangent dicts from the (n_dirs, 8) SMEM table."""
-    return [
-        {k: dc_ref[d, i] for i, k in enumerate(_CKEYS)} for d in range(n_dirs)
-    ]
+    Branch masks: clamped lanes (ψ at its floor, p at its clip, 1/β at its
+    cap, the exercise-region u ≤ p plateau) have exact zero derivative
+    through the clamped quantity, matching the pure-JAX path's min/max
+    autodiff semantics.
+    """
+    theta = c["theta"]
+    e = c["e"]
+    m = theta + (v - theta) * e
+    s2 = v * c["c_s2_v"] + c["c_s2_c"]
+    m_safe = jnp.maximum(m, 1e-20)
+    inv_m = _rcp(m_safe)
+    psi_raw = s2 * inv_m * inv_m
+    psi = jnp.maximum(psi_raw, 1e-6)
 
+    # --- quadratic branch (primal + d/dψ chain) ---
+    inv_psi = _rcp(psi)
+    top = 2.0 * inv_psi
+    t1r = top - 1.0
+    t1 = jnp.maximum(t1r, 0.0)
+    w = top * t1
+    sqw = jnp.sqrt(w)
+    b2 = t1 + sqw
+    rb = _rcp(1.0 + b2)
+    a = m * rb
+    sqb = jnp.sqrt(b2)
+    q = sqb + z
 
-def _tan_step(state, z, u, c_step, dcs):
-    """One mixing step + tangents: state = (v, iv, j, dvs, divs, djs) with
-    per-direction tangent tuples.  Linearizes the step once, applies the
-    linear map per direction."""
-    v, iv, j, dvs, divs, djs = state
-    f = lambda v_, iv_, j_, c_: _mix_advance(v_, iv_, j_, z, u, c_)
-    (vn, ivn, jn), lin = jax.linearize(f, v, iv, j, c_step)
-    outs = [lin(dvs[d], divs[d], djs[d], dcs[d]) for d in range(len(dcs))]
-    return (
-        vn, ivn, jn,
-        tuple(o[0] for o in outs),
-        tuple(o[1] for o in outs),
-        tuple(o[2] for o in outs),
+    # On quad-SELECTED lanes (ψ ≤ 1.5) t1r = 2/ψ−1 ≥ 1/3 > 0 always, so the
+    # t1-clamp mask is never live where the quad coefficients are consumed —
+    # drop it (dead lanes may produce Inf; the branch select discards them).
+    t_psi = -top * inv_psi  # dtop/dψ
+    rcp_sqw = _rcp(jnp.maximum(sqw, 1e-20))
+    db2_dpsi = t_psi * (1.0 + 0.5 * rcp_sqw * (t1 + top))
+    rcp_sqb = _rcp(jnp.maximum(sqb, 1e-20))
+    q_m = q * q * rb  # ∂v_quad/∂m
+    q_psi = a * (q * rcp_sqb - q_m) * db2_dpsi
+
+    # --- exponential branch (primal + chain) ---
+    rp1 = _rcp(psi + 1.0)
+    p_raw = (psi - 1.0) * rp1
+    p = jnp.minimum(jnp.maximum(p_raw, 0.0), 1.0 - 1e-6)
+    one_m_p = 1.0 - p
+    capfac = jnp.minimum((psi + 1.0) * 0.5, 1e6)
+    inv_beta = m_safe * capfac
+    u_safe = jnp.minimum(jnp.maximum(u, 1e-7), 1.0 - 1e-7)
+    lterm = jnp.log(one_m_p * _rcp(jnp.maximum(1.0 - u_safe, 1e-20)))
+    e_live = jnp.where(u_safe > p, jnp.float32(1.0), jnp.float32(0.0))
+    v_exp = e_live * lterm * inv_beta
+
+    # On exp-SELECTED lanes (ψ > 1.5) p_raw > 0.2 always, so only the UPPER
+    # p-clip can be live — and p < 1−1e-6 ⟺ (ψ+1)/2 < 1e6, the exact cap
+    # condition of 1/β: ONE mask covers both plateaus.  f32 literals, nested
+    # where (never i1 `&`): f64 selects / i1 ANDs break Mosaic layout
+    # inference.
+    cap_live = jnp.where(p_raw < 1.0 - 1e-6, jnp.float32(1.0), jnp.float32(0.0))
+    e_m = e_live * lterm * capfac  # ∂v_exp/∂m
+    e_psi = e_live * cap_live * (
+        lterm * m_safe * 0.5 - inv_beta * _rcp(one_m_p) * (2.0 * rp1 * rp1)
     )
+
+    use_quad = psi <= 1.5
+    # a * (q·q), matching _qe_v_advance's a·(√b2+z)² association exactly —
+    # fp32 multiplication is non-associative and the greek pass must replay
+    # the price kernel bit-for-bit
+    vn = jnp.where(use_quad, a * (q * q), v_exp)
+    coef_m = jnp.where(use_quad, q_m, e_m)
+    coef_psi = jnp.where(use_quad, q_psi, e_psi)
+    coef_psi = jnp.where(psi_raw > 1e-6, coef_psi, jnp.float32(0.0))  # ψ-floor plateau
+
+    cm = coef_m - 2.0 * psi * inv_m * coef_psi
+    cs = coef_psi * inv_m * inv_m
+    return vn, cm, cs
+
+
+def _tan_step(state, z, u, c, dtab, n_dirs: int):
+    """One mixing step + forward tangents for ``n_dirs`` directions.
+
+    state = (v, iv, j, dvs, divs): the primal j carry is kept (bit-parity
+    with the price kernel's accumulation order) but NO per-direction dj is
+    carried — the J chain closes at the end of the path from (dV_T, dIV).
+    ``dtab`` is the (n_dirs, 8) SMEM tangent table.
+    """
+    v, iv, j, dvs, divs = state
+    vn, cm, cs = _qe_v_coeffs(v, z, u, c)
+    a_coef = cm * c["e"] + cs * c["c_s2_v"]
+    col_coefs = (
+        cm * (1.0 - c["e"]),  # ∂vn/∂θc
+        cm * (v - c["theta"]),  # ∂vn/∂e
+        cs * v,  # ∂vn/∂c1
+        cs,  # ∂vn/∂c2
+    )
+    half_dt = c["half_dt"]
+    v_sum = v + vn
+    iv_step = half_dt * v_sum
+    jn = j + (vn - v) * c["inv_sigma"] + iv_step * c["k_over_sigma"] - c["ktd_over_sigma"]
+
+    new_dvs, new_divs = [], []
+    for d in range(n_dirs):
+        dvn = a_coef * dvs[d]
+        for col in _SPARSITY[d]:
+            if col < 4:
+                dvn = dvn + col_coefs[col] * dtab[d, col]
+        # divs carries the RUNNING SUM S = Σ_k dv_k: the trapezoid tangent
+        # telescopes to dIV = hdt·(2S − dv_0 − dv_T), so the hot loop needs
+        # ONE add per direction; the hdt scale, endpoint correction, and the
+        # T-direction's d(half_dt) term (= (dhdt/hdt)·IV) all close at the
+        # end of the path (_div_real)
+        new_dvs.append(dvn)
+        new_divs.append(divs[d] + dvn)
+    return (vn, iv + iv_step, jn, tuple(new_dvs), tuple(new_divs))
 
 
 def _tan_init(c, n_dirs: int, shape):
     v = jnp.full(shape, c["v0"], dtype=jnp.float32)
     zero = jnp.zeros(shape, dtype=jnp.float32)
     one = jnp.ones(shape, dtype=jnp.float32)
-    # direction 0 is V0: ∂V/∂V0 = 1 at t=0; all other tangents start at 0
+    # direction 0 is V0: ∂V/∂V0 = 1 at t=0; all other tangents start at 0.
+    # The div running sum S = Σ_k dv_k starts at dv_0 (see _tan_step).
     dvs = tuple(one if d == 0 else zero for d in range(n_dirs))
-    dz = tuple(zero for _ in range(n_dirs))
-    return (v, zero, zero, dvs, dz, dz)
+    return (v, zero, zero, dvs, dvs)
 
 
-def _tan_double_step_prng(pair, c_step, dcs):
+def _tan_double_step_prng(pair, c, dtab, n_dirs: int):
     """Two tangent steps from one Box-Muller pair + two bit uniforms — the
     EXACT draw order of the primal _mix_double_step_prng, so the greek pass
     replays the price kernel's stream."""
@@ -115,20 +223,47 @@ def _tan_double_step_prng(pair, c_step, dcs):
     u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
     u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
     for z, u in ((z1, u1), (z2, u2)):
-        s = _tan_step(s, z, u, c_step, dcs)
-        sa = _tan_step(sa, -z, 1.0 - u, c_step, dcs)
+        s = _tan_step(s, z, u, c, dtab, n_dirs)
+        sa = _tan_step(sa, -z, 1.0 - u, c, dtab, n_dirs)
     return (s, sa)
 
 
-def _tan_single_step_prng(pair, c_step, dcs):
+def _tan_single_step_prng(pair, c, dtab, n_dirs: int):
     """Tail step for odd step counts (mirrors _mix_single_step_prng)."""
     s, sa = pair
     shape = s[0].shape
     z1, _z2 = _box_muller(shape)
     u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-    s = _tan_step(s, z1, u, c_step, dcs)
-    sa = _tan_step(sa, -z1, 1.0 - u, c_step, dcs)
+    s = _tan_step(s, z1, u, c, dtab, n_dirs)
+    sa = _tan_step(sa, -z1, 1.0 - u, c, dtab, n_dirs)
     return (s, sa)
+
+
+def _div_real(s, c, dtab, d: int):
+    """Per-direction dIV from the running-sum carry S = Σ_k dv_k:
+    dIV_d = half_dt·(2S − dv_0 − dv_T) [+ (dhdt/hdt)·IV for the T
+    direction].  dv_0 is the static initial tangent (1 for V0, else 0)."""
+    v_t, iv, j, dvs, divs = s
+    trap = 2.0 * divs[d] - dvs[d]
+    if d == 0:  # V0 direction: dv_0 = 1
+        trap = trap - 1.0
+    out = c["half_dt"] * trap
+    if 4 in _SPARSITY[d]:
+        out = out + dtab[d, 4] * iv
+    return out
+
+
+def _dj_terms(s, c, dtab, d: int, div_d):
+    """Per-direction dJ from the telescoped J chain:
+    dJ_d = (1/σ)·dV_T + (κ/σ)·dIV + α_d·IV + β_d + γ_d·J."""
+    v_t, iv, j, dvs, divs = s
+    return (
+        c["inv_sigma"] * dvs[d]
+        + c["k_over_sigma"] * div_d
+        + dtab[d, 5] * iv
+        + dtab[d, 6]
+        + dtab[d, 7] * j
+    )
 
 
 def _cond_bs_partials(iv, j, c):
@@ -157,7 +292,7 @@ def _fold8(x):
     return jnp.sum(x.reshape(_ROWS // 8, 8, _LANES), axis=0)
 
 
-def _greek_sums(pair, c, n_dirs: int):
+def _greek_sums(pair, c, dtab, n_dirs: int):
     """(1 + n_dirs + 2, 8, LANES) folded sums for one antithetic tile pair:
     [Y, chain_d..., w, Y_rho]."""
     s, sa = pair
@@ -166,7 +301,9 @@ def _greek_sums(pair, c, n_dirs: int):
     ya, ya_iv, ya_j, ya_rho, wa = _cond_bs_partials(sa[1], sa[2], c)
     outs.append(_fold8(y + ya))
     for d in range(n_dirs):
-        chain = y_iv * s[4][d] + y_j * s[5][d] + ya_iv * sa[4][d] + ya_j * sa[5][d]
+        div_d, diva_d = _div_real(s, c, dtab, d), _div_real(sa, c, dtab, d)
+        chain = (y_iv * div_d + y_j * _dj_terms(s, c, dtab, d, div_d)
+                 + ya_iv * diva_d + ya_j * _dj_terms(sa, c, dtab, d, diva_d))
         outs.append(_fold8(chain))
     outs.append(_fold8(w + wa))
     outs.append(_fold8(y_rho + ya_rho))
@@ -180,19 +317,17 @@ def _greeks_accum_kernel(
     greek twin of _qe_mixing_price_kernel (same PRNG stream)."""
     pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
     c = _mix_c(params_ref)
-    c_step = _c_step(c)
-    dcs = _dc_dicts(dc_ref, n_dirs)
     shape = (_ROWS, _LANES)
 
     def one_batch(_, acc):
         pair = (_tan_init(c, n_dirs, shape), _tan_init(c, n_dirs, shape))
         pair = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(steps // 2),
-            lambda _, p: _tan_double_step_prng(p, c_step, dcs), pair,
+            lambda _, p: _tan_double_step_prng(p, c, dc_ref, n_dirs), pair,
         )
         if steps % 2:
-            pair = _tan_single_step_prng(pair, c_step, dcs)
-        return acc + _greek_sums(pair, c, n_dirs)
+            pair = _tan_single_step_prng(pair, c, dc_ref, n_dirs)
+        return acc + _greek_sums(pair, c, dc_ref, n_dirs)
 
     acc0 = jnp.zeros((1 + n_dirs + 2, 8, _LANES), dtype=jnp.float32)
     out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
@@ -207,8 +342,6 @@ def _greeks_accum_kernel_qmc(
     consecutive point-index blocks.  Pure bit arithmetic → runs under
     interpret mode, which is how CPU tests validate the greek math."""
     c = _mix_c(params_ref)
-    c_step = _c_step(c)
-    dcs = _dc_dicts(dc_ref, n_dirs)
     shape = (_ROWS, _LANES)
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -223,24 +356,50 @@ def _greeks_accum_kernel_qmc(
         for st in range(steps):
             u1, u2 = _sobol_uniforms_tile(masks, sob_ref, (2 * st, 2 * st + 1))
             z = _ndtri_approx(u1)
-            s = _tan_step(s, z, u2, c_step, dcs)
-            sa = _tan_step(sa, -z, 1.0 - u2, c_step, dcs)
-        return acc + _greek_sums((s, sa), c, n_dirs)
+            s = _tan_step(s, z, u2, c, dc_ref, n_dirs)
+            sa = _tan_step(sa, -z, 1.0 - u2, c, dc_ref, n_dirs)
+        return acc + _greek_sums((s, sa), c, dc_ref, n_dirs)
 
     acc0 = jnp.zeros((1 + n_dirs + 2, 8, _LANES), dtype=jnp.float32)
     out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
 
 
-def _mix_dc_table(kappa, theta, sigma, dt, steps: int, n_dirs: int):
-    """(n_dirs, 8) fp32 tangent table for directions (V0, κ, θ, σ[, T]) —
-    host-side jacfwd of the shared constants builder."""
-    from ..methods.mixing_greeks import mixing_cvec_and_tangents
-
+def _greek_table(v0, kappa, theta, sigma, dt, steps: int, n_dirs: int):
+    """(n_dirs, 8) fp32 tangent table for directions (V0, κ, θ, σ[, T]):
+    cols 0-4 = jacfwd of the V-draw/IV constants (θc, e, c_s2_v, c_s2_c,
+    half_dt); cols 5-7 = (α, β, γ) closing the telescoped J chain
+    (see module-level _N_COLS comment)."""
     T = dt * steps
-    _, dcvecs = mixing_cvec_and_tangents(
-        jnp.asarray(kappa), jnp.asarray(theta), jnp.asarray(sigma), jnp.asarray(T), steps
+    pvec = jnp.stack([jnp.asarray(v0), jnp.asarray(kappa), jnp.asarray(theta),
+                      jnp.asarray(sigma), jnp.asarray(T)])
+
+    def cols(p):
+        _v0, k_, th_, s_, t_ = p
+        dt_ = t_ / steps
+        e = jnp.exp(-k_ * dt_)
+        c1 = s_**2 * e * (1.0 - e) / k_
+        c2 = th_ * s_**2 * (1.0 - e) ** 2 / (2.0 * k_)
+        return jnp.stack([th_, e, c1, c2, 0.5 * dt_])
+
+    dc = jax.jacfwd(cols)(pvec).T[:n_dirs]  # (n_dirs, 5)
+    # col 4 is consumed as the RELATIVE half_dt tangent (dhdt/hdt): the
+    # T-direction's d(half_dt) IV contribution telescopes to (dhdt/hdt)·IV,
+    # applied once at the end of the path (_div_real)
+    dc = dc.at[:, 4].set(dc[:, 4] / (0.5 * dt))
+
+    def jparts(p):
+        v0_, k_, th_, s_, t_ = p
+        return jnp.stack([v0_, k_, k_ * th_ * t_, 1.0 / s_])
+
+    dj = jax.jacfwd(jparts)(pvec).T[:n_dirs]  # (n_dirs, 4): dV0, dκ, d(κθT), d(1/σ)
+    inv_s = 1.0 / sigma
+    alpha = inv_s * dj[:, 1]
+    beta = -inv_s * (dj[:, 0] + dj[:, 2])
+    gamma = sigma * dj[:, 3]
+    return jnp.asarray(
+        jnp.concatenate([dc, jnp.stack([alpha, beta, gamma], axis=1)], axis=1),
+        jnp.float32,
     )
-    return jnp.asarray(dcvecs[:n_dirs], jnp.float32)
 
 
 def _assemble_grad7(tot, log_s0, r, T, discount, price):
@@ -284,7 +443,7 @@ def heston_qe_mixing_price_and_greeks(
     """
     n_dirs = 4
     params = _mix_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, steps, strike, cp)
-    dc = _mix_dc_table(kappa, theta, sigma, dt, steps, n_dirs)
+    dc = _greek_table(v0, kappa, theta, sigma, dt, steps, n_dirs)
     out_shape = jax.ShapeDtypeStruct((n_blocks, 1 + n_dirs + 2, 8, _LANES), jnp.float32)
     out_specs = pl.BlockSpec(
         (1, 1 + n_dirs + 2, 8, _LANES),
@@ -350,7 +509,7 @@ def heston_qe_mixing_price_and_greeks(
 _N_WDIRS = 5  # V0, kappa, theta, sigma, T
 
 
-def _weighted_sums(pair, cts, c, n_dirs: int):
+def _weighted_sums(pair, cts, c, dtab, n_dirs: int):
     """(n_dirs + 3, 8, LANES) cotangent-weighted sums:
     [chain_d... , w, Y_rho, Y_K] for one (possibly antithetic) tile pair."""
     outs = []
@@ -358,7 +517,8 @@ def _weighted_sums(pair, cts, c, n_dirs: int):
     for d in range(n_dirs):
         acc = jnp.zeros((8, _LANES), jnp.float32)
         for (y, y_iv, y_j, y_rho, w), s, ct in parts:
-            acc = acc + _fold8(ct * (y_iv * s[4][d] + y_j * s[5][d]))
+            div_d = _div_real(s, c, dtab, d)
+            acc = acc + _fold8(ct * (y_iv * div_d + y_j * _dj_terms(s, c, dtab, d, div_d)))
         outs.append(acc)
     for idx in (4, 3):  # w then y_rho
         acc = jnp.zeros((8, _LANES), jnp.float32)
@@ -383,18 +543,16 @@ def _greeks_weighted_kernel(
 ):
     pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
     c = _mix_c(params_ref)
-    c_step = _c_step(c)
-    dcs = _dc_dicts(dc_ref, _N_WDIRS)
     shape = (_ROWS, _LANES)
 
     if antithetic:
         pair = (_tan_init(c, _N_WDIRS, shape), _tan_init(c, _N_WDIRS, shape))
         pair = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(steps // 2),
-            lambda _, p: _tan_double_step_prng(p, c_step, dcs), pair,
+            lambda _, p: _tan_double_step_prng(p, c, dc_ref, _N_WDIRS), pair,
         )
         if steps % 2:
-            pair = _tan_single_step_prng(pair, c_step, dcs)
+            pair = _tan_single_step_prng(pair, c, dc_ref, _N_WDIRS)
         cts = (ct_ref[0], ct_ref[1])
     else:
         # single-group replay mirrors _mix_run_steps_prng's draw order with
@@ -405,18 +563,18 @@ def _greeks_weighted_kernel(
             z1, z2 = _box_muller(shape)
             u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
             u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-            s = _tan_step(s, z1, u1, c_step, dcs)
-            return _tan_step(s, z2, u2, c_step, dcs)
+            s = _tan_step(s, z1, u1, c, dc_ref, _N_WDIRS)
+            return _tan_step(s, z2, u2, c, dc_ref, _N_WDIRS)
 
         s = jax.lax.fori_loop(jnp.int32(0), jnp.int32(steps // 2), dbl, s)
         if steps % 2:
             z1, _z2 = _box_muller(shape)
             u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-            s = _tan_step(s, z1, u, c_step, dcs)
+            s = _tan_step(s, z1, u, c, dc_ref, _N_WDIRS)
         pair = (s,)
         cts = (ct_ref[0],)
 
-    out_ref[0] = _weighted_sums(pair, cts, c, _N_WDIRS)
+    out_ref[0] = _weighted_sums(pair, cts, c, dc_ref, _N_WDIRS)
 
 
 @functools.partial(
@@ -438,7 +596,7 @@ def _mixing_values_vjp(
     ct_pad = ct_pad.reshape(n_groups, n_blocks * _ROWS, _LANES)
 
     params = _mix_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, steps, strike, cp)
-    dc = _mix_dc_table(kappa, theta, sigma, dt, steps, _N_WDIRS)
+    dc = _greek_table(v0, kappa, theta, sigma, dt, steps, _N_WDIRS)
     seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
     kernel = functools.partial(_greeks_weighted_kernel, steps=steps, antithetic=antithetic)
     sums = pl.pallas_call(

@@ -6,6 +6,7 @@ from .sharding import (
     sharded_lsm_price_fn,
     sharded_mc_price,
     sharded_mc_price_fn,
+    sharded_surface_fn,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "sharded_mc_price_fn",
     "sharded_lsm_price",
     "sharded_lsm_price_fn",
+    "sharded_surface_fn",
 ]

@@ -152,13 +152,14 @@ def sharded_lsm_price_fn(method, mesh: Mesh, axis_name: str = "paths"):
     communicating algorithm (SURVEY §5), the closest analog of sequence
     parallelism this domain has.
     """
-    from ..methods.lsm import LSM, _lsm_setup, lsm_backward_induction
-    from ..methods.montecarlo import simulate_price_grid
+    from ..methods.lsm import LSM, _flatten_grid, _is_conditional, _lsm_setup, lsm_backward_induction
+    from ..methods.montecarlo import simulate_conditional_grid, simulate_price_grid
 
     assert isinstance(method, LSM)
     n_dev = mesh.shape[axis_name]
     local_mc = _local_method(method.mc_method, n_dev)
     total_paths_factor = n_dev
+    conditional = _is_conditional(method.mc_method)
 
     def price(prob: PricingProblem):
         log_disc, strike_scale = _lsm_setup(prob, method)
@@ -167,14 +168,19 @@ def sharded_lsm_price_fn(method, mesh: Mesh, axis_name: str = "paths"):
         def inner(prob):
             idx = jax.lax.axis_index(axis_name)
             key, offset = _device_key_and_offset(local_mc.config, idx)
-            grid = simulate_price_grid(
-                prob, local_mc, key=key, point_offset=offset
-            )  # (g, steps+1, P_local)
-            n_groups, ntimes, npaths = grid.shape
-            spots = jnp.moveaxis(grid, 0, 1).reshape(ntimes, n_groups * npaths)
+            if conditional:
+                s_grid, v_grid = simulate_conditional_grid(
+                    prob, local_mc.config, key=key, point_offset=offset
+                )
+                spots, vols = _flatten_grid(s_grid), _flatten_grid(v_grid)
+            else:
+                grid = simulate_price_grid(
+                    prob, local_mc, key=key, point_offset=offset
+                )  # (g, steps+1, P_local)
+                spots, vols = _flatten_grid(grid), None
             tau, value = lsm_backward_induction(
                 spots, prob.payoff, log_disc, method.degree, strike_scale,
-                psum_axis=axis_name,
+                psum_axis=axis_name, vols=vols,
             )
             local_sum = jnp.sum(jnp.exp(tau * log_disc) * value)
             total = jax.lax.psum(local_sum, axis_name)

@@ -103,8 +103,10 @@ def test_conditional_guards():
     m = MonteCarlo(HestonDynamics(), HestonQE(conditional=True), cfg)
     with pytest.raises(TypeError, match="terminal samples"):
         simulate_terminal_prices(prob, m)
-    with pytest.raises(TypeError, match="price grid"):
-        simulate_price_grid(prob, m)
+    # round 3: conditional strategies now HAVE a price grid (the conditional
+    # lognormal bridge, simulate_conditional_grid) — the grid routes there
+    grid = simulate_price_grid(prob, m)
+    assert grid.shape == (1, 3, 64)
     bad = MonteCarlo(LognormalDynamics(), HestonQE(conditional=True), cfg)
     with pytest.raises(TypeError, match="conditional Monte Carlo requires"):
         solve(prob, bad)
