@@ -116,7 +116,7 @@ def flagship_greek_ratio(
     return t_grad / t_price, t_price, t_grad
 
 
-SECONDARY_BUDGET_S = 300.0  # skip stderr-only extras if the run is this old
+SECONDARY_BUDGET_S = 420.0  # skip stderr-only extras if the run is this old
 
 
 def main() -> None:
@@ -243,32 +243,6 @@ def main() -> None:
                        err_bp, paths_per_sec)
         return
 
-    # One vmapped value_and_grad gives every option its price AND its
-    # (delta, vega, rho) in a single pass — the "<2× price cost" greek story
-    # at serving scale (BASELINE.json: "batched price+Greeks options/sec").
-    from hedgehog_tpu.methods.black_scholes import bs_price
-
-    n_opts = 2**18
-    strikes = jnp.linspace(50.0, 150.0, n_opts, dtype=jnp.float32)
-
-    def one_price(K, spot, sigma, r):
-        D = jnp.exp(-r * jnp.float32(T))
-        return bs_price(spot / D, K, sigma, jnp.float32(T), D, 1.0)
-
-    @jax.jit
-    def priced_greeked(spot, sigma, r):
-        f = lambda K: jax.value_and_grad(one_price, argnums=(1, 2, 3))(K, spot, sigma, r)
-        return jax.vmap(f)(strikes)
-
-    args32 = (jnp.float32(SPOT), jnp.float32(0.2), jnp.float32(R))
-    jax.block_until_ready(priced_greeked(*args32))
-    t1 = time.perf_counter()
-    for _ in range(5):
-        out = priced_greeked(*args32)
-    jax.block_until_ready(out)
-    opts_per_sec = 5 * n_opts / (time.perf_counter() - t1)
-    sys.stderr.write(f"# batched price+greeks (BS, delta/vega/rho per option): {opts_per_sec:.3e} options/s\n")
-
     # ---- kernel-scale greek vector (stderr): the fused price+greeks Pallas
     # kernel vs the price-only kernel at the SERVING configuration (268M
     # paths/dispatch) — the "<2× the kernel price" framing the r2 verdict
@@ -301,6 +275,32 @@ def main() -> None:
             )
         except Exception as e:  # pragma: no cover
             sys.stderr.write(f"# kernel greek vector skipped ({type(e).__name__}: {e})\n")
+
+    # One vmapped value_and_grad gives every option its price AND its
+    # (delta, vega, rho) in a single pass — the "<2× price cost" greek story
+    # at serving scale (BASELINE.json: "batched price+Greeks options/sec").
+    from hedgehog_tpu.methods.black_scholes import bs_price
+
+    n_opts = 2**18
+    strikes = jnp.linspace(50.0, 150.0, n_opts, dtype=jnp.float32)
+
+    def one_price(K, spot, sigma, r):
+        D = jnp.exp(-r * jnp.float32(T))
+        return bs_price(spot / D, K, sigma, jnp.float32(T), D, 1.0)
+
+    @jax.jit
+    def priced_greeked(spot, sigma, r):
+        f = lambda K: jax.value_and_grad(one_price, argnums=(1, 2, 3))(K, spot, sigma, r)
+        return jax.vmap(f)(strikes)
+
+    args32 = (jnp.float32(SPOT), jnp.float32(0.2), jnp.float32(R))
+    jax.block_until_ready(priced_greeked(*args32))
+    t1 = time.perf_counter()
+    for _ in range(5):
+        out = priced_greeked(*args32)
+    jax.block_until_ready(out)
+    opts_per_sec = 5 * n_opts / (time.perf_counter() - t1)
+    sys.stderr.write(f"# batched price+greeks (BS, delta/vega/rho per option): {opts_per_sec:.3e} options/s\n")
 
     # ---- pure-JAX greek-vector ratios (stderr): jax AD through solve on the
     # QE-M pair and the conditional mixing estimator (forward-mode fast path)
