@@ -100,14 +100,23 @@ def flagship_greek_ratio(
     jax.block_until_ready(grad_jit(params))
 
     reps = 8
+    # per-call spot jitter (±1e-9): identical repeated dispatches can be
+    # served from a relay-side execution cache and read as ~0 ms — every
+    # timed call must differ in at least one input
+    param_variants = [
+        (params[0] + i * 1e-9,) + params[1:] for i in range(reps)
+    ]
+
+    import numpy as _np
 
     def best_of(fn):
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn(params)
-            jax.block_until_ready(out)
+            outs = [fn(p) for p in param_variants]
+            # force a host transfer: on the relay backend block_until_ready
+            # can return before remote execution completes
+            jax.tree.map(_np.asarray, outs)
             times.append((time.perf_counter() - t0) / reps)
         return min(times)
 

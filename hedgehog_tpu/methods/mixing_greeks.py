@@ -127,31 +127,90 @@ def cond_bs_value_and_partials(iv, j, *, f0, log_f0_over_k, strike, rho, cp):
     return y, y_iv, y_j, y_rho, y_f0
 
 
-def _scan_with_tangents(v0_val, zs, us, cvec, dcvecs):
-    """Run the mixing scan carrying 5 tangent directions.
+def greek_tables(kappa, theta, sigma, T, steps: int):
+    """Per-direction tangent tables for (V0, κ, θ, σ, T):
 
-    ``zs``/``us``: (steps, ...) draw arrays; state shapes follow their
-    trailing dims.  Returns (iv, j, div (5, ...), dj (5, ...))."""
+    - ``dc`` (5, 5): tangents of the V-draw/IV constants
+      [θc, e, c_s2_v, c_s2_c, half_dt];
+    - ``djc`` (5, 3): the (α, β, γ) closing the telescoped J chain
+      J = (V_T − V0 − κθT + κ·IV)/σ at the end of the path:
+      dJ_d = (1/σ)·dV_T + (κ/σ)·dIV + α_d·IV + β_d + γ_d·J.
+
+    Same structure as the TPU greek kernels' SMEM table
+    (ops/heston_qe_greeks_kernel._greek_table) in f64.
+    """
+    pvec = jnp.stack([jnp.zeros_like(jnp.asarray(kappa)), jnp.asarray(kappa),
+                      jnp.asarray(theta), jnp.asarray(sigma), jnp.asarray(T)])
+
+    def cols(p):
+        _v0, k_, th_, s_, t_ = p
+        dt_ = t_ / steps
+        e = jnp.exp(-k_ * dt_)
+        c1 = s_**2 * e * (1.0 - e) / k_
+        c2 = th_ * s_**2 * (1.0 - e) ** 2 / (2.0 * k_)
+        return jnp.stack([th_, e, c1, c2, 0.5 * dt_])
+
+    dc = jax.jacfwd(cols)(pvec).T  # (5 dirs, 5 cols); V0 row is zeros
+
+    def jparts(p):
+        v0_, k_, th_, s_, t_ = p
+        return jnp.stack([v0_, k_, k_ * th_ * t_, 1.0 / s_])
+
+    dj = jax.jacfwd(jparts)(pvec).T  # (5, 4): dV0, dκ, d(κθT), d(1/σ)
+    inv_s = 1.0 / sigma
+    alpha = inv_s * dj[:, 1]
+    beta = -inv_s * (dj[:, 0] + dj[:, 2])
+    gamma = sigma * dj[:, 3]
+    return dc, jnp.stack([alpha, beta, gamma], axis=1)
+
+
+def _scan_with_tangents(v0_val, zs, us, c, dc):
+    """Run the mixing scan carrying 5 forward-tangent directions
+    (V0, κ, θ, σ, T) via the hand-derived coefficient step
+    (models/heston_qe.qe_v_step_with_coeffs): the per-step derivative
+    collapses onto two coefficient arrays shared by ALL directions, so the
+    tangent cost is a few broadcast FMAs per direction — no per-direction
+    re-walk of the sqrt/log/div chain (which under f64 emulation on TPU
+    costs ~25× the primal when generated by generic linearization).
+
+    ``zs``/``us``: (steps, ...) draw arrays.  Returns
+    (v_T, iv, j, dv (5, ...), div (5, ...)).
+    """
+    from ..models.heston_qe import qe_v_step_with_coeffs
+
     shape = zs.shape[1:]
     dtype = zs.dtype
     v = jnp.full(shape, v0_val, dtype)
     zero = jnp.zeros(shape, dtype)
-    n_dirs = dcvecs.shape[0]
+    n_dirs = dc.shape[0]
     dv0 = jnp.zeros((n_dirs,) + shape, dtype).at[0].set(1.0)  # ∂V/∂V0 = 1
     dz0 = jnp.zeros((n_dirs,) + shape, dtype)
 
-    def step(carry, inp):
-        v, iv, j, dv, div, dj = carry
-        z, u = inp
-        f = lambda v_, iv_, j_, c_: _mix_step(v_, iv_, j_, z, u, c_)
-        (vn, ivn, jn), lin = jax.linearize(f, v, iv, j, cvec)
-        dvn, divn, djn = jax.vmap(lin)(dv, div, dj, dcvecs)
-        return (vn, ivn, jn, dvn, divn, djn), None
+    c_th, c_e, c_c1 = c["theta"], c["e"], c["c_s2_v"]
+    half_dt, inv_sigma = c["half_dt"], c["inv_sigma"]
+    k_over, ktd = c["k_over_sigma"], c["ktd_over_sigma"]
+    bshape = (n_dirs,) + (1,) * len(shape)
+    d_th, d_e = dc[:, 0].reshape(bshape), dc[:, 1].reshape(bshape)
+    d_c1, d_c2 = dc[:, 2].reshape(bshape), dc[:, 3].reshape(bshape)
+    d_hdt = dc[:, 4].reshape(bshape)
 
-    (v, iv, j, dv, div, dj), _ = jax.lax.scan(
-        step, (v, zero, zero, dv0, dz0, dz0), (zs, us)
-    )
-    return iv, j, div, dj
+    def step(carry, inp):
+        v, iv, j, dv, div = carry
+        z, u = inp
+        vn, cm, cs = qe_v_step_with_coeffs(v, z, u, c)
+        a_coef = cm * c_e + cs * c_c1
+        src = cm[None] * (d_th * (1.0 - c_e) + d_e * (v - c_th)[None]) + cs[None] * (
+            d_c1 * v[None] + d_c2
+        )
+        dvn = a_coef[None] * dv + src
+        v_sum = v + vn
+        iv_step = half_dt * v_sum
+        jn = j + (vn - v) * inv_sigma + iv_step * k_over - ktd
+        divn = div + half_dt * (dv + dvn) + d_hdt * v_sum[None]
+        return (vn, iv + iv_step, jn, dvn, divn), None
+
+    (v, iv, j, dv, div), _ = jax.lax.scan(step, (v, zero, zero, dv0, dz0), (zs, us))
+    return v, iv, j, dv, div
 
 
 def heston_mixing_price_and_greeks(prob, method, key=None):
@@ -215,10 +274,25 @@ def heston_mixing_price_and_greeks(prob, method, key=None):
         u = jax.random.uniform(k_u, (steps, config.trajectories), dtype=jnp.float64)
         us = jnp.stack([u, 1.0 - u]) if anti else u[None]
 
-    cvec, dcvecs = mixing_cvec_and_tangents(market.kappa, market.theta, market.sigma, T, steps)
+    dt = T / steps
+    c = qe_constants(market.kappa, market.theta, market.sigma, market.rho, r0, dt)
+    c = dict(
+        c,
+        half_dt=0.5 * dt,
+        inv_sigma=1.0 / market.sigma,
+        k_over_sigma=market.kappa / market.sigma,
+        ktd_over_sigma=market.kappa * market.theta * dt / market.sigma,
+    )
+    dc, djc = greek_tables(market.kappa, market.theta, market.sigma, T, steps)
     zs = jnp.moveaxis(z, 1, 0)  # (steps, g, paths)
     us_s = jnp.moveaxis(us, 1, 0)
-    iv, j, div, dj = _scan_with_tangents(market.V0, zs, us_s, cvec, dcvecs)
+    v_t, iv, j, dv, div = _scan_with_tangents(market.V0, zs, us_s, c, dc)
+    # close the telescoped J chain: dJ_d = dV_T/σ + κ/σ·dIV + α·IV + β + γ·J
+    bshape = (djc.shape[0],) + (1,) * iv.ndim
+    dj = (c["inv_sigma"] * dv + c["k_over_sigma"] * div
+          + djc[:, 0].reshape(bshape) * iv[None]
+          + djc[:, 1].reshape(bshape)
+          + djc[:, 2].reshape(bshape) * j[None])
 
     spot, rho = market.spot, market.rho
     cp = prob.payoff.call_put()

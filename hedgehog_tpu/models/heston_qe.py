@@ -135,6 +135,81 @@ def qe_v_step(v, z, u, c):
     return _qe_v_draw(v, z, u, c)[0]
 
 
+def qe_v_step_with_coeffs(v, z, u, c):
+    """Variance QE step + hand-derived tangent coefficients (f64 twin of the
+    kernel's _qe_v_coeffs, mirroring :func:`_qe_v_draw`'s guards exactly).
+
+    Returns ``(vn, cm, cs)`` with ∂vn/∂x = cm·(∂m/∂x) + cs·(∂s2/∂x) for any
+    input x, where m = θc+(v−θc)e and s2 = v·c1+c2 are the two moment
+    channels.  The coefficients are computed ONCE per step and shared by all
+    tangent directions — forward-mode greeks then cost a few broadcast FMAs
+    per direction instead of a re-walk of the sqrt/log/div chain (which on
+    TPU under f64 emulation was measured ~25× the primal when generated by
+    generic per-direction linearization).
+    """
+    theta = c["theta"]
+    e = c["e"]
+    m = theta + (v - theta) * e
+    s2 = v * c["c_s2_v"] + c["c_s2_c"]
+    m_safe = jnp.maximum(m, 1e-30)
+    psi_raw = s2 / (m_safe * m_safe)  # same division form as _qe_v_draw
+    psi = jnp.maximum(psi_raw, 1e-12)
+    inv_m = 1.0 / m_safe  # coefficient-only
+
+    # quadratic branch — primal EXACTLY as _qe_v_draw (same division forms:
+    # the greeks must be consistent with the price qe_v_step produced)
+    two_over_psi = 2.0 / psi
+    t1r = two_over_psi - 1.0
+    t1 = jnp.maximum(t1r, 0.0)
+    quad_live = t1r > 0.0
+    t1_safe = jnp.where(quad_live, t1, 1.0)
+    sqw = jnp.sqrt(two_over_psi * t1_safe)
+    b2 = jnp.where(quad_live, t1 + sqw, 0.0)
+    a = m / (1.0 + b2)
+    b = jnp.where(quad_live, jnp.sqrt(jnp.where(quad_live, b2, 1.0)), 0.0)
+    q = b + z
+    v_quad = a * q**2
+
+    # coefficient chain (may use cheap reciprocal forms — 1-ulp coefficient
+    # noise is irrelevant, primal parity is what matters)
+    rb = a * inv_m  # = 1/(1+b2) to 1 ulp
+    t_psi = -two_over_psi / psi
+    rcp_prod = 1.0 / jnp.maximum(sqw * jnp.maximum(b, 1e-150), 1e-300)
+    rcp_sqw = jnp.maximum(b, 1e-150) * rcp_prod
+    rcp_sqb = sqw * rcp_prod
+    db2_dpsi = t_psi * (1.0 + 0.5 * rcp_sqw * (t1 + two_over_psi))
+    q_m = q * q * rb
+    q_psi = jnp.where(quad_live, a * (q * rcp_sqb - q_m) * db2_dpsi, 0.0)
+
+    # exponential branch — primal EXACTLY as _qe_v_draw
+    p = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 1.0 - 1e-12)
+    one_m_p = 1.0 - p
+    beta = one_m_p / m_safe
+    u_safe = jnp.clip(u, 1e-12, 1.0 - 1e-12)
+    lterm = jnp.log(one_m_p / jnp.maximum(1.0 - u_safe, 1e-300))
+    e_live = jnp.where(u_safe > p, 1.0, 0.0)
+    v_exp = jnp.where(u_safe <= p, 0.0, lterm / beta)
+
+    r1mp = 1.0 / one_m_p
+    inv_beta = m_safe * r1mp
+    p_live = jnp.where(p < 1.0 - 1e-12, 1.0, 0.0)
+    rp1 = 1.0 / (psi + 1.0)
+    e_m = e_live * lterm * r1mp  # ∂(L/β)/∂m = L/(1−p)
+    # dv_exp/dψ = (2/(ψ+1)²)·invβ·(L−1)/(1−p) on live lanes
+    e_psi = e_live * p_live * (2.0 * rp1 * rp1) * inv_beta * (lterm - 1.0) * r1mp
+
+    use_quad = psi <= PSI_CRIT
+    vn = jnp.where(use_quad, v_quad, v_exp)
+    coef_m = jnp.where(use_quad, q_m, e_m)
+    coef_psi = jnp.where(use_quad, q_psi, e_psi)
+    coef_psi = jnp.where(psi_raw > 1e-12, coef_psi, 0.0)  # ψ-floor plateau
+    coef_m = jnp.where(m > 1e-30, coef_m, 0.0)  # m-floor plateau
+
+    cm = coef_m - 2.0 * psi * inv_m * coef_psi
+    cs = coef_psi * inv_m * inv_m
+    return vn, cm, cs
+
+
 def qe_step(x, v, z_v, z_x, u, c, *, martingale_correction: bool = True):
     """One QE(-M) step: (logS, V) → (logS', V') given normals z_v, z_x and a
     uniform u. ``c`` is the dict from :func:`qe_constants`.

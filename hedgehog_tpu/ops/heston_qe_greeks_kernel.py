@@ -122,9 +122,11 @@ def _qe_v_coeffs(v, z, u, c):
     # t1-clamp mask is never live where the quad coefficients are consumed —
     # drop it (dead lanes may produce Inf; the branch select discards them).
     t_psi = -top * inv_psi  # dtop/dψ
-    rcp_sqw = _rcp(jnp.maximum(sqw, 1e-20))
+    # one fused reciprocal: 1/√w and 1/√b2 from rcp(√w·√b2)
+    rcp_prod = _rcp(jnp.maximum(sqw * sqb, 1e-30))
+    rcp_sqw = sqb * rcp_prod
+    rcp_sqb = sqw * rcp_prod
     db2_dpsi = t_psi * (1.0 + 0.5 * rcp_sqw * (t1 + top))
-    rcp_sqb = _rcp(jnp.maximum(sqb, 1e-20))
     q_m = q * q * rb  # ∂v_quad/∂m
     q_psi = a * (q * rcp_sqb - q_m) * db2_dpsi
 
@@ -147,8 +149,11 @@ def _qe_v_coeffs(v, z, u, c):
     # inference.
     cap_live = jnp.where(p_raw < 1.0 - 1e-6, jnp.float32(1.0), jnp.float32(0.0))
     e_m = e_live * lterm * capfac  # ∂v_exp/∂m
+    # exact identity on unclipped lanes: 1−p = 2·rp1 ⇒ 1/(1−p) = (ψ+1)/2 =
+    # capfac, so inv_beta/(1−p) = m_safe·capfac² — no reciprocal needed
+    # (clipped lanes are killed by cap_live)
     e_psi = e_live * cap_live * (
-        lterm * m_safe * 0.5 - inv_beta * _rcp(one_m_p) * (2.0 * rp1 * rp1)
+        lterm * m_safe * 0.5 - m_safe * capfac * capfac * (2.0 * rp1 * rp1)
     )
 
     use_quad = psi <= 1.5
