@@ -149,12 +149,10 @@ def _qe_v_coeffs(v, z, u, c):
     # inference.
     cap_live = jnp.where(p_raw < 1.0 - 1e-6, jnp.float32(1.0), jnp.float32(0.0))
     e_m = e_live * lterm * capfac  # ∂v_exp/∂m
-    # exact identity on unclipped lanes: 1−p = 2·rp1 ⇒ 1/(1−p) = (ψ+1)/2 =
-    # capfac, so inv_beta/(1−p) = m_safe·capfac² — no reciprocal needed
-    # (clipped lanes are killed by cap_live)
-    e_psi = e_live * cap_live * (
-        lterm * m_safe * 0.5 - m_safe * capfac * capfac * (2.0 * rp1 * rp1)
-    )
+    # exact identities on unclipped lanes: 1−p = 2·rp1 ⇒ 1/(1−p) = capfac
+    # and capfac²·2rp1² = ½, so the whole ψ-chain collapses to
+    # dv_exp/dψ = ½·m·(L−1) (clipped lanes are killed by cap_live)
+    e_psi = e_live * cap_live * (0.5 * m_safe) * (lterm - 1.0)
 
     use_quad = psi <= 1.5
     # a * (q·q), matching _qe_v_advance's a·(√b2+z)² association exactly —
