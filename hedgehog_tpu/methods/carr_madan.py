@@ -45,7 +45,53 @@ from ..market.vol_surface import get_vol
 from ..models.dynamics import HestonDynamics, LognormalDynamics, terminal_log_cf
 from ..utils.pytree import pytree, static_field
 
-__all__ = ["CarrMadan", "carr_madan_error_estimate"]
+__all__ = ["CarrMadan", "carr_madan_error_estimate", "carr_madan_fft_smile"]
+
+
+def carr_madan_fft_smile(
+    prob: "PricingProblem", dynamics=None, *, alpha: float = 1.5,
+    eta: float = 0.0125, n: int = 65536, k_window: float = 10.0,
+):
+    """Whole call smile in ONE FFT (Carr-Madan 1999 §3): returns
+    ``(strikes, call_prices)`` on the regular log-strike grid
+    k_u = −b + u·2π/(nη), b = π/η, restricted to |k| ≤ ``k_window``.
+
+    The reference integrates per strike (carr_madan.jl:64-65, vmapped here
+    by the panel engine); for DENSE smiles (surface construction, smile
+    calibration against hundreds of quotes) the FFT prices all grid strikes
+    for the cost of one n·log n transform — interpolate in log-strike for
+    quotes between grid points.  Simpson-weighted trapezoid in the Fourier
+    variable; the default (η, n) resolves the α-peak to ≲1e-6 absolute with
+    λ = 2π/(nη) ≈ 0.77% strike spacing (an FFT this size is milliseconds —
+    far cheaper than per-strike quadrature for dense grids).
+
+    complex128 throughout → run on the CPU backend (like the Broadie-Kaya
+    oracle); the per-strike panel engine remains the TPU path.  The strike
+    of ``prob.payoff`` is ignored — the market/expiry define the smile.
+    """
+    payoff = prob.payoff
+    require_european(payoff, "carr_madan_fft_smile", spot_only=True)
+    market = prob.market_inputs
+    D = df(market.rate, payoff.expiry)
+    phi = terminal_log_cf(prob, dynamics)
+
+    v = jnp.arange(n) * eta
+    psi = D * phi(v - (alpha + 1.0) * 1j) / (
+        alpha**2 + alpha - v**2 + 1j * v * (2.0 * alpha + 1.0)
+    )
+    lam = 2.0 * jnp.pi / (n * eta)
+    b = 0.5 * n * lam
+    j = jnp.arange(n)
+    # Simpson weights 1/3, 4/3, 2/3, …  (Carr-Madan eq. 24 uses 1-based j)
+    simpson = (3.0 - (-1.0) ** j - jnp.where(j == 0, 1.0, 0.0)) / 3.0
+    x = psi * jnp.exp(1j * b * v) * (eta * simpson)
+    # static window: outside |k| ≤ k_window the damping factor e^{−αk}
+    # overflows on the deep-left tail and the strikes are absurd anyway
+    lo = int(np.ceil((float(-k_window) + b) / (2.0 * np.pi / (n * eta))))
+    hi = int(np.floor((float(k_window) + b) / (2.0 * np.pi / (n * eta)))) + 1
+    k = (-b + lam * j)[lo:hi]
+    calls = jnp.exp(-alpha * k) / jnp.pi * jnp.real(jnp.fft.fft(x))[lo:hi]
+    return jnp.exp(k), calls
 
 
 @pytree
