@@ -6,9 +6,10 @@ QE variance scan carries parameter dependence that needs AD.  Reverse mode
 re-walks that scan backwards (rematerializing every QE step);  forward mode
 pushes a handful of tangents through the SAME forward scan:
 
-- 5 tangent directions ride the scan: (V0, κ, θ, σ, T) — the parameters the
-  V path actually depends on.  Each step linearizes the QE transition once
-  (``jax.linearize``) and applies the linear map to all directions (vmap).
+- Up to 5 tangent directions ride the scan: (V0, κ, θ, σ[, T]) — the
+  parameters the V path depends on.  Each step computes two hand-derived
+  coefficient arrays (∂vn = CM·∂m + CS·∂s2) ONCE and applies them to every
+  direction with broadcast FMAs (models/heston_qe.qe_v_step_with_coeffs).
 - (S0, ρ, r) never touch the scan: the conditional BS value's partials in
   them are closed-form in (IV, J) (``cond_bs_value_and_partials``), as are
   ∂Y/∂IV and ∂Y/∂J which chain the scan tangents into value tangents.
@@ -18,9 +19,11 @@ small multiple of the price cost — the "<2× price" contract of BASELINE.md
 north star #2 (reference: ForwardDiff Duals through a re-solve,
 greeks_problem.jl:249-262), on the serving estimator.
 
-The constants vector layout matches the TPU kernel's SMEM params
-(ops/heston_qe_kernel._mix_c) so the kernel-side greek pass
-(ops/heston_qe_greeks_kernel.py) shares this exact math.
+The tangent tables (:func:`greek_tables`) and the coefficient step
+(models/heston_qe.qe_v_step_with_coeffs) are the f64 twins of the TPU greek
+kernels' SMEM tables and fp32 coefficient math — the kernel builder
+(ops/heston_qe_greeks_kernel._greek_table) derives from :func:`greek_tables`
+so the two cannot drift.
 """
 
 from __future__ import annotations
@@ -31,12 +34,11 @@ import jax.numpy as jnp
 from ..core.dates import yearfrac
 from ..core.payoffs import require_european
 from ..market.rate_curve import df_yf, zero_rate_yf
-from ..models.heston_qe import qe_constants, qe_v_step
+from ..models.heston_qe import qe_constants
 
 __all__ = [
     "heston_mixing_price_and_greeks",
-    "mixing_cvec",
-    "mixing_cvec_and_tangents",
+    "greek_tables",
     "cond_bs_value_and_partials",
     "GREEK_ORDER",
 ]
@@ -46,54 +48,6 @@ GREEK_ORDER = ("spot", "V0", "kappa", "theta", "sigma", "rho", "rate")
 
 # scan-carried tangent directions (the V path depends on exactly these)
 _SCAN_DIRS = ("V0", "kappa", "theta", "sigma", "T")
-
-
-def mixing_cvec(kappa, theta, sigma, T, steps: int):
-    """Per-step mixing constants as a flat vector (dt = T/steps):
-
-    [theta, e, c_s2_v, c_s2_c, half_dt, inv_sigma, k_over_sigma,
-     ktd_over_sigma]
-
-    — the same entries (and order) as the TPU kernel's per-step SMEM
-    constants (ops/heston_qe_kernel._mix_c, minus the value-stage scalars).
-    """
-    dt = T / steps
-    c = qe_constants(kappa, theta, sigma, 0.0, 0.0, dt)
-    return jnp.stack(
-        [
-            c["theta"], c["e"], c["c_s2_v"], c["c_s2_c"],
-            0.5 * dt, 1.0 / sigma, kappa / sigma, kappa * theta * dt / sigma,
-        ]
-    )
-
-
-def mixing_cvec_and_tangents(kappa, theta, sigma, T, steps: int):
-    """cvec plus its Jacobian rows for the 5 scan directions: (5, 8) with a
-    zero row for V0 (which enters only the initial state)."""
-    cvec = mixing_cvec(kappa, theta, sigma, T, steps)
-    jac = jax.jacfwd(lambda p: mixing_cvec(p[0], p[1], p[2], p[3], steps))(
-        jnp.stack([kappa, theta, sigma, T])
-    )  # (8, 4) in (kappa, theta, sigma, T) order
-    zeros = jnp.zeros((1, cvec.shape[0]), cvec.dtype)
-    dcvecs = jnp.concatenate([zeros, jac.T], axis=0)  # (5, 8): V0 row first
-    return cvec, dcvecs
-
-
-def _c_dict(cvec):
-    return dict(
-        theta=cvec[0], e=cvec[1], c_s2_v=cvec[2], c_s2_c=cvec[3],
-    )
-
-
-def _mix_step(v, iv, j, z, u, cvec):
-    """One mixing step (QE V-draw + trapezoid IV + exact-identity J) as a
-    pure function of (state, draws, constants-vector) — the linearization
-    target.  Mirrors ops/heston_qe_kernel._mix_advance."""
-    vn = qe_v_step(v, z, u, _c_dict(cvec))
-    half_dt, inv_sigma, k_over_sigma, ktd_over_sigma = cvec[4], cvec[5], cvec[6], cvec[7]
-    iv_step = half_dt * (v + vn)
-    jn = j + (vn - v) * inv_sigma + iv_step * k_over_sigma - ktd_over_sigma
-    return vn, iv + iv_step, jn
 
 
 def cond_bs_value_and_partials(iv, j, *, f0, log_f0_over_k, strike, rho, cp):
@@ -249,6 +203,16 @@ def heston_mixing_price_and_greeks(prob, method, key=None):
             "heston_mixing_price_and_greeks requires MonteCarlo(HestonDynamics, "
             "HestonQE(conditional=True))"
         )
+    if method.strategy.use_kernel:
+        # the seeded-price-equality contract below holds for the pure-JAX
+        # streams only; kernel-speed greeks live in
+        # ops.heston_qe_greeks_kernel.heston_qe_mixing_price_and_greeks
+        raise TypeError(
+            "heston_mixing_price_and_greeks draws the pure-JAX streams; for "
+            "use_kernel=True methods use "
+            "ops.heston_qe_greeks_kernel.heston_qe_mixing_price_and_greeks "
+            "(or jax.grad through solve, which routes through the kernel VJP)"
+        )
     require_european(prob.payoff, "heston_mixing_price_and_greeks", spot_only=True)
     if jnp.ndim(prob.payoff.strike) > 0:
         raise TypeError("scalar strike only (vmap externally for grids)")
@@ -283,7 +247,11 @@ def heston_mixing_price_and_greeks(prob, method, key=None):
         k_over_sigma=market.kappa / market.sigma,
         ktd_over_sigma=market.kappa * market.theta * dt / market.sigma,
     )
+    # 4 directions only: the T row (theta greek) is not in GREEK_ORDER —
+    # carrying it would waste ~20% of the tangent FMAs (the kernel twin also
+    # runs n_dirs=4)
     dc, djc = greek_tables(market.kappa, market.theta, market.sigma, T, steps)
+    dc, djc = dc[:4], djc[:4]
     zs = jnp.moveaxis(z, 1, 0)  # (steps, g, paths)
     us_s = jnp.moveaxis(us, 1, 0)
     v_t, iv, j, dv, div = _scan_with_tangents(market.V0, zs, us_s, c, dc)

@@ -10,11 +10,11 @@ propagation inside the kernel*:
   variance-path functionals (IV, J) (methods/mixing_greeks.py derivation).
   Only (V0, κ, θ, σ) [+ optionally T] tangents must ride the QE variance
   scan; (spot, ρ, rate) close analytically at the value stage.
-- Each kernel step linearizes the fp32 QE transition ONCE
-  (``jax.linearize`` — legal inside a Pallas trace; ``_rcp`` carries a
-  custom_jvp) and applies the linear map to all tangent directions: the
-  per-direction cost is a handful of VPU mul/adds against the primal's
-  transcendentals.
+- Each kernel step computes two hand-derived coefficient tiles ONCE
+  (∂vn = CM·∂m + CS·∂s2, _qe_v_coeffs — the primal mirrors _qe_v_advance
+  bit-for-bit) and applies them to every tangent direction with a few VPU
+  FMAs under static per-direction sparsity; J tangents are not carried at
+  all (J telescopes to a closed form in (V_T, IV)).
 - Draw order and tile shape exactly match the primal kernels, so the greek
   pass replays the identical PRNG stream: ``value_and_grad`` returns the
   SAME price as the price-only kernel.
@@ -45,13 +45,11 @@ from .heston_qe_kernel import (
     _LANES,
     _ROWS,
     _SOBOL_BITS,
-    _mix_advance,
     _mix_c,
     _mix_params,
     _ndtri_approx,
     _norm_cdf,
     _rcp,
-    _sobol_masks,
     _sobol_table,
     _sobol_uniforms_tile,
 )
@@ -344,16 +342,14 @@ def _greeks_accum_kernel_qmc(
     stream (2 dims/step, matching _qe_mixing_values_kernel_qmc), batches take
     consecutive point-index blocks.  Pure bit arithmetic → runs under
     interpret mode, which is how CPU tests validate the greek math."""
+    from .heston_qe_kernel import _batch_masks, _program_base_idx
+
     c = _mix_c(params_ref)
     shape = (_ROWS, _LANES)
-    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    block = jnp.int32(_ROWS * _LANES)
-    base_idx = offset_ref[0] + pl.program_id(0) * jnp.int32(n_batches) * block
+    base_idx = _program_base_idx(offset_ref, n_batches)
 
     def one_batch(b, acc):
-        idx = base_idx + b * block + row * jnp.int32(_LANES) + lane
-        masks = _sobol_masks(idx)
+        masks = _batch_masks(base_idx, b)
         pair = (_tan_init(c, n_dirs, shape), _tan_init(c, n_dirs, shape))
         s, sa = pair
         for st in range(steps):
@@ -369,40 +365,18 @@ def _greeks_accum_kernel_qmc(
 
 def _greek_table(v0, kappa, theta, sigma, dt, steps: int, n_dirs: int):
     """(n_dirs, 8) fp32 tangent table for directions (V0, κ, θ, σ[, T]):
-    cols 0-4 = jacfwd of the V-draw/IV constants (θc, e, c_s2_v, c_s2_c,
-    half_dt); cols 5-7 = (α, β, γ) closing the telescoped J chain
-    (see module-level _N_COLS comment)."""
-    T = dt * steps
-    pvec = jnp.stack([jnp.asarray(v0), jnp.asarray(kappa), jnp.asarray(theta),
-                      jnp.asarray(sigma), jnp.asarray(T)])
+    cols 0-4 = tangents of the V-draw/IV constants (θc, e, c_s2_v, c_s2_c,
+    half_dt — col 4 RELATIVE, dhdt/hdt, consumed by _div_real); cols 5-7 =
+    (α, β, γ) closing the telescoped J chain.
 
-    def cols(p):
-        _v0, k_, th_, s_, t_ = p
-        dt_ = t_ / steps
-        e = jnp.exp(-k_ * dt_)
-        c1 = s_**2 * e * (1.0 - e) / k_
-        c2 = th_ * s_**2 * (1.0 - e) ** 2 / (2.0 * k_)
-        return jnp.stack([th_, e, c1, c2, 0.5 * dt_])
+    Thin adapter over methods/mixing_greeks.greek_tables — ONE derivation
+    shared by the pure-JAX forward path and the kernels, so they cannot
+    drift."""
+    from ..methods.mixing_greeks import greek_tables
 
-    dc = jax.jacfwd(cols)(pvec).T[:n_dirs]  # (n_dirs, 5)
-    # col 4 is consumed as the RELATIVE half_dt tangent (dhdt/hdt): the
-    # T-direction's d(half_dt) IV contribution telescopes to (dhdt/hdt)·IV,
-    # applied once at the end of the path (_div_real)
+    dc, djc = greek_tables(kappa, theta, sigma, dt * steps, steps)
     dc = dc.at[:, 4].set(dc[:, 4] / (0.5 * dt))
-
-    def jparts(p):
-        v0_, k_, th_, s_, t_ = p
-        return jnp.stack([v0_, k_, k_ * th_ * t_, 1.0 / s_])
-
-    dj = jax.jacfwd(jparts)(pvec).T[:n_dirs]  # (n_dirs, 4): dV0, dκ, d(κθT), d(1/σ)
-    inv_s = 1.0 / sigma
-    alpha = inv_s * dj[:, 1]
-    beta = -inv_s * (dj[:, 0] + dj[:, 2])
-    gamma = sigma * dj[:, 3]
-    return jnp.asarray(
-        jnp.concatenate([dc, jnp.stack([alpha, beta, gamma], axis=1)], axis=1),
-        jnp.float32,
-    )
+    return jnp.asarray(jnp.concatenate([dc, djc], axis=1)[:n_dirs], jnp.float32)
 
 
 def _assemble_grad7(tot, log_s0, r, T, discount, price):
@@ -445,6 +419,11 @@ def heston_qe_mixing_price_and_greeks(
     Sobol' stream instead (consecutive point blocks per batch).
     """
     n_dirs = 4
+    total_pairs = n_blocks * n_batches * _ROWS * _LANES
+    if qmc and total_pairs > 2**_SOBOL_BITS:
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {total_pairs} pairs would wrap"
+        )
     params = _mix_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, steps, strike, cp)
     dc = _greek_table(v0, kappa, theta, sigma, dt, steps, n_dirs)
     out_shape = jax.ShapeDtypeStruct((n_blocks, 1 + n_dirs + 2, 8, _LANES), jnp.float32)

@@ -1235,7 +1235,12 @@ def heston_qe_mixing_values_pallas(prob, config, strat, key=None, device_id=0, p
             market.sigma, market.rho, T / config.steps,
             prob.payoff.strike, prob.payoff.call_put(),
             n_paths=config.trajectories, steps=config.steps,
-            seed=seed_from_key(config, key),
+            # QMC: ALWAYS config.seed — every device (and the pure-JAX twin,
+            # whose unsplit base key is PRNGKey(config.seed)) must randomize
+            # ONE shared Sobol' sequence and slice it by point_offset;
+            # deriving the seed from the caller's key would break the
+            # sharded==unsharded and kernel==pure-JAX randomization parity
+            seed=config.seed,
             antithetic=anti, device_id=device_id,
             qmc=True, point_offset=point_offset,
         )
@@ -1272,7 +1277,7 @@ def heston_qe_terminal_pallas(prob, config, strat, key=None, device_id=0, point_
         jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
         market.sigma, market.rho, T / config.steps,
         n_paths=config.trajectories, steps=config.steps,
-        seed=seed_from_key(config, key),
+        seed=config.seed if config.qmc else seed_from_key(config, key),
         antithetic=anti, device_id=device_id,
         martingale_correction=strat.martingale_correction,
         qmc=config.qmc, point_offset=point_offset,
