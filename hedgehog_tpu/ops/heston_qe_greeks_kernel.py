@@ -652,3 +652,382 @@ def heston_qe_mixing_values_diff(
 
     values.defvjp(fwd, bwd)
     return values(log_s0, v0, r, kappa, theta, sigma, rho, dt, strike)
+
+
+# ---------------------------------------------------------------------------
+# Surface Jacobian: the whole (expiry × strike) surface AND its 7-parameter
+# Jacobian in ONE kernel pass — Gauss-Newton/Levenberg-Marquardt Heston
+# calibration at kernel speed.  Forward tangents give every surface point's
+# gradient simultaneously (each point chains the SAME per-path (dIV, dJ)
+# tangents through its own closed-form value partials), so the Jacobian is
+# not m·n_exp times more expensive than the price — it is one tangent pass.
+# A custom VJP wraps the primal surface kernel for jax.grad-style use.
+# ---------------------------------------------------------------------------
+
+_N_SDIRS = 4  # V0, kappa, theta, sigma (spot, rho, rate close analytically)
+
+
+def _tan_step_surface(state, z, u, c, dct, row0: int, n_dirs: int):
+    """Surface tangent step: like _tan_step but (a) the dIV carry is DIRECT
+    (dt varies across segments, so the running-sum telescoping doesn't
+    apply) and (b) the 4-column constant-tangent rows live at ``row0`` of
+    the per-segment SMEM table ``dct``."""
+    v, iv, j, dvs, divs = state
+    vn, cm, cs = _qe_v_coeffs(v, z, u, c)
+    a_coef = cm * c["e"] + cs * c["c_s2_v"]
+    col_coefs = (
+        cm * (1.0 - c["e"]),
+        cm * (v - c["theta"]),
+        cs * v,
+        cs,
+    )
+    half_dt = c["half_dt"]
+    v_sum = v + vn
+    iv_step = half_dt * v_sum
+    jn = j + (vn - v) * c["inv_sigma"] + iv_step * c["k_over_sigma"] - c["ktd_over_sigma"]
+
+    new_dvs, new_divs = [], []
+    for d in range(n_dirs):
+        dvn = a_coef * dvs[d]
+        for col in _SPARSITY[d]:
+            if col < 4:
+                dvn = dvn + col_coefs[col] * dct[row0 + d, col]
+        new_dvs.append(dvn)
+        new_divs.append(divs[d] + half_dt * (dvs[d] + dvn))
+    return (vn, iv + iv_step, jn, tuple(new_dvs), tuple(new_divs))
+
+
+def _tan_init_surface(c, n_dirs: int, shape):
+    v = jnp.full(shape, c["v0"], dtype=jnp.float32)
+    zero = jnp.zeros(shape, dtype=jnp.float32)
+    one = jnp.ones(shape, dtype=jnp.float32)
+    dvs = tuple(one if d == 0 else zero for d in range(n_dirs))
+    dz = tuple(zero for _ in range(n_dirs))
+    return (v, zero, zero, dvs, dz)
+
+
+def _surf_dj(s, c, djt, i: int, d: int, n_dirs: int):
+    """dJ at expiry i for direction d: the telescoped J chain with the
+    per-expiry (α, β, γ) rows of ``djt`` (elapsed time enters β)."""
+    v_t, iv, j, dvs, divs = s
+    r = i * n_dirs + d
+    return (
+        c["inv_sigma"] * dvs[d]
+        + c["k_over_sigma"] * divs[d]
+        + djt[r, 0] * iv
+        + djt[r, 1]
+        + djt[r, 2] * j
+    )
+
+
+def _surface_greeks_kernel(
+    params_ref, dct_ref, djt_ref, seed_ref, out_ref,
+    *, seg_steps, m: int, n_batches: int,
+):
+    """Multi-batch antithetic surface price+chain sums, replaying the primal
+    surface kernel's PRNG stream (same draw order per segment).  Output per
+    program: (n_exp·m·7, 8, LANES) folded sums in point-major order
+    [y, chain_V0, chain_κ, chain_θ, chain_σ, w, y_rho]."""
+    from .heston_qe_kernel import _SURF_GLOBALS, _SURF_PER_SEG, _surf_c
+
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+    n_exp = len(seg_steps)
+    n_dirs = _N_SDIRS
+    shape = (_ROWS, _LANES)
+    f_off = _SURF_GLOBALS + _SURF_PER_SEG * n_exp
+    k_off = f_off + n_exp
+    lfk_off = k_off + m
+
+    def one_batch(_, acc):
+        c0 = _surf_c(params_ref, 0)
+        pair = (_tan_init_surface(c0, n_dirs, shape),
+                _tan_init_surface(c0, n_dirs, shape))
+        folds = []
+        for i, steps_i in enumerate(seg_steps):
+            c = _surf_c(params_ref, i)
+            row0 = i * n_dirs
+
+            def dbl(_, p, c=c, row0=row0):
+                s, sa = p
+                z1, z2 = _box_muller(shape)
+                u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+                u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+                for z, u in ((z1, u1), (z2, u2)):
+                    s = _tan_step_surface(s, z, u, c, dct_ref, row0, n_dirs)
+                    sa = _tan_step_surface(sa, -z, 1.0 - u, c, dct_ref, row0, n_dirs)
+                return (s, sa)
+
+            pair = jax.lax.fori_loop(jnp.int32(0), jnp.int32(steps_i // 2), dbl, pair)
+            if steps_i % 2:
+                s, sa = pair
+                z1, _z2 = _box_muller(shape)
+                u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+                s = _tan_step_surface(s, z1, u, c, dct_ref, row0, n_dirs)
+                sa = _tan_step_surface(sa, -z1, 1.0 - u, c, dct_ref, row0, n_dirs)
+                pair = (s, sa)
+
+            s, sa = pair
+            djs = [_surf_dj(s, c, djt_ref, i, d, n_dirs) for d in range(n_dirs)]
+            djsa = [_surf_dj(sa, c, djt_ref, i, d, n_dirs) for d in range(n_dirs)]
+            for k in range(m):
+                ck = dict(c, f_base=params_ref[f_off + i],
+                          strike=params_ref[k_off + k],
+                          log_f_over_k=params_ref[lfk_off + i * m + k])
+                y, y_iv, y_j, y_rho, w = _cond_bs_partials(s[1], s[2], ck)
+                ya, ya_iv, ya_j, ya_rho, wa = _cond_bs_partials(sa[1], sa[2], ck)
+                folds.append(_fold8(y + ya))
+                for d in range(n_dirs):
+                    folds.append(_fold8(
+                        y_iv * s[4][d] + y_j * djs[d]
+                        + ya_iv * sa[4][d] + ya_j * djsa[d]
+                    ))
+                folds.append(_fold8(w + wa))
+                folds.append(_fold8(y_rho + ya_rho))
+        return acc + jnp.stack(folds)
+
+    acc0 = jnp.zeros((n_exp * m * (_N_SDIRS + 3), 8, _LANES), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+def _surface_greeks_kernel_qmc(
+    params_ref, dct_ref, djt_ref, sob_ref, offset_ref, out_ref,
+    *, seg_steps, m: int, n_batches: int,
+):
+    """QMC twin of _surface_greeks_kernel (2 Sobol' dims per step running
+    across all segments, consecutive point blocks per batch) — runs under
+    interpret mode for CPU validation."""
+    from .heston_qe_kernel import (
+        _SURF_GLOBALS,
+        _SURF_PER_SEG,
+        _batch_masks,
+        _program_base_idx,
+        _surf_c,
+    )
+
+    n_exp = len(seg_steps)
+    n_dirs = _N_SDIRS
+    shape = (_ROWS, _LANES)
+    f_off = _SURF_GLOBALS + _SURF_PER_SEG * n_exp
+    k_off = f_off + n_exp
+    lfk_off = k_off + m
+    base_idx = _program_base_idx(offset_ref, n_batches)
+
+    def one_batch(b, acc):
+        masks = _batch_masks(base_idx, b)
+        c0 = _surf_c(params_ref, 0)
+        pair = (_tan_init_surface(c0, n_dirs, shape),
+                _tan_init_surface(c0, n_dirs, shape))
+        folds = []
+        dim0 = 0
+        for i, steps_i in enumerate(seg_steps):
+            c = _surf_c(params_ref, i)
+            row0 = i * n_dirs
+            s, sa = pair
+            for st in range(steps_i):
+                u1, u2 = _sobol_uniforms_tile(
+                    masks, sob_ref, (dim0 + 2 * st, dim0 + 2 * st + 1)
+                )
+                z = _ndtri_approx(u1)
+                s = _tan_step_surface(s, z, u2, c, dct_ref, row0, n_dirs)
+                sa = _tan_step_surface(sa, -z, 1.0 - u2, c, dct_ref, row0, n_dirs)
+            pair = (s, sa)
+            dim0 += 2 * steps_i
+
+            djs = [_surf_dj(s, c, djt_ref, i, d, n_dirs) for d in range(n_dirs)]
+            djsa = [_surf_dj(sa, c, djt_ref, i, d, n_dirs) for d in range(n_dirs)]
+            for k in range(m):
+                ck = dict(c, f_base=params_ref[f_off + i],
+                          strike=params_ref[k_off + k],
+                          log_f_over_k=params_ref[lfk_off + i * m + k])
+                y, y_iv, y_j, y_rho, w = _cond_bs_partials(s[1], s[2], ck)
+                ya, ya_iv, ya_j, ya_rho, wa = _cond_bs_partials(sa[1], sa[2], ck)
+                folds.append(_fold8(y + ya))
+                for d in range(n_dirs):
+                    folds.append(_fold8(
+                        y_iv * s[4][d] + y_j * djs[d]
+                        + ya_iv * sa[4][d] + ya_j * djsa[d]
+                    ))
+                folds.append(_fold8(w + wa))
+                folds.append(_fold8(y_rho + ya_rho))
+        return acc + jnp.stack(folds)
+
+    acc0 = jnp.zeros((n_exp * m * (_N_SDIRS + 3), 8, _LANES), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+def _surface_greek_tables(kappa, theta, sigma, T_host, seg_steps):
+    """Per-segment constant tangents (n_seg·4, 4) and per-expiry J-closure
+    rows (n_exp·4, 3) for directions (V0, κ, θ, σ), fp32 for SMEM."""
+    pvec = jnp.stack([jnp.zeros_like(jnp.asarray(kappa)), jnp.asarray(kappa),
+                      jnp.asarray(theta), jnp.asarray(sigma)])
+
+    dct_rows, djt_rows = [], []
+    t_prev = 0.0
+    inv_s = 1.0 / sigma
+    for i, steps_i in enumerate(seg_steps):
+        dt_i = (T_host[i] - t_prev) / steps_i
+        t_prev = T_host[i]
+
+        def cols(p, dt_=dt_i):
+            _v0, k_, th_, s_ = p
+            e = jnp.exp(-k_ * dt_)
+            c1 = s_**2 * e * (1.0 - e) / k_
+            c2 = th_ * s_**2 * (1.0 - e) ** 2 / (2.0 * k_)
+            return jnp.stack([th_, e, c1, c2])
+
+        dct_rows.append(jax.jacfwd(cols)(pvec).T)  # (4 dirs, 4 cols)
+
+        def jparts(p, t_=T_host[i]):
+            v0_, k_, th_, s_ = p
+            return jnp.stack([v0_, k_, k_ * th_ * t_, 1.0 / s_])
+
+        dj = jax.jacfwd(jparts)(pvec).T  # (4, 4)
+        alpha = inv_s * dj[:, 1]
+        beta = -inv_s * (dj[:, 0] + dj[:, 2])
+        gamma = sigma * dj[:, 3]
+        djt_rows.append(jnp.stack([alpha, beta, gamma], axis=1))
+
+    return (jnp.asarray(jnp.concatenate(dct_rows), jnp.float32),
+            jnp.asarray(jnp.concatenate(djt_rows), jnp.float32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T_host", "seg_steps", "n_strikes", "n_blocks", "n_batches",
+                     "qmc", "interpret"),
+)
+def heston_qe_mixing_surface_price_and_jacobian(
+    log_s0, v0, r, kappa, theta, sigma, rho, T_host, strikes, discounts,
+    *, seg_steps, n_strikes: int, n_blocks: int, n_batches: int, seed, cp=1.0,
+    device_id=0, qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+):
+    """(surface (n_exp, m), jacobian (n_exp, m, 7)) — DISCOUNTED prices and
+    their sensitivities to (spot, V0, κ, θ, σ, ρ, flat rate) in ONE fused
+    dispatch over n_blocks·n_batches·65536 antithetic conditional-MC paths.
+
+    The PRNG stream replays :func:`heston_qe_mixing_surface_price` exactly
+    (bit-identical surface); the Jacobian is one forward tangent pass —
+    the natural input for Gauss-Newton / Levenberg-Marquardt full-surface
+    Heston calibration at kernel speed.  The per-expiry rate greek includes
+    the discount term (discounts must be e^{−r·T_i})."""
+    from .heston_qe_kernel import _surf_params, _SURF_GLOBALS, _SURF_PER_SEG
+
+    T_host = tuple(float(t) for t in T_host)
+    n_exp = len(T_host)
+    m = n_strikes
+    strikes = jnp.asarray(strikes)
+    params = _surf_params(
+        log_s0, v0, r, kappa, theta, sigma, rho, T_host, seg_steps, strikes, cp
+    )
+    dct, djt = _surface_greek_tables(kappa, theta, sigma, T_host, seg_steps)
+    n_params = _SURF_GLOBALS + _SURF_PER_SEG * n_exp + n_exp + m + n_exp * m
+    n_out = n_exp * m * (_N_SDIRS + 3)
+    out_specs = pl.BlockSpec(
+        (1, n_out, 8, _LANES),
+        lambda i: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_blocks, n_out, 8, _LANES), jnp.float32)
+    total_pairs = n_blocks * n_batches * _ROWS * _LANES
+    if qmc and total_pairs > 2**_SOBOL_BITS:
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {total_pairs} pairs would wrap"
+        )
+    smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(jnp.int32(0) for _ in shp),
+                                    memory_space=pltpu.SMEM)
+    if qmc:
+        total_steps = sum(seg_steps)
+        table = _sobol_table(seed, 2 * total_steps)
+        offset_arr = jnp.asarray([point_offset], jnp.int32)
+        kernel = functools.partial(
+            _surface_greeks_kernel_qmc, seg_steps=tuple(seg_steps), m=m,
+            n_batches=n_batches,
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[smem((n_params,)), smem((n_exp * _N_SDIRS, 4)),
+                      smem((n_exp * _N_SDIRS, 3)),
+                      smem((2 * total_steps, _SOBOL_BITS + 1)), smem((1,))],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, dct, djt, table, offset_arr)
+    else:
+        seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+        kernel = functools.partial(
+            _surface_greeks_kernel, seg_steps=tuple(seg_steps), m=m,
+            n_batches=n_batches,
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[smem((n_params,)), smem((n_exp * _N_SDIRS, 4)),
+                      smem((n_exp * _N_SDIRS, 3)), smem((2,))],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, dct, djt, seed_arr)
+
+    total_paths = 2 * total_pairs
+    tot = jnp.sum(sums.astype(jnp.float64), axis=(0, 2, 3)) / total_paths
+    tot = tot.reshape(n_exp, m, _N_SDIRS + 3)
+    D = jnp.asarray(discounts)[:, None]
+    T_arr = jnp.asarray(T_host)[:, None]
+    surface = D * tot[:, :, 0]
+    spot = jnp.exp(log_s0)
+    jac = jnp.stack([
+        D * tot[:, :, 5] / spot,            # spot (w = ∂Y/∂logS0)
+        D * tot[:, :, 1],                   # V0
+        D * tot[:, :, 2],                   # kappa
+        D * tot[:, :, 3],                   # theta
+        D * tot[:, :, 4],                   # sigma
+        D * tot[:, :, 6],                   # rho
+        D * tot[:, :, 5] * T_arr - T_arr * surface,  # flat rate
+    ], axis=-1)
+    return surface, jac
+
+
+def heston_qe_mixing_surface_price_diff(
+    log_s0, v0, r, kappa, theta, sigma, rho, T_host, strikes, discounts,
+    *, seg_steps, n_strikes: int, n_blocks: int, n_batches: int, seed, cp=1.0,
+    device_id=0,
+):
+    """Differentiable view of the PRNG surface kernel: identical primal to
+    ``heston_qe_mixing_surface_price``, with a custom VJP whose backward is
+    ONE surface-Jacobian kernel dispatch — ``jax.grad`` of any surface loss
+    (e.g. a least-squares calibration objective) runs at kernel speed.
+    Differentiable in the 7 leading scalars; strikes/discounts/T are fixed.
+    NOTE: discounts must equal e^{−r·T_i} for the rate gradient to include
+    the discount term correctly."""
+    from .heston_qe_kernel import heston_qe_mixing_surface_price
+
+    kw = dict(seg_steps=seg_steps, n_strikes=n_strikes, n_blocks=n_blocks,
+              n_batches=n_batches, seed=seed, cp=cp, device_id=device_id)
+    T_host_t = tuple(float(t) for t in T_host)
+
+    @jax.custom_vjp
+    def surface(log_s0, v0, r, kappa, theta, sigma, rho):
+        discounts_r = jnp.exp(-r * jnp.asarray(T_host_t))
+        return heston_qe_mixing_surface_price(
+            log_s0, v0, r, kappa, theta, sigma, rho, T_host_t, strikes,
+            discounts_r, **kw,
+        )
+
+    def fwd(log_s0, v0, r, kappa, theta, sigma, rho):
+        discounts_r = jnp.exp(-r * jnp.asarray(T_host_t))
+        surf, jac = heston_qe_mixing_surface_price_and_jacobian(
+            log_s0, v0, r, kappa, theta, sigma, rho, T_host_t, strikes,
+            discounts_r, **kw,
+        )
+        return surf, (jac, log_s0)
+
+    def bwd(res, ct):
+        jac, log_s0 = res
+        g = jnp.einsum("emp,em->p", jac.astype(jnp.float64), ct.astype(jnp.float64))
+        spot_g, v0_g, k_g, th_g, sig_g, rho_g, r_g = tuple(g)
+        # jac's spot column is ∂/∂spot; the primal arg is log_s0
+        return (spot_g * jnp.exp(log_s0), v0_g, r_g, k_g, th_g, sig_g, rho_g)
+
+    surface.defvjp(fwd, bwd)
+    return surface(log_s0, v0, r, kappa, theta, sigma, rho)

@@ -157,3 +157,50 @@ def test_surface_kernel_qmc_matches_pure_jax_interpret():
         n_blocks=1, n_batches=2, seed=9, qmc=True, interpret=True,
     ))
     np.testing.assert_allclose(surf_k, surf_ref, rtol=5e-4)
+
+
+def test_surface_jacobian_kernel_qmc_matches_pure_jax_interpret():
+    """Surface-Jacobian kernel (round 3): the whole (expiry × strike)
+    surface + its 7-param Jacobian in one pass, vs jax.jacfwd of the
+    pure-JAX QMC surface on the same Sobol' points."""
+    from hedgehog_tpu.methods.montecarlo import (
+        surface_seg_steps,
+        validate_surface_expiries,
+    )
+    from hedgehog_tpu.ops.heston_qe_greeks_kernel import (
+        heston_qe_mixing_surface_price_and_jacobian,
+    )
+
+    expiries = [dt.date(2024, 7, 1), dt.date(2025, 1, 1)]
+    strikes = jnp.array([90.0, 100.0, 110.0])
+    n_pairs, steps, seed = 32768, 8, 9
+    market = hh.HestonInputs(REF, R, SPOT, *H.values())
+    T_host = validate_surface_expiries(market, expiries)
+    _, seg_steps = surface_seg_steps(T_host, steps)
+    discounts = jnp.exp(-R * jnp.asarray(T_host))
+
+    surf_k, jac_k = heston_qe_mixing_surface_price_and_jacobian(
+        np.log(SPOT), H["V0"], R, H["kappa"], H["theta"], H["sigma"], H["rho"],
+        tuple(T_host), strikes, discounts, seg_steps=tuple(seg_steps),
+        n_strikes=3, n_blocks=1, n_batches=1, seed=seed, qmc=True, interpret=True,
+    )
+
+    cfg = hh.SimulationConfig(
+        trajectories=n_pairs, steps=steps, variance_reduction=hh.Antithetic(),
+        seed=seed, qmc=True,
+    )
+
+    def surface(params):
+        spot, v0, kappa, theta, sigma, rho, r = params
+        m = hh.HestonInputs(REF, r, spot, v0, kappa, theta, sigma, rho)
+        return hh.heston_surface_mc(m, expiries, strikes, cfg)
+
+    params = jnp.array([SPOT, H["V0"], H["kappa"], H["theta"], H["sigma"],
+                        H["rho"], R])
+    np.testing.assert_allclose(
+        np.asarray(surf_k), np.asarray(surface(params)), rtol=3e-4
+    )
+    jr = np.asarray(jax.jacfwd(surface)(params))
+    jk = np.asarray(jac_k)
+    scale = np.abs(jr).max(axis=(0, 1), keepdims=True)
+    assert (np.abs(jr - jk) <= np.maximum(5e-3 * np.abs(jr), 2e-3 * scale)).all()
