@@ -57,6 +57,8 @@ from .heston_qe_kernel import (
 __all__ = [
     "heston_qe_mixing_price_and_greeks",
     "heston_qe_mixing_values_diff",
+    "heston_qe_mixing_surface_price_and_jacobian",
+    "heston_qe_mixing_surface_price_diff",
 ]
 
 # SMEM tangent table: one row per direction (V0, κ, θ, σ[, T]), columns =
@@ -989,7 +991,7 @@ def heston_qe_mixing_surface_price_and_jacobian(
 
 
 def heston_qe_mixing_surface_price_diff(
-    log_s0, v0, r, kappa, theta, sigma, rho, T_host, strikes, discounts,
+    log_s0, v0, r, kappa, theta, sigma, rho, T_host, strikes,
     *, seg_steps, n_strikes: int, n_blocks: int, n_batches: int, seed, cp=1.0,
     device_id=0,
 ):
@@ -997,9 +999,9 @@ def heston_qe_mixing_surface_price_diff(
     ``heston_qe_mixing_surface_price``, with a custom VJP whose backward is
     ONE surface-Jacobian kernel dispatch — ``jax.grad`` of any surface loss
     (e.g. a least-squares calibration objective) runs at kernel speed.
-    Differentiable in the 7 leading scalars; strikes/discounts/T are fixed.
-    NOTE: discounts must equal e^{−r·T_i} for the rate gradient to include
-    the discount term correctly."""
+    Differentiable in the 7 leading scalars; strikes/T are fixed.  Discounts
+    are computed internally as e^{−r·T_i} (flat short rate), so the rate
+    gradient includes the discount term."""
     from .heston_qe_kernel import heston_qe_mixing_surface_price
 
     kw = dict(seg_steps=seg_steps, n_strikes=n_strikes, n_blocks=n_blocks,

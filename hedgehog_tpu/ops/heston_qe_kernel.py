@@ -1178,16 +1178,29 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None):
     seg_len, seg_steps = surface_seg_steps(T_host, config.steps)
     seg_steps = tuple(seg_steps)
     r0 = zero_rate_yf(market.rate, 0.0)
-    discounts = jnp.stack([df_yf(market.rate, t) for t in T_host])
     block = _ROWS * _LANES
     n_pairs = config.trajectories
     n_blocks = max(1, -(-n_pairs // (block * 16)))
     n_batches = -(-n_pairs // (block * n_blocks))
+    kw = dict(seg_steps=seg_steps, n_strikes=len(strikes), n_blocks=n_blocks,
+              n_batches=n_batches, seed=config.seed, cp=cp)
+    if not config.qmc:
+        # differentiable view: identical primal, custom VJP = one
+        # surface-Jacobian kernel dispatch (ops/heston_qe_greeks_kernel.py) —
+        # kernel-speed gradients for surface calibration objectives.
+        # Assumes a flat short rate (discount = e^{−r·T_i}), the HestonInputs
+        # scalar-rate contract the mixing kernels already rely on.
+        from .heston_qe_greeks_kernel import heston_qe_mixing_surface_price_diff
+
+        return heston_qe_mixing_surface_price_diff(
+            jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
+            market.sigma, market.rho, tuple(T_host), jnp.asarray(strikes), **kw,
+        )
+    discounts = jnp.stack([df_yf(market.rate, t) for t in T_host])
     return heston_qe_mixing_surface_price(
         jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
         market.sigma, market.rho, tuple(T_host), jnp.asarray(strikes), discounts,
-        seg_steps=seg_steps, n_strikes=len(strikes), n_blocks=n_blocks,
-        n_batches=n_batches, seed=config.seed, cp=cp, qmc=config.qmc,
+        qmc=True, **kw,
     )
 
 
