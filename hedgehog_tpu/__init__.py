@@ -121,6 +121,7 @@ from .methods.montecarlo import (  # noqa: E402
     BlackScholesExact,
     EulerMaruyama,
     HestonBroadieKaya,
+    HestonExactMixing,
     HestonQE,
     MonteCarlo,
     NoVarianceReduction,
@@ -247,6 +248,7 @@ __all__ = [
     "HestonQE",
     "BlackScholesExact",
     "HestonBroadieKaya",
+    "HestonExactMixing",
     "NoVarianceReduction",
     "Antithetic",
     "simulate_terminal_prices",

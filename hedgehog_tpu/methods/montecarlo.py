@@ -135,6 +135,24 @@ class HestonBroadieKaya(ExactSimulation):
 
 
 @pytree
+class HestonExactMixing(ExactSimulation):
+    """Exact-transition segmented mixing estimator (models/heston_exact.py):
+    exact noncentral-χ² CIR transitions + gamma-matched exact conditional
+    ∫V moments + conditional Black-Scholes close.  |bias| ≤ 0.4bp at
+    ``config.steps = 2`` segments (the recommended setting) at roughly the
+    per-path cost of an 11-step QE mixing run (which carries ~3.4bp) —
+    the European *price* flagship.
+
+    Like HestonQE(conditional=True) it never materializes terminal samples;
+    it prices through ``solve`` / ``mc_path_values`` only.  For greeks use
+    the QE mixing path: the Poisson count inside the exact transition is
+    discrete, so pathwise AD drops the count-distribution sensitivity and
+    V-leg greeks (V0, κ, θ, σ) are biased here."""
+
+    use_kernel: bool = static_field(default=False)
+
+
+@pytree
 class SimulationConfig:
     """MC run configuration (montecarlo.jl:58-79).
 
@@ -423,22 +441,89 @@ def _heston_qe_mixing_values(prob, config, key, point_offset=0):
     us_s = jnp.moveaxis(us, 1, 0)
     (v_t, iv, j), _ = jax.lax.scan(jax.checkpoint(step), (v0, zero, zero), (zs, us_s))
 
+    return _conditional_bs_close(prob, market, T, r0, iv, j)
+
+
+def _conditional_bs_close(prob, market, T, r0, iv, j):
+    """Close (IV, J) mixing factors with the conditional Black-Scholes
+    formula: per-path UNDISCOUNTED vanilla values, (g, paths) or, for an
+    array-strike payoff, (g, m, paths) — ONE simulated variance-path set
+    prices every strike (the conditional value is closed-form in K, the
+    same instrument-parallel idiom as the Carr-Madan strike grid)."""
+    rho = market.rho
     f_eff = market.spot * jnp.exp(r0 * T + rho * j - 0.5 * rho**2 * iv)
     var = jnp.maximum((1.0 - rho**2) * iv, 1e-18)
     sd = jnp.sqrt(var)
     cp = prob.payoff.call_put()
     strike = jnp.asarray(prob.payoff.strike)
     if strike.ndim > 0:
-        # strike grid: ONE simulated variance-path set prices every strike —
-        # the conditional value is closed-form in K, so the (g, paths)
-        # factors broadcast against (m,) strikes to (g, m, paths) values
-        # (same instrument-parallel idiom as the Carr-Madan strike grid)
         f_eff, sd, var = f_eff[:, None, :], sd[:, None, :], var[:, None, :]
         strike = strike[None, :, None]
     d1 = (jnp.log(f_eff / strike) + 0.5 * var) / sd
     d2 = d1 - sd
     ncdf = jax.scipy.stats.norm.cdf
     return cp * (f_eff * ncdf(cp * d1) - strike * ncdf(cp * d2))
+
+
+def _heston_exact_mixing_values(prob, config, key, point_offset=0):
+    """Per-path UNDISCOUNTED conditional vanilla values (n_groups, paths)
+    from the exact-transition segmented mixing scheme (HestonExactMixing;
+    numerics in models/heston_exact.py).
+
+    Draw layout per segment (the contract the TPU kernel's Sobol'/PRNG
+    stream mirrors): (u_poisson, z_gamma, u_boost, z_iv) — QMC dims
+    step-major 4·i … 4·i+3, the two z's from ndtri.  Antithetic mirror:
+    negated normals, 1−u uniforms."""
+    from ..models.heston_exact import (
+        cir_exact_constants,
+        cir_exact_step,
+        iv_cond_moments,
+        iv_gamma_draw,
+    )
+
+    market, T, r0 = _sim_params(prob)
+    segments = config.steps
+    dt = T / segments
+    paths = config.trajectories
+    c = cir_exact_constants(market.kappa, market.theta, market.sigma, dt)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    base = _base_key(config, key)
+    if config.qmc:
+        from jax.scipy.special import ndtri
+
+        from ..math.sobol import sobol_uniforms
+
+        u = sobol_uniforms(base, paths, segments * 4, skip=point_offset)
+        u = jnp.moveaxis(u.reshape(paths, segments, 4), 0, -1)  # (seg, 4, paths)
+        u_pois, u_gam, u_boost, u_iv = u[:, 0], u[:, 1], u[:, 2], u[:, 3]
+        z_gam, z_iv = ndtri(u_gam), ndtri(u_iv)
+    else:
+        k_z, k_u = jax.random.split(base)
+        zb = jax.random.normal(k_z, (segments, 2, paths), dtype=jnp.float64)
+        ub = jax.random.uniform(k_u, (segments, 2, paths), dtype=jnp.float64)
+        z_gam, z_iv = zb[:, 0], zb[:, 1]
+        u_pois, u_boost = ub[:, 0], ub[:, 1]
+
+    def groups(x, is_uniform):
+        if not anti:
+            return x[:, None]
+        return jnp.stack([x, 1.0 - x if is_uniform else -x], axis=1)
+
+    z_gam, z_iv = groups(z_gam, False), groups(z_iv, False)
+    u_pois, u_boost = groups(u_pois, True), groups(u_boost, True)
+
+    n_groups = z_gam.shape[1]
+    v = jnp.full((n_groups, paths), market.V0)
+    iv = jnp.zeros_like(v)
+    for i in range(segments):  # static unroll: segments is 1-4 in practice
+        y = cir_exact_step(v, u_pois[i], z_gam[i], u_boost[i], c)
+        m1, s2 = iv_cond_moments(v, y, c)
+        iv = iv + iv_gamma_draw(m1, s2, z_iv[i])
+        v = y
+
+    kappa, sigma = market.kappa, market.sigma
+    j = (v - market.V0 - kappa * market.theta * T + kappa * iv) / sigma
+    return _conditional_bs_close(prob, market, T, r0, iv, j)
 
 
 def heston_surface_mc(
@@ -649,10 +734,13 @@ def simulate_conditional_values(
     elsewhere).  Same key/device/point-offset contract as
     :func:`simulate_terminal_prices`."""
     dyn, strat, config = method.dynamics, method.strategy, method.config
-    if not (isinstance(strat, HestonQE) and isinstance(dyn, HestonDynamics)):
+    if not (
+        isinstance(strat, (HestonQE, HestonExactMixing))
+        and isinstance(dyn, HestonDynamics)
+    ):
         raise TypeError(
-            "conditional Monte Carlo requires (HestonDynamics, HestonQE); got "
-            f"({type(dyn).__name__}, {type(strat).__name__})"
+            "conditional Monte Carlo requires HestonDynamics with HestonQE or "
+            f"HestonExactMixing; got ({type(dyn).__name__}, {type(strat).__name__})"
         )
     require_european(prob.payoff, "conditional MonteCarlo", spot_only=True)
     if strat.use_kernel:
@@ -661,11 +749,20 @@ def simulate_conditional_values(
                 "strike grids with conditional MC are a pure-JAX feature "
                 "(one V-path set prices every strike); drop use_kernel=True"
             )
+        if isinstance(strat, HestonExactMixing):
+            from ..ops.heston_exact_kernel import heston_exact_mixing_values_pallas
+
+            return heston_exact_mixing_values_pallas(
+                prob, config, strat, key=key, device_id=device_id,
+                point_offset=point_offset,
+            )
         from ..ops.heston_qe_kernel import heston_qe_mixing_values_pallas
 
         return heston_qe_mixing_values_pallas(
             prob, config, strat, key=key, device_id=device_id, point_offset=point_offset
         )
+    if isinstance(strat, HestonExactMixing):
+        return _heston_exact_mixing_values(prob, config, key, point_offset=point_offset)
     return _heston_qe_mixing_values(prob, config, key, point_offset=point_offset)
 
 
@@ -679,7 +776,7 @@ def mc_path_values(
     payoff returns ``(m, paths)`` under every strategy — the strikes share
     one sample set (the path axis is always LAST — reduce over ``axis=-1``)."""
     strat = method.strategy
-    if isinstance(strat, HestonQE) and strat.conditional:
+    if _is_conditional_strategy(strat):
         values = simulate_conditional_values(
             prob, method, key=key, device_id=device_id, point_offset=point_offset
         )
@@ -691,6 +788,14 @@ def mc_path_values(
 
 
 # ------------------ Strategy dispatch ------------------
+
+
+def _is_conditional_strategy(strat) -> bool:
+    """True for strategies that price through the conditional (mixing)
+    estimator and never materialize terminal samples."""
+    return (isinstance(strat, HestonQE) and strat.conditional) or isinstance(
+        strat, HestonExactMixing
+    )
 
 
 def simulate_terminal_prices(
@@ -706,11 +811,11 @@ def simulate_terminal_prices(
     Replaces reference get_final_samples (montecarlo.jl:442-459).
     """
     dyn, strat, config = method.dynamics, method.strategy, method.config
-    if isinstance(strat, HestonQE) and strat.conditional:
+    if _is_conditional_strategy(strat):
         raise TypeError(
-            "HestonQE(conditional=True) never materializes terminal samples "
-            "(the mixing estimator integrates logS_T out analytically); price "
-            "through solve(...) or mc_path_values(...), or set conditional=False"
+            f"{type(strat).__name__} is a conditional (mixing) strategy and "
+            "never materializes terminal samples (logS_T is integrated out "
+            "analytically); price through solve(...) or mc_path_values(...)"
         )
     qe_kernel_qmc = isinstance(strat, HestonQE) and getattr(strat, "use_kernel", False)
     if config.qmc and (
@@ -820,7 +925,7 @@ def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSol
     require_european(payoff, "MonteCarlo", spot_only=True)
     discount = df(prob.market_inputs.rate, payoff.expiry)
     strat = method.strategy
-    if isinstance(strat, HestonQE) and strat.conditional:
+    if _is_conditional_strategy(strat):
         # Romano-Touzi conditional MC: the ensemble payload is the per-path
         # conditional (undiscounted) vanilla values, not terminal samples.
         # Mean over the (group, path) axes; an array-strike payoff keeps its

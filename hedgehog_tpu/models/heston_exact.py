@@ -1,0 +1,164 @@
+"""Exact-transition segmented mixing scheme for Heston — beyond-reference.
+
+The conditional (Romano-Touzi) mixing estimator's remaining error is the
+time-discretization bias of the variance leg: a QE path with the trapezoid
+∫V proxy carries ≈ 430/n² bp of vanilla bias on the bench market (ADR-008).
+This module removes the discretization entirely, in the spirit of the
+reference's exact Broadie-Kaya sampler (src/distributions/heston.jl:125-143
+noncentral-χ² V_T draw; :150-212 the ∫V|endpoints Laplace transform) but in
+a branchless, fixed-trip form a TPU kernel can execute:
+
+1. V_T | V_0 — the EXACT CIR transition, sampled as a Poisson(λ/2)-mixed
+   Gamma(d/2+N, 2c) (the noncentral-χ² mixture representation): Poisson by
+   fixed-trip CDF inversion from one uniform, Gamma by the Wilson-Hilferty
+   cube from one normal with the small-shape boost Γ(α) ~ Γ(α+1)·U^{1/α}.
+2. IV = ∫V | (V_0, V_T) — a Gamma draw matched to the EXACT conditional
+   mean/variance, in closed form from derivatives of the Broadie-Kaya
+   Laplace transform (heston.jl:150-212).  The only Bessel term needed is
+   the ratio I_{ν+1}(z)/I_ν(z), evaluated by a fixed-trip Perron continued
+   fraction blended into a 4-term uniform asymptotic tail (≤ 7e-5 rel).
+3. J = ∫√V dW_v telescopes through the CIR integral identity
+   J = (V_T − V_0 − κθT + κ·IV)/σ, and the payoff closes with the
+   conditional Black-Scholes formula (methods/montecarlo.py mixing close).
+
+Measured bias (benchmarks/one_step_exact_mixing.py, 2^16 scrambled-Sobol'
+points, four stress markets incl. a Feller-violating one): |bias| ≤ 0.4bp at
+TWO segments — versus 3.4bp for the 11-step QE path at similar per-path cost.
+The 2-moment gamma family needs ≥2 segments (one segment leaves 0.3-17bp,
+market-dependent); more than 2 buys nothing measurable.
+
+Gradient caveat: the Poisson count N is a discrete function of (V, κ, σ, Δ),
+so pathwise AD through this scheme drops the dependence of the count
+distribution on its rate (∂N = 0) and V-leg greeks are biased — use the QE
+mixing path (smooth in all parameters) for greeks; this scheme is the
+*price* flagship.  Spot/rate/rho greeks do not touch the V leg and are exact.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "cir_exact_constants",
+    "bessel_ratio",
+    "poisson_inv",
+    "gamma_wh",
+    "cir_exact_step",
+    "iv_cond_moments",
+    "iv_gamma_draw",
+]
+
+#: fixed trip counts of the branchless loops (chosen so truncation error is
+#: far below fp32 resolution over the reachable (λ, z) range; see module
+#: docstring and benchmarks/one_step_exact_mixing.py)
+POISSON_KMAX = 32
+CF_ITERS = 24
+CF_SWITCH = 24.0
+
+
+def cir_exact_constants(kappa, theta, sigma, dt):
+    """Per-segment scalar constants shared by the transition sampler and the
+    conditional ∫V moments (everything path-independent, computed once)."""
+    e = jnp.exp(-kappa * dt)
+    em = -jnp.expm1(-kappa * dt)
+    cfac = sigma**2 * em / (4.0 * kappa)  # noncentral-χ² scale / 2
+    d_half = 2.0 * kappa * theta / sigma**2  # half the χ² dof
+    t2 = kappa * dt / 2.0
+    s = jnp.sinh(t2)
+    c1 = jnp.cosh(t2) / s  # coth
+    c2 = 1.0 / (s * s)  # csch²
+    return dict(
+        kappa=kappa, sigma=sigma, dt=dt,
+        e=e, cfac=cfac, d_half=d_half, nu=d_half - 1.0,
+        t2=t2, c1=c1, c2=c2,
+        z_fac=2.0 * kappa / (sigma**2 * s),  # z = z_fac·√(xy)
+        lam_fac=e / (2.0 * cfac),  # λ/2 = lam_fac·V
+        q=(1.0 - t2 * c1) / kappa,
+        p_c=-(dt / kappa) * c1 + (dt * dt / 4.0) * (c1 * c1 + c2),
+        inv_sig2=1.0 / sigma**2,
+    )
+
+
+def bessel_ratio(nu, z):
+    """I_{ν+1}(z)/I_ν(z), branchless: fixed-trip backward Perron continued
+    fraction for z < 24, ratio of 4-term uniform asymptotic series above
+    (max rel err ≤ 7e-5 over ν ∈ [−0.55, 3], z ∈ [1e-3, 320])."""
+    zc = jnp.minimum(z, CF_SWITCH)
+    r = jnp.zeros_like(z)
+    for m in range(CF_ITERS, 0, -1):
+        r = zc / (2.0 * (nu + m) + zc * r)
+
+    za = jnp.maximum(z, CF_SWITCH)
+
+    def _series(mm, zz):
+        mu = 4.0 * mm * mm
+        t = 8.0 * zz
+        return (1.0 - (mu - 1.0) / t
+                + (mu - 1.0) * (mu - 9.0) / (2.0 * t * t)
+                - (mu - 1.0) * (mu - 9.0) * (mu - 25.0) / (6.0 * t * t * t))
+
+    asym = _series(nu + 1.0, za) / _series(nu, za)
+    return jnp.where(z < CF_SWITCH, r, asym)
+
+
+def poisson_inv(mu, u, kmax: int = POISSON_KMAX):
+    """Poisson(μ) count by CDF inversion from one uniform — a fixed ``kmax``
+    trip with a running probability product (counts above kmax clamp; with
+    kmax=32 that needs μ ≳ 12, i.e. V ≳ 100·θ on the bench market)."""
+    p = jnp.exp(-mu)
+    cdf = p
+    n = jnp.zeros_like(mu)
+    for k in range(1, kmax + 1):
+        n = jnp.where(u > cdf, float(k), n)
+        p = p * (mu / k)
+        cdf = cdf + p
+    return n
+
+
+def gamma_wh(alpha, z):
+    """Gamma(α, 1) by the Wilson-Hilferty cube of one standard normal
+    (good for α ≳ 1; callers boost small shapes via Γ(α)=Γ(α+1)·U^{1/α})."""
+    t = 1.0 - 1.0 / (9.0 * alpha) + z / (3.0 * jnp.sqrt(alpha))
+    return alpha * jnp.maximum(t, 0.0) ** 3
+
+
+def cir_exact_step(x, u_pois, z_gam, u_boost, c):
+    """One exact CIR transition V_t = x → V_{t+Δ} from (uniform, normal,
+    uniform), via the Poisson-Gamma mixture of the noncentral χ²."""
+    n = poisson_inv(x * c["lam_fac"], u_pois)
+    alpha = c["d_half"] + n
+    u_safe = jnp.maximum(u_boost, 1e-300)
+    g = gamma_wh(alpha + 1.0, z_gam) * u_safe ** (1.0 / alpha)
+    return 2.0 * c["cfac"] * g
+
+
+def iv_cond_moments(x, y, c):
+    """Exact conditional (mean, variance) of ∫_t^{t+Δ} V ds given the
+    endpoints V_t = x, V_{t+Δ} = y — first two derivatives of the
+    Broadie-Kaya Laplace transform (heston.jl:150-212) at a = 0, expressed
+    through W = z·I_{ν+1}(z)/I_ν(z) + ν with z = (2κ/σ²)·√(xy)/sinh(κΔ/2).
+
+    Variance is clamped to ≥ 1e-18 (fp roundoff can cross zero when the
+    bridge is nearly deterministic)."""
+    kappa, dt = c["kappa"], c["dt"]
+    t2, c1, c2 = c["t2"], c["c1"], c["c2"]
+    z = c["z_fac"] * jnp.sqrt(jnp.maximum(x * y, 0.0))
+    W = z * bessel_ratio(c["nu"], z) + c["nu"]
+    q, p = c["q"], c["p_c"]
+    xy = (x + y) * c["inv_sig2"]
+    l1 = 1.0 / kappa - (dt / 2.0) * c1 - xy * (c1 - t2 * c2) + W * q
+    l2 = (-1.0 / (kappa * kappa) + (dt * dt / 4.0) * c2
+          + xy * (dt * c2 - kappa * (dt * dt / 2.0) * c2 * c1)
+          + (z * z + c["nu"] ** 2 - W - W * W) * q * q + W * p)
+    sig2 = c["sigma"] ** 2
+    m1 = -(sig2 / kappa) * l1
+    s2 = (sig2 / kappa) * (sig2 / kappa) * (l2 - l1 / kappa)
+    return jnp.maximum(m1, 1e-12), jnp.maximum(s2, 1e-18)
+
+
+def iv_gamma_draw(m1, s2, z):
+    """Moment-matched Gamma draw of ∫V | endpoints from one normal
+    (Wilson-Hilferty; the matched shapes m1²/s2 are ≳ 1 in practice)."""
+    shape = m1 * m1 / s2
+    scale = s2 / m1
+    return jnp.maximum(scale * gamma_wh(shape, z), 1e-12)
