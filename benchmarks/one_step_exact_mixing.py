@@ -194,11 +194,13 @@ def gamma_wh(alpha, z):
     return g
 
 
-def pg_transition(x, kappa, theta, sigma, dt, uy, uz, ub, gamma_mode):
+def pg_transition(x, kappa, theta, sigma, dt, uy, uz, ub, gamma_mode, ub2=None):
     """Exact CIR transition as Poisson(lam/2)-mixed Gamma(d/2+N, 2*cfac).
 
     gamma_mode: 'exact' = gammaincinv; 'wh' = Wilson-Hilferty with the
-    shape-boost Gamma(a) = Gamma(a+1) * U^(1/a) (branchless, kernel form)."""
+    shape-boost Gamma(a) = Gamma(a+1) * U^(1/a) (branchless, kernel form);
+    'wh2' = double boost Gamma(a) = Gamma(a+2) * U1^(1/(a+1)) * U2^(1/a)
+    (WH at a+2 where its distributional error is smaller)."""
     d = 4.0 * kappa * theta / sigma**2
     em = -np.expm1(-kappa * dt)
     cfac = sigma**2 * em / (4.0 * kappa)
@@ -207,6 +209,11 @@ def pg_transition(x, kappa, theta, sigma, dt, uy, uz, ub, gamma_mode):
     alpha = d / 2.0 + n
     if gamma_mode == "exact":
         g = special.gammaincinv(alpha, uz)
+    elif gamma_mode == "wh2":
+        zn = stats.norm.ppf(uz)
+        g = (gamma_wh(alpha + 2.0, zn)
+             * np.maximum(ub, 1e-300) ** (1.0 / (alpha + 1.0))
+             * np.maximum(ub2, 1e-300) ** (1.0 / alpha))
     else:
         zn = stats.norm.ppf(uz)
         g = gamma_wh(alpha + 1.0, zn) * np.maximum(ub, 1e-300) ** (1.0 / alpha)
@@ -252,7 +259,7 @@ def segmented_price(market, family, nseg, transition, n, seed):
     x0 = np.full(n, market["V0"])
     x = x0
     iv = np.zeros(n)
-    use_cf = transition == "pgwh"
+    use_cf = transition in ("pgwh", "pgwh2")
     for i in range(nseg):
         uy, u1, u2 = (u[:, dim_per * i], u[:, dim_per * i + 1],
                       u[:, dim_per * i + 2])
@@ -261,8 +268,9 @@ def segmented_price(market, family, nseg, transition, n, seed):
             y = cfac * stats.ncx2.ppf(uy, d, lam)
         elif transition.startswith("pg"):
             uz, ub = u[:, dim_per * i + 3], u[:, dim_per * i + 4]
-            y = pg_transition(x, kappa, theta, sigma, dt, uy, uz, ub,
-                              "exact" if transition == "pgexact" else "wh")
+            mode = {"pgexact": "exact", "pgwh": "wh", "pgwh2": "wh2"}[transition]
+            y = pg_transition(x, kappa, theta, sigma, dt, uy, uz, ub, mode,
+                              ub2=u2)
         else:
             y = qe_transition(x, kappa, theta, sigma, dt, uy)
         y = np.maximum(y, 1e-12)
@@ -336,15 +344,14 @@ def main():
     print(f"CF Bessel ratio max rel err (nu in [-0.55,3], z in [1e-3,160]): "
           f"{err.max():.2e}")
 
-    n = 1 << 16
-    n_rand = 2
+    n = 1 << 18
+    n_rand = 6
     configs = [
-        ("gamma", 2, "exact"),
-        ("gamma", 2, "pgexact"),
-        ("gamma", 2, "pgwh"),
-        ("gammawh", 2, "pgwh"),
-        ("gammawh", 3, "pgwh"),
-        ("gammawh", 4, "pgwh"),
+        ("gamma", 2, "pgexact"),    # isolates the 2-moment IV family bias
+        ("gamma", 2, "pgwh"),       # + transition WH error
+        ("gamma", 2, "pgwh2"),      # + double-boost transition WH
+        ("gammawh", 2, "pgwh"),     # current kernel scheme
+        ("gammawh", 2, "pgwh2"),    # kernel scheme w/ double-boost transition
     ]
     print(f"\n== segmented bias vs Carr-Madan ({n} Sobol pts x {n_rand}) ==")
     for name, m in MARKETS.items():

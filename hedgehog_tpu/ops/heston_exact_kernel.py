@@ -1,0 +1,491 @@
+"""Fused exact-transition mixing kernel (Pallas TPU) — the price flagship.
+
+Kernel form of models/heston_exact.py: per segment each path draws the EXACT
+noncentral-χ² CIR transition (fixed-trip Poisson CDF inversion + the
+Wilson-Hilferty gamma cube with the small-shape boost Γ(α)=Γ(α+1)·U^{1/α}),
+computes the exact conditional ∫V moments from the Broadie-Kaya Laplace
+transform (Perron continued fraction for the Bessel ratio, 4-term asymptotic
+tail), draws the gamma-matched ∫V, and finally closes with the conditional
+Black-Scholes formula shared with the QE mixing kernel.  |bias| ≤ 0.4bp at
+TWO segments (benchmarks/one_step_exact_mixing.py) versus ~3.4bp for the
+11-step QE mixing kernel — at FEWER random draws per path (4/segment vs
+2/step), which is what moves the paths/sec-at-equal-error frontier.
+
+Same megabatch structure as ops/heston_qe_kernel.py: (256 × 128) path tiles
+per program, on-chip PRNG or in-kernel Sobol' (4 dims/segment, step-major,
+matching the pure-JAX draw layout), antithetic pair in-register (negated
+normals, 1−u uniforms), fp32 with f64 host-side reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .heston_kernel import _box_muller, _uniform_from_bits
+from .heston_qe_kernel import (
+    _LANES,
+    _ROWS,
+    _SOBOL_BITS,
+    _batch_masks,
+    _cond_bs_value,
+    _ndtri_approx,
+    _np_int,
+    _program_base_idx,
+    _rcp,
+    _sobol_masks,
+    _sobol_table,
+    _sobol_uniforms_tile,
+)
+
+__all__ = [
+    "heston_exact_mixing_values",
+    "heston_exact_mixing_values_pallas",
+    "heston_exact_mixing_vanilla_price",
+]
+
+#: fixed trip counts (models/heston_exact.py uses the same; see there)
+_POISSON_KMAX = 32
+_CF_ITERS = 24
+_CF_SWITCH = 24.0
+
+
+# ---- parameter vector ------------------------------------------------------
+# One uniform dt = T/segments, so ALL segments share one constant set.
+
+_P_NAMES = (
+    # conditional-BS close (keys _cond_bs_value expects)
+    "f_base", "strike", "rho", "rho2_half", "rho_bar2", "cp", "log_f_over_k",
+    # exact CIR transition
+    "v0", "lam_fac", "d_half", "two_cfac",
+    # Bessel ratio (ν, ν² and the asymptotic-series coefficients)
+    "nu", "nu2", "z_fac", "an1", "an2", "an3", "ad1", "ad2", "ad3",
+    # conditional ∫V moment assembly
+    "l1c", "l1x", "l2c", "l2x", "q", "p_c", "q2", "m1f", "s2f", "inv_kappa",
+    # J closure
+    "c_j", "k_over_sigma", "inv_sigma",
+)
+
+
+def _exact_c(params_ref):
+    return {name: params_ref[i] for i, name in enumerate(_P_NAMES)}
+
+
+def _exact_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, segments, strike, cp):
+    """fp32 SMEM parameter vector (host-side f64 math, cast once)."""
+    from ..models.heston_exact import cir_exact_constants
+
+    c = cir_exact_constants(kappa, theta, sigma, dt)
+    T = dt * segments
+    f_base = jnp.exp(log_s0 + r * T)
+    nu = c["nu"]
+    t2, c1, c2 = c["t2"], c["c1"], c["c2"]
+    inv_sig2 = c["inv_sig2"]
+
+    def asym_coeffs(m):
+        mu = 4.0 * m * m
+        return (mu - 1.0, (mu - 1.0) * (mu - 9.0) / 2.0,
+                (mu - 1.0) * (mu - 9.0) * (mu - 25.0) / 6.0)
+
+    an = asym_coeffs(nu + 1.0)
+    ad = asym_coeffs(nu)
+    sig2_over_k = sigma**2 / kappa
+    vals = dict(
+        f_base=f_base, strike=strike, rho=rho, rho2_half=0.5 * rho**2,
+        rho_bar2=1.0 - rho**2, cp=cp,
+        log_f_over_k=jnp.log(f_base) - jnp.log(strike),
+        v0=v0, lam_fac=c["lam_fac"], d_half=c["d_half"],
+        two_cfac=2.0 * c["cfac"],
+        nu=nu, nu2=nu * nu, z_fac=c["z_fac"],
+        an1=an[0], an2=an[1], an3=an[2], ad1=ad[0], ad2=ad[1], ad3=ad[2],
+        l1c=1.0 / kappa - (dt / 2.0) * c1,
+        l1x=(c1 - t2 * c2) * inv_sig2,
+        l2c=-1.0 / kappa**2 + (dt * dt / 4.0) * c2,
+        l2x=(dt * c2 - kappa * (dt * dt / 2.0) * c2 * c1) * inv_sig2,
+        q=c["q"], p_c=c["p_c"], q2=c["q"] * c["q"],
+        m1f=-sig2_over_k, s2f=sig2_over_k * sig2_over_k,
+        inv_kappa=1.0 / kappa,
+        c_j=v0 + kappa * theta * T, k_over_sigma=kappa / sigma,
+        inv_sigma=1.0 / sigma,
+    )
+    return jnp.stack([jnp.float32(vals[n]) for n in _P_NAMES])
+
+
+# ---- per-segment path update ----------------------------------------------
+
+
+def _bessel_ratio_tile(z, c):
+    """I_{ν+1}(z)/I_ν(z) on fp32 tiles: fixed-trip backward Perron CF below
+    z=24 blended into the 4-term asymptotic-series ratio above (coefficients
+    precomputed host-side); max rel err ≤ 7e-5 over the reachable range."""
+    zc = jnp.minimum(z, _CF_SWITCH)
+    r = jnp.zeros_like(z)
+    for m in range(_CF_ITERS, 0, -1):
+        r = zc * _rcp(2.0 * (c["nu"] + m) + zc * r)
+    za = jnp.maximum(z, _CF_SWITCH)
+    it = _rcp(8.0 * za)
+    num = 1.0 + it * (-c["an1"] + it * (c["an2"] - it * c["an3"]))
+    den = 1.0 + it * (-c["ad1"] + it * (c["ad2"] - it * c["ad3"]))
+    return jnp.where(z < _CF_SWITCH, r, num * _rcp(den))
+
+
+def _gamma_wh(alpha, z):
+    """Gamma(α, 1) Wilson-Hilferty cube (α ≳ 1 after the caller's boost)."""
+    t = 1.0 - _rcp(9.0 * alpha) + z * _rcp(3.0 * jnp.sqrt(alpha))
+    t = jnp.maximum(t, 0.0)
+    return alpha * t * t * t
+
+
+def _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv, c):
+    """One exact segment on fp32 tiles: (V, ∫V-so-far) → (V', ∫V + draw)."""
+    # Poisson(λ/2) count by fixed-trip CDF inversion
+    mu = v * c["lam_fac"]
+    p = jnp.exp(-mu)
+    cdf = p
+    n = jnp.zeros_like(v)
+    for k in range(1, _POISSON_KMAX + 1):
+        n = jnp.where(u_pois > cdf, float(k), n)
+        p = p * mu * (1.0 / k)
+        cdf = cdf + p
+
+    # Gamma(d/2 + N, 2c) via boosted Wilson-Hilferty
+    alpha = c["d_half"] + n
+    u_safe = jnp.maximum(u_boost, 1e-30)
+    g = _gamma_wh(alpha + 1.0, z_gam) * jnp.exp(jnp.log(u_safe) * _rcp(alpha))
+    y = c["two_cfac"] * g
+
+    # exact conditional ∫V moments given (v, y)
+    z = c["z_fac"] * jnp.sqrt(jnp.maximum(v * y, 1e-30))
+    W = z * _bessel_ratio_tile(z, c) + c["nu"]
+    xy = v + y
+    l1 = c["l1c"] - xy * c["l1x"] + W * c["q"]
+    l2 = (c["l2c"] + xy * c["l2x"]
+          + (z * z + c["nu2"] - W - W * W) * c["q2"] + W * c["p_c"])
+    m1 = jnp.maximum(c["m1f"] * l1, 1e-10)
+    s2 = jnp.maximum(c["s2f"] * (l2 - l1 * c["inv_kappa"]), 1e-14)
+
+    # gamma-matched ∫V draw
+    inv_s2 = _rcp(s2)
+    shape = m1 * m1 * inv_s2
+    scale = s2 * _rcp(m1)
+    iv_seg = jnp.maximum(scale * _gamma_wh(shape, z_iv), 1e-10)
+    return y, iv + iv_seg
+
+
+def _exact_close(v, iv, c):
+    """Conditional BS close from the full-horizon CIR identity
+    J = (V_T − V_0 − κθT)/σ + (κ/σ)·IV."""
+    j = (v - c["c_j"]) * c["inv_sigma"] + iv * c["k_over_sigma"]
+    return _cond_bs_value(iv, j, c)
+
+
+def _exact_path_init(c, antithetic: bool):
+    shape = (_ROWS, _LANES)
+    v = jnp.full(shape, c["v0"], dtype=jnp.float32)
+    zero = jnp.zeros(shape, dtype=jnp.float32)
+    return (v, zero, v, zero) if antithetic else (v, zero)
+
+
+def _exact_run_prng(c, segments: int, antithetic: bool):
+    """Run all segments from the on-chip PRNG: per segment one Box-Muller
+    pair (z_gam, z_iv) + two bit uniforms (u_pois, u_boost); the antithetic
+    twin negates the normals and mirrors the uniforms."""
+    carry = _exact_path_init(c, antithetic)
+    shape = (_ROWS, _LANES)
+    for _ in range(segments):  # static unroll: segments is 1-4
+        z_gam, z_iv = _box_muller(shape)
+        u_pois = _uniform_from_bits(
+            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        u_boost = _uniform_from_bits(
+            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        if antithetic:
+            v, iv, va, iva = carry
+            v, iv = _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv, c)
+            va, iva = _exact_segment(
+                va, iva, 1.0 - u_pois, -z_gam, 1.0 - u_boost, -z_iv, c)
+            carry = (v, iv, va, iva)
+        else:
+            carry = _exact_segment(*carry, u_pois, z_gam, u_boost, z_iv, c)
+    return carry
+
+
+def _exact_run_qmc(masks, sob_ref, c, segments: int):
+    """Antithetic segment runs from the in-kernel Sobol' stream — 4 dims per
+    segment, step-major: (u_pois, u→z_gam, u_boost, u→z_iv), the layout of
+    the pure-JAX _heston_exact_mixing_values."""
+    carry = _exact_path_init(c, True)
+    for s in range(segments):
+        u_pois, u_gam = _sobol_uniforms_tile(masks, sob_ref, (4 * s, 4 * s + 1))
+        u_boost, u_iv = _sobol_uniforms_tile(masks, sob_ref, (4 * s + 2, 4 * s + 3))
+        z_gam, z_iv = _ndtri_approx(u_gam), _ndtri_approx(u_iv)
+        v, iv, va, iva = carry
+        v, iv = _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv, c)
+        va, iva = _exact_segment(
+            va, iva, 1.0 - u_pois, -z_gam, 1.0 - u_boost, -z_iv, c)
+        carry = (v, iv, va, iva)
+    return carry
+
+
+# ---- kernels ---------------------------------------------------------------
+
+
+def _exact_values_kernel(params_ref, seed_ref, out_ref, *, segments: int, antithetic: bool):
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+    c = _exact_c(params_ref)
+    carry = _exact_run_prng(c, segments, antithetic)
+    out_ref[0] = _exact_close(carry[0], carry[1], c)
+    if antithetic:
+        out_ref[1] = _exact_close(carry[2], carry[3], c)
+
+
+def _exact_values_kernel_qmc(params_ref, sob_ref, offset_ref, out_ref, *, segments: int):
+    c = _exact_c(params_ref)
+    shape = (_ROWS, _LANES)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = (offset_ref[0] + pl.program_id(0) * jnp.int32(_ROWS * _LANES)
+           + row * jnp.int32(_LANES) + lane)
+    masks = _sobol_masks(idx)
+    carry = _exact_run_qmc(masks, sob_ref, c, segments)
+    out_ref[0] = _exact_close(carry[0], carry[1], c)
+    out_ref[1] = _exact_close(carry[2], carry[3], c)
+
+
+def _exact_price_kernel(params_ref, seed_ref, out_ref, *, segments: int, n_batches: int):
+    """Multi-batch antithetic accumulating price kernel (the serving/bench
+    configuration — mirrors _qe_mixing_price_kernel)."""
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+    c = _exact_c(params_ref)
+
+    def one_batch(_, acc):
+        carry = _exact_run_prng(c, segments, antithetic=True)
+        val = _exact_close(carry[0], carry[1], c) + _exact_close(carry[2], carry[3], c)
+        return acc + jnp.sum(val.reshape(_ROWS // 8, 8, _LANES), axis=0)
+
+    acc0 = jnp.zeros((8, _LANES), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+def _exact_price_kernel_qmc(
+    params_ref, sob_ref, offset_ref, out_ref, *, segments: int, n_batches: int
+):
+    c = _exact_c(params_ref)
+    base_idx = _program_base_idx(offset_ref, n_batches)
+
+    def one_batch(b, acc):
+        masks = _batch_masks(base_idx, b)
+        carry = _exact_run_qmc(masks, sob_ref, c, segments)
+        val = _exact_close(carry[0], carry[1], c) + _exact_close(carry[2], carry[3], c)
+        return acc + jnp.sum(val.reshape(_ROWS // 8, 8, _LANES), axis=0)
+
+    acc0 = jnp.zeros((8, _LANES), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+# ---- host wrappers ---------------------------------------------------------
+
+
+def heston_exact_mixing_values(
+    log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp,
+    *, n_paths: int, segments: int, seed, antithetic: bool = False, device_id=0,
+    qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+):
+    """Host-side wrapper: Sobol' period guard on concrete offsets, then the
+    jitted kernel (per-path UNDISCOUNTED conditional values)."""
+    if qmc and isinstance(point_offset, (int, _np_int)):
+        block = _ROWS * _LANES
+        padded = -(-n_paths // block) * block
+        if point_offset + padded > 2**_SOBOL_BITS:
+            raise ValueError(
+                f"Sobol' period is 2^{_SOBOL_BITS} points; offset "
+                f"{point_offset} + {padded} paths would wrap"
+            )
+    return _heston_exact_mixing_values_impl(
+        log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp,
+        n_paths=n_paths, segments=segments, seed=seed, antithetic=antithetic,
+        device_id=device_id, qmc=qmc, point_offset=point_offset,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_paths", "segments", "antithetic", "qmc", "interpret"),
+)
+def _heston_exact_mixing_values_impl(
+    log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp,
+    *, n_paths: int, segments: int, seed, antithetic: bool = False, device_id=0,
+    qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+):
+    """Per-path UNDISCOUNTED conditional vanilla values ((n_groups, n_paths)
+    fp32) via the fused exact-mixing kernel.  QMC is antithetic-only (the
+    Sobol' stream is laid out in mirrored pairs, matching the pure-JAX twin).
+    """
+    block = _ROWS * _LANES
+    n_blocks = -(-n_paths // block)
+    padded = n_blocks * block
+    n_groups = 2 if antithetic else 1
+    if qmc and not antithetic:
+        raise ValueError("kernel QMC path is antithetic-only")
+    if qmc and padded > 2**_SOBOL_BITS:
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {padded} paths would wrap"
+        )
+    params = _exact_params(
+        log_s0, v0, r, kappa, theta, sigma, rho, dt, segments, strike, cp
+    )
+    out_specs = pl.BlockSpec(
+        (n_groups, _ROWS, _LANES),
+        lambda i: (jnp.int32(0), i, jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_groups, n_blocks * _ROWS, _LANES), jnp.float32)
+    n_par = len(_P_NAMES)
+
+    if qmc:
+        table = _sobol_table(seed, 4 * segments)
+        offset_arr = jnp.asarray([point_offset], jnp.int32)
+        kernel = functools.partial(_exact_values_kernel_qmc, segments=segments)
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((n_par,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (4 * segments, _SOBOL_BITS + 1),
+                    lambda i: (jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, table, offset_arr)
+        return out.reshape(n_groups, padded)[:, :n_paths]
+
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+    kernel = functools.partial(
+        _exact_values_kernel, segments=segments, antithetic=antithetic
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_par,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(params, seed_arr)
+    return out.reshape(n_groups, padded)[:, :n_paths]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "n_batches", "segments", "qmc", "interpret")
+)
+def heston_exact_mixing_vanilla_price(
+    log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, discount,
+    *, n_blocks: int, n_batches: int, segments: int, seed, device_id=0, cp=1.0,
+    qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+):
+    """Discounted European vanilla price over n_blocks·n_batches·65536
+    antithetic exact-mixing paths, ONE host dispatch, on-chip accumulation —
+    the serving/bench configuration (sub-bp bias at segments=2)."""
+    params = _exact_params(
+        log_s0, v0, r, kappa, theta, sigma, rho, dt, segments, strike, cp
+    )
+    total_pairs = n_blocks * n_batches * _ROWS * _LANES
+    if qmc and total_pairs > 2**_SOBOL_BITS:
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {total_pairs} pairs would wrap"
+        )
+    n_par = len(_P_NAMES)
+    out_specs = pl.BlockSpec(
+        (1, 8, _LANES), lambda i: (i, jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_blocks, 8, _LANES), jnp.float32)
+    if qmc:
+        table = _sobol_table(seed, 4 * segments)
+        offset_arr = jnp.asarray([point_offset], jnp.int32)
+        kernel = functools.partial(
+            _exact_price_kernel_qmc, segments=segments, n_batches=n_batches
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((n_par,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (4 * segments, _SOBOL_BITS + 1),
+                    lambda i: (jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, table, offset_arr)
+    else:
+        seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+        kernel = functools.partial(
+            _exact_price_kernel, segments=segments, n_batches=n_batches
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((n_par,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, seed_arr)
+    total_paths = 2 * total_pairs
+    return discount * jnp.sum(sums.astype(jnp.float64)) / total_paths
+
+
+def heston_exact_mixing_values_pallas(prob, config, strat, key=None, device_id=0, point_offset=0):
+    """Adapter for MonteCarlo(HestonDynamics, HestonExactMixing(
+    use_kernel=True)): per-path conditional values, falling back to the
+    pure-JAX estimator off-TPU (same seed → same QMC points).  An explicit
+    ``key`` reseeds the PRNG kernel stream (ops/heston_kernel.py
+    ``seed_from_key``); under QMC the seed is ALWAYS config.seed so every
+    device randomizes ONE shared Sobol' sequence sliced by point_offset."""
+    from ..core.dates import yearfrac
+    from ..market.rate_curve import zero_rate_yf
+    from ..methods.montecarlo import Antithetic, _heston_exact_mixing_values
+    from .heston_kernel import seed_from_key
+
+    market = prob.market_inputs
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if jax.default_backend() != "tpu":
+        if key is None:
+            key = (
+                jax.random.PRNGKey(config.seed)
+                if config.qmc
+                else jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
+            )
+        return _heston_exact_mixing_values(prob, config, key, point_offset=point_offset)
+    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    r0 = zero_rate_yf(market.rate, 0.0)
+    if config.qmc and not anti:
+        raise ValueError("kernel QMC path is antithetic-only")
+    out = heston_exact_mixing_values(
+        jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
+        market.sigma, market.rho, T / config.steps,
+        prob.payoff.strike, prob.payoff.call_put(),
+        n_paths=config.trajectories, segments=config.steps,
+        seed=config.seed if config.qmc else seed_from_key(config, key),
+        antithetic=anti, device_id=device_id,
+        qmc=config.qmc, point_offset=point_offset,
+    )
+    return out.astype(jnp.float64)

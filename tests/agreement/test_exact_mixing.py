@@ -183,6 +183,23 @@ def test_exact_mixing_strike_grid_matches_scalar_solves():
         assert float(grid[i]) == pytest.approx(float(scalar), rel=1e-12)
 
 
+def test_exact_mixing_sharded_matches_unsharded_qmc():
+    """Sharded devices slice ONE Sobol' sequence disjointly → the sharded
+    price equals the unsharded price to summation order (the estimator
+    routes through mc_path_values like every conditional strategy)."""
+    from hedgehog_tpu.parallel.sharding import make_paths_mesh, sharded_mc_price
+
+    prob = _prob(Call())
+    cfg = SimulationConfig(
+        trajectories=16_384, steps=2, variance_reduction=Antithetic(),
+        seed=7, qmc=True,
+    )
+    method = MonteCarlo(HestonDynamics(), HestonExactMixing(), cfg)
+    p_single = float(solve(prob, method).price)
+    p_sharded = float(sharded_mc_price(prob, method, make_paths_mesh()))
+    assert p_sharded == pytest.approx(p_single, rel=1e-9)
+
+
 def test_exact_mixing_never_materializes_terminal_samples():
     from hedgehog_tpu import simulate_terminal_prices
 
