@@ -30,6 +30,11 @@ import jax.numpy as jnp
 import hedgehog_tpu as hh
 
 STEPS = 100  # Euler step count (pure-JAX / CPU path)
+EXACT_SEGMENTS = 2  # exact-transition mixing segments: bias −1.00±0.08bp
+#                 measured on 2.1G-path runs (exact CIR transition +
+#                 Bessel-ratio conditional ∫V moments; fp32 kernel); see
+#                 benchmarks/exact_mixing_kernel_bench.py — 3.0e9 paths/s
+#                 vs 2.1e9 for QE-11 in the same per-call timing style
 MIX_STEPS = 11  # conditional-MC (Romano-Touzi mixing) QE step count: bias
 #                 +3.5±0.03bp measured on 6.4G-path calibration runs
 #                 (mixing-10 = +4.2bp, mixing-12 = +3.0bp, mixing-14 =
@@ -149,13 +154,17 @@ def main() -> None:
     discount = float(jnp.exp(-R * T))
 
     if on_tpu:
-        # Flagship: conditional-MC (Romano-Touzi mixing) QE kernel — only the
-        # variance path is simulated (one normal + one uniform per step; the
-        # CIR integral identity gives ∫√V dW) and each path finishes with the
-        # conditional Black-Scholes closed form.  ~1.7× cheaper per step than
-        # the QE-M price kernel and ~9× lower payoff variance, with on-chip
-        # multi-batch accumulation so one dispatch carries 268M paths.
-        # Fallback chain: mixing kernel → QE-M kernel → Euler kernel.
+        # Flagship: exact-transition mixing kernel — per segment each path
+        # draws the EXACT noncentral-χ² CIR transition and the conditional
+        # ∫V from its Broadie-Kaya Laplace-transform moments, then closes
+        # with the conditional Black-Scholes formula.  Sub-bp scheme bias at
+        # TWO segments (vs +3.5bp for QE at 11 steps) and fewer draws per
+        # path, with on-chip multi-batch accumulation so one dispatch
+        # carries 268M paths.  Fallback chain: exact-mixing kernel → QE
+        # mixing kernel → QE-M kernel → Euler kernel.
+        from hedgehog_tpu.ops.heston_exact_kernel import (
+            heston_exact_mixing_vanilla_price,
+        )
         from hedgehog_tpu.ops.heston_qe_kernel import (
             _LANES,
             _ROWS,
@@ -165,19 +174,38 @@ def main() -> None:
 
         paths_per_call = QE_BLOCKS * QE_BATCHES * _ROWS * _LANES * 2
         n_pairs = paths_per_call // 2
-        steps_used = MIX_STEPS
-        scheme = "qe_mixing"
+        steps_used = EXACT_SEGMENTS
+        scheme = "exact_mixing"
 
         def price_fn(seed):
-            return heston_qe_mixing_vanilla_price(
+            return heston_exact_mixing_vanilla_price(
                 jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"], HESTON["theta"],
-                HESTON["sigma"], HESTON["rho"], T / MIX_STEPS, STRIKE, discount,
-                n_blocks=QE_BLOCKS, n_batches=QE_BATCHES, steps=MIX_STEPS,
-                seed=seed,
+                HESTON["sigma"], HESTON["rho"], T / EXACT_SEGMENTS, STRIKE,
+                discount, n_blocks=QE_BLOCKS, n_batches=QE_BATCHES,
+                segments=EXACT_SEGMENTS, seed=seed,
             )
 
         try:
             price_fn(0)  # compile-check the kernel; fall back if Mosaic balks
+        except Exception as e:  # pragma: no cover
+            sys.stderr.write(
+                f"# exact-mixing kernel failed ({type(e).__name__}); "
+                f"QE mixing kernel fallback\n"
+            )
+            steps_used = MIX_STEPS
+            scheme = "qe_mixing"
+
+            def price_fn(seed):
+                return heston_qe_mixing_vanilla_price(
+                    jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"],
+                    HESTON["theta"], HESTON["sigma"], HESTON["rho"],
+                    T / MIX_STEPS, STRIKE, discount,
+                    n_blocks=QE_BLOCKS, n_batches=QE_BATCHES, steps=MIX_STEPS,
+                    seed=seed,
+                )
+
+        try:
+            price_fn(0)
         except Exception as e:  # pragma: no cover
             sys.stderr.write(
                 f"# mixing kernel failed ({type(e).__name__}); QE-M kernel fallback\n"
@@ -258,7 +286,10 @@ def main() -> None:
     # asked for.  The fused pass replays the price kernel's PRNG stream, so
     # its price is bit-identical; the 7-param gradient is a forward-mode
     # tangent propagation inside the kernel (ops/heston_qe_greeks_kernel.py).
-    if on_tpu and scheme == "qe_mixing" and budget_left():
+    # Greeks live on the QE mixing estimator (the exact transition's Poisson
+    # count is a step function of the parameters, so pathwise AD through it
+    # is biased; QE is smooth) — the ratio is vs the QE mixing price kernel.
+    if on_tpu and scheme in ("exact_mixing", "qe_mixing") and budget_left():
         try:
             from hedgehog_tpu.ops.heston_qe_greeks_kernel import (
                 heston_qe_mixing_price_and_greeks,
@@ -275,9 +306,25 @@ def main() -> None:
                     for i in range(3)]
             jax.block_until_ready(outs)
             t_gk = (time.perf_counter() - t1) / 3
-            t_pk = elapsed / REPS  # price-only kernel time measured above
+            if scheme == "qe_mixing":
+                t_pk = elapsed / REPS  # price-only kernel time measured above
+            else:
+                mix_prices = [heston_qe_mixing_vanilla_price(
+                    *gk_args[:9], discount,
+                    n_blocks=QE_BLOCKS, n_batches=QE_BATCHES, steps=MIX_STEPS,
+                    seed=i + 1,
+                ) for i in range(3)]
+                jax.block_until_ready(mix_prices)  # compile
+                t2 = time.perf_counter()
+                mix_prices = [heston_qe_mixing_vanilla_price(
+                    *gk_args[:9], discount,
+                    n_blocks=QE_BLOCKS, n_batches=QE_BATCHES, steps=MIX_STEPS,
+                    seed=i + 10,
+                ) for i in range(3)]
+                jax.block_until_ready(mix_prices)
+                t_pk = (time.perf_counter() - t2) / 3
             sys.stderr.write(
-                f"# KERNEL greek vector (fused price+7-greeks, "
+                f"# KERNEL greek vector (fused price+7-greeks, QE mixing, "
                 f"{2 * n_pairs / 1e6:.0f}M paths/dispatch): price={t_pk*1e3:.0f}ms "
                 f"grads={t_gk*1e3:.0f}ms ratio={t_gk/t_pk:.2f} (target < 2, "
                 f"price bit-identical to price kernel)\n"

@@ -6,10 +6,14 @@ Wilson-Hilferty gamma cube with the small-shape boost Γ(α)=Γ(α+1)·U^{1/α})
 computes the exact conditional ∫V moments from the Broadie-Kaya Laplace
 transform (Perron continued fraction for the Bessel ratio, 4-term asymptotic
 tail), draws the gamma-matched ∫V, and finally closes with the conditional
-Black-Scholes formula shared with the QE mixing kernel.  |bias| ≤ 0.4bp at
-TWO segments (benchmarks/one_step_exact_mixing.py) versus ~3.4bp for the
-11-step QE mixing kernel — at FEWER random draws per path (4/segment vs
-2/step), which is what moves the paths/sec-at-equal-error frontier.
+Black-Scholes formula shared with the QE mixing kernel.  Measured bias at
+TWO segments: −1.00±0.08bp on the bench market (2.1G-path TPU runs,
+benchmarks/exact_mixing_kernel_bench.py; the numpy f64 study reproduces
+−1.04bp and attributes it to the Wilson-Hilferty transition cube — the
+exact-gammaincinv transition reads −0.32bp) versus +3.5bp for the 11-step
+QE mixing kernel — at FEWER random draws per path (4/segment vs 2/step),
+which is what moves the paths/sec-at-equal-error frontier: 3.0e9 vs 2.1e9
+paths/s in per-call timing.
 
 Same megabatch structure as ops/heston_qe_kernel.py: (256 × 128) path tiles
 per program, on-chip PRNG or in-kernel Sobol' (4 dims/segment, step-major,
