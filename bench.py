@@ -54,20 +54,24 @@ HESTON = dict(V0=0.04, kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7)
 
 
 def flagship_greek_ratio(
-    on_tpu: bool, n_pairs: int | None = None, steps: int = 10, conditional: bool = False
+    on_tpu: bool, n_pairs: int | None = None, steps: int = 10,
+    conditional: bool = False, exact: bool = False,
 ):
     """time(full 7-param gradient) / time(price) for the Heston pure-JAX
     Monte Carlo price (greeks_agreement.jl:170-241 semantics: fixed RNG,
     pathwise derivative).  ``conditional=True`` measures the mixing
     estimator, whose gradient is cheaper in absolute terms AND ~9× lower
     variance, but whose price is so fast the ratio reads higher.
+    ``exact=True`` measures the exact-transition flagship via the mixed
+    pathwise/likelihood-ratio estimator (heston_exact_price_and_greeks).
     Returns (ratio, t_price, t_grad)."""
     if n_pairs is None:
         n_pairs = 2**19 if on_tpu else 2**13
     cfg = hh.SimulationConfig(
         trajectories=n_pairs, steps=steps, variance_reduction=hh.Antithetic(), seed=0
     )
-    method = hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(conditional=conditional), cfg)
+    strat = hh.HestonExactMixing() if exact else hh.HestonQE(conditional=conditional)
+    method = hh.MonteCarlo(hh.HestonDynamics(), strat, cfg)
     payoff = hh.VanillaOption(STRIKE, EXPIRY, hh.European(), hh.Call(), hh.Spot())
 
     def price(params):
@@ -81,7 +85,22 @@ def flagship_greek_ratio(
                   HESTON["sigma"], HESTON["rho"], R)
     )
     price_jit = jax.jit(price)
-    if conditional:
+    if exact:
+        from hedgehog_tpu.methods.mixing_greeks import (
+            GREEK_ORDER,
+            heston_exact_price_and_greeks,
+        )
+
+        def value_and_greeks(params):
+            spot, v0, kappa, theta, sigma, rho, r = params
+            market = hh.HestonInputs(REF, r, spot, v0, kappa, theta, sigma, rho)
+            p, g = heston_exact_price_and_greeks(
+                hh.PricingProblem(payoff, market), method
+            )
+            return p, jnp.stack([g[k] for k in GREEK_ORDER])
+
+        grad_jit = jax.jit(value_and_greeks)
+    elif conditional:
         # the mixing estimator's fast greek path is FORWARD mode: tangents
         # ride the variance scan, (spot, rho, rate) close analytically
         # (methods/mixing_greeks.py) — price + full 7-vector in one pass
@@ -373,6 +392,15 @@ def main() -> None:
             f"# greek vector, conditional-MC estimator (same paths, ~9x lower "
             f"variance, forward-mode): price={t_price_m*1e3:.1f}ms "
             f"grad={t_grad_m*1e3:.1f}ms ratio={ratio_m:.2f} (target < 2)\n"
+        )
+    if budget_left():
+        ratio_x, t_price_x, t_grad_x = flagship_greek_ratio(
+            on_tpu, steps=EXACT_SEGMENTS, exact=True
+        )
+        sys.stderr.write(
+            f"# greek vector, exact-transition flagship (pathwise+likelihood-"
+            f"ratio, unbiased): price={t_price_x*1e3:.1f}ms "
+            f"grad={t_grad_x*1e3:.1f}ms ratio={ratio_x:.2f} (target < 2)\n"
         )
 
     # ---- surface serving metric (stderr): kernel-side (expiry × strike)

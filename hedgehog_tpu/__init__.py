@@ -115,7 +115,10 @@ from .calibration.implied import (  # noqa: E402
 )
 from .math.rootfind import bisect_root, implicit_root  # noqa: E402
 from .math.optimize import minimize_lbfgs  # noqa: E402
-from .methods.mixing_greeks import heston_mixing_price_and_greeks  # noqa: E402
+from .methods.mixing_greeks import (  # noqa: E402
+    heston_exact_price_and_greeks,
+    heston_mixing_price_and_greeks,
+)
 from .methods.montecarlo import (  # noqa: E402
     Antithetic,
     BlackScholesExact,
@@ -255,6 +258,7 @@ __all__ = [
     "simulate_conditional_values",
     "mc_path_values",
     "heston_surface_mc",
+    "heston_exact_price_and_greeks",
     "heston_mixing_price_and_greeks",
     "simulate_price_grid",
     # greeks

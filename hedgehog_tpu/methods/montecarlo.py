@@ -465,7 +465,7 @@ def _conditional_bs_close(prob, market, T, r0, iv, j):
     return cp * (f_eff * ncdf(cp * d1) - strike * ncdf(cp * d2))
 
 
-def _heston_exact_mixing_values(prob, config, key, point_offset=0):
+def _heston_exact_mixing_values(prob, config, key, point_offset=0, with_score=False):
     """Per-path UNDISCOUNTED conditional vanilla values (n_groups, paths)
     from the exact-transition segmented mixing scheme (HestonExactMixing;
     numerics in models/heston_exact.py).
@@ -473,10 +473,14 @@ def _heston_exact_mixing_values(prob, config, key, point_offset=0):
     Draw layout per segment (the contract the TPU kernel's Sobol'/PRNG
     stream mirrors): (u_poisson, z_gamma, u_boost, z_iv) — QMC dims
     step-major 4·i … 4·i+3, the two z's from ndtri.  Antithetic mirror:
-    negated normals, 1−u uniforms."""
+    negated normals, 1−u uniforms.
+
+    ``with_score=True`` additionally returns the per-path frozen-count
+    Poisson log-likelihood (the likelihood-ratio term unbiased greeks need;
+    see mixing_greeks.heston_exact_price_and_greeks)."""
     from ..models.heston_exact import (
         cir_exact_constants,
-        cir_exact_step,
+        cir_exact_step_score,
         iv_cond_moments,
         iv_gamma_draw,
     )
@@ -515,15 +519,18 @@ def _heston_exact_mixing_values(prob, config, key, point_offset=0):
     n_groups = z_gam.shape[1]
     v = jnp.full((n_groups, paths), market.V0)
     iv = jnp.zeros_like(v)
+    logl = jnp.zeros_like(v)
     for i in range(segments):  # static unroll: segments is 1-4 in practice
-        y = cir_exact_step(v, u_pois[i], z_gam[i], u_boost[i], c)
+        y, ll = cir_exact_step_score(v, u_pois[i], z_gam[i], u_boost[i], c)
+        logl = logl + ll  # dead code under with_score=False (XLA DCE)
         m1, s2 = iv_cond_moments(v, y, c)
         iv = iv + iv_gamma_draw(m1, s2, z_iv[i])
         v = y
 
     kappa, sigma = market.kappa, market.sigma
     j = (v - market.V0 - kappa * market.theta * T + kappa * iv) / sigma
-    return _conditional_bs_close(prob, market, T, r0, iv, j)
+    vals = _conditional_bs_close(prob, market, T, r0, iv, j)
+    return (vals, logl) if with_score else vals
 
 
 def heston_surface_mc(

@@ -28,14 +28,20 @@ The 2-moment gamma family needs ≥2 segments (one segment leaves 0.3-17bp,
 market-dependent); more than 2 buys nothing measurable.
 
 Gradient caveat: the Poisson count N is a discrete function of (V, κ, σ, Δ),
-so pathwise AD through this scheme drops the dependence of the count
-distribution on its rate (∂N = 0) and V-leg greeks are biased — use the QE
-mixing path (smooth in all parameters) for greeks; this scheme is the
-*price* flagship.  Spot/rate/rho greeks do not touch the V leg and are exact.
+so PLAIN pathwise AD through this scheme drops the dependence of the count
+distribution on its rate (∂N = 0) and V-leg greeks are badly biased
+(measured: σ-greek off ~19×).  The unbiased route is the mixed
+pathwise/likelihood-ratio estimator: freeze N, add the per-segment Poisson
+score log p(N; λ) = N·log λ − λ (+const) to a per-path log-likelihood, and
+differentiate value + sg(value − b)·(logL − sg(logL)) — see
+:func:`cir_exact_step_score` and
+methods/mixing_greeks.heston_exact_price_and_greeks.  Spot/rate/ρ greeks do
+not touch the V leg and are exact either way.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -44,6 +50,7 @@ __all__ = [
     "poisson_inv",
     "gamma_wh",
     "cir_exact_step",
+    "cir_exact_step_score",
     "iv_cond_moments",
     "iv_gamma_draw",
 ]
@@ -122,14 +129,29 @@ def gamma_wh(alpha, z):
     return alpha * jnp.maximum(t, 0.0) ** 3
 
 
-def cir_exact_step(x, u_pois, z_gam, u_boost, c):
-    """One exact CIR transition V_t = x → V_{t+Δ} from (uniform, normal,
-    uniform), via the Poisson-Gamma mixture of the noncentral χ²."""
-    n = poisson_inv(x * c["lam_fac"], u_pois)
+def cir_exact_step_score(x, u_pois, z_gam, u_boost, c):
+    """One exact CIR transition V_t = x → V_{t+Δ} plus the Poisson score.
+
+    Returns ``(y, log_lik)`` where ``log_lik = N·log λ − λ`` (the N!-term is
+    parameter-free and dropped) with the count N gradient-frozen: summed over
+    segments this is the per-path log-likelihood of the frozen counts, whose
+    gradient is the likelihood-ratio correction that plain pathwise AD
+    misses.  λ is floored at 1e-30 inside the log only (a WH cube clamped to
+    zero makes the next λ exactly 0, where N = 0 and the true term is 0)."""
+    lam = x * c["lam_fac"]
+    n = jax.lax.stop_gradient(poisson_inv(lam, u_pois))
+    log_lik = n * jnp.log(jnp.maximum(lam, 1e-30)) - lam
     alpha = c["d_half"] + n
     u_safe = jnp.maximum(u_boost, 1e-300)
     g = gamma_wh(alpha + 1.0, z_gam) * u_safe ** (1.0 / alpha)
-    return 2.0 * c["cfac"] * g
+    return 2.0 * c["cfac"] * g, log_lik
+
+
+def cir_exact_step(x, u_pois, z_gam, u_boost, c):
+    """One exact CIR transition V_t = x → V_{t+Δ} from (uniform, normal,
+    uniform), via the Poisson-Gamma mixture of the noncentral χ² (the
+    unused score term is dead-code-eliminated by XLA)."""
+    return cir_exact_step_score(x, u_pois, z_gam, u_boost, c)[0]
 
 
 def iv_cond_moments(x, y, c):
