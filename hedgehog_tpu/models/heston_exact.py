@@ -164,7 +164,11 @@ def iv_cond_moments(x, y, c):
     bridge is nearly deterministic)."""
     kappa, dt = c["kappa"], c["dt"]
     t2, c1, c2 = c["t2"], c["c1"], c["c2"]
-    z = c["z_fac"] * jnp.sqrt(jnp.maximum(x * y, 0.0))
+    # positive floor, NOT 0: at xy = 0 exactly (a Wilson-Hilferty cube clamp)
+    # sqrt's infinite derivative meets a zero cotangent and AD yields NaN;
+    # max(xy, 1e-30) zeroes the branch derivative instead (the analytic chain
+    # dW/d(xy) is bounded, so the value is unaffected)
+    z = c["z_fac"] * jnp.sqrt(jnp.maximum(x * y, 1e-30))
     W = z * bessel_ratio(c["nu"], z) + c["nu"]
     q, p = c["q"], c["p_c"]
     xy = (x + y) * c["inv_sig2"]

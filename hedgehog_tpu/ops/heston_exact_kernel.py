@@ -12,8 +12,9 @@ benchmarks/exact_mixing_kernel_bench.py; the numpy f64 study reproduces
 −1.04bp and attributes it to the Wilson-Hilferty transition cube — the
 exact-gammaincinv transition reads −0.32bp) versus +3.5bp for the 11-step
 QE mixing kernel — at FEWER random draws per path (4/segment vs 2/step),
-which is what moves the paths/sec-at-equal-error frontier: 3.0e9 vs 2.1e9
-paths/s in per-call timing.
+which is what moves the paths/sec-at-equal-error frontier: the bench.py
+pipelined headline reads 4.41e9 paths/s at 0.95bp (adaptive Poisson trip
+count + 16-trip Bessel CF; stress grid all sub-bp on TPU).
 
 Same megabatch structure as ops/heston_qe_kernel.py: (256 × 128) path tiles
 per program, on-chip PRNG or in-kernel Sobol' (4 dims/segment, step-major,
@@ -52,10 +53,52 @@ __all__ = [
     "heston_exact_mixing_vanilla_price",
 ]
 
-#: fixed trip counts (models/heston_exact.py uses the same; see there)
+#: default/maximum Poisson trip count; the host wrappers shrink it per
+#: market via :func:`_poisson_kmax` (the loop is ~15% of kernel time at 32)
 _POISSON_KMAX = 32
-_CF_ITERS = 24
+_POISSON_KMAX_CAP = 64
+#: Bessel-ratio continued-fraction trips: 16 gives ≤5.9e-5 max rel err over
+#: ν ∈ [−0.9, 3], z ∈ (0, 24] (scipy sweep) — the same order as the f64
+#: twin's documented ≤7e-5 contract and invisible next to the ~1bp
+#: Wilson-Hilferty scheme bias; measured end-to-end bias change < 0.01bp
+#: vs 24 trips (benchmarks: kmax/cf trip probe, 2.1G paths)
+_CF_ITERS = 16
 _CF_SWITCH = 24.0
+
+
+def _poisson_kmax(kappa, theta, sigma, dt, v0) -> int:
+    """Static Poisson trip count with a provable-tail heuristic.
+
+    Bound the per-segment rate by λ/2 evaluated at v_b = m + 6s, where
+    (m, s) are the exact CIR transition mean/std started from the worst
+    deterministic level max(V0, θ); take the smallest k with
+    P(N > k | λ(v_b)/2) < 1e-8 (+1 margin, clipped to [16, 64]).  The
+    truncation-bias budget is then ≲ P(V > v_b) + 1e-8 ≪ 0.01bp — measured
+    identical prices to ±0.005bp at 268M paths vs kmax=32 on the bench
+    market.  Falls back to the conservative default when the inputs are
+    traced (kernel under an outer jit)."""
+    import numpy as np
+
+    try:
+        k_, th = float(kappa), float(theta)
+        s_, d_, v = float(sigma), float(dt), float(v0)
+    except Exception:
+        return _POISSON_KMAX
+    e = np.exp(-k_ * d_)
+    em = -np.expm1(-k_ * d_)
+    cfac = s_ * s_ * em / (4.0 * k_)
+    vw = max(v, th)
+    m = vw * e + th * em
+    s2 = vw * s_ * s_ * e * em / k_ + th * s_ * s_ * em * em / (2.0 * k_)
+    v_b = m + 6.0 * np.sqrt(max(s2, 0.0))
+    lam_half = e / (2.0 * cfac) * v_b
+    p = np.exp(-lam_half)
+    cdf, k = p, 0
+    while cdf < 1.0 - 1e-8 and k < _POISSON_KMAX_CAP:
+        k += 1
+        p *= lam_half / k
+        cdf += p
+    return int(np.clip(k + 1, 16, _POISSON_KMAX_CAP))
 
 
 # ---- parameter vector ------------------------------------------------------
@@ -144,14 +187,14 @@ def _gamma_wh(alpha, z):
     return alpha * t * t * t
 
 
-def _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv, c):
+def _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv, c, kmax: int):
     """One exact segment on fp32 tiles: (V, ∫V-so-far) → (V', ∫V + draw)."""
     # Poisson(λ/2) count by fixed-trip CDF inversion
     mu = v * c["lam_fac"]
     p = jnp.exp(-mu)
     cdf = p
     n = jnp.zeros_like(v)
-    for k in range(1, _POISSON_KMAX + 1):
+    for k in range(1, kmax + 1):
         n = jnp.where(u_pois > cdf, float(k), n)
         p = p * mu * (1.0 / k)
         cdf = cdf + p
@@ -194,7 +237,7 @@ def _exact_path_init(c, antithetic: bool):
     return (v, zero, v, zero) if antithetic else (v, zero)
 
 
-def _exact_run_prng(c, segments: int, antithetic: bool):
+def _exact_run_prng(c, segments: int, antithetic: bool, kmax: int):
     """Run all segments from the on-chip PRNG: per segment one Box-Muller
     pair (z_gam, z_iv) + two bit uniforms (u_pois, u_boost); the antithetic
     twin negates the normals and mirrors the uniforms."""
@@ -208,16 +251,16 @@ def _exact_run_prng(c, segments: int, antithetic: bool):
             pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
         if antithetic:
             v, iv, va, iva = carry
-            v, iv = _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv, c)
+            v, iv = _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv, c, kmax)
             va, iva = _exact_segment(
-                va, iva, 1.0 - u_pois, -z_gam, 1.0 - u_boost, -z_iv, c)
+                va, iva, 1.0 - u_pois, -z_gam, 1.0 - u_boost, -z_iv, c, kmax)
             carry = (v, iv, va, iva)
         else:
-            carry = _exact_segment(*carry, u_pois, z_gam, u_boost, z_iv, c)
+            carry = _exact_segment(*carry, u_pois, z_gam, u_boost, z_iv, c, kmax)
     return carry
 
 
-def _exact_run_qmc(masks, sob_ref, c, segments: int):
+def _exact_run_qmc(masks, sob_ref, c, segments: int, kmax: int):
     """Antithetic segment runs from the in-kernel Sobol' stream — 4 dims per
     segment, step-major: (u_pois, u→z_gam, u_boost, u→z_iv), the layout of
     the pure-JAX _heston_exact_mixing_values."""
@@ -227,9 +270,9 @@ def _exact_run_qmc(masks, sob_ref, c, segments: int):
         u_boost, u_iv = _sobol_uniforms_tile(masks, sob_ref, (4 * s + 2, 4 * s + 3))
         z_gam, z_iv = _ndtri_approx(u_gam), _ndtri_approx(u_iv)
         v, iv, va, iva = carry
-        v, iv = _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv, c)
+        v, iv = _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv, c, kmax)
         va, iva = _exact_segment(
-            va, iva, 1.0 - u_pois, -z_gam, 1.0 - u_boost, -z_iv, c)
+            va, iva, 1.0 - u_pois, -z_gam, 1.0 - u_boost, -z_iv, c, kmax)
         carry = (v, iv, va, iva)
     return carry
 
@@ -237,16 +280,16 @@ def _exact_run_qmc(masks, sob_ref, c, segments: int):
 # ---- kernels ---------------------------------------------------------------
 
 
-def _exact_values_kernel(params_ref, seed_ref, out_ref, *, segments: int, antithetic: bool):
+def _exact_values_kernel(params_ref, seed_ref, out_ref, *, segments: int, antithetic: bool, kmax: int):
     pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
     c = _exact_c(params_ref)
-    carry = _exact_run_prng(c, segments, antithetic)
+    carry = _exact_run_prng(c, segments, antithetic, kmax)
     out_ref[0] = _exact_close(carry[0], carry[1], c)
     if antithetic:
         out_ref[1] = _exact_close(carry[2], carry[3], c)
 
 
-def _exact_values_kernel_qmc(params_ref, sob_ref, offset_ref, out_ref, *, segments: int):
+def _exact_values_kernel_qmc(params_ref, sob_ref, offset_ref, out_ref, *, segments: int, kmax: int):
     c = _exact_c(params_ref)
     shape = (_ROWS, _LANES)
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -254,19 +297,19 @@ def _exact_values_kernel_qmc(params_ref, sob_ref, offset_ref, out_ref, *, segmen
     idx = (offset_ref[0] + pl.program_id(0) * jnp.int32(_ROWS * _LANES)
            + row * jnp.int32(_LANES) + lane)
     masks = _sobol_masks(idx)
-    carry = _exact_run_qmc(masks, sob_ref, c, segments)
+    carry = _exact_run_qmc(masks, sob_ref, c, segments, kmax)
     out_ref[0] = _exact_close(carry[0], carry[1], c)
     out_ref[1] = _exact_close(carry[2], carry[3], c)
 
 
-def _exact_price_kernel(params_ref, seed_ref, out_ref, *, segments: int, n_batches: int):
+def _exact_price_kernel(params_ref, seed_ref, out_ref, *, segments: int, n_batches: int, kmax: int):
     """Multi-batch antithetic accumulating price kernel (the serving/bench
     configuration — mirrors _qe_mixing_price_kernel)."""
     pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
     c = _exact_c(params_ref)
 
     def one_batch(_, acc):
-        carry = _exact_run_prng(c, segments, antithetic=True)
+        carry = _exact_run_prng(c, segments, antithetic=True, kmax=kmax)
         val = _exact_close(carry[0], carry[1], c) + _exact_close(carry[2], carry[3], c)
         return acc + jnp.sum(val.reshape(_ROWS // 8, 8, _LANES), axis=0)
 
@@ -275,14 +318,15 @@ def _exact_price_kernel(params_ref, seed_ref, out_ref, *, segments: int, n_batch
 
 
 def _exact_price_kernel_qmc(
-    params_ref, sob_ref, offset_ref, out_ref, *, segments: int, n_batches: int
+    params_ref, sob_ref, offset_ref, out_ref, *, segments: int, n_batches: int,
+    kmax: int,
 ):
     c = _exact_c(params_ref)
     base_idx = _program_base_idx(offset_ref, n_batches)
 
     def one_batch(b, acc):
         masks = _batch_masks(base_idx, b)
-        carry = _exact_run_qmc(masks, sob_ref, c, segments)
+        carry = _exact_run_qmc(masks, sob_ref, c, segments, kmax)
         val = _exact_close(carry[0], carry[1], c) + _exact_close(carry[2], carry[3], c)
         return acc + jnp.sum(val.reshape(_ROWS // 8, 8, _LANES), axis=0)
 
@@ -298,8 +342,9 @@ def heston_exact_mixing_values(
     *, n_paths: int, segments: int, seed, antithetic: bool = False, device_id=0,
     qmc: bool = False, point_offset: int = 0, interpret: bool = False,
 ):
-    """Host-side wrapper: Sobol' period guard on concrete offsets, then the
-    jitted kernel (per-path UNDISCOUNTED conditional values)."""
+    """Host-side wrapper: Sobol' period guard on concrete offsets, the
+    per-market static Poisson trip count, then the jitted kernel (per-path
+    UNDISCOUNTED conditional values)."""
     if qmc and isinstance(point_offset, (int, _np_int)):
         block = _ROWS * _LANES
         padded = -(-n_paths // block) * block
@@ -312,18 +357,19 @@ def heston_exact_mixing_values(
         log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp,
         n_paths=n_paths, segments=segments, seed=seed, antithetic=antithetic,
         device_id=device_id, qmc=qmc, point_offset=point_offset,
-        interpret=interpret,
+        interpret=interpret, kmax=_poisson_kmax(kappa, theta, sigma, dt, v0),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_paths", "segments", "antithetic", "qmc", "interpret"),
+    static_argnames=("n_paths", "segments", "antithetic", "qmc", "interpret", "kmax"),
 )
 def _heston_exact_mixing_values_impl(
     log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp,
     *, n_paths: int, segments: int, seed, antithetic: bool = False, device_id=0,
     qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+    kmax: int = _POISSON_KMAX,
 ):
     """Per-path UNDISCOUNTED conditional vanilla values ((n_groups, n_paths)
     fp32) via the fused exact-mixing kernel.  QMC is antithetic-only (the
@@ -353,7 +399,7 @@ def _heston_exact_mixing_values_impl(
     if qmc:
         table = _sobol_table(seed, 4 * segments)
         offset_arr = jnp.asarray([point_offset], jnp.int32)
-        kernel = functools.partial(_exact_values_kernel_qmc, segments=segments)
+        kernel = functools.partial(_exact_values_kernel_qmc, segments=segments, kmax=kmax)
         out = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
@@ -374,7 +420,7 @@ def _heston_exact_mixing_values_impl(
 
     seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
     kernel = functools.partial(
-        _exact_values_kernel, segments=segments, antithetic=antithetic
+        _exact_values_kernel, segments=segments, antithetic=antithetic, kmax=kmax
     )
     out = pl.pallas_call(
         kernel,
@@ -390,9 +436,6 @@ def _heston_exact_mixing_values_impl(
     return out.reshape(n_groups, padded)[:, :n_paths]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_blocks", "n_batches", "segments", "qmc", "interpret")
-)
 def heston_exact_mixing_vanilla_price(
     log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, discount,
     *, n_blocks: int, n_batches: int, segments: int, seed, device_id=0, cp=1.0,
@@ -400,7 +443,26 @@ def heston_exact_mixing_vanilla_price(
 ):
     """Discounted European vanilla price over n_blocks·n_batches·65536
     antithetic exact-mixing paths, ONE host dispatch, on-chip accumulation —
-    the serving/bench configuration (sub-bp bias at segments=2)."""
+    the serving/bench configuration (sub-bp bias at segments=2).  Host-side
+    wrapper choosing the static Poisson trip count for the market."""
+    return _heston_exact_mixing_vanilla_price_impl(
+        log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, discount,
+        n_blocks=n_blocks, n_batches=n_batches, segments=segments, seed=seed,
+        device_id=device_id, cp=cp, qmc=qmc, point_offset=point_offset,
+        interpret=interpret, kmax=_poisson_kmax(kappa, theta, sigma, dt, v0),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_blocks", "n_batches", "segments", "qmc", "interpret", "kmax"),
+)
+def _heston_exact_mixing_vanilla_price_impl(
+    log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, discount,
+    *, n_blocks: int, n_batches: int, segments: int, seed, device_id=0, cp=1.0,
+    qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+    kmax: int = _POISSON_KMAX,
+):
     params = _exact_params(
         log_s0, v0, r, kappa, theta, sigma, rho, dt, segments, strike, cp
     )
@@ -419,7 +481,8 @@ def heston_exact_mixing_vanilla_price(
         table = _sobol_table(seed, 4 * segments)
         offset_arr = jnp.asarray([point_offset], jnp.int32)
         kernel = functools.partial(
-            _exact_price_kernel_qmc, segments=segments, n_batches=n_batches
+            _exact_price_kernel_qmc, segments=segments, n_batches=n_batches,
+            kmax=kmax,
         )
         sums = pl.pallas_call(
             kernel,
@@ -440,7 +503,7 @@ def heston_exact_mixing_vanilla_price(
     else:
         seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
         kernel = functools.partial(
-            _exact_price_kernel, segments=segments, n_batches=n_batches
+            _exact_price_kernel, segments=segments, n_batches=n_batches, kmax=kmax
         )
         sums = pl.pallas_call(
             kernel,

@@ -40,10 +40,10 @@ _P0 = jnp.array(
 )
 
 
-def _method(**kw):
+def _method(trajectories=1 << 16, seed=3):
     cfg = hh.SimulationConfig(
-        trajectories=kw.pop("trajectories", 1 << 16), steps=SEGMENTS,
-        variance_reduction=hh.Antithetic(), seed=3, qmc=True, **kw,
+        trajectories=trajectories, steps=SEGMENTS,
+        variance_reduction=hh.Antithetic(), seed=seed, qmc=True,
     )
     return hh.MonteCarlo(hh.HestonDynamics(), hh.HestonExactMixing(), cfg)
 
@@ -89,6 +89,18 @@ def test_exact_greeks_price_equals_seeded_solve():
     price, _ = heston_exact_price_and_greeks(prob, method)
     want = hh.solve(prob, method).price
     assert float(price) == pytest.approx(float(want), rel=1e-12)
+
+
+def test_exact_greeks_finite_when_wh_cube_clamps_to_zero():
+    """Regression: at large path counts some path's Wilson-Hilferty cube
+    clamps V to exactly 0; sqrt(x·y) in the conditional moments then has an
+    infinite derivative against a zero cotangent and AD produced NaN greeks
+    (the positive floor in iv_cond_moments zeroes the branch derivative)."""
+    _, greeks = heston_exact_price_and_greeks(
+        _mkprob(tuple(_P0)), _method(trajectories=1 << 17, seed=7)
+    )
+    for name, g in greeks.items():
+        assert bool(jnp.isfinite(g)), name
 
 
 def test_exact_greeks_rejects_wrong_method():
