@@ -535,7 +535,7 @@ def _heston_exact_mixing_values(prob, config, key, point_offset=0, with_score=Fa
 
 def heston_surface_mc(
     market, expiries, strikes, config: "SimulationConfig", cp=1.0,
-    key=None, point_offset=0,
+    key=None, point_offset=0, strategy=None,
 ):
     """Price a whole (expiry × strike) European vanilla surface from ONE
     conditional-MC variance-path simulation: (n_expiries, n_strikes)
@@ -554,11 +554,22 @@ def heston_surface_mc(
     bias matches a single-expiry run at the same steps-per-year.
     ``expiries``: dates/ticks, strictly increasing.  ``cp``: +1 call / −1
     put (scalar, applies to the whole surface).
+
+    ``strategy=HestonExactMixing()`` swaps the QE variance path for the
+    exact-transition segmented scheme (sub-bp bias at ~2 segments/year —
+    ``config.steps`` then counts exact segments, so a far smaller budget
+    prices the surface more accurately).  ``None`` (default) or
+    ``HestonQE(conditional=True)`` = the QE mixing path.
     """
     n_exp = len(expiries)
     T_host = validate_surface_expiries(market, expiries)
     strikes = jnp.asarray(strikes)
-    rows = _mixing_surface_rows(
+    rows_fn = (
+        _exact_surface_rows
+        if isinstance(strategy, HestonExactMixing)
+        else _mixing_surface_rows
+    )
+    rows = rows_fn(
         market, T_host, [strikes] * n_exp, [cp] * n_exp, config,
         key=key, point_offset=point_offset,
     )
@@ -634,7 +645,6 @@ def _mixing_surface_rows(
     v = jnp.full((n_groups, config.trajectories), market.V0)
     iv = jnp.zeros_like(v)
     j = jnp.zeros_like(v)
-    ncdf = jax.scipy.stats.norm.cdf
 
     rows = []
     offset = 0
@@ -656,18 +666,108 @@ def _mixing_surface_rows(
         offset += seg_steps[i]
         (v, iv, j), _ = jax.lax.scan(jax.checkpoint(step), (v, iv, j), (zs, us_s))
 
-        f_eff = market.spot * jnp.exp(r0 * T_host[i] + rho * j - 0.5 * rho**2 * iv)
-        var = jnp.maximum((1.0 - rho**2) * iv, 1e-18)
-        sd = jnp.sqrt(var)
-        f_b, sd_b, var_b = f_eff[:, None, :], sd[:, None, :], var[:, None, :]
-        k_b = jnp.asarray(per_exp_strikes[i])[None, :, None]
-        cp_b = jnp.asarray(per_exp_cp[i])
-        if cp_b.ndim > 0:
-            cp_b = cp_b[None, :, None]  # per-point call/put signs
-        d1 = (jnp.log(f_b / k_b) + 0.5 * var_b) / sd_b
-        d2 = d1 - sd_b
-        vals = cp_b * (f_b * ncdf(cp_b * d1) - k_b * ncdf(cp_b * d2))
-        rows.append(df_yf(market.rate, T_host[i]) * jnp.mean(vals, axis=(0, -1)))
+        rows.append(_surface_close_row(
+            market, T_host[i], r0, iv, j, per_exp_strikes[i], per_exp_cp[i]
+        ))
+    return rows
+
+
+def _surface_close_row(market, T_i, r0, iv, j, strikes_i, cp_i):
+    """Close one expiry's (∫V, ∫√V dW) snapshot against its strike row with
+    the conditional BS formula → DISCOUNTED mean prices (m_i,).  Shared by
+    the QE and exact-transition surface cores."""
+    rho = market.rho
+    ncdf = jax.scipy.stats.norm.cdf
+    f_eff = market.spot * jnp.exp(r0 * T_i + rho * j - 0.5 * rho**2 * iv)
+    var = jnp.maximum((1.0 - rho**2) * iv, 1e-18)
+    sd = jnp.sqrt(var)
+    f_b, sd_b, var_b = f_eff[:, None, :], sd[:, None, :], var[:, None, :]
+    k_b = jnp.asarray(strikes_i)[None, :, None]
+    cp_b = jnp.asarray(cp_i)
+    if cp_b.ndim > 0:
+        cp_b = cp_b[None, :, None]  # per-point call/put signs
+    d1 = (jnp.log(f_b / k_b) + 0.5 * var_b) / sd_b
+    d2 = d1 - sd_b
+    vals = cp_b * (f_b * ncdf(cp_b * d1) - k_b * ncdf(cp_b * d2))
+    return df_yf(market.rate, T_i) * jnp.mean(vals, axis=(0, -1))
+
+
+def _exact_surface_rows(
+    market, T_host, per_exp_strikes, per_exp_cp, config, key=None, point_offset=0
+):
+    """Exact-transition core of the one-simulation surface: per expiry
+    segment the EXACT CIR transition + conditional ∫V draw (the
+    HestonExactMixing scheme, models/heston_exact.py), J accumulated through
+    the per-segment CIR integral identity, (∫V, ∫√V dW) snapshotted at each
+    expiry.  Sub-bp scheme bias at segment lengths ≲ 0.5y, so
+    ``config.steps`` (total segment budget, allocated proportionally by
+    :func:`surface_seg_steps`) can be ~5× smaller than the QE surface's for
+    better accuracy.  Draw layout is 4 dims/segment step-major — a
+    single-expiry surface with the same seed reproduces the
+    HestonExactMixing solve exactly."""
+    from ..models.heston_exact import (
+        cir_exact_constants,
+        cir_exact_step,
+        iv_cond_moments,
+        iv_gamma_draw,
+    )
+
+    n_exp = len(T_host)
+    r0 = zero_rate_yf(market.rate, 0.0)
+    seg_len, seg_steps = surface_seg_steps(T_host, config.steps)
+    total_segs = sum(seg_steps)
+    paths = config.trajectories
+
+    anti = isinstance(config.variance_reduction, Antithetic)
+    base = _base_key(config, key)
+    if config.qmc:
+        from jax.scipy.special import ndtri
+
+        from ..math.sobol import sobol_uniforms
+
+        u = sobol_uniforms(base, paths, total_segs * 4, skip=point_offset)
+        u = jnp.moveaxis(u.reshape(paths, total_segs, 4), 0, -1)  # (seg, 4, P)
+        u_pois, u_gam, u_boost, u_iv = u[:, 0], u[:, 1], u[:, 2], u[:, 3]
+        z_gam, z_iv = ndtri(u_gam), ndtri(u_iv)
+    else:
+        k_z, k_u = jax.random.split(base)
+        zb = jax.random.normal(k_z, (total_segs, 2, paths), dtype=jnp.float64)
+        ub = jax.random.uniform(k_u, (total_segs, 2, paths), dtype=jnp.float64)
+        z_gam, z_iv = zb[:, 0], zb[:, 1]
+        u_pois, u_boost = ub[:, 0], ub[:, 1]
+
+    def groups(x, is_uniform):
+        if not anti:
+            return x[:, None]
+        return jnp.stack([x, 1.0 - x if is_uniform else -x], axis=1)
+
+    z_gam, z_iv = groups(z_gam, False), groups(z_iv, False)
+    u_pois, u_boost = groups(u_pois, True), groups(u_boost, True)
+
+    kappa, sigma = market.kappa, market.sigma
+    n_groups = z_gam.shape[1]
+    v = jnp.full((n_groups, paths), market.V0)
+    iv = jnp.zeros_like(v)
+    j = jnp.zeros_like(v)
+
+    rows = []
+    offset = 0
+    for i in range(n_exp):
+        dt_i = seg_len[i] / seg_steps[i]
+        c = cir_exact_constants(kappa, market.theta, sigma, dt_i)
+        ktd = kappa * market.theta * dt_i
+        for s in range(seg_steps[i]):  # static unroll; a handful of segments
+            k = offset + s
+            y = cir_exact_step(v, u_pois[k], z_gam[k], u_boost[k], c)
+            m1, s2 = iv_cond_moments(v, y, c)
+            iv_seg = iv_gamma_draw(m1, s2, z_iv[k])
+            iv = iv + iv_seg
+            j = j + (y - v - ktd + kappa * iv_seg) / sigma
+            v = y
+        offset += seg_steps[i]
+        rows.append(_surface_close_row(
+            market, T_host[i], r0, iv, j, per_exp_strikes[i], per_exp_cp[i]
+        ))
     return rows
 
 

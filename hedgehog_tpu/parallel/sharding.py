@@ -134,7 +134,7 @@ def sharded_surface_fn(method: MonteCarlo, mesh: Mesh, axis_name: str = "paths")
             key, offset = _device_key_and_offset(local.config, idx)
             local_surf = heston_surface_mc(
                 market, expiries, strikes_arr, local.config,
-                key=key, point_offset=offset,
+                key=key, point_offset=offset, strategy=local.strategy,
             )
             return jax.lax.pmean(local_surf, axis_name)
 

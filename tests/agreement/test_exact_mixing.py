@@ -200,6 +200,73 @@ def test_exact_mixing_sharded_matches_unsharded_qmc():
     assert p_sharded == pytest.approx(p_single, rel=1e-9)
 
 
+def test_exact_surface_single_expiry_reproduces_solve():
+    """The exact-transition surface shares the solve path's draw layout
+    (4 Sobol' dims per segment, step-major), so a single-expiry surface at
+    the same seed IS the HestonExactMixing solve price."""
+    from hedgehog_tpu.methods.montecarlo import heston_surface_mc
+
+    prob = _prob(Call())
+    cfg = SimulationConfig(
+        trajectories=8192, steps=2, variance_reduction=Antithetic(),
+        seed=11, qmc=True,
+    )
+    method = MonteCarlo(HestonDynamics(), HestonExactMixing(), cfg)
+    want = float(solve(prob, method).price)
+    surf = heston_surface_mc(
+        prob.market_inputs, [prob.payoff.expiry],
+        jnp.asarray([prob.payoff.strike]), cfg, strategy=HestonExactMixing(),
+    )
+    assert float(surf[0, 0]) == pytest.approx(want, rel=1e-12)
+
+
+def test_exact_surface_matches_carr_madan_per_point():
+    """Exact-transition surface: every (expiry, strike) point agrees with an
+    independent Carr-Madan solve — at a 4-segment budget for a 2-expiry
+    surface (vs ~32 QE steps for comparable bias)."""
+    from hedgehog_tpu.methods.montecarlo import heston_surface_mc
+
+    market = _prob(Call()).market_inputs
+    expiries = [dt.date(2024, 7, 1), dt.date(2025, 1, 1)]
+    strikes = jnp.asarray([90.0, 100.0, 110.0])
+    cfg = SimulationConfig(
+        trajectories=1 << 15, steps=4, variance_reduction=Antithetic(),
+        seed=5, qmc=True,
+    )
+    surf = heston_surface_mc(
+        market, expiries, strikes, cfg, strategy=HestonExactMixing()
+    )
+    for i, e in enumerate(expiries):
+        for k in range(strikes.shape[0]):
+            payoff = VanillaOption(float(strikes[k]), e, European(), Call(), Spot())
+            cm = solve(
+                PricingProblem(payoff, market),
+                CarrMadan(1.0, "auto", HestonDynamics()),
+            ).price
+            assert float(surf[i, k]) == pytest.approx(float(cm), rel=5e-3)
+
+
+def test_exact_surface_sharded_matches_unsharded():
+    """sharded_surface_fn forwards the strategy: the exact-transition
+    surface under QMC slices ONE Sobol' sequence disjointly per device."""
+    from hedgehog_tpu.methods.montecarlo import heston_surface_mc
+    from hedgehog_tpu.parallel.sharding import make_paths_mesh, sharded_surface_fn
+
+    market = _prob(Call()).market_inputs
+    expiries = [dt.date(2024, 7, 1), dt.date(2025, 1, 1)]
+    strikes = jnp.asarray([95.0, 105.0])
+    cfg = SimulationConfig(
+        trajectories=8192, steps=4, variance_reduction=Antithetic(),
+        seed=9, qmc=True,
+    )
+    method = MonteCarlo(HestonDynamics(), HestonExactMixing(), cfg)
+    sharded = sharded_surface_fn(method, make_paths_mesh())(market, expiries, strikes)
+    single = heston_surface_mc(
+        market, expiries, strikes, cfg, strategy=HestonExactMixing()
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-9)
+
+
 def test_exact_mixing_never_materializes_terminal_samples():
     from hedgehog_tpu import simulate_terminal_prices
 
