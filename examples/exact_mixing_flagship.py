@@ -64,18 +64,29 @@ print("7-param greek vector (pathwise + Poisson likelihood-ratio term):")
 for k in GREEK_ORDER:
     print(f"  {k:6s} {float(greeks[k]):+10.5f}")
 
-# why the score term exists: plain jax.grad through the solve freezes the
-# Poisson count of the exact CIR transition (a step function of the
-# parameters) and the V-leg greeks come out badly biased
+# jax.grad straight through solve ALSO works (the per-path values carry the
+# likelihood-ratio surrogate) — here is what the raw pathwise gradient
+# (score term dropped) would have given instead
+from hedgehog_tpu.methods.montecarlo import _heston_exact_mixing_values
+
 def mc_sigma_price(sigma):
     m = hh.HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, sigma, -0.7)
     return hh.solve(hh.PricingProblem(PAYOFF, m), exact).price
+
+def raw_pathwise_sigma_price(sigma):
+    m = hh.HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, sigma, -0.7)
+    vals, _ = _heston_exact_mixing_values(
+        hh.PricingProblem(PAYOFF, m), cfg, None, with_score=True
+    )
+    T = hh.yearfrac(REF, EXPIRY)
+    return jnp.exp(-0.03 * T) * jnp.mean(vals)
 
 def cm_sigma_price(sigma):
     m = hh.HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, sigma, -0.7)
     return hh.solve(hh.PricingProblem(PAYOFF, m), hh.CarrMadan(1.0, "auto", hh.HestonDynamics())).price
 
-g_plain = float(jax.grad(mc_sigma_price)(jnp.float64(0.3)))
+g_solve = float(jax.grad(mc_sigma_price)(jnp.float64(0.3)))
+g_raw = float(jax.grad(raw_pathwise_sigma_price)(jnp.float64(0.3)))
 g_cm = float(jax.grad(cm_sigma_price)(jnp.float64(0.3)))
-print(f"\nsigma-greek: Carr-Madan {g_cm:+.4f} | likelihood-ratio "
-      f"{float(greeks['sigma']):+.4f} | plain pathwise {g_plain:+.4f}  <- biased")
+print(f"\nsigma-greek: Carr-Madan {g_cm:+.4f} | jax.grad through solve "
+      f"{g_solve:+.4f} | raw pathwise {g_raw:+.4f}  <- biased without the score")

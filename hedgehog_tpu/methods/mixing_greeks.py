@@ -298,7 +298,12 @@ def heston_exact_price_and_greeks(prob, method, key=None):
     """Price + unbiased 7-param greek dict for a European vanilla under
     MonteCarlo(HestonDynamics, HestonExactMixing()) — the price flagship.
 
-    Plain pathwise AD through the exact scheme is biased: the Poisson count
+    (The same likelihood-ratio surrogate is baked into the estimator's
+    per-path values, so plain ``jax.grad`` through ``solve`` is also
+    unbiased; this function is the one-call price + dict convenience and
+    the reference implementation of the estimator.)
+
+    Raw pathwise AD through the exact scheme is biased: the Poisson count
     of the noncentral-χ² transition is a step function of the parameters, so
     ∂N = 0 drops the rate dependence of the count distribution (measured
     σ-greek off ~19×).  This estimator is the standard mixed

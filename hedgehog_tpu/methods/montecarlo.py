@@ -530,7 +530,22 @@ def _heston_exact_mixing_values(prob, config, key, point_offset=0, with_score=Fa
     kappa, sigma = market.kappa, market.sigma
     j = (v - market.V0 - kappa * market.theta * T + kappa * iv) / sigma
     vals = _conditional_bs_close(prob, market, T, r0, iv, j)
-    return (vals, logl) if with_score else vals
+    if with_score:
+        return vals, logl
+    # Likelihood-ratio surrogate baked into the per-path values: primal
+    # unchanged (L − sg(L) is 0), but jax.grad through solve picks up the
+    # Poisson score term that plain pathwise AD misses (the exact
+    # transition's count is a step function of the parameters) — so
+    # differentiate-through-solve is unbiased for this estimator too.
+    if vals.ndim == 3:  # strike-grid payoff: (g, m, P)
+        b = jax.lax.stop_gradient(jnp.mean(vals, axis=(0, -1)))[None, :, None]
+        ll = logl[:, None, :]
+    else:
+        b = jax.lax.stop_gradient(jnp.mean(vals))
+        ll = logl
+    return vals + jax.lax.stop_gradient(vals - b) * (
+        ll - jax.lax.stop_gradient(ll)
+    )
 
 
 def heston_surface_mc(
@@ -672,10 +687,16 @@ def _mixing_surface_rows(
     return rows
 
 
-def _surface_close_row(market, T_i, r0, iv, j, strikes_i, cp_i):
+def _surface_close_row(market, T_i, r0, iv, j, strikes_i, cp_i, score_logl=None):
     """Close one expiry's (∫V, ∫√V dW) snapshot against its strike row with
     the conditional BS formula → DISCOUNTED mean prices (m_i,).  Shared by
-    the QE and exact-transition surface cores."""
+    the QE and exact-transition surface cores.
+
+    ``score_logl`` (shape (g, P)): the frozen-count Poisson log-likelihood
+    accumulated UP TO this expiry.  When given, each point's mean becomes
+    the likelihood-ratio surrogate mean(vals + sg(vals − b)·(L − sg(L)))
+    (b = per-point batch mean) — primal unchanged, gradient unbiased under
+    the exact-transition scheme (see mixing_greeks.heston_exact_price_and_greeks)."""
     rho = market.rho
     ncdf = jax.scipy.stats.norm.cdf
     f_eff = market.spot * jnp.exp(r0 * T_i + rho * j - 0.5 * rho**2 * iv)
@@ -689,6 +710,12 @@ def _surface_close_row(market, T_i, r0, iv, j, strikes_i, cp_i):
     d1 = (jnp.log(f_b / k_b) + 0.5 * var_b) / sd_b
     d2 = d1 - sd_b
     vals = cp_b * (f_b * ncdf(cp_b * d1) - k_b * ncdf(cp_b * d2))
+    if score_logl is not None:
+        b = jax.lax.stop_gradient(jnp.mean(vals, axis=(0, -1)))
+        ll = score_logl[:, None, :]
+        vals = vals + jax.lax.stop_gradient(vals - b[None, :, None]) * (
+            ll - jax.lax.stop_gradient(ll)
+        )
     return df_yf(market.rate, T_i) * jnp.mean(vals, axis=(0, -1))
 
 
@@ -704,10 +731,16 @@ def _exact_surface_rows(
     :func:`surface_seg_steps`) can be ~5× smaller than the QE surface's for
     better accuracy.  Draw layout is 4 dims/segment step-major — a
     single-expiry surface with the same seed reproduces the
-    HestonExactMixing solve exactly."""
+    HestonExactMixing solve exactly.
+
+    Gradients: the rows are closed through the likelihood-ratio surrogate
+    (``_surface_close_row`` with ``score_logl``), so ``jax.grad`` of any
+    point w.r.t. the Heston parameters is unbiased — plain pathwise AD
+    through the exact transitions would not be (the Poisson count is a step
+    function of the parameters).  The primal is unaffected."""
     from ..models.heston_exact import (
         cir_exact_constants,
-        cir_exact_step,
+        cir_exact_step_score,
         iv_cond_moments,
         iv_gamma_draw,
     )
@@ -749,6 +782,7 @@ def _exact_surface_rows(
     v = jnp.full((n_groups, paths), market.V0)
     iv = jnp.zeros_like(v)
     j = jnp.zeros_like(v)
+    logl = jnp.zeros_like(v)
 
     rows = []
     offset = 0
@@ -758,7 +792,8 @@ def _exact_surface_rows(
         ktd = kappa * market.theta * dt_i
         for s in range(seg_steps[i]):  # static unroll; a handful of segments
             k = offset + s
-            y = cir_exact_step(v, u_pois[k], z_gam[k], u_boost[k], c)
+            y, ll = cir_exact_step_score(v, u_pois[k], z_gam[k], u_boost[k], c)
+            logl = logl + ll
             m1, s2 = iv_cond_moments(v, y, c)
             iv_seg = iv_gamma_draw(m1, s2, z_iv[k])
             iv = iv + iv_seg
@@ -766,7 +801,8 @@ def _exact_surface_rows(
             v = y
         offset += seg_steps[i]
         rows.append(_surface_close_row(
-            market, T_host[i], r0, iv, j, per_exp_strikes[i], per_exp_cp[i]
+            market, T_host[i], r0, iv, j, per_exp_strikes[i], per_exp_cp[i],
+            score_logl=logl,
         ))
     return rows
 

@@ -27,16 +27,19 @@ TWO segments — versus 3.4bp for the 11-step QE path at similar per-path cost.
 The 2-moment gamma family needs ≥2 segments (one segment leaves 0.3-17bp,
 market-dependent); more than 2 buys nothing measurable.
 
-Gradient caveat: the Poisson count N is a discrete function of (V, κ, σ, Δ),
-so PLAIN pathwise AD through this scheme drops the dependence of the count
+Gradients: the Poisson count N is a discrete function of (V, κ, σ, Δ), so
+RAW pathwise AD through this scheme drops the dependence of the count
 distribution on its rate (∂N = 0) and V-leg greeks are badly biased
-(measured: σ-greek off ~19×).  The unbiased route is the mixed
-pathwise/likelihood-ratio estimator: freeze N, add the per-segment Poisson
-score log p(N; λ) = N·log λ − λ (+const) to a per-path log-likelihood, and
+(measured: σ-greek off ~19×).  The fix is the mixed pathwise/
+likelihood-ratio estimator: freeze N, add the per-segment Poisson score
+log p(N; λ) = N·log λ − λ (+const) to a per-path log-likelihood, and
 differentiate value + sg(value − b)·(logL − sg(logL)) — see
-:func:`cir_exact_step_score` and
-methods/mixing_greeks.heston_exact_price_and_greeks.  Spot/rate/ρ greeks do
-not touch the V leg and are exact either way.
+:func:`cir_exact_step_score`.  The framework bakes this surrogate into the
+estimator's per-path values (methods/montecarlo._heston_exact_mixing_values)
+so plain ``jax.grad`` through ``solve`` is UNBIASED;
+methods/mixing_greeks.heston_exact_price_and_greeks returns the full
+7-param dict in one call.  Spot/rate/ρ greeks do not touch the V leg and
+are exact either way.
 """
 
 from __future__ import annotations

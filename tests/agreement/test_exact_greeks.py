@@ -65,9 +65,13 @@ def test_exact_greeks_match_carr_madan_jacobian():
         assert got == pytest.approx(want, rel=5e-2, abs=2e-2), (name, want, got)
 
 
-def test_plain_pathwise_gradient_is_biased_on_v_leg():
-    """Documents WHY the score term exists: jax.grad of the seeded solve
-    (pathwise, counts frozen implicitly) misses the σ-greek by many times."""
+def test_grad_through_solve_is_unbiased_and_raw_pathwise_is_not():
+    """The per-path values carry the likelihood-ratio surrogate, so plain
+    jax.grad through the seeded solve matches Carr-Madan (the reference's
+    differentiate-through-solve contract, greeks_problem.jl:249-262) — while
+    the RAW pathwise gradient (score term dropped) misses the σ-greek by
+    many times.  Documents WHY the surrogate is baked in."""
+    from hedgehog_tpu.methods.montecarlo import _heston_exact_mixing_values
 
     def mc_price(p):
         return hh.solve(_mkprob(tuple(p)), _method()).price
@@ -77,10 +81,20 @@ def test_plain_pathwise_gradient_is_biased_on_v_leg():
             _mkprob(tuple(p)), hh.CarrMadan(1.0, 32.0, hh.HestonDynamics())
         ).price
 
+    def raw_pathwise_price(p):
+        prob = _mkprob(tuple(p))
+        vals, _ = _heston_exact_mixing_values(
+            prob, _method().config, None, with_score=True
+        )
+        T = hh.yearfrac(prob.market_inputs.reference_date, prob.payoff.expiry)
+        return jnp.exp(-p[6] * T) * jnp.mean(vals)
+
     i_sigma = GREEK_ORDER.index("sigma")
-    g_path = float(jax.grad(mc_price)(_P0)[i_sigma])
+    g_solve = float(jax.grad(mc_price)(_P0)[i_sigma])
     g_true = float(jax.grad(cm_price)(_P0)[i_sigma])
-    assert abs(g_path - g_true) > 5.0 * abs(g_true)
+    g_raw = float(jax.grad(raw_pathwise_price)(_P0)[i_sigma])
+    assert g_solve == pytest.approx(g_true, rel=8e-2)
+    assert abs(g_raw - g_true) > 5.0 * abs(g_true)
 
 
 def test_exact_greeks_price_equals_seeded_solve():
