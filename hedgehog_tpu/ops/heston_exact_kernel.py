@@ -51,6 +51,7 @@ __all__ = [
     "heston_exact_mixing_values",
     "heston_exact_mixing_values_pallas",
     "heston_exact_mixing_vanilla_price",
+    "heston_exact_mixing_surface_price",
 ]
 
 #: default/maximum Poisson trip count; the host wrappers shrink it per
@@ -556,3 +557,272 @@ def heston_exact_mixing_values_pallas(prob, config, strat, key=None, device_id=0
         qmc=config.qmc, point_offset=point_offset,
     )
     return out.astype(jnp.float64)
+
+
+# ---- kernel-side surface: a whole (expiry × strike) grid per dispatch ----
+#
+# Exact-transition twin of heston_qe_kernel._qe_mixing_surface_kernel: the
+# variance leg runs once through per-expiry-gap EXACT segments (possibly
+# different dt per gap); at each expiry the (V, ∫V) carries close EVERY
+# strike with the full-horizon CIR identity J_i = (V − V0 − κθT_i + κ·IV)/σ
+# and the conditional BS formula, folding into on-chip (8, LANES) partial
+# sums.  Sub-bp scheme bias at ~2 segments/year — a 4-segment budget beats
+# a 32-step QE surface on both accuracy and work.
+
+_XS_GLOBALS = ("v0", "rho", "rho2_half", "rho_bar2", "cp", "inv_sigma",
+               "k_over_sigma")
+_XS_SHARED = ("d_half", "nu", "nu2", "an1", "an2", "an3", "ad1", "ad2", "ad3",
+              "m1f", "s2f", "inv_kappa")
+_XS_PER_GAP = ("lam_fac", "two_cfac", "z_fac", "l1c", "l1x", "l2c", "l2x",
+               "q", "q2", "p_c")
+
+
+def _exact_surf_params(log_s0, v0, r, kappa, theta, sigma, rho, T_host,
+                       seg_steps, strikes, cp):
+    """SMEM params: globals + dt-independent shared block + per-gap exact
+    constants + per-expiry (f_base, c_j) + strikes + per-(i,k) log(F/K)."""
+    from ..models.heston_exact import cir_exact_constants
+
+    n_exp, m = len(T_host), len(strikes)
+    sig2_over_k = sigma**2 / kappa
+
+    def asym_coeffs(mm):
+        mu = 4.0 * mm * mm
+        return (mu - 1.0, (mu - 1.0) * (mu - 9.0) / 2.0,
+                (mu - 1.0) * (mu - 9.0) * (mu - 25.0) / 6.0)
+
+    c0 = cir_exact_constants(kappa, theta, sigma, 1.0)  # dt-independent parts
+    nu = c0["nu"]
+    an, ad = asym_coeffs(nu + 1.0), asym_coeffs(nu)
+    entries = [v0, rho, 0.5 * rho**2, 1.0 - rho**2, cp, 1.0 / sigma,
+               kappa / sigma]
+    entries += [c0["d_half"], nu, nu * nu, an[0], an[1], an[2],
+                ad[0], ad[1], ad[2], -sig2_over_k, sig2_over_k * sig2_over_k,
+                1.0 / kappa]
+    t_prev = 0.0
+    for i in range(n_exp):
+        dt_i = (T_host[i] - t_prev) / seg_steps[i]
+        t_prev = T_host[i]
+        c = cir_exact_constants(kappa, theta, sigma, dt_i)
+        t2, c1, c2 = c["t2"], c["c1"], c["c2"]
+        inv_sig2 = c["inv_sig2"]
+        entries += [
+            c["lam_fac"], 2.0 * c["cfac"], c["z_fac"],
+            1.0 / kappa - (dt_i / 2.0) * c1,
+            (c1 - t2 * c2) * inv_sig2,
+            -1.0 / kappa**2 + (dt_i * dt_i / 4.0) * c2,
+            (dt_i * c2 - kappa * (dt_i * dt_i / 2.0) * c2 * c1) * inv_sig2,
+            c["q"], c["q"] * c["q"], c["p_c"],
+        ]
+    f_bases = [jnp.exp(log_s0 + r * T_host[i]) for i in range(n_exp)]
+    entries += f_bases
+    entries += [v0 + kappa * theta * T_host[i] for i in range(n_exp)]  # c_j
+    entries += [strikes[k] for k in range(m)]
+    for i in range(n_exp):
+        for k in range(m):
+            entries.append(jnp.log(f_bases[i]) - jnp.log(strikes[k]))
+    return jnp.stack([jnp.float32(x) for x in entries])
+
+
+def _exact_surf_nparams(n_exp: int, m: int) -> int:
+    return (len(_XS_GLOBALS) + len(_XS_SHARED) + len(_XS_PER_GAP) * n_exp
+            + 2 * n_exp + m + n_exp * m)
+
+
+def _exact_surf_c(params_ref, i: int):
+    """Constants dict for expiry-gap i in the layout _exact_segment and
+    _exact_close expect (c_j/f_base/strike/log_f_over_k set per point)."""
+    c = {name: params_ref[k] for k, name in enumerate(_XS_GLOBALS)}
+    off = len(_XS_GLOBALS)
+    c.update({name: params_ref[off + k] for k, name in enumerate(_XS_SHARED)})
+    off += len(_XS_SHARED) + len(_XS_PER_GAP) * i
+    c.update({name: params_ref[off + k] for k, name in enumerate(_XS_PER_GAP)})
+    return c
+
+
+def _exact_surf_fold(params_ref, carry, i, n_exp, m, c, folds):
+    """Close both antithetic twins against every strike of expiry i."""
+    f_off = len(_XS_GLOBALS) + len(_XS_SHARED) + len(_XS_PER_GAP) * n_exp
+    cj_off = f_off + n_exp
+    k_off = cj_off + n_exp
+    lfk_off = k_off + m
+    v, iv, va, iva = carry
+    for k in range(m):
+        ck = dict(c, c_j=params_ref[cj_off + i], f_base=params_ref[f_off + i],
+                  strike=params_ref[k_off + k],
+                  log_f_over_k=params_ref[lfk_off + i * m + k])
+        val = _exact_close(v, iv, ck) + _exact_close(va, iva, ck)
+        folds.append(jnp.sum(val.reshape(_ROWS // 8, 8, _LANES), axis=0))
+
+
+def _exact_surface_kernel(
+    params_ref, seed_ref, out_ref, *, seg_steps, m: int, n_batches: int, kmaxes
+):
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+    n_exp = len(seg_steps)
+    shape = (_ROWS, _LANES)
+
+    def one_batch(_, acc):
+        c0 = _exact_surf_c(params_ref, 0)
+        v = jnp.full(shape, c0["v0"], dtype=jnp.float32)
+        zero = jnp.zeros(shape, dtype=jnp.float32)
+        carry = (v, zero, v, zero)
+        folds = []
+        for i, steps_i in enumerate(seg_steps):
+            c = _exact_surf_c(params_ref, i)
+            for _s in range(steps_i):
+                z_gam, z_iv = _box_muller(shape)
+                u_pois = _uniform_from_bits(
+                    pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+                u_boost = _uniform_from_bits(
+                    pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+                v, iv, va, iva = carry
+                v, iv = _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv,
+                                       c, kmaxes[i])
+                va, iva = _exact_segment(va, iva, 1.0 - u_pois, -z_gam,
+                                         1.0 - u_boost, -z_iv, c, kmaxes[i])
+                carry = (v, iv, va, iva)
+            _exact_surf_fold(params_ref, carry, i, n_exp, m, c, folds)
+        return acc + jnp.stack(folds)  # (n_exp*m, 8, LANES)
+
+    acc0 = jnp.zeros((n_exp * m, 8, _LANES), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+def _exact_surface_kernel_qmc(
+    params_ref, sob_ref, offset_ref, out_ref, *, seg_steps, m: int,
+    n_batches: int, kmaxes
+):
+    """QMC twin: Sobol' dims run 4-per-segment step-major across ALL gaps
+    (one V trajectory), batches take consecutive point blocks."""
+    n_exp = len(seg_steps)
+    base_idx = _program_base_idx(offset_ref, n_batches)
+
+    def one_batch(b, acc):
+        masks = _batch_masks(base_idx, b)
+        c0 = _exact_surf_c(params_ref, 0)
+        v = jnp.full((_ROWS, _LANES), c0["v0"], dtype=jnp.float32)
+        zero = jnp.zeros((_ROWS, _LANES), dtype=jnp.float32)
+        carry = (v, zero, v, zero)
+        folds = []
+        dim0 = 0
+        for i, steps_i in enumerate(seg_steps):
+            c = _exact_surf_c(params_ref, i)
+            for s in range(steps_i):
+                d = dim0 + 4 * s
+                u_pois, u_gam = _sobol_uniforms_tile(masks, sob_ref, (d, d + 1))
+                u_boost, u_iv = _sobol_uniforms_tile(masks, sob_ref, (d + 2, d + 3))
+                z_gam, z_iv = _ndtri_approx(u_gam), _ndtri_approx(u_iv)
+                v, iv, va, iva = carry
+                v, iv = _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv,
+                                       c, kmaxes[i])
+                va, iva = _exact_segment(va, iva, 1.0 - u_pois, -z_gam,
+                                         1.0 - u_boost, -z_iv, c, kmaxes[i])
+                carry = (v, iv, va, iva)
+            dim0 += 4 * steps_i
+            _exact_surf_fold(params_ref, carry, i, n_exp, m, c, folds)
+        return acc + jnp.stack(folds)
+
+    acc0 = jnp.zeros((n_exp * m, 8, _LANES), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+def heston_exact_mixing_surface_price(
+    log_s0, v0, r, kappa, theta, sigma, rho, T_host, strikes, discounts,
+    *, seg_steps, n_strikes: int, n_blocks: int, n_batches: int, seed, cp=1.0,
+    device_id=0, qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+):
+    """(n_exp, n_strikes) DISCOUNTED exact-transition surface prices over
+    n_blocks·n_batches·65536 antithetic paths, one dispatch — the kernel
+    twin of heston_surface_mc(..., strategy=HestonExactMixing()).  Host
+    wrapper choosing the per-gap static Poisson trip counts."""
+    T_host = tuple(float(t) for t in T_host)
+    t_prev = 0.0
+    kmaxes = []
+    for i, steps_i in enumerate(seg_steps):
+        dt_i = (T_host[i] - t_prev) / steps_i
+        t_prev = T_host[i]
+        kmaxes.append(_poisson_kmax(kappa, theta, sigma, dt_i, v0))
+    return _heston_exact_mixing_surface_price_impl(
+        log_s0, v0, r, kappa, theta, sigma, rho, T_host, strikes, discounts,
+        seg_steps=tuple(seg_steps), n_strikes=n_strikes, n_blocks=n_blocks,
+        n_batches=n_batches, seed=seed, cp=cp, device_id=device_id, qmc=qmc,
+        point_offset=point_offset, interpret=interpret, kmaxes=tuple(kmaxes),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T_host", "seg_steps", "n_strikes", "n_blocks", "n_batches",
+                     "qmc", "interpret", "kmaxes"),
+)
+def _heston_exact_mixing_surface_price_impl(
+    log_s0, v0, r, kappa, theta, sigma, rho, T_host, strikes, discounts,
+    *, seg_steps, n_strikes: int, n_blocks: int, n_batches: int, seed, cp=1.0,
+    device_id=0, qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+    kmaxes=(),
+):
+    n_exp = len(T_host)
+    strikes = jnp.asarray(strikes)
+    params = _exact_surf_params(
+        log_s0, v0, r, kappa, theta, sigma, rho, T_host, seg_steps, strikes, cp
+    )
+    n_params = _exact_surf_nparams(n_exp, n_strikes)
+    out_specs = pl.BlockSpec(
+        (1, n_exp * n_strikes, 8, _LANES),
+        lambda i: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct(
+        (n_blocks, n_exp * n_strikes, 8, _LANES), jnp.float32
+    )
+    total_pairs = n_blocks * n_batches * _ROWS * _LANES
+    if qmc and total_pairs > 2**_SOBOL_BITS:
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {total_pairs} pairs would wrap"
+        )
+    if qmc:
+        total_segs = sum(seg_steps)
+        table = _sobol_table(seed, 4 * total_segs)
+        offset_arr = jnp.asarray([point_offset], jnp.int32)
+        kernel = functools.partial(
+            _exact_surface_kernel_qmc, seg_steps=tuple(seg_steps), m=n_strikes,
+            n_batches=n_batches, kmaxes=kmaxes,
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((n_params,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (4 * total_segs, _SOBOL_BITS + 1),
+                    lambda i: (jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, table, offset_arr)
+    else:
+        seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+        kernel = functools.partial(
+            _exact_surface_kernel, seg_steps=tuple(seg_steps), m=n_strikes,
+            n_batches=n_batches, kmaxes=kmaxes,
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((n_params,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, seed_arr)
+    total_paths = 2 * total_pairs
+    grid_sums = jnp.sum(sums.astype(jnp.float64), axis=(0, 2, 3))  # (n_exp*m,)
+    surf = grid_sums.reshape(n_exp, n_strikes) / total_paths
+    return jnp.asarray(discounts)[:, None] * surf

@@ -1150,7 +1150,8 @@ def heston_qe_mixing_surface_price(
     return jnp.asarray(discounts)[:, None] * surf
 
 
-def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None):
+def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None,
+                          strategy=None):
     """TPU adapter: kernel-side surface with the SAME segment/step allocation
     as the pure-JAX :func:`hedgehog_tpu.heston_surface_mc` (one shared
     rounding rule, so biases match).
@@ -1158,12 +1159,15 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None):
     The fused kernel path is antithetic-only (PRNG or, with ``config.qmc``,
     the in-kernel Sobol' stream); runs with no variance reduction route to
     the pure-JAX estimator, as do off-TPU runs.  ``seed`` overrides
-    ``config.seed`` on every path."""
+    ``config.seed`` on every path.  ``strategy=HestonExactMixing()`` routes
+    to the exact-transition surface kernel (sub-bp at ~2 segments/year;
+    primal-only — use the QE kernel surface for kernel-speed gradients)."""
     import dataclasses
 
     from ..market.rate_curve import df_yf, zero_rate_yf
     from ..methods.montecarlo import (
         Antithetic,
+        HestonExactMixing,
         heston_surface_mc,
         surface_seg_steps,
         validate_surface_expiries,
@@ -1174,7 +1178,9 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None):
         config = dataclasses.replace(config, seed=seed)
     anti = isinstance(config.variance_reduction, Antithetic)
     if jax.default_backend() != "tpu" or not anti:
-        return heston_surface_mc(market, expiries, strikes, config, cp=cp)
+        return heston_surface_mc(
+            market, expiries, strikes, config, cp=cp, strategy=strategy
+        )
     seg_len, seg_steps = surface_seg_steps(T_host, config.steps)
     seg_steps = tuple(seg_steps)
     r0 = zero_rate_yf(market.rate, 0.0)
@@ -1184,6 +1190,15 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None):
     n_batches = -(-n_pairs // (block * n_blocks))
     kw = dict(seg_steps=seg_steps, n_strikes=len(strikes), n_blocks=n_blocks,
               n_batches=n_batches, seed=config.seed, cp=cp)
+    if isinstance(strategy, HestonExactMixing):
+        from .heston_exact_kernel import heston_exact_mixing_surface_price
+
+        discounts = jnp.stack([df_yf(market.rate, t) for t in T_host])
+        return heston_exact_mixing_surface_price(
+            jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
+            market.sigma, market.rho, tuple(T_host), jnp.asarray(strikes),
+            discounts, qmc=config.qmc, **kw,
+        )
     if not config.qmc:
         # differentiable view: identical primal, custom VJP = one
         # surface-Jacobian kernel dispatch (ops/heston_qe_greeks_kernel.py) —
