@@ -223,44 +223,44 @@ def main() -> None:
                     seed=seed,
                 )
 
-        try:
-            price_fn(0)
-        except Exception as e:  # pragma: no cover
-            sys.stderr.write(
-                f"# mixing kernel failed ({type(e).__name__}); QE-M kernel fallback\n"
-            )
-            steps_used = QE_STEPS
-            scheme = "qe"
-
-            def price_fn(seed):
-                return heston_qe_call_price(
-                    jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"],
-                    HESTON["theta"], HESTON["sigma"], HESTON["rho"],
-                    T / QE_STEPS, STRIKE, discount,
-                    n_blocks=QE_BLOCKS, n_batches=QE_BATCHES, steps=QE_STEPS,
-                    seed=seed,
-                )
-
             try:
                 price_fn(0)
-            except Exception as e2:  # pragma: no cover
+            except Exception as e1:  # pragma: no cover
                 sys.stderr.write(
-                    f"# QE kernel failed ({type(e2).__name__}); Euler kernel fallback\n"
+                    f"# mixing kernel failed ({type(e1).__name__}); QE-M kernel fallback\n"
                 )
-                from hedgehog_tpu.ops.heston_kernel import heston_euler_terminal
+                steps_used = QE_STEPS
+                scheme = "qe"
 
-                n_pairs = 2**23
-                steps_used = STEPS
-                scheme = "euler"
-
-                @jax.jit
                 def price_fn(seed):
-                    s_t = heston_euler_terminal(
-                        jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"], HESTON["theta"],
-                        HESTON["sigma"], HESTON["rho"], T / STEPS,
-                        n_paths=n_pairs, steps=STEPS, seed=seed, antithetic=True,
+                    return heston_qe_call_price(
+                        jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"],
+                        HESTON["theta"], HESTON["sigma"], HESTON["rho"],
+                        T / QE_STEPS, STRIKE, discount,
+                        n_blocks=QE_BLOCKS, n_batches=QE_BATCHES, steps=QE_STEPS,
+                        seed=seed,
                     )
-                    return discount * jnp.mean(jnp.maximum(s_t - jnp.float32(STRIKE), 0.0))
+
+                try:
+                    price_fn(0)
+                except Exception as e2:  # pragma: no cover
+                    sys.stderr.write(
+                        f"# QE kernel failed ({type(e2).__name__}); Euler kernel fallback\n"
+                    )
+                    from hedgehog_tpu.ops.heston_kernel import heston_euler_terminal
+
+                    n_pairs = 2**23
+                    steps_used = STEPS
+                    scheme = "euler"
+
+                    @jax.jit
+                    def price_fn(seed):
+                        s_t = heston_euler_terminal(
+                            jnp.log(SPOT), HESTON["V0"], R, HESTON["kappa"], HESTON["theta"],
+                            HESTON["sigma"], HESTON["rho"], T / STEPS,
+                            n_paths=n_pairs, steps=STEPS, seed=seed, antithetic=True,
+                        )
+                        return discount * jnp.mean(jnp.maximum(s_t - jnp.float32(STRIKE), 0.0))
 
     else:
         n_pairs = 2**15
@@ -421,10 +421,25 @@ def main() -> None:
                 variance_reduction=hh.Antithetic(), seed=0,
             )
             s_strat = hh.HestonExactMixing()
-            s0 = heston_surface_mc_tpu(
-                market, s_expiries, s_strikes, s_cfg, strategy=s_strat
-            )
-            jax.block_until_ready(s0)
+            s_label = "exact-transition, 4 segments"
+            try:
+                s0 = heston_surface_mc_tpu(
+                    market, s_expiries, s_strikes, s_cfg, strategy=s_strat
+                )
+                jax.block_until_ready(s0)
+            except Exception as e:  # pragma: no cover
+                sys.stderr.write(
+                    f"# exact surface kernel failed ({type(e).__name__}); "
+                    f"QE surface fallback\n"
+                )
+                s_cfg = hh.SimulationConfig(
+                    trajectories=1 << 26, steps=32,
+                    variance_reduction=hh.Antithetic(), seed=0,
+                )
+                s_strat = None
+                s_label = "QE, 32 steps"
+                s0 = heston_surface_mc_tpu(market, s_expiries, s_strikes, s_cfg)
+                jax.block_until_ready(s0)
             t2 = time.perf_counter()
             outs = [
                 heston_surface_mc_tpu(
@@ -436,9 +451,9 @@ def main() -> None:
             jax.block_until_ready(outs)
             dt_s = (time.perf_counter() - t2) / 3
             sys.stderr.write(
-                f"# surface kernel (exact-transition, 4 segments): 3x5 Heston "
+                f"# surface kernel ({s_label}): 3x5 Heston "
                 f"surface from 134M paths in {dt_s*1e3:.0f} ms "
-                f"({2*(1<<26)/dt_s:.2e} paths/s x 15 points, max bias 1.5bp)\n"
+                f"({2*(1<<26)/dt_s:.2e} paths/s x 15 points)\n"
             )
         except Exception as e:  # pragma: no cover
             sys.stderr.write(f"# surface kernel skipped ({type(e).__name__})\n")

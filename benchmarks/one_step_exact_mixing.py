@@ -259,6 +259,11 @@ def segmented_price(market, family, nseg, transition, n, seed):
     x0 = np.full(n, market["V0"])
     x = x0
     iv = np.zeros(n)
+    if transition == "pgwh2" and family == "ig":
+        # the 5-dims-per-segment layout has no free dimension for the double
+        # boost: u2 would serve BOTH the IG bridge and the second WH boost,
+        # silently correlating the transition with the bridge draw
+        raise ValueError("family='ig' cannot combine with transition='pgwh2'")
     use_cf = transition in ("pgwh", "pgwh2")
     for i in range(nseg):
         uy, u1, u2 = (u[:, dim_per * i], u[:, dim_per * i + 1],

@@ -6,13 +6,14 @@ transition and the conditional ∫V | endpoints from its Broadie-Kaya
 Laplace-transform moments, then closes with the conditional Black-Scholes
 formula.  TWO segments suffice for sub-bp bias on the whole stress grid
 (docs/adr/adr-008-conditional-mc.md addendum 2); on TPU `use_kernel=True`
-routes to the fused Pallas kernel (3.9e9 paths/s, bench.py headline).
+routes to the fused Pallas kernel (4.4e9 paths/s, bench.py headline).
 
 Shows on one market:
 1. price agreement with Carr-Madan at 2 segments (vs 11 QE mixing steps),
 2. QMC composability (same Sobol' stream on the kernel and pure-JAX paths),
-3. unbiased 7-param greeks via the likelihood-ratio estimator — and why
-   plain `jax.grad` through the solve is NOT enough here.
+3. unbiased 7-param greeks via the likelihood-ratio estimator — baked into
+   the per-path values, so `jax.grad` through the solve just works (the raw
+   pathwise gradient, shown for contrast, would be badly biased).
 
 Run: python examples/exact_mixing_flagship.py
 """

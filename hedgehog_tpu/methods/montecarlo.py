@@ -144,10 +144,11 @@ class HestonExactMixing(ExactSimulation):
     the European *price* flagship.
 
     Like HestonQE(conditional=True) it never materializes terminal samples;
-    it prices through ``solve`` / ``mc_path_values`` only.  For greeks use
-    the QE mixing path: the Poisson count inside the exact transition is
-    discrete, so pathwise AD drops the count-distribution sensitivity and
-    V-leg greeks (V0, κ, θ, σ) are biased here."""
+    it prices through ``solve`` / ``mc_path_values`` only.  The per-path
+    values carry the frozen-count Poisson likelihood-ratio surrogate, so
+    ``jax.grad`` through ``solve`` is unbiased despite the discrete count
+    (see models/heston_exact.py); the fused kernel (``use_kernel=True``) is
+    primal-only — kernel-speed greeks serve from the QE mixing kernels."""
 
     use_kernel: bool = static_field(default=False)
 
@@ -483,6 +484,7 @@ def _heston_exact_mixing_values(prob, config, key, point_offset=0, with_score=Fa
         cir_exact_step_score,
         iv_cond_moments,
         iv_gamma_draw,
+        poisson_kmax,
     )
 
     market, T, r0 = _sim_params(prob)
@@ -490,6 +492,9 @@ def _heston_exact_mixing_values(prob, config, key, point_offset=0, with_score=Fa
     dt = T / segments
     paths = config.trajectories
     c = cir_exact_constants(market.kappa, market.theta, market.sigma, dt)
+    # raises for markets whose Poisson-mixture count cannot be truncated
+    # safely (very low vol-of-vol); returns the fixed default when traced
+    kmax = poisson_kmax(market.kappa, market.theta, market.sigma, dt, market.V0)
     anti = isinstance(config.variance_reduction, Antithetic)
     base = _base_key(config, key)
     if config.qmc:
@@ -521,7 +526,7 @@ def _heston_exact_mixing_values(prob, config, key, point_offset=0, with_score=Fa
     iv = jnp.zeros_like(v)
     logl = jnp.zeros_like(v)
     for i in range(segments):  # static unroll: segments is 1-4 in practice
-        y, ll = cir_exact_step_score(v, u_pois[i], z_gam[i], u_boost[i], c)
+        y, ll = cir_exact_step_score(v, u_pois[i], z_gam[i], u_boost[i], c, kmax)
         logl = logl + ll  # dead code under with_score=False (XLA DCE)
         m1, s2 = iv_cond_moments(v, y, c)
         iv = iv + iv_gamma_draw(m1, s2, z_iv[i])
@@ -743,6 +748,7 @@ def _exact_surface_rows(
         cir_exact_step_score,
         iv_cond_moments,
         iv_gamma_draw,
+        poisson_kmax,
     )
 
     n_exp = len(T_host)
@@ -789,10 +795,11 @@ def _exact_surface_rows(
     for i in range(n_exp):
         dt_i = seg_len[i] / seg_steps[i]
         c = cir_exact_constants(kappa, market.theta, sigma, dt_i)
+        kmax = poisson_kmax(kappa, market.theta, sigma, dt_i, market.V0)
         ktd = kappa * market.theta * dt_i
         for s in range(seg_steps[i]):  # static unroll; a handful of segments
             k = offset + s
-            y, ll = cir_exact_step_score(v, u_pois[k], z_gam[k], u_boost[k], c)
+            y, ll = cir_exact_step_score(v, u_pois[k], z_gam[k], u_boost[k], c, kmax)
             logl = logl + ll
             m1, s2 = iv_cond_moments(v, y, c)
             iv_seg = iv_gamma_draw(m1, s2, z_iv[k])

@@ -49,8 +49,11 @@ import jax.numpy as jnp
 
 __all__ = [
     "cir_exact_constants",
+    "cir_exact_kernel_coeffs",
+    "cir_exact_shared_coeffs",
     "bessel_ratio",
     "poisson_inv",
+    "poisson_kmax",
     "gamma_wh",
     "cir_exact_step",
     "cir_exact_step_score",
@@ -62,8 +65,59 @@ __all__ = [
 #: far below fp32 resolution over the reachable (λ, z) range; see module
 #: docstring and benchmarks/one_step_exact_mixing.py)
 POISSON_KMAX = 32
+POISSON_KMAX_CAP = 64
 CF_ITERS = 24
 CF_SWITCH = 24.0
+
+
+def poisson_kmax(kappa, theta, sigma, dt, v0, default: int = POISSON_KMAX) -> int:
+    """Static Poisson trip count with a provable-tail heuristic (shared by
+    the pure-JAX estimator and the TPU kernels).
+
+    Bound the per-segment rate by λ/2 at v_b = m + 6s, where (m, s) are the
+    exact CIR transition mean/std started from the worst deterministic level
+    max(V0, θ); return the smallest k with P(N > k | λ(v_b)/2) < 1e-8
+    (+1 margin, floored at 16).  The truncation-bias budget is then
+    ≲ P(V > v_b) + 1e-8 ≪ 0.01bp.
+
+    Raises ValueError when even ``POISSON_KMAX_CAP`` trips cannot meet the
+    tail criterion (λ/2 ≳ 40 — e.g. vol-of-vol σ ≲ 0.05 at κΔ ~ 1, where
+    the noncentral-χ² is essentially deterministic and its Poisson-mixture
+    count explodes): a silently clamped count would price with large hidden
+    bias.  Such markets should use ``HestonQE(conditional=True)`` — and
+    note FEWER, longer segments lower λ (λ ∝ 1/Δ as κΔ → 0), the opposite
+    of the usual more-steps instinct.  Returns ``default`` when the inputs
+    are traced (under an outer jit) — the conservative fixed count."""
+    import numpy as np
+
+    try:
+        k_, th = float(kappa), float(theta)
+        s_, d_, v = float(sigma), float(dt), float(v0)
+    except Exception:
+        return default
+    e = np.exp(-k_ * d_)
+    em = -np.expm1(-k_ * d_)
+    cfac = s_ * s_ * em / (4.0 * k_)
+    vw = max(v, th)
+    m = vw * e + th * em
+    s2 = vw * s_ * s_ * e * em / k_ + th * s_ * s_ * em * em / (2.0 * k_)
+    v_b = m + 6.0 * np.sqrt(max(s2, 0.0))
+    lam_half = e / (2.0 * cfac) * v_b
+    p = np.exp(-lam_half)
+    cdf, k = p, 0
+    while cdf < 1.0 - 1e-8 and k < POISSON_KMAX_CAP:
+        k += 1
+        p *= lam_half / k
+        cdf += p
+    if cdf < 1.0 - 1e-8:
+        raise ValueError(
+            f"exact CIR transition needs a Poisson trip count beyond "
+            f"{POISSON_KMAX_CAP} (rate λ/2 ≈ {lam_half:.0f} at the 6σ "
+            f"variance bound; vol-of-vol σ={s_} is too small for κΔ="
+            f"{k_ * d_:.2f}) — use HestonQE(conditional=True) for this "
+            f"market, or FEWER exact segments (λ grows as Δ shrinks)"
+        )
+    return int(max(k + 1, 16))
 
 
 def cir_exact_constants(kappa, theta, sigma, dt):
@@ -86,6 +140,49 @@ def cir_exact_constants(kappa, theta, sigma, dt):
         q=(1.0 - t2 * c1) / kappa,
         p_c=-(dt / kappa) * c1 + (dt * dt / 4.0) * (c1 * c1 + c2),
         inv_sig2=1.0 / sigma**2,
+    )
+
+
+def cir_exact_shared_coeffs(kappa, theta, sigma):
+    """dt-INDEPENDENT scalar coefficients the fused kernels load into SMEM,
+    derived in ONE place so the price and surface kernels cannot drift:
+    (d_half, nu, nu2, an1-3, ad1-3 [Bessel asymptotic-series], m1f, s2f,
+    inv_kappa)."""
+    d_half = 2.0 * kappa * theta / sigma**2
+    nu = d_half - 1.0
+
+    def asym_coeffs(m):
+        mu = 4.0 * m * m
+        return (mu - 1.0, (mu - 1.0) * (mu - 9.0) / 2.0,
+                (mu - 1.0) * (mu - 9.0) * (mu - 25.0) / 6.0)
+
+    an, ad = asym_coeffs(nu + 1.0), asym_coeffs(nu)
+    sig2_over_k = sigma**2 / kappa
+    return dict(
+        d_half=d_half, nu=nu, nu2=nu * nu,
+        an1=an[0], an2=an[1], an3=an[2], ad1=ad[0], ad2=ad[1], ad3=ad[2],
+        m1f=-sig2_over_k, s2f=sig2_over_k * sig2_over_k,
+        inv_kappa=1.0 / kappa,
+    )
+
+
+def cir_exact_kernel_coeffs(kappa, theta, sigma, dt):
+    """dt-DEPENDENT scalar coefficients for one segment length, the SMEM
+    companion of :func:`cir_exact_shared_coeffs`: (lam_fac, two_cfac, z_fac)
+    plus the assembled Laplace-moment linear forms
+    l1 = l1c − (x+y)·l1x + W·q and
+    l2 = l2c + (x+y)·l2x + (z² + ν² − W − W²)·q² + W·p_c
+    (the iv_cond_moments math flattened onto per-path FMAs)."""
+    c = cir_exact_constants(kappa, theta, sigma, dt)
+    t2, c1, c2 = c["t2"], c["c1"], c["c2"]
+    inv_sig2 = c["inv_sig2"]
+    return dict(
+        lam_fac=c["lam_fac"], two_cfac=2.0 * c["cfac"], z_fac=c["z_fac"],
+        l1c=1.0 / kappa - (dt / 2.0) * c1,
+        l1x=(c1 - t2 * c2) * inv_sig2,
+        l2c=-1.0 / kappa**2 + (dt * dt / 4.0) * c2,
+        l2x=(dt * c2 - kappa * (dt * dt / 2.0) * c2 * c1) * inv_sig2,
+        q=c["q"], q2=c["q"] * c["q"], p_c=c["p_c"],
     )
 
 
@@ -132,7 +229,7 @@ def gamma_wh(alpha, z):
     return alpha * jnp.maximum(t, 0.0) ** 3
 
 
-def cir_exact_step_score(x, u_pois, z_gam, u_boost, c):
+def cir_exact_step_score(x, u_pois, z_gam, u_boost, c, kmax: int = POISSON_KMAX):
     """One exact CIR transition V_t = x → V_{t+Δ} plus the Poisson score.
 
     Returns ``(y, log_lik)`` where ``log_lik = N·log λ − λ`` (the N!-term is
@@ -142,7 +239,7 @@ def cir_exact_step_score(x, u_pois, z_gam, u_boost, c):
     misses.  λ is floored at 1e-30 inside the log only (a WH cube clamped to
     zero makes the next λ exactly 0, where N = 0 and the true term is 0)."""
     lam = x * c["lam_fac"]
-    n = jax.lax.stop_gradient(poisson_inv(lam, u_pois))
+    n = jax.lax.stop_gradient(poisson_inv(lam, u_pois, kmax))
     log_lik = n * jnp.log(jnp.maximum(lam, 1e-30)) - lam
     alpha = c["d_half"] + n
     u_safe = jnp.maximum(u_boost, 1e-300)
@@ -150,11 +247,11 @@ def cir_exact_step_score(x, u_pois, z_gam, u_boost, c):
     return 2.0 * c["cfac"] * g, log_lik
 
 
-def cir_exact_step(x, u_pois, z_gam, u_boost, c):
+def cir_exact_step(x, u_pois, z_gam, u_boost, c, kmax: int = POISSON_KMAX):
     """One exact CIR transition V_t = x → V_{t+Δ} from (uniform, normal,
     uniform), via the Poisson-Gamma mixture of the noncentral χ² (the
     unused score term is dead-code-eliminated by XLA)."""
-    return cir_exact_step_score(x, u_pois, z_gam, u_boost, c)[0]
+    return cir_exact_step_score(x, u_pois, z_gam, u_boost, c, kmax)[0]
 
 
 def iv_cond_moments(x, y, c):

@@ -54,10 +54,11 @@ __all__ = [
     "heston_exact_mixing_surface_price",
 ]
 
-#: default/maximum Poisson trip count; the host wrappers shrink it per
-#: market via :func:`_poisson_kmax` (the loop is ~15% of kernel time at 32)
+#: default Poisson trip count when the inputs are traced; the host
+#: wrappers size it per market via models/heston_exact.poisson_kmax
+#: (the loop is ~15% of kernel time at 32; the helper RAISES when even
+#: 64 trips cannot meet the tail bound — very low vol-of-vol markets)
 _POISSON_KMAX = 32
-_POISSON_KMAX_CAP = 64
 #: Bessel-ratio continued-fraction trips: 16 gives ≤5.9e-5 max rel err over
 #: ν ∈ [−0.9, 3], z ∈ (0, 24] (scipy sweep) — the same order as the f64
 #: twin's documented ≤7e-5 contract and invisible next to the ~1bp
@@ -67,39 +68,10 @@ _CF_ITERS = 16
 _CF_SWITCH = 24.0
 
 
-def _poisson_kmax(kappa, theta, sigma, dt, v0) -> int:
-    """Static Poisson trip count with a provable-tail heuristic.
+def _kernel_kmax(kappa, theta, sigma, dt, v0) -> int:
+    from ..models.heston_exact import poisson_kmax
 
-    Bound the per-segment rate by λ/2 evaluated at v_b = m + 6s, where
-    (m, s) are the exact CIR transition mean/std started from the worst
-    deterministic level max(V0, θ); take the smallest k with
-    P(N > k | λ(v_b)/2) < 1e-8 (+1 margin, clipped to [16, 64]).  The
-    truncation-bias budget is then ≲ P(V > v_b) + 1e-8 ≪ 0.01bp — measured
-    identical prices to ±0.005bp at 268M paths vs kmax=32 on the bench
-    market.  Falls back to the conservative default when the inputs are
-    traced (kernel under an outer jit)."""
-    import numpy as np
-
-    try:
-        k_, th = float(kappa), float(theta)
-        s_, d_, v = float(sigma), float(dt), float(v0)
-    except Exception:
-        return _POISSON_KMAX
-    e = np.exp(-k_ * d_)
-    em = -np.expm1(-k_ * d_)
-    cfac = s_ * s_ * em / (4.0 * k_)
-    vw = max(v, th)
-    m = vw * e + th * em
-    s2 = vw * s_ * s_ * e * em / k_ + th * s_ * s_ * em * em / (2.0 * k_)
-    v_b = m + 6.0 * np.sqrt(max(s2, 0.0))
-    lam_half = e / (2.0 * cfac) * v_b
-    p = np.exp(-lam_half)
-    cdf, k = p, 0
-    while cdf < 1.0 - 1e-8 and k < _POISSON_KMAX_CAP:
-        k += 1
-        p *= lam_half / k
-        cdf += p
-    return int(np.clip(k + 1, 16, _POISSON_KMAX_CAP))
+    return poisson_kmax(kappa, theta, sigma, dt, v0, default=_POISSON_KMAX)
 
 
 # ---- parameter vector ------------------------------------------------------
@@ -124,39 +96,24 @@ def _exact_c(params_ref):
 
 
 def _exact_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, segments, strike, cp):
-    """fp32 SMEM parameter vector (host-side f64 math, cast once)."""
-    from ..models.heston_exact import cir_exact_constants
+    """fp32 SMEM parameter vector (host-side f64 math, cast once); the
+    numeric coefficient formulas live in models/heston_exact.py
+    (cir_exact_shared_coeffs / cir_exact_kernel_coeffs), shared with the
+    surface kernel so the two cannot drift."""
+    from ..models.heston_exact import (
+        cir_exact_kernel_coeffs,
+        cir_exact_shared_coeffs,
+    )
 
-    c = cir_exact_constants(kappa, theta, sigma, dt)
     T = dt * segments
     f_base = jnp.exp(log_s0 + r * T)
-    nu = c["nu"]
-    t2, c1, c2 = c["t2"], c["c1"], c["c2"]
-    inv_sig2 = c["inv_sig2"]
-
-    def asym_coeffs(m):
-        mu = 4.0 * m * m
-        return (mu - 1.0, (mu - 1.0) * (mu - 9.0) / 2.0,
-                (mu - 1.0) * (mu - 9.0) * (mu - 25.0) / 6.0)
-
-    an = asym_coeffs(nu + 1.0)
-    ad = asym_coeffs(nu)
-    sig2_over_k = sigma**2 / kappa
     vals = dict(
+        cir_exact_shared_coeffs(kappa, theta, sigma),
+        **cir_exact_kernel_coeffs(kappa, theta, sigma, dt),
         f_base=f_base, strike=strike, rho=rho, rho2_half=0.5 * rho**2,
         rho_bar2=1.0 - rho**2, cp=cp,
         log_f_over_k=jnp.log(f_base) - jnp.log(strike),
-        v0=v0, lam_fac=c["lam_fac"], d_half=c["d_half"],
-        two_cfac=2.0 * c["cfac"],
-        nu=nu, nu2=nu * nu, z_fac=c["z_fac"],
-        an1=an[0], an2=an[1], an3=an[2], ad1=ad[0], ad2=ad[1], ad3=ad[2],
-        l1c=1.0 / kappa - (dt / 2.0) * c1,
-        l1x=(c1 - t2 * c2) * inv_sig2,
-        l2c=-1.0 / kappa**2 + (dt * dt / 4.0) * c2,
-        l2x=(dt * c2 - kappa * (dt * dt / 2.0) * c2 * c1) * inv_sig2,
-        q=c["q"], p_c=c["p_c"], q2=c["q"] * c["q"],
-        m1f=-sig2_over_k, s2f=sig2_over_k * sig2_over_k,
-        inv_kappa=1.0 / kappa,
+        v0=v0,
         c_j=v0 + kappa * theta * T, k_over_sigma=kappa / sigma,
         inv_sigma=1.0 / sigma,
     )
@@ -358,7 +315,7 @@ def heston_exact_mixing_values(
         log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp,
         n_paths=n_paths, segments=segments, seed=seed, antithetic=antithetic,
         device_id=device_id, qmc=qmc, point_offset=point_offset,
-        interpret=interpret, kmax=_poisson_kmax(kappa, theta, sigma, dt, v0),
+        interpret=interpret, kmax=_kernel_kmax(kappa, theta, sigma, dt, v0),
     )
 
 
@@ -450,7 +407,7 @@ def heston_exact_mixing_vanilla_price(
         log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, discount,
         n_blocks=n_blocks, n_batches=n_batches, segments=segments, seed=seed,
         device_id=device_id, cp=cp, qmc=qmc, point_offset=point_offset,
-        interpret=interpret, kmax=_poisson_kmax(kappa, theta, sigma, dt, v0),
+        interpret=interpret, kmax=_kernel_kmax(kappa, theta, sigma, dt, v0),
     )
 
 
@@ -580,40 +537,25 @@ _XS_PER_GAP = ("lam_fac", "two_cfac", "z_fac", "l1c", "l1x", "l2c", "l2x",
 def _exact_surf_params(log_s0, v0, r, kappa, theta, sigma, rho, T_host,
                        seg_steps, strikes, cp):
     """SMEM params: globals + dt-independent shared block + per-gap exact
-    constants + per-expiry (f_base, c_j) + strikes + per-(i,k) log(F/K)."""
-    from ..models.heston_exact import cir_exact_constants
+    constants + per-expiry (f_base, c_j) + strikes + per-(i,k) log(F/K).
+    Coefficient formulas come from models/heston_exact.py — the same
+    helpers _exact_params uses, so the price and surface kernels agree."""
+    from ..models.heston_exact import (
+        cir_exact_kernel_coeffs,
+        cir_exact_shared_coeffs,
+    )
 
     n_exp, m = len(T_host), len(strikes)
-    sig2_over_k = sigma**2 / kappa
-
-    def asym_coeffs(mm):
-        mu = 4.0 * mm * mm
-        return (mu - 1.0, (mu - 1.0) * (mu - 9.0) / 2.0,
-                (mu - 1.0) * (mu - 9.0) * (mu - 25.0) / 6.0)
-
-    c0 = cir_exact_constants(kappa, theta, sigma, 1.0)  # dt-independent parts
-    nu = c0["nu"]
-    an, ad = asym_coeffs(nu + 1.0), asym_coeffs(nu)
     entries = [v0, rho, 0.5 * rho**2, 1.0 - rho**2, cp, 1.0 / sigma,
                kappa / sigma]
-    entries += [c0["d_half"], nu, nu * nu, an[0], an[1], an[2],
-                ad[0], ad[1], ad[2], -sig2_over_k, sig2_over_k * sig2_over_k,
-                1.0 / kappa]
+    shared = cir_exact_shared_coeffs(kappa, theta, sigma)
+    entries += [shared[name] for name in _XS_SHARED]
     t_prev = 0.0
     for i in range(n_exp):
         dt_i = (T_host[i] - t_prev) / seg_steps[i]
         t_prev = T_host[i]
-        c = cir_exact_constants(kappa, theta, sigma, dt_i)
-        t2, c1, c2 = c["t2"], c["c1"], c["c2"]
-        inv_sig2 = c["inv_sig2"]
-        entries += [
-            c["lam_fac"], 2.0 * c["cfac"], c["z_fac"],
-            1.0 / kappa - (dt_i / 2.0) * c1,
-            (c1 - t2 * c2) * inv_sig2,
-            -1.0 / kappa**2 + (dt_i * dt_i / 4.0) * c2,
-            (dt_i * c2 - kappa * (dt_i * dt_i / 2.0) * c2 * c1) * inv_sig2,
-            c["q"], c["q"] * c["q"], c["p_c"],
-        ]
+        cg = cir_exact_kernel_coeffs(kappa, theta, sigma, dt_i)
+        entries += [cg[name] for name in _XS_PER_GAP]
     f_bases = [jnp.exp(log_s0 + r * T_host[i]) for i in range(n_exp)]
     entries += f_bases
     entries += [v0 + kappa * theta * T_host[i] for i in range(n_exp)]  # c_j
@@ -742,7 +684,7 @@ def heston_exact_mixing_surface_price(
     for i, steps_i in enumerate(seg_steps):
         dt_i = (T_host[i] - t_prev) / steps_i
         t_prev = T_host[i]
-        kmaxes.append(_poisson_kmax(kappa, theta, sigma, dt_i, v0))
+        kmaxes.append(_kernel_kmax(kappa, theta, sigma, dt_i, v0))
     return _heston_exact_mixing_surface_price_impl(
         log_s0, v0, r, kappa, theta, sigma, rho, T_host, strikes, discounts,
         seg_steps=tuple(seg_steps), n_strikes=n_strikes, n_blocks=n_blocks,

@@ -267,6 +267,22 @@ def test_exact_surface_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-9)
 
 
+def test_exact_mixing_rejects_untruncatable_poisson_rate():
+    """Very low vol-of-vol markets make the Poisson-mixture count of the
+    exact CIR transition explode (λ ∝ 1/σ²); a silently clamped count would
+    price with large hidden bias, so the estimator must REFUSE with a
+    pointer to the QE mixing path (review finding: the old heuristic
+    silently returned the 64-trip cap)."""
+    market = HestonInputs(dt.date(2024, 1, 1), 0.03, 100.0, 0.04, 2.0, 0.04,
+                          0.02, -0.7)  # sigma (vol-of-vol) = 0.02
+    payoff = VanillaOption(100.0, dt.date(2025, 1, 1), European(), Call(), Spot())
+    cfg = SimulationConfig(trajectories=1024, steps=2,
+                           variance_reduction=Antithetic(), seed=0)
+    method = MonteCarlo(HestonDynamics(), HestonExactMixing(), cfg)
+    with pytest.raises(ValueError, match="HestonQE"):
+        solve(PricingProblem(payoff, market), method)
+
+
 def test_exact_mixing_never_materializes_terminal_samples():
     from hedgehog_tpu import simulate_terminal_prices
 
