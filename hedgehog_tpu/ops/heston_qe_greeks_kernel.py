@@ -50,6 +50,7 @@ from .heston_qe_kernel import (
     _ndtri_approx,
     _norm_cdf,
     _rcp,
+    _sobol_masks,
     _sobol_table,
     _sobol_uniforms_tile,
 )
@@ -561,53 +562,109 @@ def _greeks_weighted_kernel(
     out_ref[0] = _weighted_sums(pair, cts, c, dc_ref, _N_WDIRS)
 
 
+def _greeks_weighted_kernel_qmc(
+    params_ref, dc_ref, sob_ref, offset_ref, ct_ref, out_ref, *, steps: int
+):
+    """QMC twin of _greeks_weighted_kernel (antithetic-only, like every
+    in-kernel Sobol' path): replays the values kernel's Sobol' stream
+    (2 dims/step) with tangents riding, then weights by the cotangent
+    tiles — the custom-vjp backward for heston_qe_mixing_values(qmc=True)."""
+    c = _mix_c(params_ref)
+    shape = (_ROWS, _LANES)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = (offset_ref[0] + pl.program_id(0) * jnp.int32(_ROWS * _LANES)
+           + row * jnp.int32(_LANES) + lane)
+    masks = _sobol_masks(idx)
+    st_a = _tan_init(c, _N_WDIRS, shape)
+    st_b = _tan_init(c, _N_WDIRS, shape)
+    for st in range(steps):
+        u1, u2 = _sobol_uniforms_tile(masks, sob_ref, (2 * st, 2 * st + 1))
+        z = _ndtri_approx(u1)
+        st_a = _tan_step(st_a, z, u2, c, dc_ref, _N_WDIRS)
+        st_b = _tan_step(st_b, -z, 1.0 - u2, c, dc_ref, _N_WDIRS)
+    out_ref[0] = _weighted_sums((st_a, st_b), (ct_ref[0], ct_ref[1]), c, dc_ref, _N_WDIRS)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_paths", "steps", "antithetic", "interpret")
+    jax.jit,
+    static_argnames=("n_paths", "steps", "antithetic", "qmc", "interpret"),
 )
 def _mixing_values_vjp(
     log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp, ct,
     *, n_paths: int, steps: int, seed, antithetic: bool, device_id=0,
-    interpret: bool = False,
+    qmc: bool = False, point_offset: int = 0, interpret: bool = False,
 ):
     """Gradients of sum(ct · values) w.r.t. the 9 differentiable scalars of
-    heston_qe_mixing_values, from one weighted greek-kernel dispatch."""
+    heston_qe_mixing_values, from one weighted greek-kernel dispatch
+    (PRNG replay, or the identical Sobol' stream under ``qmc=True``)."""
     block = _ROWS * _LANES
     n_blocks = -(-n_paths // block)
     padded = n_blocks * block
     n_groups = 2 if antithetic else 1
+    if qmc and not antithetic:
+        raise ValueError("kernel QMC path is antithetic-only")
     ct_pad = jnp.zeros((n_groups, padded), jnp.float32)
     ct_pad = ct_pad.at[:, :n_paths].set(ct.astype(jnp.float32))
     ct_pad = ct_pad.reshape(n_groups, n_blocks * _ROWS, _LANES)
 
     params = _mix_params(log_s0, v0, r, kappa, theta, sigma, rho, dt, steps, strike, cp)
     dc = _greek_table(v0, kappa, theta, sigma, dt, steps, _N_WDIRS)
-    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
-    kernel = functools.partial(_greeks_weighted_kernel, steps=steps, antithetic=antithetic)
-    sums = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((16,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_N_WDIRS, 8), lambda i: (jnp.int32(0), jnp.int32(0)), memory_space=pltpu.SMEM),
-            pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (n_groups, _ROWS, _LANES),
-                lambda i: (jnp.int32(0), i, jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, _N_WDIRS + 3, 8, _LANES),
-            lambda i: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, _N_WDIRS + 3, 8, _LANES), jnp.float32),
-        # 5 directions × 3 carries × 2 groups (+ct tile + linearize residuals)
-        # peaks just past the default 16M scoped-vmem budget on v5e; the
-        # physical VMEM is far larger — raise the scoped limit.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
-        interpret=interpret,
-    )(params, dc, seed_arr, ct_pad)
+    ct_spec = pl.BlockSpec(
+        (n_groups, _ROWS, _LANES),
+        lambda i: (jnp.int32(0), i, jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = pl.BlockSpec(
+        (1, _N_WDIRS + 3, 8, _LANES),
+        lambda i: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_blocks, _N_WDIRS + 3, 8, _LANES), jnp.float32)
+    # 5 directions × 3 carries × 2 groups (+ct tile + linearize residuals)
+    # peaks just past the default 16M scoped-vmem budget on v5e; the
+    # physical VMEM is far larger — raise the scoped limit.
+    compiler = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+    if qmc:
+        table = _sobol_table(seed, 2 * steps)
+        offset_arr = jnp.asarray([point_offset], jnp.int32)
+        kernel = functools.partial(_greeks_weighted_kernel_qmc, steps=steps)
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((16,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec((_N_WDIRS, 8), lambda i: (jnp.int32(0), jnp.int32(0)), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (2 * steps, _SOBOL_BITS + 1),
+                    lambda i: (jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                ct_spec,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=compiler,
+            interpret=interpret,
+        )(params, dc, table, offset_arr, ct_pad)
+    else:
+        seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)])
+        kernel = functools.partial(_greeks_weighted_kernel, steps=steps, antithetic=antithetic)
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((16,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                pl.BlockSpec((_N_WDIRS, 8), lambda i: (jnp.int32(0), jnp.int32(0)), memory_space=pltpu.SMEM),
+                pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+                ct_spec,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=compiler,
+            interpret=interpret,
+        )(params, dc, seed_arr, ct_pad)
 
     tot = jnp.sum(sums.astype(jnp.float64), axis=(0, 2, 3))  # (8,)
     ch_v0, ch_k, ch_th, ch_sig, ch_T, w_sum, rho_sum, k_sum = tuple(tot)
@@ -621,23 +678,25 @@ def _mixing_values_vjp(
 def heston_qe_mixing_values_diff(
     log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp,
     *, n_paths: int, steps: int, seed, antithetic: bool = False, device_id=0,
+    qmc: bool = False, point_offset: int = 0,
 ):
-    """Differentiable view of the PRNG values kernel: identical primal to
-    ``heston_qe_mixing_values(..., qmc=False)``, with a custom VJP that runs
-    ONE cotangent-weighted greek kernel — so ``jax.grad`` through the
-    kernel-backed ``solve`` (any reduction of the per-path values) works at
-    kernel speed.  All ten leading scalars are differentiable, including
-    ``dt`` (theta greeks) and ``strike``."""
+    """Differentiable view of the values kernel: identical primal to
+    ``heston_qe_mixing_values``, with a custom VJP that runs ONE
+    cotangent-weighted greek kernel replaying the same stream (PRNG, or
+    the in-kernel Sobol' sequence under ``qmc=True``) — so ``jax.grad``
+    through the kernel-backed ``solve`` (any reduction of the per-path
+    values) works at kernel speed.  All ten leading scalars are
+    differentiable, including ``dt`` (theta greeks) and ``strike``."""
     from .heston_qe_kernel import heston_qe_mixing_values
 
-    # seed/cp/device_id are never differentiated — close over them so the
-    # custom_vjp's argument list is exactly the 9 differentiable scalars
+    # seed/cp/device_id/qmc/point_offset are never differentiated — close
+    # over them so the custom_vjp's arguments are the 9 differentiable scalars
     @jax.custom_vjp
     def values(log_s0, v0, r, kappa, theta, sigma, rho, dt, strike):
         return heston_qe_mixing_values(
             log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp,
             n_paths=n_paths, steps=steps, seed=seed, antithetic=antithetic,
-            device_id=device_id,
+            device_id=device_id, qmc=qmc, point_offset=point_offset,
         )
 
     def fwd(log_s0, v0, r, kappa, theta, sigma, rho, dt, strike):
@@ -649,7 +708,7 @@ def heston_qe_mixing_values_diff(
         return _mixing_values_vjp(
             log_s0, v0, r, kappa, theta, sigma, rho, dt, strike, cp, ct,
             n_paths=n_paths, steps=steps, seed=seed, antithetic=antithetic,
-            device_id=device_id,
+            device_id=device_id, qmc=qmc, point_offset=point_offset,
         )
 
     values.defvjp(fwd, bwd)

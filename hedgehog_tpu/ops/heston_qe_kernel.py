@@ -1243,35 +1243,26 @@ def heston_qe_mixing_values_pallas(prob, config, strat, key=None, device_id=0, p
         return _heston_qe_mixing_values(prob, config, key, point_offset=point_offset)
     T = yearfrac(market.reference_date, prob.payoff.expiry)
     r0 = zero_rate_yf(market.rate, 0.0)
-    if not config.qmc:
-        # differentiable view: same primal kernel, plus a custom VJP backed
-        # by the cotangent-weighted greek kernel — jax.grad through the
-        # kernel-backed solve works (ops/heston_qe_greeks_kernel.py)
-        from .heston_qe_greeks_kernel import heston_qe_mixing_values_diff
+    # differentiable view on BOTH streams: same primal kernel, plus a custom
+    # VJP backed by the cotangent-weighted greek kernel replaying the
+    # identical PRNG/Sobol' stream — jax.grad through the kernel-backed
+    # solve works (ops/heston_qe_greeks_kernel.py)
+    from .heston_qe_greeks_kernel import heston_qe_mixing_values_diff
 
-        out = heston_qe_mixing_values_diff(
-            jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
-            market.sigma, market.rho, T / config.steps,
-            prob.payoff.strike, prob.payoff.call_put(),
-            n_paths=config.trajectories, steps=config.steps,
-            seed=seed_from_key(config, key),
-            antithetic=anti, device_id=device_id,
-        )
-    else:
-        out = heston_qe_mixing_values(
-            jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
-            market.sigma, market.rho, T / config.steps,
-            prob.payoff.strike, prob.payoff.call_put(),
-            n_paths=config.trajectories, steps=config.steps,
-            # QMC: ALWAYS config.seed — every device (and the pure-JAX twin,
-            # whose unsplit base key is PRNGKey(config.seed)) must randomize
-            # ONE shared Sobol' sequence and slice it by point_offset;
-            # deriving the seed from the caller's key would break the
-            # sharded==unsharded and kernel==pure-JAX randomization parity
-            seed=config.seed,
-            antithetic=anti, device_id=device_id,
-            qmc=True, point_offset=point_offset,
-        )
+    out = heston_qe_mixing_values_diff(
+        jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
+        market.sigma, market.rho, T / config.steps,
+        prob.payoff.strike, prob.payoff.call_put(),
+        n_paths=config.trajectories, steps=config.steps,
+        # QMC: ALWAYS config.seed — every device (and the pure-JAX twin,
+        # whose unsplit base key is PRNGKey(config.seed)) must randomize
+        # ONE shared Sobol' sequence and slice it by point_offset; deriving
+        # the seed from the caller's key would break the sharded==unsharded
+        # and kernel==pure-JAX randomization parity
+        seed=config.seed if config.qmc else seed_from_key(config, key),
+        antithetic=anti, device_id=device_id,
+        qmc=config.qmc, point_offset=point_offset,
+    )
     return out.astype(jnp.float64)
 
 

@@ -204,3 +204,56 @@ def test_surface_jacobian_kernel_qmc_matches_pure_jax_interpret():
     jk = np.asarray(jac_k)
     scale = np.abs(jr).max(axis=(0, 1), keepdims=True)
     assert (np.abs(jr - jk) <= np.maximum(5e-3 * np.abs(jr), 2e-3 * scale)).all()
+
+
+def test_weighted_vjp_kernel_qmc_matches_pure_jax_interpret():
+    """The QMC cotangent-weighted VJP kernel (custom-vjp backward of
+    heston_qe_mixing_values(qmc=True)) must match jax.grad of the SAME
+    cotangent-weighted sum through the pure-JAX Sobol' path — the in-kernel
+    stream draws the identical points (fp32 + Φ⁻¹ approximation bound the
+    tolerance)."""
+    from hedgehog_tpu.methods.montecarlo import _heston_qe_mixing_values
+    from hedgehog_tpu.ops.heston_qe_greeks_kernel import _mixing_values_vjp
+
+    n_pairs, steps, seed, strike = 4096, 6, 7, 100.0
+    T = float(hh.yearfrac(REF, EXPIRY))
+    dt_ = T / steps
+    idx = jnp.arange(2 * n_pairs, dtype=jnp.float64).reshape(2, n_pairs)
+    ct = 0.5 + 0.5 * jnp.sin(idx)  # arbitrary smooth per-path cotangents
+
+    grads = _mixing_values_vjp(
+        jnp.log(SPOT), H["V0"], R, H["kappa"], H["theta"], H["sigma"],
+        H["rho"], dt_, strike, 1.0, ct,
+        n_paths=n_pairs, steps=steps, seed=seed, antithetic=True,
+        qmc=True, interpret=True,
+    )
+
+    cfg = hh.SimulationConfig(
+        trajectories=n_pairs, steps=steps, variance_reduction=hh.Antithetic(),
+        seed=seed, qmc=True,
+    )
+    payoff = hh.VanillaOption(strike, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+
+    def weighted_sum(p):
+        log_s0, v0, r, kappa, theta, sigma, rho, k = tuple(p)
+        market = hh.HestonInputs(REF, r, jnp.exp(log_s0), v0, kappa, theta,
+                                 sigma, rho)
+        pay = hh.VanillaOption(k, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+        vals = _heston_qe_mixing_values(
+            hh.PricingProblem(pay, market), cfg, None
+        )
+        return jnp.sum(ct * vals)
+
+    p0 = jnp.array([jnp.log(SPOT), H["V0"], R, H["kappa"], H["theta"],
+                    H["sigma"], H["rho"], strike], jnp.float64)
+    want = jax.grad(weighted_sum)(p0)
+    # kernel grads order: (log_s0, v0, r, kappa, theta, sigma, rho, dt, strike)
+    got = [grads[i] for i in (0, 1, 2, 3, 4, 5, 6, 8)]
+    # rho's weighted sum is a small difference of large fp32 f_eff·(j−ρ·iv)
+    # terms (−33 vs ~2.8e5 for the big greeks) — measured rel ≈ 1.4e-2 of
+    # cancellation noise; everything else agrees to ≤3e-4
+    for name, g, w in zip(
+        ("log_s0", "V0", "r", "kappa", "theta", "sigma", "rho", "strike"),
+        got, want,
+    ):
+        assert float(g) == pytest.approx(float(w), rel=2e-2, abs=5e-2), name
