@@ -45,10 +45,22 @@ __all__ = ["LSM", "lsm_backward_induction"]
 
 @pytree
 class LSM(AbstractPricingMethod):
-    """LSM method: Monte Carlo config + polynomial regression degree."""
+    """LSM method: Monte Carlo config + polynomial regression degree.
+
+    ``rao_blackwell`` (conditional grids only, i.e.
+    ``HestonQE(conditional=True)``): replace the terminal regression/stopping
+    target max(S_T−K, 0) by its EXACT conditional expectation given
+    (S_{n−1}, variance path) — the one-segment conditional Black-Scholes
+    closed form.  Same mean by the tower property (the stopping decisions at
+    t ≤ n−1 are measurable w.r.t. the conditioning σ-algebra), strictly lower
+    variance of both the regression target and the never-exercised paths'
+    price contribution (Rao-Blackwell).  Ignored on terminal-payoff grids
+    (Euler/QE), where no conditional closed form is available.
+    """
 
     mc_method: MonteCarlo = static_field(default=MonteCarlo())
     degree: int = static_field(default=4)
+    rao_blackwell: bool = static_field(default=True)
 
 
 def _masked_lstsq_eval(phi, y, w, psum_axis: Optional[str]):
@@ -93,18 +105,20 @@ def _joint_basis(s, v, degree: int):
 
 def lsm_backward_induction(
     spots, payoff, log_disc, degree: int, strike_scale,
-    psum_axis: Optional[str] = None, vols=None,
+    psum_axis: Optional[str] = None, vols=None, terminal_value=None,
 ):
     """Backward stopping-rule induction over a (steps+1, paths) price grid.
 
     Returns (tau, value) per path.  ``psum_axis`` enables the sharded global
     regression (see module docstring).  With ``vols`` (a matching variance
     grid, e.g. from the conditional bridge), continuation regresses on the
-    joint (S, V) monomial basis instead of S alone.
+    joint (S, V) monomial basis instead of S alone.  ``terminal_value``
+    overrides the terminal payoff as the initial stopping value (the
+    Rao-Blackwellized conditional-mean target; see :class:`LSM`).
     """
     nsteps = spots.shape[0] - 1
     tau0 = jnp.full((spots.shape[1],), nsteps, dtype=jnp.float64)
-    value0 = payoff(spots[nsteps])
+    value0 = payoff(spots[nsteps]) if terminal_value is None else terminal_value
 
     def step(carry, t):
         tau, value = carry
@@ -152,6 +166,36 @@ def _flatten_grid(grid):
     return jnp.moveaxis(grid, 0, 1).reshape(ntimes, n_groups * npaths)
 
 
+def rb_terminal_value(prob: PricingProblem, spots, vols):
+    """Rao-Blackwellized terminal stopping value on a conditional (S, V) grid:
+    E[payoff(S_T) | S_{n−1}, V-path] in closed form over the LAST segment.
+
+    The conditional bridge draws logS_T = logS_{n−1} + rΔ − IV/2 + ρJ +
+    √((1−ρ²)·IV)·Z_⊥ with the trapezoid IV and the CIR-identity J of the
+    final segment (montecarlo.simulate_conditional_grid), so S_T | (S_{n−1},
+    V-seg) is lognormal with forward F = S_{n−1}·e^{rΔ+ρJ−ρ²IV/2} and
+    variance (1−ρ²)·IV — the same conditional Black-Scholes close the mixing
+    estimator uses (montecarlo._conditional_bs_close), seeded per path."""
+    from .montecarlo import _sim_params
+
+    market, T, r0 = _sim_params(prob)
+    nsteps = spots.shape[0] - 1
+    dt = T / nsteps
+    kappa, sigma, rho = market.kappa, market.sigma, market.rho
+    v_a, v_b = vols[nsteps - 1], vols[nsteps]
+    iv = 0.5 * dt * (v_a + v_b)
+    j = (v_b - v_a - kappa * market.theta * dt + kappa * iv) / sigma
+    f_eff = spots[nsteps - 1] * jnp.exp(r0 * dt + rho * j - 0.5 * rho**2 * iv)
+    var = jnp.maximum((1.0 - rho**2) * iv, 1e-18)
+    sd = jnp.sqrt(var)
+    cp = prob.payoff.call_put()
+    strike = jnp.asarray(prob.payoff.strike, jnp.float64)
+    d1 = (jnp.log(f_eff / strike) + 0.5 * var) / sd
+    d2 = d1 - sd
+    ncdf = jax.scipy.stats.norm.cdf
+    return cp * (f_eff * ncdf(cp * d1) - strike * ncdf(cp * d2))
+
+
 @register_solver(LSM)
 def _solve_lsm(prob: PricingProblem, method: LSM) -> LSMSolution:
     log_disc, strike_scale = _lsm_setup(prob, method)
@@ -163,12 +207,14 @@ def _solve_lsm(prob: PricingProblem, method: LSM) -> LSMSolution:
 
         s_grid, v_grid = simulate_conditional_grid(prob, method.mc_method.config)
         spots, vols = _flatten_grid(s_grid), _flatten_grid(v_grid)
+        terminal = rb_terminal_value(prob, spots, vols) if method.rao_blackwell else None
     else:
         grid = simulate_price_grid(prob, method.mc_method)  # (g, steps+1, paths)
-        spots, vols = _flatten_grid(grid), None
+        spots, vols, terminal = _flatten_grid(grid), None, None
 
     tau, value = lsm_backward_induction(
-        spots, prob.payoff, log_disc, method.degree, strike_scale, vols=vols
+        spots, prob.payoff, log_disc, method.degree, strike_scale, vols=vols,
+        terminal_value=terminal,
     )
     price = jnp.mean(jnp.exp(tau * log_disc) * value)
     return LSMSolution(prob, method, price, (tau, value), spots)

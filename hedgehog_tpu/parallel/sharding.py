@@ -152,7 +152,14 @@ def sharded_lsm_price_fn(method, mesh: Mesh, axis_name: str = "paths"):
     communicating algorithm (SURVEY §5), the closest analog of sequence
     parallelism this domain has.
     """
-    from ..methods.lsm import LSM, _flatten_grid, _is_conditional, _lsm_setup, lsm_backward_induction
+    from ..methods.lsm import (
+        LSM,
+        _flatten_grid,
+        _is_conditional,
+        _lsm_setup,
+        lsm_backward_induction,
+        rb_terminal_value,
+    )
     from ..methods.montecarlo import simulate_conditional_grid, simulate_price_grid
 
     assert isinstance(method, LSM)
@@ -173,14 +180,18 @@ def sharded_lsm_price_fn(method, mesh: Mesh, axis_name: str = "paths"):
                     prob, local_mc.config, key=key, point_offset=offset
                 )
                 spots, vols = _flatten_grid(s_grid), _flatten_grid(v_grid)
+                terminal = (
+                    rb_terminal_value(prob, spots, vols)
+                    if method.rao_blackwell else None
+                )
             else:
                 grid = simulate_price_grid(
                     prob, local_mc, key=key, point_offset=offset
                 )  # (g, steps+1, P_local)
-                spots, vols = _flatten_grid(grid), None
+                spots, vols, terminal = _flatten_grid(grid), None, None
             tau, value = lsm_backward_induction(
                 spots, prob.payoff, log_disc, method.degree, strike_scale,
-                psum_axis=axis_name, vols=vols,
+                psum_axis=axis_name, vols=vols, terminal_value=terminal,
             )
             local_sum = jnp.sum(jnp.exp(tau * log_disc) * value)
             total = jax.lax.psum(local_sum, axis_name)

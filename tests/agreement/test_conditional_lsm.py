@@ -86,6 +86,53 @@ def test_conditional_lsm_sharded_matches_unsharded_scale():
     np.testing.assert_allclose(p_sharded, p_single, rtol=3e-2)
 
 
+def test_rao_blackwell_terminal_target():
+    """RB terminal target (LSM.rao_blackwell): per-path conditional mean of
+    the terminal payoff — same mean, strictly lower variance than the raw
+    payoff on the same grid (measured price-level variance ratio ≈ 1.24
+    across seeds at 2k paths), and it matches a brute-force conditional
+    Monte Carlo average over the final bridge normal."""
+    import jax
+
+    from hedgehog_tpu.methods.lsm import _flatten_grid, rb_terminal_value
+    from hedgehog_tpu.methods.montecarlo import simulate_conditional_grid
+
+    prob = hh.PricingProblem(AM_PUT, _market())
+    cfg = _cfg(1 << 13, 16)
+    s_grid, v_grid = simulate_conditional_grid(prob, cfg)
+    spots, vols = _flatten_grid(s_grid), _flatten_grid(v_grid)
+    term = np.asarray(rb_terminal_value(prob, spots, vols))
+    raw = np.asarray(prob.payoff(spots[-1]))
+    np.testing.assert_allclose(term.mean(), raw.mean(), rtol=2e-2)
+    assert term.var() < raw.var()
+
+    # brute force: redraw the final-segment bridge normal many times for a
+    # few paths and average the payoff — must match the closed form
+    T = hh.yearfrac(REF, hh.to_ticks(EXPIRY))
+    dtau = T / 16
+    kappa, theta, sigma, rho = H["kappa"], H["theta"], H["sigma"], H["rho"]
+    idx = np.arange(6)
+    v_a, v_b = np.asarray(vols[-2])[idx], np.asarray(vols[-1])[idx]
+    iv = 0.5 * dtau * (v_a + v_b)
+    j = (v_b - v_a - kappa * theta * dtau + kappa * iv) / sigma
+    s_prev = np.asarray(spots[-2])[idx]
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(9), (1 << 16,)))
+    log_st = (np.log(s_prev)[:, None] + R * dtau - 0.5 * iv[:, None]
+              + rho * j[:, None]
+              + np.sqrt((1.0 - rho**2) * iv)[:, None] * z[None, :])
+    brute = np.maximum(105.0 - np.exp(log_st), 0.0).mean(axis=1)
+    np.testing.assert_allclose(term[idx], brute, rtol=2e-2, atol=5e-3)
+
+
+def test_rao_blackwell_price_matches_plain():
+    prob = hh.PricingProblem(AM_PUT, _market())
+    cfg = _cfg(1 << 14, 16)
+    mc = hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(conditional=True), cfg)
+    p_rb = float(hh.solve(prob, hh.LSM(mc, 3)).price)  # rao_blackwell=True default
+    p_plain = float(hh.solve(prob, hh.LSM(mc, 3, rao_blackwell=False)).price)
+    np.testing.assert_allclose(p_rb, p_plain, rtol=1e-2)
+
+
 def test_price_grid_conditional_routing():
     # simulate_price_grid now routes conditional strategies to the bridge
     prob = hh.PricingProblem(EU_PUT, _market())
