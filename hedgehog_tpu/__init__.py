@@ -32,6 +32,7 @@ from .core.payoffs import (  # noqa: E402
     Forward,
     Put,
     Spot,
+    DigitalOption,
     VanillaOption,
     parity_transform,
 )
@@ -160,6 +161,7 @@ __all__ = [
     "ticks_to_datetime",
     # payoffs
     "VanillaOption",
+    "DigitalOption",
     "European",
     "American",
     "Call",

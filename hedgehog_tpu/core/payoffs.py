@@ -30,6 +30,7 @@ __all__ = [
     "Spot",
     "Forward",
     "VanillaOption",
+    "DigitalOption",
     "parity_transform",
     "require_european",
 ]
@@ -105,6 +106,35 @@ class VanillaOption:
         return jnp.maximum(cp * (jnp.asarray(spot) - self.strike), 0.0)
 
 
+@pytree
+class DigitalOption:
+    """A cash-or-nothing digital: pays ``cash`` at exercise iff
+    ``cp·(S − K) > 0`` — beyond the reference's vanilla-only payoff taxonomy
+    (src/payoffs/payoffs.jl), added because the conditional mixing estimator
+    prices digitals with a SMOOTH per-path closed form Φ(d2) (pathwise AD
+    greeks survive, where raw terminal-sample MC differentiates an indicator
+    to zero).  Same field layout/taxonomy as :class:`VanillaOption`, so every
+    pricer's strike/expiry/cp plumbing applies unchanged; ``cash`` is a
+    traced leaf (cash-amount greeks flow)."""
+
+    strike: Any
+    expiry: Any
+    exercise_style: ExerciseStyle = static_field(default=European())
+    call_put: CallPut = static_field(default=Call())
+    underlying: Underlying = static_field(default=Spot())
+    cash: Any = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+
+    def __call__(self, spot):
+        """Exercise value, broadcasting over arrays of spot prices."""
+        cp = self.call_put()
+        return jnp.where(
+            cp * (jnp.asarray(spot) - self.strike) > 0.0, self.cash, 0.0
+        )
+
+
 def require_european(payoff: "VanillaOption", method_name: str, spot_only: bool = False):
     """Dispatch guard shared by the European-only pricers (mirrors the
     reference's restricted solve signatures, e.g. black_scholes.jl:38-41,
@@ -118,11 +148,14 @@ def require_european(payoff: "VanillaOption", method_name: str, spot_only: bool 
 def parity_transform(call_price, opt: VanillaOption, spot, rate_curve):
     """Put-call parity: recover this option's price from the call price.
 
-    Calls pass through; puts use ``put = call - S + K·df(T)``
-    (reference src/payoffs/payoffs.jl:172-193).
+    Vanilla puts use ``put = call - S + K·df(T)`` (reference
+    src/payoffs/payoffs.jl:172-193); digital puts use the cash parity
+    ``put = cash·df(T) − call``.  Calls pass through.
     """
     if isinstance(opt.call_put, Call):
         return call_price
     from ..market.rate_curve import df
 
+    if isinstance(opt, DigitalOption):
+        return opt.cash * df(rate_curve, opt.expiry) - call_price
     return call_price - spot + opt.strike * df(rate_curve, opt.expiry)

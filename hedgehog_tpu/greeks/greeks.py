@@ -294,6 +294,14 @@ def _solve_analytic_greek(gprob, method: AnalyticGreek, pricing_method=None):
             for lens in gprob.lenses
         }
     prob = gprob.pricing_problem
+    from ..core.payoffs import VanillaOption
+
+    if not isinstance(prob.payoff, VanillaOption):
+        raise TypeError(
+            "AnalyticGreek implements the Black-Scholes VANILLA closed forms "
+            f"(greeks_problem.jl:437-530); {type(prob.payoff).__name__} greeks "
+            "are available via ForwardAD/ReverseAD/FiniteDifference"
+        )
     inputs, payoff, T, K, sigma, D, F, sqrtT, d1, d2 = _bs_geometry(prob)
     cp = payoff.call_put()
 

@@ -19,7 +19,7 @@ from ..market.rate_curve import df
 from ..market.vol_surface import get_vol
 from ..utils.pytree import pytree
 
-__all__ = ["BlackScholesAnalytic", "bs_price", "bs_geometry"]
+__all__ = ["BlackScholesAnalytic", "bs_price", "bs_digital_price", "bs_geometry"]
 
 
 @pytree
@@ -62,11 +62,22 @@ def bs_price(forward, strike, vol, T, discount, cp):
     return jnp.where((vol > 0) & (T > 0), bs, intrinsic)
 
 
+def bs_digital_price(forward, strike, vol, T, discount, cp, cash=1.0):
+    """Cash-or-nothing digital closed form, vectorized & branchless:
+    price = D·cash·N(cp·d2); σ==0 or T==0 → discounted indicator."""
+    sqrtT = jnp.sqrt(T)
+    sigma_safe = jnp.where(vol > 0, vol, 1.0)
+    d2 = (jnp.log(forward / strike) - 0.5 * sigma_safe**2 * T) / (sigma_safe * sqrtT)
+    bs = discount * cash * norm.cdf(cp * d2)
+    intrinsic = discount * cash * jnp.where(cp * (forward - strike) > 0.0, 1.0, 0.0)
+    return jnp.where((vol > 0) & (T > 0), bs, intrinsic)
+
+
 @register_solver(BlackScholesAnalytic)
 def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> AnalyticSolution:
     payoff = prob.payoff
     market = prob.market_inputs
-    from ..core.payoffs import require_european
+    from ..core.payoffs import DigitalOption, require_european
 
     require_european(payoff, "BlackScholesAnalytic")
 
@@ -77,5 +88,8 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
     D = df(market.rate, payoff.expiry)
     F = market.spot / D
 
-    price = bs_price(F, K, sigma, T, D, cp)
+    if isinstance(payoff, DigitalOption):
+        price = bs_digital_price(F, K, sigma, T, D, cp, payoff.cash)
+    else:
+        price = bs_price(F, K, sigma, T, D, cp)
     return AnalyticSolution(prob, method, price)

@@ -206,6 +206,48 @@ def _quad_nodes(prob: PricingProblem, method: "CarrMadan"):
     raise ValueError(f"unknown quadrature {method.quadrature!r} (use 'panel' or 'gl')")
 
 
+def _solve_carr_madan_digital(
+    prob: PricingProblem, method: CarrMadan, engine: str
+) -> CarrMadanSolution:
+    """Cash-or-nothing digital via Gil-Pelaez inversion on the same
+    quadrature nodes: P(S_T > K) = ½ + (1/π)∫₀^∞ Im[e^{−iu·lnK}φ(u)]/u du.
+    The integrand is even in u (φ(−u) = conj φ(u)), so the symmetric
+    (−bound, bound) node set integrates it with a single ½·Σ w·g dot
+    product; digital puts follow from the cash parity."""
+    payoff = prob.payoff
+    market = prob.market_inputs
+    if method.nodes % 2:
+        raise ValueError(
+            "digital Carr-Madan needs an even node count (an odd "
+            "Gauss-Legendre rule places a node at u=0, where the Gil-Pelaez "
+            "integrand's 1/u form is indeterminate)"
+        )
+    K = payoff.strike
+    logK = jnp.log(K)
+    D = df(market.rate, payoff.expiry)
+    v, w = _quad_nodes(prob, method)
+    logK_b = jnp.asarray(logK)[..., None]
+
+    if engine == "pair":
+        from ..math.complexops import cmul
+        from ..models.dynamics import terminal_log_cf_pair
+
+        phi_pair = terminal_log_cf_pair(prob, method.dynamics)
+        phi = phi_pair(v, jnp.zeros_like(v))
+        osc = (jnp.cos(v * logK_b), -jnp.sin(v * logK_b))  # e^{-i u lnK}
+        g = cmul(phi, osc)[1] / v
+    else:
+        phi = terminal_log_cf(prob, method.dynamics)
+        g = jnp.imag(phi(v + 0.0j) * jnp.exp(-1j * v * logK_b)) / v
+    p_itm = 0.5 + (0.5 / jnp.pi) * jnp.sum(w * g, axis=-1)
+    call_price = D * payoff.cash * p_itm
+    if jnp.ndim(K) == 0:
+        call_price = jnp.reshape(call_price, ())
+        p_itm = jnp.reshape(p_itm, ())
+    price = parity_transform(call_price, payoff, market.spot, market.rate)
+    return CarrMadanSolution(prob, method, price, p_itm)
+
+
 @register_solver(CarrMadan)
 def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolution:
     payoff = prob.payoff
@@ -223,6 +265,11 @@ def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolut
         import jax
 
         engine = "pair" if jax.default_backend() == "tpu" else "complex"
+
+    from ..core.payoffs import DigitalOption
+
+    if isinstance(payoff, DigitalOption):
+        return _solve_carr_madan_digital(prob, method, engine)
 
     v, w = _quad_nodes(prob, method)
     damp = jnp.exp(-alpha * logK) / (2.0 * jnp.pi)

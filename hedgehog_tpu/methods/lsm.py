@@ -174,9 +174,9 @@ def rb_terminal_value(prob: PricingProblem, spots, vols):
     √((1−ρ²)·IV)·Z_⊥ with the trapezoid IV and the CIR-identity J of the
     final segment (montecarlo.simulate_conditional_grid), so S_T | (S_{n−1},
     V-seg) is lognormal with forward F = S_{n−1}·e^{rΔ+ρJ−ρ²IV/2} and
-    variance (1−ρ²)·IV — the same conditional Black-Scholes close the mixing
-    estimator uses (montecarlo._conditional_bs_close), seeded per path."""
-    from .montecarlo import _sim_params
+    variance (1−ρ²)·IV — the same conditional close the mixing estimator
+    uses (montecarlo.conditional_payoff_close), seeded per path."""
+    from .montecarlo import _sim_params, conditional_payoff_close
 
     market, T, r0 = _sim_params(prob)
     nsteps = spots.shape[0] - 1
@@ -186,14 +186,7 @@ def rb_terminal_value(prob: PricingProblem, spots, vols):
     iv = 0.5 * dt * (v_a + v_b)
     j = (v_b - v_a - kappa * market.theta * dt + kappa * iv) / sigma
     f_eff = spots[nsteps - 1] * jnp.exp(r0 * dt + rho * j - 0.5 * rho**2 * iv)
-    var = jnp.maximum((1.0 - rho**2) * iv, 1e-18)
-    sd = jnp.sqrt(var)
-    cp = prob.payoff.call_put()
-    strike = jnp.asarray(prob.payoff.strike, jnp.float64)
-    d1 = (jnp.log(f_eff / strike) + 0.5 * var) / sd
-    d2 = d1 - sd
-    ncdf = jax.scipy.stats.norm.cdf
-    return cp * (f_eff * ncdf(cp * d1) - strike * ncdf(cp * d2))
+    return conditional_payoff_close(prob.payoff, f_eff, (1.0 - rho**2) * iv)
 
 
 @register_solver(LSM)

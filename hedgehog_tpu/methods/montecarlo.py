@@ -445,25 +445,40 @@ def _heston_qe_mixing_values(prob, config, key, point_offset=0):
     return _conditional_bs_close(prob, market, T, r0, iv, j)
 
 
+def conditional_payoff_close(payoff, f_eff, iv_var):
+    """Per-path conditional expectation of ``payoff(S_T)`` given a lognormal
+    terminal law with forward ``f_eff`` and log-variance ``iv_var`` — the
+    closed-form close shared by the mixing estimators and the LSM
+    Rao-Blackwell terminal target.  Vanillas get the conditional
+    Black-Scholes formula; digitals the smooth cash·Φ(cp·d2) (pathwise AD
+    greeks survive — the raw terminal-sample estimator differentiates an
+    indicator to zero)."""
+    from ..core.payoffs import DigitalOption
+
+    var = jnp.maximum(iv_var, 1e-18)
+    sd = jnp.sqrt(var)
+    cp = payoff.call_put()
+    strike = jnp.asarray(payoff.strike)
+    if strike.ndim > 0:
+        f_eff, sd, var = f_eff[..., None, :], sd[..., None, :], var[..., None, :]
+        strike = strike[None, :, None]
+    d2 = (jnp.log(f_eff / strike) - 0.5 * var) / sd
+    ncdf = jax.scipy.stats.norm.cdf
+    if isinstance(payoff, DigitalOption):
+        return payoff.cash * ncdf(cp * d2)
+    d1 = d2 + sd
+    return cp * (f_eff * ncdf(cp * d1) - strike * ncdf(cp * d2))
+
+
 def _conditional_bs_close(prob, market, T, r0, iv, j):
-    """Close (IV, J) mixing factors with the conditional Black-Scholes
-    formula: per-path UNDISCOUNTED vanilla values, (g, paths) or, for an
-    array-strike payoff, (g, m, paths) — ONE simulated variance-path set
-    prices every strike (the conditional value is closed-form in K, the
-    same instrument-parallel idiom as the Carr-Madan strike grid)."""
+    """Close (IV, J) mixing factors with the conditional closed form:
+    per-path UNDISCOUNTED values, (g, paths) or, for an array-strike payoff,
+    (g, m, paths) — ONE simulated variance-path set prices every strike (the
+    conditional value is closed-form in K, the same instrument-parallel
+    idiom as the Carr-Madan strike grid)."""
     rho = market.rho
     f_eff = market.spot * jnp.exp(r0 * T + rho * j - 0.5 * rho**2 * iv)
-    var = jnp.maximum((1.0 - rho**2) * iv, 1e-18)
-    sd = jnp.sqrt(var)
-    cp = prob.payoff.call_put()
-    strike = jnp.asarray(prob.payoff.strike)
-    if strike.ndim > 0:
-        f_eff, sd, var = f_eff[:, None, :], sd[:, None, :], var[:, None, :]
-        strike = strike[None, :, None]
-    d1 = (jnp.log(f_eff / strike) + 0.5 * var) / sd
-    d2 = d1 - sd
-    ncdf = jax.scipy.stats.norm.cdf
-    return cp * (f_eff * ncdf(cp * d1) - strike * ncdf(cp * d2))
+    return conditional_payoff_close(prob.payoff, f_eff, (1.0 - rho**2) * iv)
 
 
 def _heston_exact_mixing_values(prob, config, key, point_offset=0, with_score=False):
@@ -898,6 +913,14 @@ def simulate_conditional_values(
             raise TypeError(
                 "strike grids with conditional MC are a pure-JAX feature "
                 "(one V-path set prices every strike); drop use_kernel=True"
+            )
+        from ..core.payoffs import VanillaOption
+
+        if not isinstance(prob.payoff, VanillaOption):
+            raise TypeError(
+                "the fused mixing kernels close vanilla payoffs only; "
+                f"{type(prob.payoff).__name__} needs the pure-JAX estimator "
+                "(drop use_kernel=True)"
             )
         if isinstance(strat, HestonExactMixing):
             from ..ops.heston_exact_kernel import heston_exact_mixing_values_pallas
