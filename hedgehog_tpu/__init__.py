@@ -27,12 +27,17 @@ from .core.dates import (  # noqa: E402
 )
 from .core.payoffs import (  # noqa: E402
     American,
+    BarrierOption,
     Call,
+    DigitalOption,
+    Down,
     European,
     Forward,
+    KnockIn,
+    KnockOut,
     Put,
     Spot,
-    DigitalOption,
+    Up,
     VanillaOption,
     parity_transform,
 )
@@ -162,6 +167,11 @@ __all__ = [
     # payoffs
     "VanillaOption",
     "DigitalOption",
+    "BarrierOption",
+    "Up",
+    "Down",
+    "KnockIn",
+    "KnockOut",
     "European",
     "American",
     "Call",

@@ -31,6 +31,13 @@ __all__ = [
     "Forward",
     "VanillaOption",
     "DigitalOption",
+    "BarrierOption",
+    "BarrierDirection",
+    "Up",
+    "Down",
+    "BarrierKnock",
+    "KnockIn",
+    "KnockOut",
     "parity_transform",
     "require_european",
 ]
@@ -133,6 +140,65 @@ class DigitalOption:
         return jnp.where(
             cp * (jnp.asarray(spot) - self.strike) > 0.0, self.cash, 0.0
         )
+
+
+class BarrierDirection:
+    """Marker base: which side the barrier sits on (Up/Down)."""
+
+
+@pytree
+class Up(BarrierDirection):
+    pass
+
+
+@pytree
+class Down(BarrierDirection):
+    pass
+
+
+class BarrierKnock:
+    """Marker base: knock-in vs knock-out."""
+
+
+@pytree
+class KnockIn(BarrierKnock):
+    pass
+
+
+@pytree
+class KnockOut(BarrierKnock):
+    pass
+
+
+@pytree
+class BarrierOption:
+    """A continuously-monitored single-barrier option on a vanilla payoff —
+    beyond the reference's vanilla-only taxonomy (src/payoffs/payoffs.jl).
+
+    ``KnockOut`` pays the vanilla intrinsic at expiry iff the path never
+    touches ``barrier`` (``Up``: max < H, ``Down``: min > H); ``KnockIn``
+    pays iff it does (in + out = vanilla, zero rebate).  ``__call__`` is the
+    UNCONDITIONAL terminal intrinsic — the knock probability is applied by
+    the pricers (closed form for Black-Scholes; per-segment Brownian-bridge
+    no-crossing products on MC grids, which are smooth in every input so
+    pathwise AD greeks survive)."""
+
+    strike: Any
+    expiry: Any
+    barrier: Any
+    exercise_style: ExerciseStyle = static_field(default=European())
+    call_put: CallPut = static_field(default=Call())
+    underlying: Underlying = static_field(default=Spot())
+    direction: BarrierDirection = static_field(default=Down())
+    knock: BarrierKnock = static_field(default=KnockOut())
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+
+    def __call__(self, spot):
+        """Unconditional terminal intrinsic (see class docstring)."""
+        cp = self.call_put()
+        return jnp.maximum(cp * (jnp.asarray(spot) - self.strike), 0.0)
 
 
 def require_european(payoff: "VanillaOption", method_name: str, spot_only: bool = False):

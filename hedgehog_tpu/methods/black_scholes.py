@@ -19,7 +19,13 @@ from ..market.rate_curve import df
 from ..market.vol_surface import get_vol
 from ..utils.pytree import pytree
 
-__all__ = ["BlackScholesAnalytic", "bs_price", "bs_digital_price", "bs_geometry"]
+__all__ = [
+    "BlackScholesAnalytic",
+    "bs_price",
+    "bs_digital_price",
+    "bs_barrier_price",
+    "bs_geometry",
+]
 
 
 @pytree
@@ -73,11 +79,68 @@ def bs_digital_price(forward, strike, vol, T, discount, cp, cash=1.0):
     return jnp.where((vol > 0) & (T > 0), bs, intrinsic)
 
 
+def bs_barrier_price(spot, strike, barrier, vol, T, discount, cp, up: bool, knock_in: bool):
+    """Reiner-Rubinstein single-barrier closed form (zero rebate, no
+    dividends, flat rate r = −ln(D)/T so the barrier drift matches the
+    curve's terminal discount).  Computes the KNOCK-IN price from the
+    standard A/B/C/D blocks and recovers knock-out by in-out parity
+    (in + out = vanilla); an already-touched barrier (S beyond H at t=0)
+    makes the in-option vanilla and the out-option worthless."""
+    S, K, H = spot, strike, barrier
+    r = -jnp.log(discount) / jnp.maximum(T, 1e-30)
+    sigma_safe = jnp.where(vol > 0, vol, 1.0)
+    v = sigma_safe * jnp.sqrt(T)
+    mu = r / sigma_safe**2 - 0.5
+    eta = -1.0 if up else 1.0
+
+    def vanilla_block(lnarg):
+        # cp·[S·N(cp·x) − K·D·N(cp·(x−v))], x = lnarg/v + (1+μ)v
+        x = lnarg / v + (1.0 + mu) * v
+        return cp * (S * norm.cdf(cp * x) - K * discount * norm.cdf(cp * (x - v)))
+
+    hs2mu = (H / S) ** (2.0 * mu)
+    hs2mu2 = hs2mu * (H / S) ** 2
+
+    def reflected_block(lnarg):
+        # cp·[S·(H/S)^{2μ+2}·N(η·y) − K·D·(H/S)^{2μ}·N(η·(y−v))]
+        y = lnarg / v + (1.0 + mu) * v
+        return cp * (
+            hs2mu2 * S * norm.cdf(eta * y)
+            - hs2mu * K * discount * norm.cdf(eta * (y - v))
+        )
+
+    A = vanilla_block(jnp.log(S / K))
+    B = vanilla_block(jnp.log(S / H))
+    C = reflected_block(jnp.log(H * H / (S * K)))
+    Dd = reflected_block(jnp.log(H / S))
+
+    k_ge_h = K >= H
+    if cp > 0:  # call
+        in_price = jnp.where(k_ge_h, A, B - C + Dd) if up else jnp.where(k_ge_h, C, A - B + Dd)
+    else:  # put
+        in_price = jnp.where(k_ge_h, A - B + Dd, C) if up else jnp.where(k_ge_h, B - C + Dd, A)
+
+    vanilla = bs_price(S / discount, K, vol, T, discount, cp)
+    touched = (S >= H) if up else (S <= H)
+    in_price = jnp.where(touched, vanilla, jnp.clip(in_price, 0.0, None))
+    # clip roundoff: when in ≈ vanilla (e.g. up-out call with K ≥ H, exactly
+    # worthless) the subtraction can land at −1e-17
+    price = in_price if knock_in else jnp.clip(vanilla - in_price, 0.0, None)
+    # σ==0 or T==0: the path is the deterministic forward S·e^{rt}, monotone
+    # in t, so it touches H iff an endpoint is beyond H
+    f_T = S / discount
+    det_touch = touched | ((f_T >= H) if up else (f_T <= H))
+    det_pay = discount * jnp.maximum(cp * (f_T - K), 0.0)
+    det_in = jnp.where(det_touch, det_pay, 0.0)
+    det = det_in if knock_in else det_pay - det_in
+    return jnp.where((vol > 0) & (T > 0), price, det)
+
+
 @register_solver(BlackScholesAnalytic)
 def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> AnalyticSolution:
     payoff = prob.payoff
     market = prob.market_inputs
-    from ..core.payoffs import DigitalOption, require_european
+    from ..core.payoffs import BarrierOption, DigitalOption, KnockIn, Up, require_european
 
     require_european(payoff, "BlackScholesAnalytic")
 
@@ -88,7 +151,13 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
     D = df(market.rate, payoff.expiry)
     F = market.spot / D
 
-    if isinstance(payoff, DigitalOption):
+    if isinstance(payoff, BarrierOption):
+        price = bs_barrier_price(
+            market.spot, K, payoff.barrier, sigma, T, D, cp,
+            up=isinstance(payoff.direction, Up),
+            knock_in=isinstance(payoff.knock, KnockIn),
+        )
+    elif isinstance(payoff, DigitalOption):
         price = bs_digital_price(F, K, sigma, T, D, cp, payoff.cash)
     else:
         price = bs_price(F, K, sigma, T, D, cp)

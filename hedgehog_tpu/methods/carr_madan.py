@@ -266,8 +266,14 @@ def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolut
 
         engine = "pair" if jax.default_backend() == "tpu" else "complex"
 
-    from ..core.payoffs import DigitalOption
+    from ..core.payoffs import BarrierOption, DigitalOption
 
+    if isinstance(payoff, BarrierOption):
+        raise TypeError(
+            "CarrMadan prices path-independent payoffs (the CF of log S_T "
+            "carries no running-extremum law); barrier options price "
+            "analytically under Black-Scholes or via bridge-corrected MC"
+        )
     if isinstance(payoff, DigitalOption):
         return _solve_carr_madan_digital(prob, method, engine)
 

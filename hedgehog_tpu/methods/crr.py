@@ -42,6 +42,15 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
     market = prob.market_inputs
     steps = method.steps
 
+    from ..core.payoffs import BarrierOption
+
+    if isinstance(payoff, BarrierOption):
+        raise TypeError(
+            "CRR's backward induction carries no knock state; barrier "
+            "options price analytically under Black-Scholes or via "
+            "bridge-corrected MC"
+        )
+
     if jnp.ndim(payoff.strike) > 0:
         # Strike grid: one tree per strike, batched along a LEADING strike
         # axis with the node axis last — the same in-method grid contract as

@@ -147,6 +147,13 @@ def _lsm_setup(prob: PricingProblem, method: LSM):
     payoff = prob.payoff
     if not isinstance(payoff.exercise_style, American):
         raise TypeError("LSM prices American options (lsm.jl solve signature :99-102).")
+    from ..core.payoffs import BarrierOption
+
+    if isinstance(payoff, BarrierOption):
+        raise TypeError(
+            "LSM's stopping state carries no knock indicator; American "
+            "barrier pricing is unsupported"
+        )
     market = prob.market_inputs
     T = yearfrac(market.reference_date, payoff.expiry)
     nsteps = method.mc_method.config.steps

@@ -445,6 +445,111 @@ def _heston_qe_mixing_values(prob, config, key, point_offset=0):
     return _conditional_bs_close(prob, market, T, r0, iv, j)
 
 
+def brownian_bridge_survival(log_grid, seg_vars, log_barrier, up: bool):
+    """Per-path probability that the continuous path interpolating the grid
+    never crosses the barrier: the product of Brownian-bridge no-cross
+    factors 1 − exp(−2·d0·d1/σ²_k) per segment, zeroed when either endpoint
+    lies beyond the barrier (Glasserman, *MC Methods in Financial
+    Engineering*, §6.4).  Exact for GBM grids (log-Euler gridpoint marginals
+    and conditional bridges are both exact); on the Heston conditional grid
+    σ²_k is the segment's integrated variance (the full quadratic variation
+    of log S).  Smooth in every input → pathwise AD barrier greeks survive.
+
+    ``log_grid``: (steps+1, ...) log-prices, time leading; ``seg_vars``:
+    (steps, ...) or scalar."""
+    x0, x1 = log_grid[:-1], log_grid[1:]
+    d0 = (log_barrier - x0) if up else (x0 - log_barrier)
+    d1 = (log_barrier - x1) if up else (x1 - log_barrier)
+    inside = (d0 > 0.0) & (d1 > 0.0)
+    var = jnp.maximum(seg_vars, 1e-30)
+    # double-where: the false branch's (positive-exponent) value must never
+    # be computed, or its overflow poisons the masked gradient
+    arg = jnp.where(inside, -2.0 * d0 * d1 / var, 0.0)
+    return jnp.prod(jnp.where(inside, -jnp.expm1(arg), 0.0), axis=0)
+
+
+def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
+    """Barrier-option Monte Carlo: simulate a grid, apply the per-segment
+    Brownian-bridge crossing correction, pay the unconditional intrinsic at
+    expiry.  Knock-in = intrinsic·(1 − survival) (in-out parity per path).
+
+    Supported grids: LognormalDynamics × BlackScholesExact (ONE exact bridge
+    over [0, T] — continuous-monitoring GBM barriers without discretization
+    bias) or EulerMaruyama (also exact for GBM at any step count);
+    HestonDynamics × HestonQE(conditional=True) (the bridge grid carries the
+    per-segment integrated variance the correction needs)."""
+    from ..core.payoffs import KnockOut, Up
+
+    payoff = prob.payoff
+    require_european(payoff, "MonteCarlo", spot_only=True)
+    if jnp.ndim(payoff.strike) > 0 or jnp.ndim(payoff.barrier) > 0:
+        raise TypeError(
+            "barrier MC prices one (strike, barrier) pair per solve; vmap "
+            "over contracts for grids"
+        )
+    market = prob.market_inputs
+    dyn, strat, config = method.dynamics, method.strategy, method.config
+    discount = df(market.rate, payoff.expiry)
+    up = isinstance(payoff.direction, Up)
+    log_b = jnp.log(payoff.barrier)
+    _, T, _ = _sim_params(prob)
+
+    if isinstance(dyn, LognormalDynamics) and isinstance(
+        strat, (BlackScholesExact, EulerMaruyama)
+    ):
+        if getattr(strat, "use_kernel", False):
+            raise TypeError(
+                "the fused GBM kernels return terminal samples without the "
+                "bridge factors; drop use_kernel=True for barrier payoffs"
+            )
+        sigma = (
+            market.sigma.sigma
+            if isinstance(market.sigma, FlatVolSurface)
+            else get_vol(market.sigma, payoff.expiry, market.spot)
+        )
+        if isinstance(strat, BlackScholesExact):
+            samples = simulate_terminal_prices(prob, method)  # (g, paths)
+            log_s0 = jnp.full_like(samples, jnp.log(market.spot))
+            log_grid = jnp.stack([log_s0, jnp.log(samples)])  # (2, g, paths)
+            seg_vars = sigma**2 * T
+        else:
+            grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
+            log_grid = jnp.moveaxis(jnp.log(grid), 1, 0)
+            seg_vars = sigma**2 * (T / config.steps)
+        surv = brownian_bridge_survival(log_grid, seg_vars, log_b, up)
+        s_t = jnp.exp(log_grid[-1])
+    elif (
+        isinstance(dyn, HestonDynamics)
+        and isinstance(strat, HestonQE)
+        and strat.conditional
+    ):
+        if strat.use_kernel:
+            raise TypeError(
+                "barrier MC on the conditional grid is a pure-JAX feature; "
+                "drop use_kernel=True"
+            )
+        s_grid, v_grid = simulate_conditional_grid(prob, config)
+        dt = T / config.steps
+        iv = 0.5 * dt * (v_grid[:, :-1] + v_grid[:, 1:])  # (g, steps, paths)
+        log_grid = jnp.moveaxis(jnp.log(s_grid), 1, 0)
+        surv = brownian_bridge_survival(
+            log_grid, jnp.moveaxis(iv, 1, 0), log_b, up
+        )
+        s_t = s_grid[:, -1]
+    else:
+        raise TypeError(
+            "barrier MC needs a path grid: LognormalDynamics with "
+            "BlackScholesExact/EulerMaruyama, or HestonDynamics with "
+            f"HestonQE(conditional=True); got ({type(dyn).__name__}, "
+            f"{type(strat).__name__})"
+        )
+
+    pay = payoff(s_t)  # unconditional terminal intrinsic, (g, paths)
+    vals = pay * surv if isinstance(payoff.knock, KnockOut) else pay * (1.0 - surv)
+    price = discount * jnp.mean(vals, axis=(0, -1))
+    return MonteCarloSolution(prob, method, price, vals)
+
+
 def conditional_payoff_close(payoff, f_eff, iv_var):
     """Per-path conditional expectation of ``payoff(S_T)`` given a lognormal
     terminal law with forward ``f_eff`` and log-variance ``iv_var`` — the
@@ -453,8 +558,14 @@ def conditional_payoff_close(payoff, f_eff, iv_var):
     Black-Scholes formula; digitals the smooth cash·Φ(cp·d2) (pathwise AD
     greeks survive — the raw terminal-sample estimator differentiates an
     indicator to zero)."""
-    from ..core.payoffs import DigitalOption
+    from ..core.payoffs import BarrierOption, DigitalOption
 
+    if isinstance(payoff, BarrierOption):
+        raise TypeError(
+            "the conditional close integrates S_T out analytically and "
+            "cannot see the path barrier; barrier payoffs price through "
+            "solve(...) (the bridge-corrected grid estimator)"
+        )
     var = jnp.maximum(iv_var, 1e-18)
     sd = jnp.sqrt(var)
     cp = payoff.call_put()
@@ -1094,6 +1205,10 @@ def reduce_payoffs(samples: jnp.ndarray, payoff) -> jnp.ndarray:
 @register_solver(MonteCarlo)
 def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSolution:
     payoff = prob.payoff
+    from ..core.payoffs import BarrierOption
+
+    if isinstance(payoff, BarrierOption):
+        return _solve_barrier_mc(prob, method)
     # European×Spot-only MC solve signature (montecarlo.jl:479)
     require_european(payoff, "MonteCarlo", spot_only=True)
     discount = df(prob.market_inputs.rate, payoff.expiry)

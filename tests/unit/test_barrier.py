@@ -1,0 +1,189 @@
+"""Barrier options — continuously-monitored single barriers, beyond the
+reference's vanilla-only taxonomy:
+
+- BlackScholesAnalytic: Reiner-Rubinstein closed form (zero rebate), with
+  knock-out recovered by in-out parity
+- MonteCarlo: per-segment Brownian-bridge no-crossing products on path
+  grids (exact for GBM at ANY step count — gridpoint marginals and bridges
+  are both exact — so MC must agree with the closed form to pure noise),
+  and the Heston conditional bridge grid with per-segment integrated
+  variance
+
+The agreement structure mirrors the reference's test strategy: the closed
+form and the bridge MC are independent methods that must agree.
+"""
+
+import datetime as dt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hedgehog_tpu as hh
+
+REF = dt.date(2024, 1, 1)
+EXPIRY = dt.date(2024, 12, 31)  # T = 1 under ACT/365
+R, SPOT, SIGMA = 0.05, 100.0, 0.25
+H = dict(V0=0.04, kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7)
+
+
+def _bs_market(sigma=SIGMA):
+    return hh.BlackScholesInputs(REF, R, SPOT, sigma)
+
+
+def _barrier(strike, barrier, cp=None, direction=None, knock=None):
+    return hh.BarrierOption(
+        strike, EXPIRY, barrier, hh.European(), cp or hh.Call(), hh.Spot(),
+        direction or hh.Down(), knock or hh.KnockOut(),
+    )
+
+
+ALL_COMBOS = [
+    (hh.Call(), hh.Down(), 100.0, 90.0),   # cd: K above barrier
+    (hh.Call(), hh.Down(), 85.0, 90.0),    # cd: K below barrier
+    (hh.Call(), hh.Up(), 100.0, 125.0),    # cu: K below barrier
+    (hh.Call(), hh.Up(), 130.0, 125.0),    # cu: K above barrier
+    (hh.Put(), hh.Down(), 100.0, 90.0),
+    (hh.Put(), hh.Down(), 85.0, 90.0),
+    (hh.Put(), hh.Up(), 100.0, 125.0),
+    (hh.Put(), hh.Up(), 130.0, 125.0),
+]
+
+
+def _analytic(strike, barrier, cp, direction, knock):
+    prob = hh.PricingProblem(_barrier(strike, barrier, cp, direction, knock), _bs_market())
+    return float(hh.solve(prob, hh.BlackScholesAnalytic()).price)
+
+
+def test_in_out_parity_and_positivity():
+    for cp, direction, K, B in ALL_COMBOS:
+        p_out = _analytic(K, B, cp, direction, hh.KnockOut())
+        p_in = _analytic(K, B, cp, direction, hh.KnockIn())
+        vanilla = float(hh.solve(
+            hh.PricingProblem(hh.VanillaOption(K, EXPIRY, hh.European(), cp, hh.Spot()),
+                              _bs_market()),
+            hh.BlackScholesAnalytic()).price)
+        np.testing.assert_allclose(p_out + p_in, vanilla, rtol=1e-10)
+        assert p_out >= 0.0 and p_in >= 0.0
+        assert p_out <= vanilla + 1e-12 and p_in <= vanilla + 1e-12
+
+
+def test_far_barrier_is_vanilla():
+    vanilla = float(hh.solve(
+        hh.PricingProblem(hh.VanillaOption(100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot()),
+                          _bs_market()),
+        hh.BlackScholesAnalytic()).price)
+    np.testing.assert_allclose(_analytic(100.0, 500.0, hh.Call(), hh.Up(), hh.KnockOut()),
+                               vanilla, rtol=1e-6)
+    np.testing.assert_allclose(_analytic(100.0, 20.0, hh.Call(), hh.Down(), hh.KnockOut()),
+                               vanilla, rtol=1e-6)
+
+
+def test_already_touched_barrier():
+    # down barrier at/above spot: knocked at t=0 → in = vanilla, out = 0
+    vanilla = float(hh.solve(
+        hh.PricingProblem(hh.VanillaOption(100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot()),
+                          _bs_market()),
+        hh.BlackScholesAnalytic()).price)
+    np.testing.assert_allclose(
+        _analytic(100.0, 100.0, hh.Call(), hh.Down(), hh.KnockIn()), vanilla, rtol=1e-12)
+    assert _analytic(100.0, 100.0, hh.Call(), hh.Down(), hh.KnockOut()) == 0.0
+
+
+def _mc_price(payoff, strat, n=1 << 16, steps=1, market=None, seed=0):
+    cfg = hh.SimulationConfig(trajectories=n, steps=steps,
+                              variance_reduction=hh.Antithetic(), seed=seed)
+    dyn = hh.HestonDynamics() if isinstance(strat, hh.HestonQE) else hh.LognormalDynamics()
+    prob = hh.PricingProblem(payoff, market or _bs_market())
+    return float(hh.solve(prob, hh.MonteCarlo(dyn, strat, cfg)).price)
+
+
+def test_gbm_exact_bridge_mc_matches_closed_form():
+    """One exact terminal draw + one bridge over [0,T] is an UNBIASED
+    continuous-barrier GBM estimator — agreement limited only by MC noise."""
+    for cp, direction, K, B in ALL_COMBOS:
+        for knock in (hh.KnockOut(), hh.KnockIn()):
+            ref = _analytic(K, B, cp, direction, knock)
+            mc = _mc_price(_barrier(K, B, cp, direction, knock), hh.BlackScholesExact())
+            np.testing.assert_allclose(mc, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_gbm_euler_grid_bridge_matches_closed_form():
+    # log-Euler GBM gridpoints and bridges are exact → unbiased at ANY steps
+    ref = _analytic(100.0, 90.0, hh.Call(), hh.Down(), hh.KnockOut())
+    mc = _mc_price(_barrier(100.0, 90.0), hh.EulerMaruyama(), steps=8)
+    np.testing.assert_allclose(mc, ref, rtol=2e-2)
+
+
+def test_heston_conditional_grid_barrier():
+    market = hh.HestonInputs(REF, 0.03, SPOT, *H.values())
+    ko = _barrier(100.0, 85.0, hh.Call(), hh.Down(), hh.KnockOut())
+    ki = _barrier(100.0, 85.0, hh.Call(), hh.Down(), hh.KnockIn())
+    p_ko = _mc_price(ko, hh.HestonQE(conditional=True), steps=16, market=market)
+    p_ki = _mc_price(ki, hh.HestonQE(conditional=True), steps=16, market=market)
+    vanilla = float(hh.solve(
+        hh.PricingProblem(hh.VanillaOption(100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot()),
+                          market),
+        hh.CarrMadan(1.0, "auto", hh.HestonDynamics())).price)
+    # in + out = vanilla: holds per-path against the grid's OWN terminal
+    # samples; against the independent Fourier vanilla it is an MC-level check
+    np.testing.assert_allclose(p_ko + p_ki, vanilla, rtol=2e-2)
+    assert 0.0 < p_ko < vanilla
+    # refinement consistency: 16 vs 48 segments agree (bias ≪ tolerance)
+    p_ko_fine = _mc_price(ko, hh.HestonQE(conditional=True), steps=48,
+                          market=market, seed=1)
+    np.testing.assert_allclose(p_ko, p_ko_fine, rtol=3e-2)
+
+
+def test_barrier_delta_pathwise_ad_vs_analytic():
+    """The bridge products are smooth → jax.grad through the MC solve gives
+    a real barrier delta, matching the closed form's."""
+    def analytic_price(s):
+        m = hh.BlackScholesInputs(REF, R, s, SIGMA)
+        return hh.solve(hh.PricingProblem(_barrier(100.0, 90.0), m),
+                        hh.BlackScholesAnalytic()).price
+
+    def mc_price(s):
+        m = hh.BlackScholesInputs(REF, R, s, SIGMA)
+        cfg = hh.SimulationConfig(trajectories=1 << 15, steps=1,
+                                  variance_reduction=hh.Antithetic(), seed=0)
+        return hh.solve(hh.PricingProblem(_barrier(100.0, 90.0), m),
+                        hh.MonteCarlo(hh.LognormalDynamics(), hh.BlackScholesExact(), cfg)).price
+
+    d_an = float(jax.grad(analytic_price)(jnp.float64(SPOT)))
+    d_mc = float(jax.grad(mc_price)(jnp.float64(SPOT)))
+    np.testing.assert_allclose(d_mc, d_an, rtol=7e-2)
+
+
+def test_barrier_unsupported_routes_raise():
+    ko = _barrier(100.0, 90.0)
+    prob = hh.PricingProblem(ko, _bs_market())
+    with pytest.raises(TypeError, match="path-independent"):
+        hh.solve(prob, hh.CarrMadan(1.0, 32.0, hh.LognormalDynamics()))
+    with pytest.raises(TypeError, match="knock state"):
+        hh.solve(prob, hh.CoxRossRubinsteinMethod(64))
+    cfg = hh.SimulationConfig(trajectories=256, steps=2,
+                              variance_reduction=hh.Antithetic(), seed=0)
+    hmkt = hh.HestonInputs(REF, 0.03, SPOT, *H.values())
+    with pytest.raises(TypeError, match="path grid"):
+        hh.solve(hh.PricingProblem(ko, hmkt),
+                 hh.MonteCarlo(hh.HestonDynamics(), hh.HestonExactMixing(), cfg))
+    am = hh.BarrierOption(100.0, EXPIRY, 90.0, hh.American())
+    with pytest.raises(TypeError):
+        hh.solve(hh.PricingProblem(am, _bs_market()), hh.BlackScholesAnalytic())
+    with pytest.raises(TypeError, match="knock indicator"):
+        hh.solve(hh.PricingProblem(am, hmkt),
+                 hh.LSM(hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(conditional=True), cfg), 3))
+
+
+def test_zero_vol_barrier_deterministic():
+    # σ=0, r>0: forward path rises monotonically from 100 toward ~105.13
+    mkt = _bs_market(0.0)
+    up_in = hh.PricingProblem(_barrier(95.0, 103.0, hh.Call(), hh.Up(), hh.KnockIn()), mkt)
+    up_out = hh.PricingProblem(_barrier(95.0, 103.0, hh.Call(), hh.Up(), hh.KnockOut()), mkt)
+    D = np.exp(-R * 1.0)
+    intrinsic = D * (SPOT / D - 95.0)
+    np.testing.assert_allclose(
+        float(hh.solve(up_in, hh.BlackScholesAnalytic()).price), intrinsic, rtol=1e-12)
+    assert float(hh.solve(up_out, hh.BlackScholesAnalytic()).price) == 0.0
