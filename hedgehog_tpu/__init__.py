@@ -27,12 +27,15 @@ from .core.dates import (  # noqa: E402
 )
 from .core.payoffs import (  # noqa: E402
     American,
+    ArithmeticAverage,
+    AsianOption,
     BarrierOption,
     Call,
     DigitalOption,
     Down,
     European,
     Forward,
+    GeometricAverage,
     KnockIn,
     KnockOut,
     Put,
@@ -172,6 +175,9 @@ __all__ = [
     "Down",
     "KnockIn",
     "KnockOut",
+    "AsianOption",
+    "ArithmeticAverage",
+    "GeometricAverage",
     "European",
     "American",
     "Call",

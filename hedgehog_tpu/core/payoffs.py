@@ -38,6 +38,10 @@ __all__ = [
     "BarrierKnock",
     "KnockIn",
     "KnockOut",
+    "AsianOption",
+    "Averaging",
+    "ArithmeticAverage",
+    "GeometricAverage",
     "parity_transform",
     "require_european",
 ]
@@ -199,6 +203,50 @@ class BarrierOption:
         """Unconditional terminal intrinsic (see class docstring)."""
         cp = self.call_put()
         return jnp.maximum(cp * (jnp.asarray(spot) - self.strike), 0.0)
+
+
+class Averaging:
+    """Marker base: Asian averaging type."""
+
+
+@pytree
+class ArithmeticAverage(Averaging):
+    pass
+
+
+@pytree
+class GeometricAverage(Averaging):
+    pass
+
+
+@pytree
+class AsianOption:
+    """A fixed-strike Asian option on the discrete average of ``observations``
+    equally-spaced fixings t_i = i·T/n, i = 1…n (t=0 excluded) — beyond the
+    reference's vanilla-only taxonomy.
+
+    ``GeometricAverage`` under Black-Scholes has an exact closed form (the
+    average is lognormal — BlackScholesAnalytic carries it, and it is the
+    agreement oracle for the MC estimator); ``ArithmeticAverage`` prices by
+    grid Monte Carlo under any grid strategy (the MC ``config.steps`` must
+    equal ``observations`` so grid times are the fixing dates).  ``__call__``
+    maps the realized average to the vanilla intrinsic."""
+
+    strike: Any
+    expiry: Any
+    observations: int = static_field(default=12)
+    exercise_style: ExerciseStyle = static_field(default=European())
+    call_put: CallPut = static_field(default=Call())
+    underlying: Underlying = static_field(default=Spot())
+    averaging: Averaging = static_field(default=ArithmeticAverage())
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+
+    def __call__(self, average):
+        """Intrinsic value of the realized average, broadcasting."""
+        cp = self.call_put()
+        return jnp.maximum(cp * (jnp.asarray(average) - self.strike), 0.0)
 
 
 def require_european(payoff: "VanillaOption", method_name: str, spot_only: bool = False):

@@ -24,6 +24,7 @@ __all__ = [
     "bs_price",
     "bs_digital_price",
     "bs_barrier_price",
+    "bs_geometric_asian_price",
     "bs_geometry",
 ]
 
@@ -136,11 +137,32 @@ def bs_barrier_price(spot, strike, barrier, vol, T, discount, cp, up: bool, knoc
     return jnp.where((vol > 0) & (T > 0), price, det)
 
 
+def bs_geometric_asian_price(spot, strike, vol, T, discount, cp, n: int):
+    """Discrete geometric-average Asian closed form (equally-spaced fixings
+    t_i = i·T/n): log A_G is Gaussian with mean ln S + (r − σ²/2)·T(n+1)/(2n)
+    and variance σ²·T·(n+1)(2n+1)/(6n²), so the price is the Black formula
+    at forward e^{m+s²/2} with total volatility s."""
+    r = -jnp.log(discount) / jnp.maximum(T, 1e-30)
+    m = jnp.log(spot) + (r - 0.5 * vol**2) * T * (n + 1) / (2.0 * n)
+    s2 = vol**2 * T * (n + 1) * (2 * n + 1) / (6.0 * n * n)
+    f_geo = jnp.exp(m + 0.5 * s2)
+    # reuse the Black kernel: only vol·√T enters, so pass (vol=s, T=1)
+    return bs_price(f_geo, strike, jnp.sqrt(s2), 1.0, discount, cp)
+
+
 @register_solver(BlackScholesAnalytic)
 def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> AnalyticSolution:
     payoff = prob.payoff
     market = prob.market_inputs
-    from ..core.payoffs import BarrierOption, DigitalOption, KnockIn, Up, require_european
+    from ..core.payoffs import (
+        AsianOption,
+        BarrierOption,
+        DigitalOption,
+        GeometricAverage,
+        KnockIn,
+        Up,
+        require_european,
+    )
 
     require_european(payoff, "BlackScholesAnalytic")
 
@@ -151,7 +173,17 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
     D = df(market.rate, payoff.expiry)
     F = market.spot / D
 
-    if isinstance(payoff, BarrierOption):
+    if isinstance(payoff, AsianOption):
+        if not isinstance(payoff.averaging, GeometricAverage):
+            raise TypeError(
+                "the arithmetic average has no lognormal closed form; "
+                "arithmetic Asians price by grid Monte Carlo "
+                "(MonteCarlo with config.steps == observations)"
+            )
+        price = bs_geometric_asian_price(
+            market.spot, K, sigma, T, D, cp, payoff.observations
+        )
+    elif isinstance(payoff, BarrierOption):
         price = bs_barrier_price(
             market.spot, K, payoff.barrier, sigma, T, D, cp,
             up=isinstance(payoff.direction, Up),

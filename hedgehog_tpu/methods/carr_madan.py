@@ -266,13 +266,14 @@ def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolut
 
         engine = "pair" if jax.default_backend() == "tpu" else "complex"
 
-    from ..core.payoffs import BarrierOption, DigitalOption
+    from ..core.payoffs import AsianOption, BarrierOption, DigitalOption
 
-    if isinstance(payoff, BarrierOption):
+    if isinstance(payoff, (BarrierOption, AsianOption)):
         raise TypeError(
-            "CarrMadan prices path-independent payoffs (the CF of log S_T "
-            "carries no running-extremum law); barrier options price "
-            "analytically under Black-Scholes or via bridge-corrected MC"
+            f"CarrMadan prices path-independent payoffs (the CF of log S_T "
+            f"carries no path law); {type(payoff).__name__} prices "
+            f"analytically under Black-Scholes (where a closed form exists) "
+            f"or via grid Monte Carlo"
         )
     if isinstance(payoff, DigitalOption):
         return _solve_carr_madan_digital(prob, method, engine)

@@ -42,13 +42,14 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
     market = prob.market_inputs
     steps = method.steps
 
-    from ..core.payoffs import BarrierOption
+    from ..core.payoffs import AsianOption, BarrierOption
 
-    if isinstance(payoff, BarrierOption):
+    if isinstance(payoff, (BarrierOption, AsianOption)):
         raise TypeError(
-            "CRR's backward induction carries no knock state; barrier "
-            "options price analytically under Black-Scholes or via "
-            "bridge-corrected MC"
+            f"CRR's backward induction carries no path state (knock flag / "
+            f"running average); {type(payoff).__name__} prices analytically "
+            f"under Black-Scholes (where a closed form exists) or via grid "
+            f"Monte Carlo"
         )
 
     if jnp.ndim(payoff.strike) > 0:

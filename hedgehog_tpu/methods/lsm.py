@@ -147,12 +147,13 @@ def _lsm_setup(prob: PricingProblem, method: LSM):
     payoff = prob.payoff
     if not isinstance(payoff.exercise_style, American):
         raise TypeError("LSM prices American options (lsm.jl solve signature :99-102).")
-    from ..core.payoffs import BarrierOption
+    from ..core.payoffs import AsianOption, BarrierOption
 
-    if isinstance(payoff, BarrierOption):
+    if isinstance(payoff, (BarrierOption, AsianOption)):
         raise TypeError(
-            "LSM's stopping state carries no knock indicator; American "
-            "barrier pricing is unsupported"
+            f"LSM's stopping state carries no path state (knock flag / "
+            f"running average); American {type(payoff).__name__} pricing is "
+            f"unsupported"
         )
     market = prob.market_inputs
     T = yearfrac(market.reference_date, payoff.expiry)

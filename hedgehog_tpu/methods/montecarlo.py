@@ -550,6 +550,38 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
     return MonteCarloSolution(prob, method, price, vals)
 
 
+def _solve_asian_mc(prob: PricingProblem, method: MonteCarlo):
+    """Asian-option Monte Carlo: simulate the price grid under any grid
+    strategy, average the n fixings S_{t_1..t_n} = grid[1:], pay the vanilla
+    intrinsic of the average.  ``config.steps`` must equal the payoff's
+    ``observations`` so the grid times ARE the fixing dates.  Geometric
+    averages under GBM have the exact closed form as the agreement oracle
+    (black_scholes.bs_geometric_asian_price)."""
+    from ..core.payoffs import GeometricAverage
+
+    payoff = prob.payoff
+    require_european(payoff, "MonteCarlo", spot_only=True)
+    config = method.config
+    if config.steps != payoff.observations:
+        raise ValueError(
+            f"Asian MC needs config.steps == observations so grid times are "
+            f"the fixing dates; got steps={config.steps}, "
+            f"observations={payoff.observations}"
+        )
+    if jnp.ndim(payoff.strike) > 0:
+        raise TypeError("Asian MC prices one strike per solve; vmap for grids")
+    discount = df(prob.market_inputs.rate, payoff.expiry)
+    grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
+    obs = grid[:, 1:, :]
+    if isinstance(payoff.averaging, GeometricAverage):
+        avg = jnp.exp(jnp.mean(jnp.log(obs), axis=1))
+    else:
+        avg = jnp.mean(obs, axis=1)
+    vals = payoff(avg)
+    price = discount * jnp.mean(vals, axis=(0, -1))
+    return MonteCarloSolution(prob, method, price, vals)
+
+
 def conditional_payoff_close(payoff, f_eff, iv_var):
     """Per-path conditional expectation of ``payoff(S_T)`` given a lognormal
     terminal law with forward ``f_eff`` and log-variance ``iv_var`` — the
@@ -558,13 +590,13 @@ def conditional_payoff_close(payoff, f_eff, iv_var):
     Black-Scholes formula; digitals the smooth cash·Φ(cp·d2) (pathwise AD
     greeks survive — the raw terminal-sample estimator differentiates an
     indicator to zero)."""
-    from ..core.payoffs import BarrierOption, DigitalOption
+    from ..core.payoffs import AsianOption, BarrierOption, DigitalOption
 
-    if isinstance(payoff, BarrierOption):
+    if isinstance(payoff, (BarrierOption, AsianOption)):
         raise TypeError(
-            "the conditional close integrates S_T out analytically and "
-            "cannot see the path barrier; barrier payoffs price through "
-            "solve(...) (the bridge-corrected grid estimator)"
+            f"the conditional close integrates S_T out analytically and "
+            f"cannot see the path; {type(payoff).__name__} prices through "
+            f"solve(...) (the grid estimators)"
         )
     var = jnp.maximum(iv_var, 1e-18)
     sd = jnp.sqrt(var)
@@ -1205,10 +1237,12 @@ def reduce_payoffs(samples: jnp.ndarray, payoff) -> jnp.ndarray:
 @register_solver(MonteCarlo)
 def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSolution:
     payoff = prob.payoff
-    from ..core.payoffs import BarrierOption
+    from ..core.payoffs import AsianOption, BarrierOption
 
     if isinstance(payoff, BarrierOption):
         return _solve_barrier_mc(prob, method)
+    if isinstance(payoff, AsianOption):
+        return _solve_asian_mc(prob, method)
     # European×Spot-only MC solve signature (montecarlo.jl:479)
     require_european(payoff, "MonteCarlo", spot_only=True)
     discount = df(prob.market_inputs.rate, payoff.expiry)
