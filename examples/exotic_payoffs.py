@@ -1,0 +1,85 @@
+"""Exotic payoff families (beyond the reference's vanilla taxonomy).
+
+Demonstrates the three round-3 payoff families through the same
+`solve(problem, method)` facade as vanillas:
+
+1. DigitalOption — analytic / Carr-Madan Gil-Pelaez / conditional MC agree,
+   and the conditional estimator's smooth Φ(d2) close gives a REAL pathwise
+   AD delta where the raw indicator payoff differentiates to zero.
+2. BarrierOption — Reiner-Rubinstein closed form vs the Brownian-bridge
+   corrected MC (exact for GBM: ONE bridge over [0,T]), plus a Heston
+   knock-out on the conditional grid.
+3. AsianOption — geometric closed form vs grid MC, arithmetic by MC.
+
+Run: python examples/exotic_payoffs.py
+"""
+
+import datetime as dt
+
+import jax
+import jax.numpy as jnp
+
+import hedgehog_tpu as hh
+
+REF = dt.date(2024, 1, 1)
+EXPIRY = dt.date(2024, 12, 31)  # T = 1 (ACT/365)
+BS = hh.BlackScholesInputs(REF, 0.05, 100.0, 0.2)
+HESTON = hh.HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7)
+
+# ---- 1. digitals ----------------------------------------------------------
+dig = hh.DigitalOption(105.0, EXPIRY, hh.European(), hh.Call(), hh.Spot(), cash=10.0)
+p_an = float(hh.solve(hh.PricingProblem(dig, BS), hh.BlackScholesAnalytic()).price)
+p_cm = float(hh.solve(hh.PricingProblem(dig, BS),
+                      hh.CarrMadan(1.0, "auto", hh.LognormalDynamics())).price)
+print(f"digital call (cash 10): analytic {p_an:.6f}   Gil-Pelaez {p_cm:.6f}")
+
+cfg = hh.SimulationConfig(trajectories=1 << 15, steps=12,
+                          variance_reduction=hh.Antithetic(), seed=0)
+cond = hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(conditional=True), cfg)
+p_hcm = float(hh.solve(hh.PricingProblem(dig, HESTON),
+                       hh.CarrMadan(1.0, "auto", hh.HestonDynamics())).price)
+p_mix = float(hh.solve(hh.PricingProblem(dig, HESTON), cond).price)
+print(f"Heston digital:         Fourier  {p_hcm:.6f}   conditional MC {p_mix:.6f}")
+
+
+def digital_delta(strat):
+    def price(s):
+        m = hh.HestonInputs(REF, 0.03, s, 0.04, 2.0, 0.04, 0.3, -0.7)
+        return hh.solve(hh.PricingProblem(dig, m),
+                        hh.MonteCarlo(hh.HestonDynamics(), strat, cfg)).price
+    return float(jax.grad(price)(jnp.float64(100.0)))
+
+
+print(f"pathwise AD delta: raw terminal sampler {digital_delta(hh.HestonQE()):.4f} "
+      f"(indicator kills the gradient), conditional "
+      f"{digital_delta(hh.HestonQE(conditional=True)):.4f} (smooth close)\n")
+
+# ---- 2. barriers -----------------------------------------------------------
+ko = hh.BarrierOption(100.0, EXPIRY, 90.0, hh.European(), hh.Call(), hh.Spot(),
+                      hh.Down(), hh.KnockOut())
+p_rr = float(hh.solve(hh.PricingProblem(ko, BS), hh.BlackScholesAnalytic()).price)
+one_bridge = hh.SimulationConfig(trajectories=1 << 16, steps=1,
+                                 variance_reduction=hh.Antithetic(), seed=0)
+p_bmc = float(hh.solve(hh.PricingProblem(ko, BS),
+                       hh.MonteCarlo(hh.LognormalDynamics(), hh.BlackScholesExact(),
+                                     one_bridge)).price)
+print(f"down-and-out call: Reiner-Rubinstein {p_rr:.6f}   "
+      f"one-bridge exact MC {p_bmc:.6f}")
+ko_h = hh.BarrierOption(100.0, EXPIRY, 85.0, hh.European(), hh.Call(), hh.Spot(),
+                        hh.Down(), hh.KnockOut())
+p_hko = float(hh.solve(hh.PricingProblem(ko_h, HESTON), cond).price)
+print(f"Heston down-and-out (conditional grid, bridge-corrected): {p_hko:.6f}\n")
+
+# ---- 3. asians -------------------------------------------------------------
+geo = hh.AsianOption(100.0, EXPIRY, 12, hh.European(), hh.Call(), hh.Spot(),
+                     hh.GeometricAverage())
+arith = hh.AsianOption(100.0, EXPIRY, 12, hh.European(), hh.Call(), hh.Spot(),
+                       hh.ArithmeticAverage())
+pg_an = float(hh.solve(hh.PricingProblem(geo, BS), hh.BlackScholesAnalytic()).price)
+acfg = hh.SimulationConfig(trajectories=1 << 15, steps=12,
+                           variance_reduction=hh.Antithetic(), seed=0)
+gbm = hh.MonteCarlo(hh.LognormalDynamics(), hh.EulerMaruyama(), acfg)
+pg_mc = float(hh.solve(hh.PricingProblem(geo, BS), gbm).price)
+pa_mc = float(hh.solve(hh.PricingProblem(arith, BS), gbm).price)
+print(f"geometric asian: closed form {pg_an:.6f}   grid MC {pg_mc:.6f}")
+print(f"arithmetic asian (MC, ≥ geometric by AM-GM): {pa_mc:.6f}")
