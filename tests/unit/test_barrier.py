@@ -161,7 +161,7 @@ def test_barrier_unsupported_routes_raise():
     prob = hh.PricingProblem(ko, _bs_market())
     with pytest.raises(TypeError, match="path-independent"):
         hh.solve(prob, hh.CarrMadan(1.0, 32.0, hh.LognormalDynamics()))
-    with pytest.raises(TypeError, match="knock state"):
+    with pytest.raises(TypeError, match="knock flag"):
         hh.solve(prob, hh.CoxRossRubinsteinMethod(64))
     cfg = hh.SimulationConfig(trajectories=256, steps=2,
                               variance_reduction=hh.Antithetic(), seed=0)
@@ -172,7 +172,7 @@ def test_barrier_unsupported_routes_raise():
     am = hh.BarrierOption(100.0, EXPIRY, 90.0, hh.American())
     with pytest.raises(TypeError):
         hh.solve(hh.PricingProblem(am, _bs_market()), hh.BlackScholesAnalytic())
-    with pytest.raises(TypeError, match="knock indicator"):
+    with pytest.raises(TypeError, match="knock flag"):
         hh.solve(hh.PricingProblem(am, hmkt),
                  hh.LSM(hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(conditional=True), cfg), 3))
 
