@@ -30,11 +30,12 @@ import jax.numpy as jnp
 import hedgehog_tpu as hh
 
 STEPS = 100  # Euler step count (pure-JAX / CPU path)
-EXACT_SEGMENTS = 2  # exact-transition mixing segments: bias −1.00±0.08bp
+EXACT_SEGMENTS = 2  # exact-transition mixing segments: bias −0.33±0.08bp
 #                 measured on 2.1G-path runs (exact CIR transition +
-#                 Bessel-ratio conditional ∫V moments; fp32 kernel); see
-#                 benchmarks/exact_mixing_kernel_bench.py — 3.0e9 paths/s
-#                 vs 2.1e9 for QE-11 in the same per-call timing style
+#                 Bessel-ratio conditional ∫V moments + corrected
+#                 saddlepoint gamma quantile; fp32 kernel); see
+#                 benchmarks/exact_mixing_kernel_bench.py — 2.12e9 paths/s
+#                 vs 2.15e9 for QE-11 (at +3.5bp) in the same timing style
 MIX_STEPS = 11  # conditional-MC (Romano-Touzi mixing) QE step count: bias
 #                 +3.5±0.03bp measured on 6.4G-path calibration runs
 #                 (mixing-10 = +4.2bp, mixing-12 = +3.0bp, mixing-14 =
@@ -407,9 +408,9 @@ def main() -> None:
 
     # ---- surface serving metric (stderr): kernel-side (expiry × strike)
     # surface — one dispatch prices every point from one V-path simulation.
-    # The exact-transition surface kernel at a 4-segment budget measures
-    # 1.6× faster AND ~13× lower max bias (1.5bp vs 19.9bp) than the QE
-    # 32-step surface on the 3×5 grid.
+    # The exact-transition surface kernel at a 4-segment budget (first
+    # gap floored at 2 segments) measures faster AND ~28× lower max bias
+    # (0.65bp vs 19.9bp) than the QE 32-step surface on the 3×5 grid.
     if on_tpu and budget_left():
         try:
             from hedgehog_tpu.ops.heston_qe_kernel import heston_surface_mc_tpu

@@ -194,13 +194,68 @@ def gamma_wh(alpha, z):
     return g
 
 
+# --- saddlepoint gamma quantile (Temme inversion + fitted corrections) ------
+# P(a, x) ~ Phi(eta*sqrt(a)) with eta^2/2 = lam - 1 - ln lam, lam = x/a
+# (Temme 1992 asymptotic inversion).  Given the normal draw z: eta0 = z/sqrt(a),
+# eta = eta0 + eps1(eta0)/a + P2(eta0/SC)/a^2 + P3(eta0/SC)/a^3, x = a*lam(eta).
+# eps1 = ln(eta/(lam-1))/eta is Temme's exact first correction (WH is this
+# inversion truncated after eps1 near the center); P2/P3 are least-squares
+# fits of the remaining defect against scipy gammaincinv over a in [0.8, 100],
+# z in [-6.6, 6.6] (offline; see the fitting study in the repo history).
+# Max |P(a, draw(z)) - Phi(z)| <= 6.4e-5 in range vs 1.9e-2 for WH at a=0.8.
+GQ_SC = 7.5
+GQ_P2 = (-1.76222600e-02, -2.93765073e-02, 2.14155241e-01, -2.72541844e-01,
+         -8.34309734e-01, 1.90338824e+00, 1.60407347e+00, -5.14361722e+00,
+         -1.51201354e+00, 7.20404411e+00, 3.65575150e-01, -5.21675853e+00,
+         4.56357262e-01, 1.55081017e+00, -2.78395827e-01)
+GQ_P3 = (5.39443911e-03, -1.14541171e-02, -3.45087047e-02, 1.30529962e-01,
+         4.88113067e-02, -4.25758711e-01, 6.65709220e-02, 5.57799053e-01,
+         -1.97560263e-01, -2.55404255e-01, 1.14194771e-01)
+
+
+def lam_of_eta(eta, newton=3):
+    """Solve lam - 1 - ln(lam) = eta^2/2 (sign(eta) = sign(lam-1)),
+    branchless: series for |eta| < 0.5, Newton from a cube/exp start else."""
+    lam_s = 1.0 + eta * (1.0 + eta * (1.0 / 3.0 + eta * (1.0 / 36.0
+            + eta * (-1.0 / 270.0 + eta * (1.0 / 4320.0)))))
+    lam = np.where(eta > -2.4,
+                   np.maximum((1.0 + eta / 3.0) ** 3, 1e-12),
+                   np.exp(-1.0 - 0.5 * eta * eta))
+    tgt = 0.5 * eta * eta
+    for _ in range(newton):
+        f = lam - 1.0 - np.log(np.maximum(lam, 1e-300)) - tgt
+        den = np.where(np.abs(lam - 1.0) < 1e-12, 1e-12, lam - 1.0)
+        lam = np.maximum(lam - f * lam / den, 1e-300)
+    return np.where(np.abs(eta) < 0.5, lam_s, lam)
+
+
+def gamma_sp(alpha, z):
+    """Gamma(alpha, 1) quantile at Phi(z) by the corrected saddlepoint
+    inversion — the branchless fixed-trip form a TPU kernel can run."""
+    eta0 = z / np.sqrt(alpha)
+    lam0 = lam_of_eta(eta0)
+    w = lam0 - 1.0
+    e1 = np.where(np.abs(eta0) >= 0.1,
+                  np.log(np.maximum(eta0 / np.where(np.abs(w) < 1e-300, 1.0, w),
+                                    1e-300))
+                  / np.where(np.abs(eta0) < 1e-300, 1.0, eta0),
+                  -1.0 / 3.0 + eta0 / 36.0 + eta0 * eta0 / 1620.0)
+    t = np.clip(eta0 / GQ_SC, -1.0, 1.0)
+    q2 = np.polyval(GQ_P2[::-1], t)
+    q3 = np.polyval(GQ_P3[::-1], t)
+    inv_a = 1.0 / alpha
+    eta = eta0 + inv_a * (e1 + inv_a * (q2 + inv_a * q3))
+    return alpha * lam_of_eta(eta)
+
+
 def pg_transition(x, kappa, theta, sigma, dt, uy, uz, ub, gamma_mode, ub2=None):
     """Exact CIR transition as Poisson(lam/2)-mixed Gamma(d/2+N, 2*cfac).
 
     gamma_mode: 'exact' = gammaincinv; 'wh' = Wilson-Hilferty with the
     shape-boost Gamma(a) = Gamma(a+1) * U^(1/a) (branchless, kernel form);
     'wh2' = double boost Gamma(a) = Gamma(a+2) * U1^(1/(a+1)) * U2^(1/a)
-    (WH at a+2 where its distributional error is smaller)."""
+    (WH at a+2 where its distributional error is smaller); 'sp' = the
+    corrected saddlepoint quantile :func:`gamma_sp`, same boost as 'wh'."""
     d = 4.0 * kappa * theta / sigma**2
     em = -np.expm1(-kappa * dt)
     cfac = sigma**2 * em / (4.0 * kappa)
@@ -214,6 +269,9 @@ def pg_transition(x, kappa, theta, sigma, dt, uy, uz, ub, gamma_mode, ub2=None):
         g = (gamma_wh(alpha + 2.0, zn)
              * np.maximum(ub, 1e-300) ** (1.0 / (alpha + 1.0))
              * np.maximum(ub2, 1e-300) ** (1.0 / alpha))
+    elif gamma_mode == "sp":
+        zn = stats.norm.ppf(uz)
+        g = gamma_sp(alpha + 1.0, zn) * np.maximum(ub, 1e-300) ** (1.0 / alpha)
     else:
         zn = stats.norm.ppf(uz)
         g = gamma_wh(alpha + 1.0, zn) * np.maximum(ub, 1e-300) ** (1.0 / alpha)
@@ -264,7 +322,7 @@ def segmented_price(market, family, nseg, transition, n, seed):
         # boost: u2 would serve BOTH the IG bridge and the second WH boost,
         # silently correlating the transition with the bridge draw
         raise ValueError("family='ig' cannot combine with transition='pgwh2'")
-    use_cf = transition in ("pgwh", "pgwh2")
+    use_cf = transition in ("pgwh", "pgwh2", "pgsp")
     for i in range(nseg):
         uy, u1, u2 = (u[:, dim_per * i], u[:, dim_per * i + 1],
                       u[:, dim_per * i + 2])
@@ -273,7 +331,8 @@ def segmented_price(market, family, nseg, transition, n, seed):
             y = cfac * stats.ncx2.ppf(uy, d, lam)
         elif transition.startswith("pg"):
             uz, ub = u[:, dim_per * i + 3], u[:, dim_per * i + 4]
-            mode = {"pgexact": "exact", "pgwh": "wh", "pgwh2": "wh2"}[transition]
+            mode = {"pgexact": "exact", "pgwh": "wh", "pgwh2": "wh2",
+                    "pgsp": "sp"}[transition]
             y = pg_transition(x, kappa, theta, sigma, dt, uy, uz, ub, mode,
                               ub2=u2)
         else:
@@ -293,6 +352,9 @@ def segmented_price(market, family, nseg, transition, n, seed):
         elif family == "gamma3":
             c1, c2, c3 = iv_cond_cumulants_fd(x, y, kappa, theta, sigma, dt)
             iv_seg = sample_shifted_gamma(c1, np.maximum(c2, 1e-18), c3, u1)
+        elif family == "gammasp":
+            iv_seg = np.maximum(
+                (s2 / m1) * gamma_sp(m1**2 / s2, stats.norm.ppf(u1)), 1e-12)
         elif family in ("gammawh", "gamma3wh"):
             # Wilson-Hilferty: Gamma(k) ~= k*(1 - 1/(9k) + Z/(3 sqrt k))^3,
             # branchless from ONE normal — what a TPU kernel would sample.
@@ -357,6 +419,8 @@ def main():
         ("gamma", 2, "pgwh2"),      # + double-boost transition WH
         ("gammawh", 2, "pgwh"),     # current kernel scheme
         ("gammawh", 2, "pgwh2"),    # kernel scheme w/ double-boost transition
+        ("gamma", 2, "pgsp"),       # exact IV family + saddlepoint transition
+        ("gammasp", 2, "pgsp"),     # proposed kernel scheme (saddlepoint both)
     ]
     print(f"\n== segmented bias vs Carr-Madan ({n} Sobol pts x {n_rand}) ==")
     for name, m in MARKETS.items():

@@ -138,10 +138,11 @@ class HestonBroadieKaya(ExactSimulation):
 class HestonExactMixing(ExactSimulation):
     """Exact-transition segmented mixing estimator (models/heston_exact.py):
     exact noncentral-χ² CIR transitions + gamma-matched exact conditional
-    ∫V moments + conditional Black-Scholes close.  |bias| ≤ 0.4bp at
-    ``config.steps = 2`` segments (the recommended setting) at roughly the
-    per-path cost of an 11-step QE mixing run (which carries ~3.4bp) —
-    the European *price* flagship.
+    ∫V moments (both drawn through the corrected saddlepoint gamma
+    quantile, ADR-008 addendum 3) + conditional Black-Scholes close.
+    |bias| ≤ 0.31bp at ``config.steps = 2`` segments (the recommended
+    setting) at roughly the per-path cost of an 11-step QE mixing run
+    (which carries ~3.4bp) — the European *price* flagship.
 
     Like HestonQE(conditional=True) it never materializes terminal samples;
     it prices through ``solve`` / ``mc_path_values`` only.  The per-path
@@ -736,7 +737,9 @@ def heston_surface_mc(
     ``strategy=HestonExactMixing()`` swaps the QE variance path for the
     exact-transition segmented scheme (sub-bp bias at ~2 segments/year —
     ``config.steps`` then counts exact segments, so a far smaller budget
-    prices the surface more accurately).  ``None`` (default) or
+    prices the surface more accurately; the first gap is floored at 2
+    segments because the 2-moment ∫V family needs every expiry ≥2
+    cumulative segments deep, ADR-008 addendum 3).  ``None`` (default) or
     ``HestonQE(conditional=True)`` = the QE mixing path.
     """
     n_exp = len(expiries)
@@ -754,13 +757,21 @@ def heston_surface_mc(
     return jnp.stack(rows)
 
 
-def surface_seg_steps(T_host, steps: int):
+def surface_seg_steps(T_host, steps: int, min_first: int = 1):
     """Static per-segment step allocation shared by the pure-JAX surface and
     the TPU surface kernel (biases match because this is the ONE place the
-    rounding rule lives): proportional to segment length, min 1/segment."""
+    rounding rule lives): proportional to segment length, min 1/segment.
+
+    ``min_first`` floors the FIRST gap's count: the exact-mixing scheme's
+    2-moment ∫V gamma family needs ≥2 cumulative segments at every expiry
+    (one segment leaves bp-level family bias — measured −4bp on a
+    short-dated OTM point, ADR-008; every later expiry is automatically
+    deeper), so the exact-surface callers pass ``min_first=2``."""
     T_total = T_host[-1]
     seg_len = [T_host[0]] + [T_host[i + 1] - T_host[i] for i in range(len(T_host) - 1)]
-    return seg_len, [max(1, round(steps * s / T_total)) for s in seg_len]
+    counts = [max(1, round(steps * s / T_total)) for s in seg_len]
+    counts[0] = max(counts[0], min_first)
+    return seg_len, counts
 
 
 def validate_surface_expiries(market, expiries):
@@ -911,7 +922,7 @@ def _exact_surface_rows(
 
     n_exp = len(T_host)
     r0 = zero_rate_yf(market.rate, 0.0)
-    seg_len, seg_steps = surface_seg_steps(T_host, config.steps)
+    seg_len, seg_steps = surface_seg_steps(T_host, config.steps, min_first=2)
     total_segs = sum(seg_steps)
     paths = config.trajectories
 

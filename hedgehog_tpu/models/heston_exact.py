@@ -10,8 +10,9 @@ a branchless, fixed-trip form a TPU kernel can execute:
 
 1. V_T | V_0 — the EXACT CIR transition, sampled as a Poisson(λ/2)-mixed
    Gamma(d/2+N, 2c) (the noncentral-χ² mixture representation): Poisson by
-   fixed-trip CDF inversion from one uniform, Gamma by the Wilson-Hilferty
-   cube from one normal with the small-shape boost Γ(α) ~ Γ(α+1)·U^{1/α}.
+   fixed-trip CDF inversion from one uniform, Gamma by the corrected
+   saddlepoint quantile :func:`gamma_qtl` from one normal with the
+   small-shape boost Γ(α) ~ Γ(α+1)·U^{1/α}.
 2. IV = ∫V | (V_0, V_T) — a Gamma draw matched to the EXACT conditional
    mean/variance, in closed form from derivatives of the Broadie-Kaya
    Laplace transform (heston.jl:150-212).  The only Bessel term needed is
@@ -21,11 +22,13 @@ a branchless, fixed-trip form a TPU kernel can execute:
    J = (V_T − V_0 − κθT + κ·IV)/σ, and the payoff closes with the
    conditional Black-Scholes formula (methods/montecarlo.py mixing close).
 
-Measured bias (benchmarks/one_step_exact_mixing.py, 2^16 scrambled-Sobol'
-points, four stress markets incl. a Feller-violating one): |bias| ≤ 0.4bp at
-TWO segments — versus 3.4bp for the 11-step QE path at similar per-path cost.
-The 2-moment gamma family needs ≥2 segments (one segment leaves 0.3-17bp,
-market-dependent); more than 2 buys nothing measurable.
+Measured bias (benchmarks/one_step_exact_mixing.py, 2^18 scrambled-Sobol'
+points × 6, four stress markets incl. a Feller-violating one): |bias| ≤
+0.31bp at TWO segments with the corrected saddlepoint gamma quantile
+(gammasp/pgsp rows; the Wilson-Hilferty rows read up to −1.05bp) — versus
+3.4bp for the 11-step QE path at similar per-path cost.  The 2-moment gamma
+family needs ≥2 segments (one segment leaves 0.3-17bp, market-dependent);
+more than 2 buys nothing measurable.
 
 Gradients: the Poisson count N is a discrete function of (V, κ, σ, Δ), so
 RAW pathwise AD through this scheme drops the dependence of the count
@@ -55,6 +58,7 @@ __all__ = [
     "poisson_inv",
     "poisson_kmax",
     "gamma_wh",
+    "gamma_qtl",
     "cir_exact_step",
     "cir_exact_step_score",
     "iv_cond_moments",
@@ -229,6 +233,85 @@ def gamma_wh(alpha, z):
     return alpha * jnp.maximum(t, 0.0) ** 3
 
 
+# -- corrected saddlepoint gamma quantile ------------------------------------
+# Temme's asymptotic inversion of P(α, x) = Φ(z): with λ = x/α and
+# η signed by λ−1 via η²/2 = λ − 1 − ln λ, P(α, x) ≈ Φ(η√α), so the draw
+# inverts η(z) = z/√α + ε₁(η₀)/α + ε₂/α² + ε₃/α³ and maps back through
+# λ(η).  ε₁ = ln(η/(λ−1))/η is Temme's exact first correction (the
+# Wilson-Hilferty cube IS this inversion truncated after ε₁ near the
+# center — they share the α − 1/3 + 1/(27α) median); the ε₂/ε₃ polynomials
+# below are least-squares fits of the remaining defect against scipy's
+# gammaincinv over α ∈ [0.8, 100], z ∈ [−6.6, 6.6] (offline study:
+# benchmarks/one_step_exact_mixing.py gamma_sp).  Max |P(α, draw) − Φ(z)|
+# ≤ 6.4e-5 in range (WH: 1.9e-2 at α=0.8) with graceful extrapolation both
+# sides; measured pricing effect: the exact-mixing estimator's transition
+# bias collapses to the exact-gammaincinv floor on all four ADR-008 stress
+# markets (bench −1.05 → −0.31bp).
+GQ_SC = 7.5
+GQ_NEWTON = 3  # final λ(η) solve
+GQ_NEWTON_E1 = 2  # λ(η₀) solve feeding ε₁ (error enters divided by α; 2 is
+#                   measured identical to 3 at the 6.4e-5 contract)
+GQ_P2 = (-1.76222600e-02, -2.93765073e-02, 2.14155241e-01, -2.72541844e-01,
+         -8.34309734e-01, 1.90338824e+00, 1.60407347e+00, -5.14361722e+00,
+         -1.51201354e+00, 7.20404411e+00, 3.65575150e-01, -5.21675853e+00,
+         4.56357262e-01, 1.55081017e+00, -2.78395827e-01)
+GQ_P3 = (5.39443911e-03, -1.14541171e-02, -3.45087047e-02, 1.30529962e-01,
+         4.88113067e-02, -4.25758711e-01, 6.65709220e-02, 5.57799053e-01,
+         -1.97560263e-01, -2.55404255e-01, 1.14194771e-01)
+
+
+def _gq_horner(coeffs, t):
+    acc = jnp.asarray(coeffs[-1], dtype=t.dtype) * jnp.ones_like(t)
+    for c in coeffs[-2::-1]:
+        acc = acc * t + c
+    return acc
+
+
+def lam_of_eta(eta, trips: int = GQ_NEWTON):
+    """Solve λ − 1 − ln λ = η²/2 with sign(η) = sign(λ−1), branchless:
+    series for |η| < 0.5, fixed-trip Newton from a cube/exp-tail start else
+    (the cube start (1+η/3)³ is the WH polynomial — a few % off, which
+    quadratic Newton closes to fp accuracy in 3 trips)."""
+    lam_s = 1.0 + eta * (1.0 + eta * (1.0 / 3.0 + eta * (1.0 / 36.0
+            + eta * (-1.0 / 270.0 + eta * (1.0 / 4320.0)))))
+    cube = jnp.maximum((1.0 + eta / 3.0) ** 3, 1e-12)
+    # on the λ<1 branch take the closer of the cube and the deep-tail
+    # asymptote λ ≈ e^{−1−η²/2} (both undershoot; max(resid) 4e-10 at 3
+    # trips vs 7e-4 for a hard switch)
+    lam = jnp.where(eta >= 0.0, cube,
+                    jnp.maximum(cube, jnp.exp(-1.0 - 0.5 * eta * eta)))
+    tgt = 0.5 * eta * eta
+    for _ in range(trips):
+        f = lam - 1.0 - jnp.log(jnp.maximum(lam, 1e-30)) - tgt
+        den = jnp.where(jnp.abs(lam - 1.0) < 1e-12, 1e-12, lam - 1.0)
+        lam = jnp.maximum(lam - f * lam / den, 1e-30)
+    return jnp.where(jnp.abs(eta) < 0.5, lam_s, lam)
+
+
+def gamma_qtl(alpha, z):
+    """Gamma(α, 1) quantile at Φ(z) by the corrected saddlepoint inversion —
+    branchless, fixed-trip, smooth in α (pathwise AD flows); the drop-in
+    higher-accuracy replacement for :func:`gamma_wh` (same (α, z) contract).
+    """
+    inv_a = 1.0 / alpha
+    eta0 = z * jnp.sqrt(inv_a)
+    lam0 = lam_of_eta(eta0, GQ_NEWTON_E1)
+    w = lam0 - 1.0
+    safe = jnp.abs(eta0) >= 0.1
+    w_s = jnp.where(safe, w, 1.0)
+    eta_s = jnp.where(safe, eta0, 1.0)
+    e1 = jnp.where(
+        safe,
+        jnp.log(jnp.maximum(eta_s / w_s, 1e-30)) / eta_s,
+        -1.0 / 3.0 + eta0 / 36.0 + eta0 * eta0 / 1620.0,
+    )
+    t = jnp.clip(eta0 * (1.0 / GQ_SC), -1.0, 1.0)
+    q2 = _gq_horner(GQ_P2, t)
+    q3 = _gq_horner(GQ_P3, t)
+    eta = eta0 + inv_a * (e1 + inv_a * (q2 + inv_a * q3))
+    return alpha * lam_of_eta(eta)
+
+
 def cir_exact_step_score(x, u_pois, z_gam, u_boost, c, kmax: int = POISSON_KMAX):
     """One exact CIR transition V_t = x → V_{t+Δ} plus the Poisson score.
 
@@ -243,7 +326,7 @@ def cir_exact_step_score(x, u_pois, z_gam, u_boost, c, kmax: int = POISSON_KMAX)
     log_lik = n * jnp.log(jnp.maximum(lam, 1e-30)) - lam
     alpha = c["d_half"] + n
     u_safe = jnp.maximum(u_boost, 1e-300)
-    g = gamma_wh(alpha + 1.0, z_gam) * u_safe ** (1.0 / alpha)
+    g = gamma_qtl(alpha + 1.0, z_gam) * u_safe ** (1.0 / alpha)
     return 2.0 * c["cfac"] * g, log_lik
 
 
@@ -284,7 +367,8 @@ def iv_cond_moments(x, y, c):
 
 def iv_gamma_draw(m1, s2, z):
     """Moment-matched Gamma draw of ∫V | endpoints from one normal
-    (Wilson-Hilferty; the matched shapes m1²/s2 are ≳ 1 in practice)."""
+    (corrected saddlepoint quantile; the matched shapes m1²/s2 are ≳ 1 in
+    practice, inside gamma_qtl's fitted range)."""
     shape = m1 * m1 / s2
     scale = s2 / m1
-    return jnp.maximum(scale * gamma_wh(shape, z), 1e-12)
+    return jnp.maximum(scale * gamma_qtl(shape, z), 1e-12)

@@ -2,19 +2,18 @@
 
 Kernel form of models/heston_exact.py: per segment each path draws the EXACT
 noncentral-χ² CIR transition (fixed-trip Poisson CDF inversion + the
-Wilson-Hilferty gamma cube with the small-shape boost Γ(α)=Γ(α+1)·U^{1/α}),
-computes the exact conditional ∫V moments from the Broadie-Kaya Laplace
-transform (Perron continued fraction for the Bessel ratio, 4-term asymptotic
-tail), draws the gamma-matched ∫V, and finally closes with the conditional
-Black-Scholes formula shared with the QE mixing kernel.  Measured bias at
-TWO segments: −1.00±0.08bp on the bench market (2.1G-path TPU runs,
-benchmarks/exact_mixing_kernel_bench.py; the numpy f64 study reproduces
-−1.04bp and attributes it to the Wilson-Hilferty transition cube — the
-exact-gammaincinv transition reads −0.32bp) versus +3.5bp for the 11-step
-QE mixing kernel — at FEWER random draws per path (4/segment vs 2/step),
-which is what moves the paths/sec-at-equal-error frontier: the bench.py
-pipelined headline reads 4.41e9 paths/s at 0.95bp (adaptive Poisson trip
-count + 16-trip Bessel CF; stress grid all sub-bp on TPU).
+corrected saddlepoint gamma quantile _gamma_qtl with the small-shape boost
+Γ(α)=Γ(α+1)·U^{1/α}), computes the exact conditional ∫V moments from the
+Broadie-Kaya Laplace transform (Perron continued fraction for the Bessel
+ratio, 4-term asymptotic tail), draws the gamma-matched ∫V, and finally
+closes with the conditional Black-Scholes formula shared with the QE mixing
+kernel.  Measured bias at TWO segments: −0.33±0.08bp on the bench market
+(2.1G-path TPU runs, benchmarks/exact_mixing_kernel_bench.py; QMC −0.23bp)
+at 2.12e9 paths/s — the exact-gammaincinv floor of the 2-moment ∫V gamma
+family, ~3× below the Wilson-Hilferty cube's −1.00bp (ADR-008 addendum 3)
+— versus +3.5bp for the 11-step QE mixing kernel at similar speed, and at
+FEWER random draws per path (4/segment vs 2/step), which is what moves the
+paths/sec-at-equal-error frontier.
 
 Same megabatch structure as ops/heston_qe_kernel.py: (256 × 128) path tiles
 per program, on-chip PRNG or in-kernel Sobol' (4 dims/segment, step-major,
@@ -138,11 +137,54 @@ def _bessel_ratio_tile(z, c):
     return jnp.where(z < _CF_SWITCH, r, num * _rcp(den))
 
 
-def _gamma_wh(alpha, z):
-    """Gamma(α, 1) Wilson-Hilferty cube (α ≳ 1 after the caller's boost)."""
-    t = 1.0 - _rcp(9.0 * alpha) + z * _rcp(3.0 * jnp.sqrt(alpha))
-    t = jnp.maximum(t, 0.0)
-    return alpha * t * t * t
+def _lam_of_eta(eta, trips: int):
+    """λ from λ − 1 − ln λ = η²/2, sign(η) = sign(λ−1): the tile form of
+    models/heston_exact.lam_of_eta (series < 0.5, fixed-trip Newton else)."""
+    lam_s = 1.0 + eta * (1.0 + eta * (1.0 / 3.0 + eta * (1.0 / 36.0
+            + eta * (-1.0 / 270.0 + eta * (1.0 / 4320.0)))))
+    cube = 1.0 + eta * (1.0 / 3.0)
+    cube = jnp.maximum(cube * cube * cube, 1e-12)
+    lam = jnp.where(eta >= 0.0, cube,
+                    jnp.maximum(cube, jnp.exp(-1.0 - 0.5 * eta * eta)))
+    tgt = 0.5 * eta * eta
+    tiny = jnp.full_like(eta, 1e-12)
+    for _ in range(trips):
+        f = lam - 1.0 - jnp.log(jnp.maximum(lam, 1e-30)) - tgt
+        den = jnp.where(jnp.abs(lam - 1.0) < 1e-12, tiny, lam - 1.0)
+        lam = jnp.maximum(lam - f * lam * _rcp(den), 1e-30)
+    return jnp.where(jnp.abs(eta) < 0.5, lam_s, lam)
+
+
+def _gamma_qtl(alpha, z):
+    """Gamma(α, 1) quantile at Φ(z): tile form of the corrected saddlepoint
+    inversion models/heston_exact.gamma_qtl (shared fitted ε₂/ε₃
+    coefficients, baked in as compile-time constants) — collapses the
+    transition's Wilson-Hilferty distributional bias (bench −1.05 → −0.31bp
+    in the f64 study) for ~8 extra log/div-grade ops per draw."""
+    from ..models.heston_exact import GQ_NEWTON, GQ_NEWTON_E1, GQ_P2, GQ_P3, GQ_SC
+
+    inv_a = _rcp(alpha)
+    eta0 = z * jnp.sqrt(inv_a)
+    lam0 = _lam_of_eta(eta0, GQ_NEWTON_E1)
+    w = lam0 - 1.0
+    safe = jnp.abs(eta0) >= 0.1
+    one = jnp.ones_like(eta0)
+    w_s = jnp.where(safe, w, one)
+    eta_s = jnp.where(safe, eta0, one)
+    e1 = jnp.where(
+        safe,
+        jnp.log(jnp.maximum(eta_s * _rcp(w_s), 1e-30)) * _rcp(eta_s),
+        -1.0 / 3.0 + eta0 * (1.0 / 36.0) + eta0 * eta0 * (1.0 / 1620.0),
+    )
+    t = jnp.minimum(jnp.maximum(eta0 * (1.0 / GQ_SC), -1.0), 1.0)
+    q2 = jnp.full_like(t, GQ_P2[-1])
+    for cf in GQ_P2[-2::-1]:
+        q2 = q2 * t + cf
+    q3 = jnp.full_like(t, GQ_P3[-1])
+    for cf in GQ_P3[-2::-1]:
+        q3 = q3 * t + cf
+    eta = eta0 + inv_a * (e1 + inv_a * (q2 + inv_a * q3))
+    return alpha * _lam_of_eta(eta, GQ_NEWTON)
 
 
 def _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv, c, kmax: int):
@@ -157,10 +199,10 @@ def _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv, c, kmax: int):
         p = p * mu * (1.0 / k)
         cdf = cdf + p
 
-    # Gamma(d/2 + N, 2c) via boosted Wilson-Hilferty
+    # Gamma(d/2 + N, 2c) via the boosted corrected-saddlepoint quantile
     alpha = c["d_half"] + n
     u_safe = jnp.maximum(u_boost, 1e-30)
-    g = _gamma_wh(alpha + 1.0, z_gam) * jnp.exp(jnp.log(u_safe) * _rcp(alpha))
+    g = _gamma_qtl(alpha + 1.0, z_gam) * jnp.exp(jnp.log(u_safe) * _rcp(alpha))
     y = c["two_cfac"] * g
 
     # exact conditional ∫V moments given (v, y)
@@ -177,7 +219,7 @@ def _exact_segment(v, iv, u_pois, z_gam, u_boost, z_iv, c, kmax: int):
     inv_s2 = _rcp(s2)
     shape = m1 * m1 * inv_s2
     scale = s2 * _rcp(m1)
-    iv_seg = jnp.maximum(scale * _gamma_wh(shape, z_iv), 1e-10)
+    iv_seg = jnp.maximum(scale * _gamma_qtl(shape, z_iv), 1e-10)
     return y, iv + iv_seg
 
 

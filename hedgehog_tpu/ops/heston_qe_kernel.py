@@ -1181,7 +1181,10 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None,
         return heston_surface_mc(
             market, expiries, strikes, config, cp=cp, strategy=strategy
         )
-    seg_len, seg_steps = surface_seg_steps(T_host, config.steps)
+    seg_len, seg_steps = surface_seg_steps(
+        T_host, config.steps,
+        min_first=2 if isinstance(strategy, HestonExactMixing) else 1,
+    )
     seg_steps = tuple(seg_steps)
     r0 = zero_rate_yf(market.rate, 0.0)
     block = _ROWS * _LANES
