@@ -17,9 +17,16 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 from .core.dates import (  # noqa: E402
+    ACT365F,
     MILLISECONDS_IN_DAY,
     MILLISECONDS_IN_YEAR_365,
     SECONDS_IN_YEAR_365,
+    Act360,
+    Act365Fixed,
+    Act36525,
+    ActActISDA,
+    DayCount,
+    Thirty360E,
     add_yearfrac,
     ticks_to_datetime,
     to_ticks,
@@ -167,6 +174,14 @@ __all__ = [
     "yearfrac",
     "add_yearfrac",
     "ticks_to_datetime",
+    # day-count conventions (beyond-reference; the reference is ACT/365-only)
+    "DayCount",
+    "Act365Fixed",
+    "Act360",
+    "Act36525",
+    "Thirty360E",
+    "ActActISDA",
+    "ACT365F",
     # payoffs
     "VanillaOption",
     "DigitalOption",

@@ -62,7 +62,7 @@ def _conditional_basket_fast_path(problem, method):
     """
     import jax
 
-    from ..core.dates import yearfrac
+    from ..market.inputs import market_yearfrac
     from ..core.payoffs import European, Spot, VanillaOption
     from ..market.inputs import HestonInputs
     from ..methods.montecarlo import HestonQE, MonteCarlo, _mixing_surface_rows
@@ -95,7 +95,7 @@ def _conditional_basket_fast_path(problem, method):
     if not payoffs:
         return None  # generic loop returns the empty BasketPricingSolution
     try:
-        T_all = [float(yearfrac(market.reference_date, p.expiry)) for p in payoffs]
+        T_all = [float(market_yearfrac(market, p.expiry)) for p in payoffs]
     except jax.errors.ConcretizationTypeError:
         return None
     if min(T_all) <= 0.0:

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from ..core.dates import yearfrac
 from ..market.rate_curve import zero_rate
+from ..market.inputs import market_yearfrac
 from ..math.besseli import log_besseli_complex
 from .sample_from_cf import cdf_series_weights, invert_cdf_series
 
@@ -199,7 +200,7 @@ def broadie_kaya_terminal_prices(prob, config, strat, key=None):
     from ..methods.montecarlo import Antithetic  # avoid circular import
 
     market = prob.market_inputs
-    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    T = market_yearfrac(market, prob.payoff.expiry)
     r = zero_rate(market.rate, prob.payoff.expiry)
     params = (
         market.spot,

@@ -12,22 +12,27 @@ from __future__ import annotations
 
 from typing import Any
 
-from ..core.dates import to_ticks
-from ..utils.pytree import pytree
+from ..core.dates import ACT365F, to_ticks, yearfrac
+from ..utils.pytree import pytree, static_field
 from .rate_curve import FlatRateCurve, RateCurve
 from .vol_surface import FlatVolSurface, RectVolSurface
 
-__all__ = ["AbstractMarketInputs", "BlackScholesInputs", "HestonInputs"]
+__all__ = [
+    "AbstractMarketInputs",
+    "BlackScholesInputs",
+    "HestonInputs",
+    "market_yearfrac",
+]
 
 
 class AbstractMarketInputs:
     """Base marker for market-input containers (market_inputs.jl:6)."""
 
 
-def _wrap_rate(rate, reference_date):
+def _wrap_rate(rate, reference_date, daycount):
     if isinstance(rate, (FlatRateCurve, RateCurve)):
         return rate
-    return FlatRateCurve(reference_date, rate)
+    return FlatRateCurve(reference_date, rate, daycount)
 
 
 def _wrap_vol(sigma, reference_date):
@@ -36,28 +41,47 @@ def _wrap_vol(sigma, reference_date):
     return FlatVolSurface(sigma, reference_date)
 
 
+def market_yearfrac(market, t):
+    """Year fraction from a market's reference date to ``t`` under the
+    market's day-count convention (beyond-reference: the reference is
+    ACT/365-fixed only) — the ONE conversion every pricing method uses for
+    option maturities, so a market's convention applies consistently."""
+    return yearfrac(
+        market.reference_date, t, getattr(market, "daycount", None)
+    )
+
+
 @pytree
 class BlackScholesInputs(AbstractMarketInputs):
     """Black-Scholes market data: reference date (ticks), rate curve, spot,
     vol surface. Scalars for ``rate``/``sigma`` are auto-wrapped
-    (market_inputs.jl:28-36)."""
+    (market_inputs.jl:28-36).
+
+    ``daycount`` (beyond-reference, default ACT/365 Fixed) sets the
+    date→year-fraction convention for option maturities and is propagated
+    into an auto-wrapped flat rate curve; explicit curve/surface objects
+    keep their own conventions.  Linear conventions (Act365Fixed/Act360/
+    Act36525) are jit/grad-compatible; calendar ones (Thirty360E/ActActISDA)
+    evaluate at the concrete-date boundary."""
 
     reference_date: Any
     rate: Any
     spot: Any
     sigma: Any
+    daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):
         ref = to_ticks(self.reference_date)
         object.__setattr__(self, "reference_date", ref)
-        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref))
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
         object.__setattr__(self, "sigma", _wrap_vol(self.sigma, ref))
 
 
 @pytree
 class HestonInputs(AbstractMarketInputs):
     """Heston market data: dS/S = r dt + √V dW₁; dV = κ(θ−V) dt + σ√V dW₂,
-    corr(dW₁,dW₂)=ρ (market_inputs.jl:55-88)."""
+    corr(dW₁,dW₂)=ρ (market_inputs.jl:55-88).  ``daycount`` as on
+    :class:`BlackScholesInputs`."""
 
     reference_date: Any
     rate: Any
@@ -67,8 +91,9 @@ class HestonInputs(AbstractMarketInputs):
     theta: Any
     sigma: Any
     rho: Any
+    daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):
         ref = to_ticks(self.reference_date)
         object.__setattr__(self, "reference_date", ref)
-        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref))
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))

@@ -16,7 +16,7 @@ from typing import Any, Union
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.dates import to_ticks, yearfrac
+from ..core.dates import ACT365F, to_ticks, yearfrac
 from ..math.interpolation import interp1d
 from ..utils.pytree import pytree, static_field
 
@@ -36,10 +36,13 @@ __all__ = [
 
 @pytree
 class FlatRateCurve:
-    """Constant continuously-compounded zero rate (rate_curve.jl:35-38)."""
+    """Constant continuously-compounded zero rate (rate_curve.jl:35-38).
+    ``daycount`` (beyond-reference) sets the date→year-fraction convention
+    for the date-taking accessors; default ACT/365 Fixed."""
 
     reference_date: Any
     rate: Any
+    daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):
         object.__setattr__(self, "reference_date", to_ticks(self.reference_date))
@@ -58,6 +61,7 @@ class RateCurve:
     tenors: Any  # (n,) year fractions, sorted
     zero_rates: Any  # (n,)
     interp: str = static_field(default="linear")
+    daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):
         object.__setattr__(self, "reference_date", to_ticks(self.reference_date))
@@ -98,7 +102,9 @@ def zero_rate_yf(curve: AnyRateCurve, yf):
 
 def zero_rate(curve: AnyRateCurve, t):
     """Zero rate at a tick timestamp or date (rate_curve.jl:182-197)."""
-    return zero_rate_yf(curve, yearfrac(curve.reference_date, to_ticks(t)))
+    return zero_rate_yf(
+        curve, yearfrac(curve.reference_date, to_ticks(t), curve.daycount)
+    )
 
 
 def df_yf(curve: AnyRateCurve, yf):
@@ -108,7 +114,7 @@ def df_yf(curve: AnyRateCurve, yf):
 
 def df(curve: AnyRateCurve, t):
     """Discount factor at a tick timestamp or date (rate_curve.jl:149-161)."""
-    return df_yf(curve, yearfrac(curve.reference_date, to_ticks(t)))
+    return df_yf(curve, yearfrac(curve.reference_date, to_ticks(t), curve.daycount))
 
 
 def forward_rate(curve: AnyRateCurve, t1, t2):
@@ -118,9 +124,9 @@ def forward_rate(curve: AnyRateCurve, t1, t2):
     import datetime as _dt
 
     if isinstance(t1, (_dt.date, _dt.datetime)):
-        t1 = yearfrac(curve.reference_date, t1)
+        t1 = yearfrac(curve.reference_date, t1, curve.daycount)
     if isinstance(t2, (_dt.date, _dt.datetime)):
-        t2 = yearfrac(curve.reference_date, t2)
+        t2 = yearfrac(curve.reference_date, t2, curve.daycount)
     if isinstance(t1, (int, float)) and isinstance(t2, (int, float)) and t1 >= t2:
         raise ValueError("Start time must be before end time.")
     df1 = df_yf(curve, t1)

@@ -20,7 +20,7 @@ from typing import Any, Union
 
 import jax.numpy as jnp
 
-from ..core.dates import to_ticks, yearfrac
+from ..core.dates import ACT365F, to_ticks, yearfrac
 from ..math.interpolation import interp2d_nested
 from ..utils.pytree import pytree, static_field
 
@@ -85,6 +85,7 @@ class RectVolSurface:
     vols: Any
     interp_time: str = static_field(default="linear")
     interp_strike: str = static_field(default="linear")
+    daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):
         object.__setattr__(self, "reference_date", to_ticks(self.reference_date))
@@ -147,5 +148,5 @@ def get_vol(surface: AnyVolSurface, expiry, strike):
     (vol_surface.jl:87-89, :158-171)."""
     if isinstance(surface, FlatVolSurface):
         return surface.sigma
-    t = yearfrac(surface.reference_date, to_ticks(expiry))
+    t = yearfrac(surface.reference_date, to_ticks(expiry), surface.daycount)
     return get_vol_yf(surface, t, strike)

@@ -16,6 +16,7 @@ from ..core.dates import yearfrac
 from ..core.problems import AnalyticSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df
+from ..market.inputs import market_yearfrac
 from ..market.vol_surface import get_vol
 from ..utils.pytree import pytree
 
@@ -45,7 +46,7 @@ def bs_geometry(prob: PricingProblem):
     market = prob.market_inputs
     K = payoff.strike
     sigma = get_vol(market.sigma, payoff.expiry, K)
-    T = yearfrac(market.reference_date, payoff.expiry)
+    T = market_yearfrac(market, payoff.expiry)
     D = df(market.rate, payoff.expiry)
     F = market.spot / D
     sqrtT = jnp.sqrt(T)
@@ -169,7 +170,7 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
     K = payoff.strike
     sigma = get_vol(market.sigma, payoff.expiry, K)
     cp = payoff.call_put()
-    T = yearfrac(market.reference_date, payoff.expiry)
+    T = market_yearfrac(market, payoff.expiry)
     D = df(market.rate, payoff.expiry)
     F = market.spot / D
 

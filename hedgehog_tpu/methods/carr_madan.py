@@ -41,6 +41,7 @@ from ..core.problems import CarrMadanSolution, PricingProblem
 from ..core.payoffs import parity_transform
 from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df
+from ..market.inputs import market_yearfrac
 from ..market.vol_surface import get_vol
 from ..models.dynamics import HestonDynamics, LognormalDynamics, terminal_log_cf
 from ..utils.pytree import pytree, static_field
@@ -162,7 +163,7 @@ def _auto_bound(prob: PricingProblem, dynamics) -> jnp.ndarray:
     smallest σ) — conservative and free, since the panel rule's accuracy is
     bound-independent."""
     market = prob.market_inputs
-    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    T = market_yearfrac(market, prob.payoff.expiry)
     if isinstance(dynamics, LognormalDynamics):
         sigma = get_vol(market.sigma, prob.payoff.expiry, prob.payoff.strike)
         s2 = sigma**2 * T

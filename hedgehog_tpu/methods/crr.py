@@ -25,6 +25,7 @@ from ..core.payoffs import American, Spot
 from ..core.problems import CRRSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df, zero_rate
+from ..market.inputs import market_yearfrac
 from ..market.vol_surface import get_vol
 from ..utils.pytree import pytree, static_field
 
@@ -64,7 +65,7 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
         prob = PricingProblem(payoff, market)
 
     sigma = get_vol(market.sigma, payoff.expiry, payoff.strike)
-    T = yearfrac(market.reference_date, payoff.expiry)
+    T = market_yearfrac(market, payoff.expiry)
     D_T = df(market.rate, payoff.expiry)
     forward = market.spot / D_T
     dT = T / steps

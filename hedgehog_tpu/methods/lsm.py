@@ -37,6 +37,7 @@ from ..core.payoffs import American
 from ..core.problems import LSMSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df
+from ..market.inputs import market_yearfrac
 from ..methods.montecarlo import MonteCarlo, simulate_price_grid
 from ..utils.pytree import pytree, static_field
 
@@ -156,7 +157,7 @@ def _lsm_setup(prob: PricingProblem, method: LSM):
             f"unsupported"
         )
     market = prob.market_inputs
-    T = yearfrac(market.reference_date, payoff.expiry)
+    T = market_yearfrac(market, payoff.expiry)
     nsteps = method.mc_method.config.steps
     # single-step discount factor (lsm.jl:110)
     disc = df(market.rate, add_yearfrac(market.reference_date, T / nsteps))

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..core.dates import yearfrac
 from ..core.payoffs import require_european
 from ..market.rate_curve import df_yf, zero_rate_yf
+from ..market.inputs import market_yearfrac
 from ..models.heston_qe import qe_constants
 
 __all__ = [
@@ -220,7 +221,7 @@ def heston_mixing_price_and_greeks(prob, method, key=None):
 
     market = prob.market_inputs
     config = method.config
-    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    T = market_yearfrac(market, prob.payoff.expiry)
     r0 = zero_rate_yf(market.rate, 0.0)
     steps = config.steps
 
@@ -354,7 +355,7 @@ def heston_exact_price_and_greeks(prob, method, key=None):
 
     market = prob.market_inputs
     config = method.config
-    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    T = market_yearfrac(market, prob.payoff.expiry)
     r0 = zero_rate_yf(market.rate, 0.0)
     params = jnp.stack(
         [jnp.asarray(x, jnp.float64) for x in (

@@ -40,6 +40,7 @@ from ..core.payoffs import require_european
 from ..core.problems import MonteCarloSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df, df_yf, zero_rate_yf
+from ..market.inputs import market_yearfrac
 from ..market.vol_surface import FlatVolSurface, get_vol
 from ..models.dynamics import HestonDynamics, LognormalDynamics, lognormal_terminal_law
 from ..utils.pytree import pytree, static_field
@@ -232,7 +233,7 @@ def _qmc_normals_and_uniforms(key, steps: int, n_normal: int, paths: int, skip=0
 
 def _sim_params(prob: PricingProblem):
     market = prob.market_inputs
-    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    T = market_yearfrac(market, prob.payoff.expiry)
     # Reference drift rate: zero rate "at time 0" (montecarlo.jl:176, :200) —
     # constant-extrapolated first pillar for spine curves, the rate for flat.
     r0 = zero_rate_yf(market.rate, 0.0)
@@ -781,7 +782,7 @@ def validate_surface_expiries(market, expiries):
     if len(expiries) == 0:
         raise ValueError("need at least one expiry")
     try:
-        T_host = [float(yearfrac(market.reference_date, e)) for e in expiries]
+        T_host = [float(market_yearfrac(market, e)) for e in expiries]
     except jax.errors.ConcretizationTypeError as exc:
         raise TypeError(
             "surface pricing needs a concrete reference date to lay out the "

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..core.dates import yearfrac
 from ..market.rate_curve import zero_rate
+from ..market.inputs import market_yearfrac
 from ..market.vol_surface import get_vol
 from ..utils.pytree import pytree
 
@@ -72,7 +73,7 @@ def lognormal_terminal_law(market, expiry_ticks):
         sigma = market.sigma.sigma
     else:
         sigma = get_vol(market.sigma, expiry_ticks, market.spot)  # ATM lookup
-    T = yearfrac(market.rate.reference_date, expiry_ticks)
+    T = market_yearfrac(market, expiry_ticks)
     mean = jnp.log(market.spot) + (r - 0.5 * sigma**2) * T
     std = sigma * jnp.sqrt(T)
     return mean, std
@@ -178,7 +179,7 @@ def terminal_log_cf_pair(prob, dynamics: PriceDynamics):
         return lambda ur, ui: lognormal_cf_pair(ur, ui, mean, std)
     if isinstance(dynamics, HestonDynamics):
         r = zero_rate(market.rate, expiry)
-        T = yearfrac(market.rate.reference_date, expiry)
+        T = market_yearfrac(market, expiry)
         return lambda ur, ui: heston_cf_pair(
             ur, ui, market.spot, market.V0, market.kappa, market.theta,
             market.sigma, market.rho, r, T,
@@ -196,7 +197,7 @@ def terminal_log_cf(prob, dynamics: PriceDynamics):
         return lambda u: lognormal_cf(u, mean, std)
     if isinstance(dynamics, HestonDynamics):
         r = zero_rate(market.rate, expiry)
-        T = yearfrac(market.rate.reference_date, expiry)
+        T = market_yearfrac(market, expiry)
         return lambda u: heston_cf(
             u, market.spot, market.V0, market.kappa, market.theta, market.sigma, market.rho, r, T
         )

@@ -527,7 +527,7 @@ def heston_exact_mixing_values_pallas(prob, config, strat, key=None, device_id=0
     ``key`` reseeds the PRNG kernel stream (ops/heston_kernel.py
     ``seed_from_key``); under QMC the seed is ALWAYS config.seed so every
     device randomizes ONE shared Sobol' sequence sliced by point_offset."""
-    from ..core.dates import yearfrac
+    from ..market.inputs import market_yearfrac
     from ..market.rate_curve import zero_rate_yf
     from ..methods.montecarlo import Antithetic, _heston_exact_mixing_values
     from .heston_kernel import seed_from_key
@@ -542,7 +542,7 @@ def heston_exact_mixing_values_pallas(prob, config, strat, key=None, device_id=0
                 else jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
             )
         return _heston_exact_mixing_values(prob, config, key, point_offset=point_offset)
-    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    T = market_yearfrac(market, prob.payoff.expiry)
     r0 = zero_rate_yf(market.rate, 0.0)
     if config.qmc and not anti:
         raise ValueError("kernel QMC path is antithetic-only")

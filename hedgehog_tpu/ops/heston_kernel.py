@@ -208,12 +208,12 @@ def heston_euler_terminal_pallas(prob, config, key=None, device_id=0):
     prices shaped like the pure-JAX path (n_groups, trajectories) in f64.
     An explicit ``key`` reseeds the kernel stream (see :func:`seed_from_key`).
     """
-    from ..core.dates import yearfrac
+    from ..market.inputs import market_yearfrac
     from ..market.rate_curve import zero_rate_yf
     from ..methods.montecarlo import Antithetic
 
     market = prob.market_inputs
-    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    T = market_yearfrac(market, prob.payoff.expiry)
     r0 = zero_rate_yf(market.rate, 0.0)
     anti = isinstance(config.variance_reduction, Antithetic)
     on_tpu = jax.default_backend() == "tpu"

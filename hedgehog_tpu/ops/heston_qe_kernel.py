@@ -1229,7 +1229,7 @@ def heston_qe_mixing_values_pallas(prob, config, strat, key=None, device_id=0, p
     An explicit ``key`` reseeds the kernel stream / QMC randomization
     (ops/heston_kernel.py ``seed_from_key``), matching the pure-JAX
     strategies' distinct-keys → independent-draws contract."""
-    from ..core.dates import yearfrac
+    from ..market.inputs import market_yearfrac
     from ..market.rate_curve import zero_rate_yf
     from ..methods.montecarlo import Antithetic, _heston_qe_mixing_values
     from .heston_kernel import seed_from_key
@@ -1244,7 +1244,7 @@ def heston_qe_mixing_values_pallas(prob, config, strat, key=None, device_id=0, p
                 else jax.random.fold_in(jax.random.PRNGKey(config.seed), device_id)
             )
         return _heston_qe_mixing_values(prob, config, key, point_offset=point_offset)
-    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    T = market_yearfrac(market, prob.payoff.expiry)
     r0 = zero_rate_yf(market.rate, 0.0)
     # differentiable view on BOTH streams: same primal kernel, plus a custom
     # VJP backed by the cotangent-weighted greek kernel replaying the
@@ -1276,7 +1276,7 @@ def heston_qe_terminal_pallas(prob, config, strat, key=None, device_id=0, point_
     per seed; sharded devices take disjoint ``point_offset`` slices).
     An explicit ``key`` reseeds the kernel stream / QMC randomization
     (ops/heston_kernel.py ``seed_from_key``)."""
-    from ..core.dates import yearfrac
+    from ..market.inputs import market_yearfrac
     from ..market.rate_curve import zero_rate_yf
     from ..methods.montecarlo import Antithetic, _heston_qe_paths
     from .heston_kernel import seed_from_key
@@ -1293,7 +1293,7 @@ def heston_qe_terminal_pallas(prob, config, strat, key=None, device_id=0, point_
         return _heston_qe_paths(
             prob, config, key, strat, return_grid=False, point_offset=point_offset
         )
-    T = yearfrac(market.reference_date, prob.payoff.expiry)
+    T = market_yearfrac(market, prob.payoff.expiry)
     r0 = zero_rate_yf(market.rate, 0.0)
     out = heston_qe_terminal(
         jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
