@@ -1,0 +1,83 @@
+"""Merton jump-diffusion — a third model family beyond the reference's
+BS + Heston, through the same ``solve(problem, method)`` facade.
+
+1. Agreement: Poisson-weighted BS series vs Carr-Madan on the Merton CF vs
+   exact-terminal Monte Carlo.
+2. The jump smile: implied-vol skew the diffusion-only model cannot make.
+3. Full AD greeks including the jump intensity (the MC payoffs carry a
+   likelihood-ratio surrogate for the discrete Poisson count).
+4. Calibration: recover (λ, μ_J, σ_J) from a strike grid of prices.
+
+Run: python examples/merton_jumps.py
+"""
+
+import datetime as dt
+
+import jax
+import jax.numpy as jnp
+
+import hedgehog_tpu as hh
+
+REF, EXPIRY = dt.date(2024, 1, 1), dt.date(2024, 12, 31)  # T = 1 (ACT/365)
+market = hh.MertonInputs(
+    REF, 0.03, 100.0,
+    sigma=0.2, jump_intensity=0.5, jump_mean=-0.10, jump_std=0.15,
+)
+opt = hh.VanillaOption(100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+prob = hh.PricingProblem(opt, market)
+
+# ---- 1. three independent pricers agree ------------------------------------
+p_series = float(hh.solve(prob, hh.MertonAnalytic()).price)
+p_cm = float(hh.solve(prob, hh.CarrMadan(1.0, "auto", hh.MertonJumpDynamics())).price)
+cfg = hh.SimulationConfig(trajectories=1 << 17, steps=1,
+                          variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+p_mc = float(hh.solve(prob, hh.MonteCarlo(hh.MertonJumpDynamics(), hh.MertonExact(), cfg)).price)
+print(f"series {p_series:.6f} | Carr-Madan {p_cm:.6f} | MC {p_mc:.6f}")
+
+# ---- 2. the jump smile ------------------------------------------------------
+strikes = jnp.asarray([70.0, 85.0, 100.0, 115.0, 130.0])
+grid = hh.solve(
+    hh.PricingProblem(hh.VanillaOption(strikes, EXPIRY, hh.European(), hh.Call(), hh.Spot()), market),
+    hh.MertonAnalytic()).price
+T = float(hh.yearfrac(REF, EXPIRY))
+ivs = hh.implied_vol(grid, strikes, T, 100.0, 0.03)
+print("strikes:", [float(k) for k in strikes])
+print("implied vols (the negative-mean jumps put a skew in):",
+      [round(float(v), 4) for v in ivs])
+
+# ---- 3. greeks incl. the jump intensity ------------------------------------
+def price(lam, mu_j, s_j):
+    m = hh.MertonInputs(REF, 0.03, 100.0, 0.2, lam, mu_j, s_j)
+    return hh.solve(hh.PricingProblem(opt, m), hh.MertonAnalytic()).price
+
+g = jax.grad(price, argnums=(0, 1, 2))(0.5, -0.10, 0.15)
+print("series AD (dλ, dμ_J, dσ_J):", [round(float(x), 4) for x in g])
+
+def mc_price(lam):
+    m = hh.MertonInputs(REF, 0.03, 100.0, 0.2, lam, -0.10, 0.15)
+    return hh.solve(hh.PricingProblem(opt, m),
+                    hh.MonteCarlo(hh.MertonJumpDynamics(), hh.MertonExact(), cfg)).price
+
+print("MC intensity greek (likelihood-ratio, unbiased):",
+      round(float(jax.grad(mc_price)(0.5)), 4))
+
+# ---- 4. calibrate the jump parameters back ----------------------------------
+payoffs = [hh.VanillaOption(float(k), EXPIRY, hh.European(), hh.Call(), hh.Spot())
+           for k in strikes]
+quotes = jnp.asarray([
+    float(hh.solve(hh.PricingProblem(p, market), hh.MertonAnalytic()).price)
+    for p in payoffs
+])
+guess = hh.MertonInputs(REF, 0.03, 100.0, 0.2, 0.3, -0.05, 0.25)
+calib = hh.CalibrationProblem(
+    hh.BasketPricingProblem(payoffs, guess), quotes,
+    jnp.asarray([0.3, -0.05, 0.25]),
+    pricing_method=hh.MertonAnalytic(),
+    accessors=(hh.FieldLens("market_inputs.jump_intensity"),
+               hh.FieldLens("market_inputs.jump_mean"),
+               hh.FieldLens("market_inputs.jump_std")),
+)
+sol = hh.solve(calib, hh.OptimizerAlgo(max_iters=300),
+               lb=jnp.asarray([0.01, -0.5, 0.01]), ub=jnp.asarray([3.0, 0.3, 0.6]))
+print("calibrated (λ, μ_J, σ_J):", [round(float(x), 4) for x in sol.u],
+      "| true (0.5, -0.1, 0.15) | converged:", bool(sol.converged))

@@ -73,7 +73,13 @@ from .market.vol_surface import (  # noqa: E402
     spine_vols,
     surface_spine_tenors,
 )
-from .market.inputs import AbstractMarketInputs, BlackScholesInputs, HestonInputs  # noqa: E402
+from .market.inputs import (  # noqa: E402
+    AbstractMarketInputs,
+    BlackScholesInputs,
+    HestonInputs,
+    MertonInputs,
+    market_yearfrac,
+)
 from .market.vol_quotes import (  # noqa: E402
     ForwardObs,
     FuturesObs,
@@ -109,9 +115,11 @@ from .core.lenses import (  # noqa: E402
 from .core.solve import AbstractPricingMethod, register_solver, solve  # noqa: E402
 from .methods.black_scholes import BlackScholesAnalytic  # noqa: E402
 from .methods.crr import CoxRossRubinsteinMethod  # noqa: E402
+from .methods.merton import MertonAnalytic  # noqa: E402
 from .models.dynamics import (  # noqa: E402
     HestonDynamics,
     LognormalDynamics,
+    MertonJumpDynamics,
     heston_cf,
     lognormal_cf,
 )
@@ -138,6 +146,7 @@ from .methods.mixing_greeks import (  # noqa: E402
 from .methods.montecarlo import (  # noqa: E402
     Antithetic,
     BlackScholesExact,
+    MertonExact,
     EulerMaruyama,
     HestonBroadieKaya,
     HestonExactMixing,
@@ -223,6 +232,8 @@ __all__ = [
     "get_vol_yf",
     "BlackScholesInputs",
     "HestonInputs",
+    "MertonInputs",
+    "market_yearfrac",
     # market data / quotes
     "SpotObs",
     "ForwardObs",
@@ -259,9 +270,11 @@ __all__ = [
     # methods
     "BlackScholesAnalytic",
     "CoxRossRubinsteinMethod",
+    "MertonAnalytic",
     # dynamics & MC
     "LognormalDynamics",
     "HestonDynamics",
+    "MertonJumpDynamics",
     "heston_cf",
     "lognormal_cf",
     "CarrMadan",
@@ -284,6 +297,7 @@ __all__ = [
     "HestonQE",
     "BlackScholesExact",
     "HestonBroadieKaya",
+    "MertonExact",
     "HestonExactMixing",
     "NoVarianceReduction",
     "Antithetic",

@@ -21,6 +21,7 @@ __all__ = [
     "AbstractMarketInputs",
     "BlackScholesInputs",
     "HestonInputs",
+    "MertonInputs",
     "market_yearfrac",
 ]
 
@@ -91,6 +92,33 @@ class HestonInputs(AbstractMarketInputs):
     theta: Any
     sigma: Any
     rho: Any
+    daycount: Any = static_field(default=ACT365F)
+
+    def __post_init__(self):
+        ref = to_ticks(self.reference_date)
+        object.__setattr__(self, "reference_date", ref)
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+
+
+@pytree
+class MertonInputs(AbstractMarketInputs):
+    """Merton (1976) lognormal jump-diffusion market data (beyond-reference
+    model family): dS/S = (r − λκ̄)dt + σ dW + (e^J − 1)dN with
+    J ~ N(jump_mean, jump_std²), N a Poisson(jump_intensity) process and
+    κ̄ = e^{jump_mean + jump_std²/2} − 1 the martingale compensator.
+
+    ``sigma`` is the diffusion volatility (a model parameter, scalar leaf —
+    not a vol surface); all five model parameters are pytree leaves, so
+    whole-market vmapping and AD greeks/calibration work as for Heston.
+    ``daycount`` as on :class:`BlackScholesInputs`."""
+
+    reference_date: Any
+    rate: Any
+    spot: Any
+    sigma: Any
+    jump_intensity: Any
+    jump_mean: Any
+    jump_std: Any
     daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):

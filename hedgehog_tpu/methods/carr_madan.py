@@ -43,7 +43,12 @@ from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df
 from ..market.inputs import market_yearfrac
 from ..market.vol_surface import get_vol
-from ..models.dynamics import HestonDynamics, LognormalDynamics, terminal_log_cf
+from ..models.dynamics import (
+    HestonDynamics,
+    LognormalDynamics,
+    MertonJumpDynamics,
+    terminal_log_cf,
+)
 from ..utils.pytree import pytree, static_field
 
 __all__ = ["CarrMadan", "carr_madan_error_estimate", "carr_madan_fft_smile"]
@@ -172,10 +177,15 @@ def _auto_bound(prob: PricingProblem, dynamics) -> jnp.ndarray:
         s2 = market.theta * T + (market.V0 - market.theta) * (
             1.0 - jnp.exp(-market.kappa * T)
         ) / market.kappa
+    elif isinstance(dynamics, MertonJumpDynamics):
+        # the Gaussian envelope of the Merton CF decays with the total
+        # log-variance σ²T + λT(μ_J² + σ_J²)
+        s2 = (market.sigma**2
+              + market.jump_intensity * (market.jump_mean**2 + market.jump_std**2)) * T
     else:
         raise TypeError(
-            f"bound='auto' needs LognormalDynamics or HestonDynamics, got "
-            f"{type(dynamics).__name__}"
+            f"bound='auto' needs LognormalDynamics, HestonDynamics or "
+            f"MertonJumpDynamics, got {type(dynamics).__name__}"
         )
     s = jnp.sqrt(jnp.maximum(jnp.min(s2), 1e-16))
     return jnp.maximum(64.0, 16.0 / s)

@@ -42,7 +42,12 @@ from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df, df_yf, zero_rate_yf
 from ..market.inputs import market_yearfrac
 from ..market.vol_surface import FlatVolSurface, get_vol
-from ..models.dynamics import HestonDynamics, LognormalDynamics, lognormal_terminal_law
+from ..models.dynamics import (
+    HestonDynamics,
+    LognormalDynamics,
+    MertonJumpDynamics,
+    lognormal_terminal_law,
+)
 from ..utils.pytree import pytree, static_field
 
 __all__ = [
@@ -52,6 +57,7 @@ __all__ = [
     "HestonQE",
     "BlackScholesExact",
     "HestonBroadieKaya",
+    "MertonExact",
     "NoVarianceReduction",
     "Antithetic",
     "simulate_terminal_prices",
@@ -133,6 +139,20 @@ class HestonBroadieKaya(ExactSimulation):
 
     cf_terms: int = static_field(default=128)
     inversion_iters: int = static_field(default=64)
+
+
+@pytree
+class MertonExact(ExactSimulation):
+    """Exact Merton jump-diffusion terminal sampling (beyond-reference model
+    family; pair with MertonJumpDynamics/MertonInputs): Poisson jump count
+    by fixed-trip CDF inversion from one uniform, then the conditional
+    normal close logS_T | N — three draws per path, no discretization error.
+
+    Greeks: the count N is a discrete function of the intensity λ, so the
+    per-path payoffs carry the frozen-count Poisson likelihood-ratio
+    surrogate (same construction as HestonExactMixing's transition score) —
+    plain ``jax.grad`` through ``solve`` is unbiased in ALL seven market
+    parameters including λ."""
 
 
 @pytree
@@ -250,6 +270,102 @@ def _gbm_exact_terminal(prob, config, key, point_offset=0) -> jnp.ndarray:
         z = _normals(key, (config.trajectories,), anti)
     mean, std = lognormal_terminal_law(prob.market_inputs, prob.payoff.expiry)
     return jnp.exp(mean + std * z)
+
+
+def _merton_poisson_trips(rate, cap: int = 64, default: int = 32) -> int:
+    """Checked static Poisson trip count for the Merton jump count: smallest
+    k with P(N > k | λT) < 1e-9 (+1 margin, floored at 8); raises when even
+    ``cap`` trips cannot meet the tail bound (λT ≳ 30 — hundreds of jumps
+    per path want a different estimator).  Returns ``default`` when the
+    rate is traced."""
+    import math
+
+    try:
+        r = float(rate)
+    except Exception:
+        return default
+    p = math.exp(-r)
+    cdf, k = p, 0
+    while cdf < 1.0 - 1e-9 and k < cap:
+        k += 1
+        p *= r / k
+        cdf += p
+    if cdf < 1.0 - 1e-9:
+        raise ValueError(
+            f"Merton jump count needs a Poisson trip count beyond {cap} "
+            f"(λT ≈ {r:.1f}); with hundreds of jumps per path the compound "
+            f"process is near-Gaussian — price via CarrMadan(MertonJumpDynamics)"
+        )
+    return int(max(k + 1, 8))
+
+
+def _merton_exact_terminal(prob, config, key, point_offset=0, with_score=False):
+    """(n_groups, paths) exact Merton terminal prices; ``with_score=True``
+    additionally returns the per-path frozen-count Poisson log-likelihood
+    N·log(λT) − λT (the likelihood-ratio term unbiased λ-greeks need).
+
+    Draw layout per path (QMC dims): (z_diffusion, z_jump, u_poisson);
+    antithetic mirror = negated normals, 1−u."""
+    from ..models.dynamics import merton_terminal_params
+    from ..models.heston_exact import poisson_inv
+
+    market = prob.market_inputs
+    log_s0, r, T, sigma, lam, mu_j, s_j, kbar = merton_terminal_params(
+        market, prob.payoff.expiry
+    )
+    rate = lam * T
+    kmax = _merton_poisson_trips(rate)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    paths = config.trajectories
+    base = _base_key(config, key)
+    if config.qmc:
+        z, u_p = _qmc_normals_and_uniforms(base, 1, 2, paths, skip=point_offset)
+        z_d, z_j, u_p = z[0, 0], z[0, 1], u_p[0]
+    else:
+        k_z, k_u = jax.random.split(base)
+        zb = jax.random.normal(k_z, (2, paths), dtype=jnp.float64)
+        z_d, z_j = zb[0], zb[1]
+        u_p = jax.random.uniform(k_u, (paths,), dtype=jnp.float64)
+    if anti:
+        z_d = jnp.stack([z_d, -z_d])
+        z_j = jnp.stack([z_j, -z_j])
+        u_p = jnp.stack([u_p, 1.0 - u_p])
+    else:
+        z_d, z_j, u_p = z_d[None], z_j[None], u_p[None]
+
+    n = jax.lax.stop_gradient(poisson_inv(rate, u_p, kmax))
+    logl = n * jnp.log(jnp.maximum(rate, 1e-30)) - rate
+    drift = log_s0 + (r - 0.5 * sigma**2 - lam * kbar) * T
+    log_st = (drift + sigma * jnp.sqrt(T) * z_d
+              + n * mu_j + jnp.sqrt(n) * s_j * z_j)
+    samples = jnp.exp(log_st)
+    if with_score:
+        return samples, logl
+    return samples
+
+
+def _merton_payoffs_with_score(prob, method, payoff):
+    """Per-path Merton payoffs with the likelihood-ratio surrogate baked in
+    (applied per antithetic group BEFORE pair-averaging — the mirrored
+    uniform draws a different count): primal unchanged, ``jax.grad``
+    through solve unbiased in λ.  Returns the reduce_payoffs contract
+    ((paths,) or (m, paths))."""
+    import dataclasses
+
+    samples, logl = _merton_exact_terminal(
+        prob, method.config, None, with_score=True
+    )
+    if jnp.ndim(payoff.strike) > 0:
+        p = dataclasses.replace(payoff, strike=jnp.asarray(payoff.strike)[:, None])
+        vals = p(samples[:, None, :])  # (g, m, paths)
+        ll = logl[:, None, :]
+        b = jax.lax.stop_gradient(jnp.mean(vals, axis=(0, -1)))[None, :, None]
+    else:
+        vals = payoff(samples)  # (g, paths)
+        ll = logl
+        b = jax.lax.stop_gradient(jnp.mean(vals))
+    vals = vals + jax.lax.stop_gradient(vals - b) * (ll - jax.lax.stop_gradient(ll))
+    return jnp.mean(vals, axis=0)
 
 
 def _gbm_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
@@ -1193,6 +1309,8 @@ def simulate_terminal_prices(
         from ..distributions.broadie_kaya import broadie_kaya_terminal_prices
 
         return broadie_kaya_terminal_prices(prob, config, strat, key=key)
+    if isinstance(strat, MertonExact) and isinstance(dyn, MertonJumpDynamics):
+        return _merton_exact_terminal(prob, config, key, point_offset=point_offset)
     raise TypeError(
         f"unsupported (dynamics, strategy) = ({type(dyn).__name__}, {type(strat).__name__})"
     )
@@ -1267,6 +1385,12 @@ def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSol
         values = simulate_conditional_values(prob, method)
         price = discount * jnp.mean(values, axis=(0, -1))
         return MonteCarloSolution(prob, method, price, values)
+    if isinstance(strat, MertonExact) and isinstance(method.dynamics, MertonJumpDynamics):
+        # likelihood-ratio surrogate baked into the per-path payoffs so
+        # jax.grad through solve is unbiased in the jump intensity too
+        payoffs = _merton_payoffs_with_score(prob, method, payoff)
+        price = discount * jnp.mean(payoffs, axis=-1)
+        return MonteCarloSolution(prob, method, price, payoffs)
     samples = simulate_terminal_prices(prob, method)
     payoffs = reduce_payoffs(samples, payoff)
     # path axis is last: a strike-grid payoff keeps its leading (m,) axis

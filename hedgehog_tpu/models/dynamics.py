@@ -25,9 +25,12 @@ __all__ = [
     "PriceDynamics",
     "LognormalDynamics",
     "HestonDynamics",
+    "MertonJumpDynamics",
     "lognormal_terminal_law",
+    "merton_terminal_params",
     "heston_cf",
     "lognormal_cf",
+    "merton_cf",
     "terminal_log_cf",
     "log_dynamics",
 ]
@@ -60,6 +63,14 @@ class HestonDynamics(PriceDynamics):
     """Heston stochastic volatility (CIR variance)."""
 
 
+@pytree
+class MertonJumpDynamics(PriceDynamics):
+    """Merton (1976) lognormal jump-diffusion (beyond-reference model
+    family): dS/S = (r − λκ̄)dt + σ dW + (e^J − 1)dN with J ~ N(μ_J, σ_J²),
+    N a Poisson(λ) counting process and κ̄ = e^{μ_J + σ_J²/2} − 1 the
+    martingale compensator.  Markets carry :class:`MertonInputs`."""
+
+
 def lognormal_terminal_law(market, expiry_ticks):
     """(mean, std) of log S_T under risk-neutral GBM at ``expiry_ticks``.
 
@@ -77,6 +88,54 @@ def lognormal_terminal_law(market, expiry_ticks):
     mean = jnp.log(market.spot) + (r - 0.5 * sigma**2) * T
     std = sigma * jnp.sqrt(T)
     return mean, std
+
+
+def merton_terminal_params(market, expiry_ticks):
+    """(log_s0, r, T, sigma, lam, mu_j, s_j, kbar) for a Merton market at an
+    expiry: everything the CF/series/samplers need, derived once.  κ̄ is the
+    jump compensator e^{μ_J + σ_J²/2} − 1."""
+    r = zero_rate(market.rate, expiry_ticks)
+    T = market_yearfrac(market, expiry_ticks)
+    kbar = jnp.expm1(market.jump_mean + 0.5 * market.jump_std**2)
+    return (jnp.log(market.spot), r, T, market.sigma,
+            market.jump_intensity, market.jump_mean, market.jump_std, kbar)
+
+
+def merton_cf(u, log_s0, r, T, sigma, lam, mu_j, s_j, kbar):
+    """Merton jump-diffusion CF of log S_T:
+    φ(u) = exp(iu·(log S0 + (r − σ²/2 − λκ̄)T) − ½u²σ²T
+               + λT·(e^{iu·μ_J − ½u²σ_J²} − 1)).
+    ``u`` may be complex (Carr-Madan evaluates at v − (α+1)i); the input's
+    complex dtype is preserved."""
+    u = jnp.asarray(u)
+    if not jnp.iscomplexobj(u):
+        u = u.astype(jnp.complex128)
+    rdt = jnp.finfo(u.dtype).dtype
+    log_s0, r, T, sigma, lam, mu_j, s_j, kbar = (
+        jnp.asarray(p, rdt) for p in (log_s0, r, T, sigma, lam, mu_j, s_j, kbar)
+    )
+    iu = 1j * u
+    drift = log_s0 + (r - 0.5 * sigma**2 - lam * kbar) * T
+    jump = lam * T * (jnp.exp(iu * mu_j - 0.5 * u**2 * s_j**2) - 1.0)
+    return jnp.exp(iu * drift - 0.5 * u**2 * sigma**2 * T + jump)
+
+
+def merton_cf_pair(u_re, u_im, log_s0, r, T, sigma, lam, mu_j, s_j, kbar):
+    """Merton CF in split-complex (re, im) pairs — pure real arithmetic for
+    the native-TPU Carr-Madan engine (math/complexops.py); math identical to
+    :func:`merton_cf`."""
+    from ..math.complexops import cexp
+
+    iu = (-u_im, u_re)
+    u2 = (u_re * u_re - u_im * u_im, 2.0 * u_re * u_im)
+    drift = log_s0 + (r - 0.5 * sigma**2 - lam * kbar) * T
+    jexp = cexp((iu[0] * mu_j - 0.5 * s_j**2 * u2[0],
+                 iu[1] * mu_j - 0.5 * s_j**2 * u2[1]))
+    expo = (
+        iu[0] * drift - 0.5 * sigma**2 * T * u2[0] + lam * T * (jexp[0] - 1.0),
+        iu[1] * drift - 0.5 * sigma**2 * T * u2[1] + lam * T * jexp[1],
+    )
+    return cexp(expo)
 
 
 def lognormal_cf(u, mean, std):
@@ -184,6 +243,9 @@ def terminal_log_cf_pair(prob, dynamics: PriceDynamics):
             ur, ui, market.spot, market.V0, market.kappa, market.theta,
             market.sigma, market.rho, r, T,
         )
+    if isinstance(dynamics, MertonJumpDynamics):
+        params = merton_terminal_params(market, expiry)
+        return lambda ur, ui: merton_cf_pair(ur, ui, *params)
     raise TypeError(f"no terminal law for dynamics {type(dynamics).__name__}")
 
 
@@ -201,4 +263,7 @@ def terminal_log_cf(prob, dynamics: PriceDynamics):
         return lambda u: heston_cf(
             u, market.spot, market.V0, market.kappa, market.theta, market.sigma, market.rho, r, T
         )
+    if isinstance(dynamics, MertonJumpDynamics):
+        params = merton_terminal_params(market, expiry)
+        return lambda u: merton_cf(u, *params)
     raise TypeError(f"no terminal law for dynamics {type(dynamics).__name__}")
