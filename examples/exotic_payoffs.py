@@ -68,7 +68,17 @@ print(f"down-and-out call: Reiner-Rubinstein {p_rr:.6f}   "
 ko_h = hh.BarrierOption(100.0, EXPIRY, 85.0, hh.European(), hh.Call(), hh.Spot(),
                         hh.Down(), hh.KnockOut())
 p_hko = float(hh.solve(hh.PricingProblem(ko_h, HESTON), cond).price)
-print(f"Heston down-and-out (conditional grid, bridge-corrected): {p_hko:.6f}\n")
+print(f"Heston down-and-out (conditional grid, bridge-corrected): {p_hko:.6f}")
+
+# rebates: knock-out pays R when touched — at expiry or AT THE HIT TIME
+# (the one-touch convention; Reiner-Rubinstein E/F blocks)
+for at_hit in (False, True):
+    kor = hh.BarrierOption(100.0, EXPIRY, 90.0, hh.European(), hh.Call(),
+                           hh.Spot(), hh.Down(), hh.KnockOut(),
+                           rebate=3.0, rebate_at_hit=at_hit)
+    p = float(hh.solve(hh.PricingProblem(kor, BS), hh.BlackScholesAnalytic()).price)
+    print(f"  + rebate 3.0 paid {'at hit ' if at_hit else 'at expiry'}: {p:.6f}")
+print()
 
 # ---- 3. asians -------------------------------------------------------------
 geo = hh.AsianOption(100.0, EXPIRY, 12, hh.European(), hh.Call(), hh.Spot(),

@@ -181,11 +181,18 @@ class BarrierOption:
 
     ``KnockOut`` pays the vanilla intrinsic at expiry iff the path never
     touches ``barrier`` (``Up``: max < H, ``Down``: min > H); ``KnockIn``
-    pays iff it does (in + out = vanilla, zero rebate).  ``__call__`` is the
-    UNCONDITIONAL terminal intrinsic — the knock probability is applied by
-    the pricers (closed form for Black-Scholes; per-segment Brownian-bridge
-    no-crossing products on MC grids, which are smooth in every input so
-    pathwise AD greeks survive)."""
+    pays iff it does (in + out = vanilla at zero rebate).  ``__call__`` is
+    the UNCONDITIONAL terminal intrinsic — the knock probability is applied
+    by the pricers (closed form for Black-Scholes; per-segment
+    Brownian-bridge no-crossing products on MC grids, which are smooth in
+    every input so pathwise AD greeks survive).
+
+    ``rebate`` (cash R ≥ 0): a knock-OUT pays R when the barrier IS touched
+    — at the hit time if ``rebate_at_hit`` (the one-touch convention,
+    Reiner-Rubinstein F block) else at expiry; a knock-IN pays R at expiry
+    iff the barrier is NEVER touched (the standard convention — the E
+    block; ``rebate_at_hit`` is rejected for knock-ins, there is no hit).
+    Rebate in-out parity: KI(R) + KO(R, at expiry) = vanilla + R·D(T)."""
 
     strike: Any
     expiry: Any
@@ -195,9 +202,16 @@ class BarrierOption:
     underlying: Underlying = static_field(default=Spot())
     direction: BarrierDirection = static_field(default=Down())
     knock: BarrierKnock = static_field(default=KnockOut())
+    rebate: Any = 0.0
+    rebate_at_hit: bool = static_field(default=False)
 
     def __post_init__(self):
         object.__setattr__(self, "expiry", to_ticks(self.expiry))
+        if self.rebate_at_hit and isinstance(self.knock, KnockIn):
+            raise ValueError(
+                "rebate_at_hit applies to knock-outs only (a knock-in's "
+                "rebate pays at expiry iff the barrier is never touched)"
+            )
 
     def __call__(self, spot):
         """Unconditional terminal intrinsic (see class docstring)."""

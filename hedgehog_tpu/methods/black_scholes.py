@@ -81,13 +81,19 @@ def bs_digital_price(forward, strike, vol, T, discount, cp, cash=1.0):
     return jnp.where((vol > 0) & (T > 0), bs, intrinsic)
 
 
-def bs_barrier_price(spot, strike, barrier, vol, T, discount, cp, up: bool, knock_in: bool):
-    """Reiner-Rubinstein single-barrier closed form (zero rebate, no
-    dividends, flat rate r = −ln(D)/T so the barrier drift matches the
-    curve's terminal discount).  Computes the KNOCK-IN price from the
-    standard A/B/C/D blocks and recovers knock-out by in-out parity
-    (in + out = vanilla); an already-touched barrier (S beyond H at t=0)
-    makes the in-option vanilla and the out-option worthless."""
+def bs_barrier_price(spot, strike, barrier, vol, T, discount, cp, up: bool, knock_in: bool,
+                     rebate=0.0, rebate_at_hit: bool = False):
+    """Reiner-Rubinstein single-barrier closed form (no dividends, flat rate
+    r = −ln(D)/T so the barrier drift matches the curve's terminal
+    discount).  Computes the KNOCK-IN price from the standard A/B/C/D
+    blocks and recovers knock-out by in-out parity (in + out = vanilla at
+    zero rebate); an already-touched barrier (S beyond H at t=0) makes the
+    in-option vanilla and the out-option worthless.
+
+    ``rebate`` adds the Reiner-Rubinstein rebate legs: knock-in → the E
+    block (R paid at expiry iff never touched, E = R·D·P(no touch));
+    knock-out with ``rebate_at_hit`` → the F block (R paid at the hit
+    time, the one-touch value), else R·D·P(touch) = R·D − E."""
     S, K, H = spot, strike, barrier
     r = -jnp.log(discount) / jnp.maximum(T, 1e-30)
     sigma_safe = jnp.where(vol > 0, vol, 1.0)
@@ -128,13 +134,39 @@ def bs_barrier_price(spot, strike, barrier, vol, T, discount, cp, up: bool, knoc
     # clip roundoff: when in ≈ vanilla (e.g. up-out call with K ≥ H, exactly
     # worthless) the subtraction can land at −1e-17
     price = in_price if knock_in else jnp.clip(vanilla - in_price, 0.0, None)
+
+    # rebate legs (per unit rebate): E = D·P(no touch) pays at expiry iff
+    # never touched; F = E[e^{−rτ}·1(τ ≤ T)] pays at the hit time
+    x2 = jnp.log(S / H) / v + (1.0 + mu) * v
+    y2 = jnp.log(H / S) / v + (1.0 + mu) * v
+    e_pu = discount * (norm.cdf(eta * (x2 - v)) - hs2mu * norm.cdf(eta * (y2 - v)))
+    e_pu = jnp.where(touched, 0.0, jnp.clip(e_pu, 0.0, discount))
+    if knock_in:
+        price = price + rebate * e_pu
+    elif rebate_at_hit:
+        lam_h = jnp.sqrt(mu * mu + 2.0 * r / sigma_safe**2)
+        # double-where: beyond the barrier the powers can overflow and would
+        # poison the masked gradient
+        hsl = jnp.where(touched, 1.0, H / S)
+        z = jnp.log(hsl) / v + lam_h * v
+        f_pu = (hsl ** (mu + lam_h) * norm.cdf(eta * z)
+                + hsl ** (mu - lam_h) * norm.cdf(eta * (z - 2.0 * lam_h * v)))
+        f_pu = jnp.where(touched, 1.0, jnp.clip(f_pu, 0.0, 1.0))
+        price = price + rebate * f_pu
+    else:
+        price = price + rebate * (discount - e_pu)
+
     # σ==0 or T==0: the path is the deterministic forward S·e^{rt}, monotone
-    # in t, so it touches H iff an endpoint is beyond H
+    # in t, so it touches H iff an endpoint is beyond H (the deterministic
+    # rebate discounts at expiry for both conventions)
     f_T = S / discount
     det_touch = touched | ((f_T >= H) if up else (f_T <= H))
     det_pay = discount * jnp.maximum(cp * (f_T - K), 0.0)
     det_in = jnp.where(det_touch, det_pay, 0.0)
-    det = det_in if knock_in else det_pay - det_in
+    if knock_in:
+        det = det_in + rebate * discount * jnp.where(det_touch, 0.0, 1.0)
+    else:
+        det = (det_pay - det_in) + rebate * discount * jnp.where(det_touch, 1.0, 0.0)
     return jnp.where((vol > 0) & (T > 0), price, det)
 
 
@@ -189,6 +221,7 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
             market.spot, K, payoff.barrier, sigma, T, D, cp,
             up=isinstance(payoff.direction, Up),
             knock_in=isinstance(payoff.knock, KnockIn),
+            rebate=payoff.rebate, rebate_at_hit=payoff.rebate_at_hit,
         )
     elif isinstance(payoff, DigitalOption):
         price = bs_digital_price(F, K, sigma, T, D, cp, payoff.cash)

@@ -563,15 +563,13 @@ def _heston_qe_mixing_values(prob, config, key, point_offset=0):
     return _conditional_bs_close(prob, market, T, r0, iv, j)
 
 
-def brownian_bridge_survival(log_grid, seg_vars, log_barrier, up: bool):
-    """Per-path probability that the continuous path interpolating the grid
-    never crosses the barrier: the product of Brownian-bridge no-cross
-    factors 1 − exp(−2·d0·d1/σ²_k) per segment, zeroed when either endpoint
-    lies beyond the barrier (Glasserman, *MC Methods in Financial
-    Engineering*, §6.4).  Exact for GBM grids (log-Euler gridpoint marginals
-    and conditional bridges are both exact); on the Heston conditional grid
-    σ²_k is the segment's integrated variance (the full quadratic variation
-    of log S).  Smooth in every input → pathwise AD barrier greeks survive.
+def brownian_bridge_survival_factors(log_grid, seg_vars, log_barrier, up: bool):
+    """Per-SEGMENT Brownian-bridge no-cross factors 1 − exp(−2·d0·d1/σ²_k),
+    zeroed when either endpoint lies beyond the barrier (Glasserman, *MC
+    Methods in Financial Engineering*, §6.4) — shape (steps, ...).  Their
+    product is the per-path survival probability; the per-segment form
+    additionally gives the first-hit-segment distribution the at-hit rebate
+    leg needs.  Smooth in every input → pathwise AD barrier greeks survive.
 
     ``log_grid``: (steps+1, ...) log-prices, time leading; ``seg_vars``:
     (steps, ...) or scalar."""
@@ -583,7 +581,17 @@ def brownian_bridge_survival(log_grid, seg_vars, log_barrier, up: bool):
     # double-where: the false branch's (positive-exponent) value must never
     # be computed, or its overflow poisons the masked gradient
     arg = jnp.where(inside, -2.0 * d0 * d1 / var, 0.0)
-    return jnp.prod(jnp.where(inside, -jnp.expm1(arg), 0.0), axis=0)
+    return jnp.where(inside, -jnp.expm1(arg), 0.0)
+
+
+def brownian_bridge_survival(log_grid, seg_vars, log_barrier, up: bool):
+    """Per-path no-cross probability: the product over segments of
+    :func:`brownian_bridge_survival_factors` (exact for GBM grids; on the
+    Heston conditional grid σ²_k is the segment's integrated variance)."""
+    return jnp.prod(
+        brownian_bridge_survival_factors(log_grid, seg_vars, log_barrier, up),
+        axis=0,
+    )
 
 
 def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
@@ -630,11 +638,13 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
             log_s0 = jnp.full_like(samples, jnp.log(market.spot))
             log_grid = jnp.stack([log_s0, jnp.log(samples)])  # (2, g, paths)
             seg_vars = sigma**2 * T
+            t_mids = jnp.asarray([0.5 * T])
         else:
             grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
             log_grid = jnp.moveaxis(jnp.log(grid), 1, 0)
             seg_vars = sigma**2 * (T / config.steps)
-        surv = brownian_bridge_survival(log_grid, seg_vars, log_b, up)
+            t_mids = (jnp.arange(config.steps) + 0.5) * (T / config.steps)
+        factors = brownian_bridge_survival_factors(log_grid, seg_vars, log_b, up)
         s_t = jnp.exp(log_grid[-1])
     elif (
         isinstance(dyn, HestonDynamics)
@@ -650,9 +660,10 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
         dt = T / config.steps
         iv = 0.5 * dt * (v_grid[:, :-1] + v_grid[:, 1:])  # (g, steps, paths)
         log_grid = jnp.moveaxis(jnp.log(s_grid), 1, 0)
-        surv = brownian_bridge_survival(
+        factors = brownian_bridge_survival_factors(
             log_grid, jnp.moveaxis(iv, 1, 0), log_b, up
         )
+        t_mids = (jnp.arange(config.steps) + 0.5) * dt
         s_t = s_grid[:, -1]
     else:
         raise TypeError(
@@ -662,8 +673,28 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
             f"{type(strat).__name__})"
         )
 
+    surv = jnp.prod(factors, axis=0)
     pay = payoff(s_t)  # unconditional terminal intrinsic, (g, paths)
-    vals = pay * surv if isinstance(payoff.knock, KnockOut) else pay * (1.0 - surv)
+    rebate = payoff.rebate
+    if isinstance(payoff.knock, KnockOut):
+        vals = pay * surv
+        if payoff.rebate_at_hit:
+            # P(first hit in segment k) = (Π_{j<k} f_j)·(1 − f_k); the rebate
+            # leg discounts each hit at the segment MIDPOINT (O(dt) hit-time
+            # resolution — use a stepped grid, not the single-bridge
+            # BlackScholesExact mode, when the at-hit timing matters).  The
+            # common discount D(T) multiplies vals at the end, so the leg is
+            # carried as d(t_mid)/D(T) per unit rebate.
+            cum = jnp.cumprod(factors, axis=0)
+            prev = jnp.concatenate([jnp.ones_like(factors[:1]), cum[:-1]], axis=0)
+            first_hit = prev * (1.0 - factors)  # (steps, g, paths)
+            d_mid = df_yf(market.rate, t_mids)  # (steps,)
+            reb = jnp.sum(d_mid[:, None, None] * first_hit, axis=0)
+            vals = vals + (rebate / discount) * reb
+        else:
+            vals = vals + rebate * (1.0 - surv)
+    else:  # KnockIn: rebate pays at expiry iff never touched
+        vals = pay * (1.0 - surv) + rebate * surv
     price = discount * jnp.mean(vals, axis=(0, -1))
     return MonteCarloSolution(prob, method, price, vals)
 

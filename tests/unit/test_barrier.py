@@ -187,3 +187,98 @@ def test_zero_vol_barrier_deterministic():
     np.testing.assert_allclose(
         float(hh.solve(up_in, hh.BlackScholesAnalytic()).price), intrinsic, rtol=1e-12)
     assert float(hh.solve(up_out, hh.BlackScholesAnalytic()).price) == 0.0
+
+
+# ---- rebates (Reiner-Rubinstein E/F blocks + bridge-MC rebate legs) --------
+
+
+def _rebate_barrier(knock, rebate, at_hit=False, strike=100.0, barrier=120.0,
+                    direction=None):
+    return hh.BarrierOption(
+        strike, EXPIRY, barrier, hh.European(), hh.Call(), hh.Spot(),
+        direction or hh.Up(), knock, rebate, at_hit,
+    )
+
+
+def test_rebate_in_out_parity():
+    """KI(R) + KO(R at expiry) = vanilla + R·D(T): the rebate pays R at
+    expiry in exactly one of the two states."""
+    van = float(hh.solve(
+        hh.PricingProblem(hh.VanillaOption(100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot()),
+                          _bs_market()), hh.BlackScholesAnalytic()).price)
+    D = float(np.exp(-R * 1.0))
+    for Rb in (0.0, 1.0, 5.0):
+        for direction, Hb in ((hh.Up(), 120.0), (hh.Down(), 85.0)):
+            ki = float(hh.solve(hh.PricingProblem(
+                _rebate_barrier(hh.KnockIn(), Rb, barrier=Hb, direction=direction),
+                _bs_market()), hh.BlackScholesAnalytic()).price)
+            ko = float(hh.solve(hh.PricingProblem(
+                _rebate_barrier(hh.KnockOut(), Rb, barrier=Hb, direction=direction),
+                _bs_market()), hh.BlackScholesAnalytic()).price)
+            assert ki + ko == pytest.approx(van + Rb * D, rel=1e-10)
+
+
+def test_rebate_at_hit_dominates_at_expiry():
+    """Paying the rebate earlier is worth more (r > 0), and both reduce to
+    the zero-rebate price at R = 0."""
+    base = float(hh.solve(hh.PricingProblem(
+        _rebate_barrier(hh.KnockOut(), 0.0), _bs_market()),
+        hh.BlackScholesAnalytic()).price)
+    at_exp = float(hh.solve(hh.PricingProblem(
+        _rebate_barrier(hh.KnockOut(), 3.0), _bs_market()),
+        hh.BlackScholesAnalytic()).price)
+    at_hit = float(hh.solve(hh.PricingProblem(
+        _rebate_barrier(hh.KnockOut(), 3.0, at_hit=True), _bs_market()),
+        hh.BlackScholesAnalytic()).price)
+    assert base < at_exp < at_hit
+    # the at-hit leg is bounded by the undiscounted rebate
+    assert at_hit - base < 3.0
+
+
+def test_rebate_mc_agreement():
+    """Bridge MC with the rebate legs matches the closed form: at-expiry via
+    the exact single bridge; at-hit via a stepped grid (midpoint-discounted
+    first-hit-segment distribution, O(dt) hit-time resolution)."""
+    Rb = 3.0
+    ko_exp = float(hh.solve(hh.PricingProblem(
+        _rebate_barrier(hh.KnockOut(), Rb), _bs_market()),
+        hh.BlackScholesAnalytic()).price)
+    mc_exp = _mc_price(_rebate_barrier(hh.KnockOut(), Rb), hh.BlackScholesExact(),
+                       n=1 << 16)
+    assert mc_exp == pytest.approx(ko_exp, rel=3e-3)
+
+    ko_hit = float(hh.solve(hh.PricingProblem(
+        _rebate_barrier(hh.KnockOut(), Rb, at_hit=True), _bs_market()),
+        hh.BlackScholesAnalytic()).price)
+    cfg = hh.SimulationConfig(trajectories=1 << 15, steps=64,
+                              variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+    mc_hit = float(hh.solve(
+        hh.PricingProblem(_rebate_barrier(hh.KnockOut(), Rb, at_hit=True), _bs_market()),
+        hh.MonteCarlo(hh.LognormalDynamics(), hh.EulerMaruyama(), cfg)).price)
+    assert mc_hit == pytest.approx(ko_hit, rel=5e-3)
+
+    ki = float(hh.solve(hh.PricingProblem(
+        _rebate_barrier(hh.KnockIn(), Rb), _bs_market()),
+        hh.BlackScholesAnalytic()).price)
+    mc_ki = _mc_price(_rebate_barrier(hh.KnockIn(), Rb), hh.BlackScholesExact(),
+                      n=1 << 16)
+    assert mc_ki == pytest.approx(ki, rel=3e-3)
+
+
+def test_rebate_at_hit_rejected_for_knock_in():
+    with pytest.raises(ValueError, match="knock-outs only"):
+        _rebate_barrier(hh.KnockIn(), 1.0, at_hit=True)
+
+
+def test_rebate_greeks_finite():
+    """AD through both rebate conventions (closed form and bridge MC)."""
+    def f(s, at_hit):
+        prob = hh.PricingProblem(_rebate_barrier(hh.KnockOut(), 3.0, at_hit), _bs_market())
+        return hh.solve(hh.SpotLens().set(prob, s), hh.BlackScholesAnalytic()).price
+
+    for at_hit in (False, True):
+        g = float(jax.grad(f)(100.0, at_hit))
+        assert np.isfinite(g)
+    # already-touched spot: flat in S (price pinned at the rebate), no NaN
+    g0 = float(jax.grad(f)(125.0, True))
+    assert g0 == pytest.approx(0.0, abs=1e-10)
