@@ -78,6 +78,7 @@ from .market.inputs import (  # noqa: E402
     BlackScholesInputs,
     HestonInputs,
     MertonInputs,
+    SABRInputs,
     market_yearfrac,
 )
 from .market.vol_quotes import (  # noqa: E402
@@ -116,10 +117,12 @@ from .core.solve import AbstractPricingMethod, register_solver, solve  # noqa: E
 from .methods.black_scholes import BlackScholesAnalytic  # noqa: E402
 from .methods.crr import CoxRossRubinsteinMethod  # noqa: E402
 from .methods.merton import MertonAnalytic  # noqa: E402
+from .methods.sabr import SABRAnalytic, hagan_vol  # noqa: E402
 from .models.dynamics import (  # noqa: E402
     HestonDynamics,
     LognormalDynamics,
     MertonJumpDynamics,
+    SABRDynamics,
     heston_cf,
     lognormal_cf,
 )
@@ -233,6 +236,7 @@ __all__ = [
     "BlackScholesInputs",
     "HestonInputs",
     "MertonInputs",
+    "SABRInputs",
     "market_yearfrac",
     # market data / quotes
     "SpotObs",
@@ -271,10 +275,13 @@ __all__ = [
     "BlackScholesAnalytic",
     "CoxRossRubinsteinMethod",
     "MertonAnalytic",
+    "SABRAnalytic",
+    "hagan_vol",
     # dynamics & MC
     "LognormalDynamics",
     "HestonDynamics",
     "MertonJumpDynamics",
+    "SABRDynamics",
     "heston_cf",
     "lognormal_cf",
     "CarrMadan",

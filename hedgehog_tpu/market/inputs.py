@@ -22,6 +22,7 @@ __all__ = [
     "BlackScholesInputs",
     "HestonInputs",
     "MertonInputs",
+    "SABRInputs",
     "market_yearfrac",
 ]
 
@@ -119,6 +120,32 @@ class MertonInputs(AbstractMarketInputs):
     jump_intensity: Any
     jump_mean: Any
     jump_std: Any
+    daycount: Any = static_field(default=ACT365F)
+
+    def __post_init__(self):
+        ref = to_ticks(self.reference_date)
+        object.__setattr__(self, "reference_date", ref)
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+
+
+@pytree
+class SABRInputs(AbstractMarketInputs):
+    """SABR market data (beyond-reference model family, Hagan et al. 2002):
+    dF = α F^β dW₁, dα = ν α dW₂, corr(dW₁, dW₂) = ρ, on the T-forward
+    F = spot/D(T).  ``alpha`` is the initial stochastic volatility level,
+    ``beta`` the CEV backbone exponent (a STATIC field — it is conventionally
+    fixed, not calibrated, and appears in non-differentiable branch
+    structure), ``rho`` the spot/vol correlation, ``nu`` the vol-of-vol.
+    All of (alpha, rho, nu) are pytree leaves → AD smile greeks and
+    calibration flow.  ``daycount`` as on :class:`BlackScholesInputs`."""
+
+    reference_date: Any
+    rate: Any
+    spot: Any
+    alpha: Any
+    beta: Any = static_field(default=1.0)
+    rho: Any = 0.0
+    nu: Any = 0.0
     daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):

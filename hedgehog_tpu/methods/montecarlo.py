@@ -46,6 +46,7 @@ from ..models.dynamics import (
     HestonDynamics,
     LognormalDynamics,
     MertonJumpDynamics,
+    SABRDynamics,
     lognormal_terminal_law,
 )
 from ..utils.pytree import pytree, static_field
@@ -270,6 +271,59 @@ def _gbm_exact_terminal(prob, config, key, point_offset=0) -> jnp.ndarray:
         z = _normals(key, (config.trajectories,), anti)
     mean, std = lognormal_terminal_law(prob.market_inputs, prob.payoff.expiry)
     return jnp.exp(mean + std * z)
+
+
+def _sabr_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
+    """SABR Euler paths on the T-forward (beyond-reference model family):
+    dF = α F^β dW₁ (plain Euler, absorbed at 0 — the CEV backbone can reach
+    zero for β < 1), dα = ν α dW₂ stepped EXACTLY (per-step lognormal), with
+    corr(dW₁, dW₂) = ρ via a 2×2 Cholesky.  Simulation runs under the
+    T-forward measure, where F is driftless and F_T = S_T — the discounted
+    payoff mean is exactly the price.  Terminal (n_groups, paths) or full
+    grid (n_groups, steps+1, paths)."""
+    market = prob.market_inputs
+    T = market_yearfrac(market, prob.payoff.expiry)
+    steps = config.steps
+    dt = T / steps
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if config.qmc:
+        z = _qmc_normals(key, steps, 2, config.trajectories, skip=point_offset)
+        z1b, z2b = z[:, 0, :], z[:, 1, :]
+        if anti:
+            z1 = jnp.stack([z1b, -z1b]); z2 = jnp.stack([z2b, -z2b])
+        else:
+            z1, z2 = z1b[None], z2b[None]
+    else:
+        zb = _normals(key, (2, steps, config.trajectories), anti)
+        z1, z2 = zb[:, 0], zb[:, 1]
+    rho, nu, beta = market.rho, market.nu, market.beta
+    zv = rho * z1 + jnp.sqrt(1.0 - rho**2) * z2  # vol leg, corr ρ with z1
+    f0 = market.spot / df(market.rate, prob.payoff.expiry)
+    sq = jnp.sqrt(dt)
+    carry0 = (
+        jnp.full((z1.shape[0], config.trajectories), f0),
+        jnp.full((z1.shape[0], config.trajectories), market.alpha * jnp.ones(())),
+    )
+
+    def step(carry, zk):
+        f, a_ = carry
+        z1k, zvk = zk
+        f_new = jnp.maximum(f + a_ * jnp.maximum(f, 0.0) ** beta * sq * z1k, 0.0)
+        a_new = a_ * jnp.exp(-0.5 * nu**2 * dt + nu * sq * zvk)
+        return (f_new, a_new), (f_new if return_grid else None)
+
+    zs = (jnp.moveaxis(z1, 1, 0), jnp.moveaxis(zv, 1, 0))  # (steps, g, paths)
+    (f_T, _), fs = jax.lax.scan(step, carry0, zs)
+    if return_grid:
+        grid = jnp.concatenate([carry0[0][None], fs], axis=0)
+        # grid consumers (Asian fixings, LSM exercise values) want SPOT
+        # prices: S_t = F_t·D(t, T) = F_t·D(T)/D(t), exact for the
+        # deterministic rate curves this library carries
+        t_k = jnp.arange(steps + 1) * dt
+        d_ratio = df_yf(market.rate, T) / df_yf(market.rate, t_k)
+        grid = grid * d_ratio[:, None, None]
+        return jnp.moveaxis(grid, 0, 1)  # (g, steps+1, paths)
+    return f_T
 
 
 def _merton_poisson_trips(rate, cap: int = 64, default: int = 32) -> int:
@@ -1342,6 +1396,13 @@ def simulate_terminal_prices(
         return broadie_kaya_terminal_prices(prob, config, strat, key=key)
     if isinstance(strat, MertonExact) and isinstance(dyn, MertonJumpDynamics):
         return _merton_exact_terminal(prob, config, key, point_offset=point_offset)
+    if isinstance(strat, EulerMaruyama) and isinstance(dyn, SABRDynamics):
+        if strat.use_kernel:
+            raise TypeError("SABR has no fused kernel; drop use_kernel=True")
+        return _sabr_euler_paths(
+            prob, config, _base_key(config, key), return_grid=False,
+            point_offset=point_offset,
+        )
     raise TypeError(
         f"unsupported (dynamics, strategy) = ({type(dyn).__name__}, {type(strat).__name__})"
     )
@@ -1372,6 +1433,8 @@ def simulate_price_grid(
         return _heston_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, HestonDynamics) and isinstance(strat, HestonQE):
         return _heston_qe_paths(prob, config, key, strat, return_grid=True, point_offset=point_offset)
+    if isinstance(dyn, SABRDynamics) and isinstance(strat, EulerMaruyama):
+        return _sabr_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     raise TypeError(
         f"unsupported grid simulation ({type(dyn).__name__}, {type(strat).__name__})"
     )

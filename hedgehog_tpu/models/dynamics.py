@@ -26,6 +26,7 @@ __all__ = [
     "LognormalDynamics",
     "HestonDynamics",
     "MertonJumpDynamics",
+    "SABRDynamics",
     "lognormal_terminal_law",
     "merton_terminal_params",
     "heston_cf",
@@ -61,6 +62,15 @@ class LognormalDynamics(PriceDynamics):
 @pytree
 class HestonDynamics(PriceDynamics):
     """Heston stochastic volatility (CIR variance)."""
+
+
+@pytree
+class SABRDynamics(PriceDynamics):
+    """SABR stochastic-volatility dynamics (beyond-reference model family):
+    dF = α F^β dW₁, dα = ν α dW₂ on the T-forward.  No tractable CF —
+    Fourier methods raise; pricing runs through :class:`SABRAnalytic`
+    (Hagan's expansion) or Euler Monte Carlo.  Markets carry
+    :class:`SABRInputs`."""
 
 
 @pytree
