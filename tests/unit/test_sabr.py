@@ -129,3 +129,34 @@ def test_sabr_unsupported_routes_raise():
     with pytest.raises(TypeError, match="no fused kernel"):
         hh.solve(hh.PricingProblem(_opt(), mkt),
                  hh.MonteCarlo(hh.SABRDynamics(), hh.EulerMaruyama(use_kernel=True), cfg))
+
+
+def test_sabr_composes_with_lsm_and_asians():
+    """The SABR grid (forward-ratio converted to spot prices) composes with
+    the existing grid consumers: American LSM agrees with the CRR oracle at
+    the degenerate β=1, ν=0 (= GBM) corner, a smiley American dominates its
+    European, and arithmetic Asians price."""
+    cfg = hh.SimulationConfig(trajectories=1 << 14, steps=50,
+                              variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+    am = hh.VanillaOption(105.0, EXPIRY, hh.American(), hh.Put(), hh.Spot())
+    lsm = hh.LSM(hh.MonteCarlo(hh.SABRDynamics(), hh.EulerMaruyama(), cfg), 4)
+    p_lsm = float(hh.solve(
+        hh.PricingProblem(am, _market(0.2, 1.0, 0.0, 0.0)), lsm).price)
+    crr = float(hh.solve(
+        hh.PricingProblem(am, hh.BlackScholesInputs(REF, 0.03, 100.0, 0.2)),
+        hh.CoxRossRubinsteinMethod(500)).price)
+    assert p_lsm == pytest.approx(crr, rel=2e-2)  # american_options.jl:51 tol
+
+    mkt = _market()
+    p_am = float(hh.solve(hh.PricingProblem(am, mkt), lsm).price)
+    p_eu = float(hh.solve(
+        hh.PricingProblem(hh.VanillaOption(105.0, EXPIRY, hh.European(), hh.Put(), hh.Spot()), mkt),
+        hh.SABRAnalytic()).price)
+    assert p_am > p_eu
+
+    asian = hh.AsianOption(100.0, EXPIRY, 50, hh.European(), hh.Call(),
+                           hh.Spot(), hh.ArithmeticAverage())
+    pa = float(hh.solve(
+        hh.PricingProblem(asian, mkt),
+        hh.MonteCarlo(hh.SABRDynamics(), hh.EulerMaruyama(), cfg)).price)
+    assert 0.0 < pa < p_eu + 10.0  # sane magnitude
