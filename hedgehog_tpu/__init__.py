@@ -118,9 +118,11 @@ from .methods.black_scholes import BlackScholesAnalytic  # noqa: E402
 from .methods.crr import CoxRossRubinsteinMethod  # noqa: E402
 from .methods.merton import MertonAnalytic  # noqa: E402
 from .methods.sabr import SABRAnalytic, hagan_vol  # noqa: E402
+from .models.local_vol import dupire_local_vol  # noqa: E402
 from .models.dynamics import (  # noqa: E402
     HestonDynamics,
     LognormalDynamics,
+    LocalVolDynamics,
     MertonJumpDynamics,
     SABRDynamics,
     heston_cf,
@@ -282,6 +284,8 @@ __all__ = [
     "HestonDynamics",
     "MertonJumpDynamics",
     "SABRDynamics",
+    "LocalVolDynamics",
+    "dupire_local_vol",
     "heston_cf",
     "lognormal_cf",
     "CarrMadan",

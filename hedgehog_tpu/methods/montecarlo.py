@@ -45,6 +45,7 @@ from ..market.vol_surface import FlatVolSurface, get_vol
 from ..models.dynamics import (
     HestonDynamics,
     LognormalDynamics,
+    LocalVolDynamics,
     MertonJumpDynamics,
     SABRDynamics,
     lognormal_terminal_law,
@@ -324,6 +325,49 @@ def _sabr_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
         grid = grid * d_ratio[:, None, None]
         return jnp.moveaxis(grid, 0, 1)  # (g, steps+1, paths)
     return f_T
+
+
+def _local_vol_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
+    """Dupire local-vol log-Euler paths (beyond-reference model family):
+    x_{k+1} = x_k + (f_k − σ²_loc/2)dt + σ_loc √dt z with
+    σ_loc = dupire_local_vol(market, t_k, S_k) (per-path surface lookup +
+    exact AD surface derivatives, vmapped) and the exact per-step forward
+    rate f_k = ln(D(t_k)/D(t_{k+1}))/dt, so a FLAT surface reproduces exact
+    GBM stepping.  Terminal (n_groups, paths) or grid
+    (n_groups, steps+1, paths)."""
+    from ..models.local_vol import dupire_local_vol
+
+    market = prob.market_inputs
+    T = market_yearfrac(market, prob.payoff.expiry)
+    steps = config.steps
+    dt = T / steps
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if config.qmc:
+        zb = _qmc_normals(key, steps, 1, config.trajectories, skip=point_offset)[:, 0, :]
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+    else:
+        z = _normals(key, (steps, config.trajectories), anti)
+    t_k = jnp.arange(steps) * dt
+    d_grid = df_yf(market.rate, jnp.arange(steps + 1) * dt)
+    fwd = jnp.log(d_grid[:-1] / d_grid[1:]) / dt  # per-step forward rates
+    sq = jnp.sqrt(dt)
+    x0 = jnp.full((z.shape[0], config.trajectories), jnp.log(market.spot))
+    sig_of = jax.vmap(jax.vmap(
+        lambda tt, ss: dupire_local_vol(market, tt, ss), in_axes=(None, 0)
+    ), in_axes=(None, 0))
+
+    def step(x, inp):
+        zk, tk, fk = inp
+        sig = sig_of(tk, jnp.exp(x))
+        x_new = x + (fk - 0.5 * sig * sig) * dt + sig * sq * zk
+        return x_new, (x_new if return_grid else None)
+
+    zs = (jnp.moveaxis(z, 1, 0), t_k, fwd)
+    x_T, xs = jax.lax.scan(step, x0, zs)
+    if return_grid:
+        grid = jnp.concatenate([x0[None], xs], axis=0)
+        return jnp.exp(jnp.moveaxis(grid, 0, 1))
+    return jnp.exp(x_T)
 
 
 def _merton_poisson_trips(rate, cap: int = 64, default: int = 32) -> int:
@@ -1403,6 +1447,13 @@ def simulate_terminal_prices(
             prob, config, _base_key(config, key), return_grid=False,
             point_offset=point_offset,
         )
+    if isinstance(strat, EulerMaruyama) and isinstance(dyn, LocalVolDynamics):
+        if strat.use_kernel:
+            raise TypeError("local vol has no fused kernel; drop use_kernel=True")
+        return _local_vol_euler_paths(
+            prob, config, _base_key(config, key), return_grid=False,
+            point_offset=point_offset,
+        )
     raise TypeError(
         f"unsupported (dynamics, strategy) = ({type(dyn).__name__}, {type(strat).__name__})"
     )
@@ -1435,6 +1486,8 @@ def simulate_price_grid(
         return _heston_qe_paths(prob, config, key, strat, return_grid=True, point_offset=point_offset)
     if isinstance(dyn, SABRDynamics) and isinstance(strat, EulerMaruyama):
         return _sabr_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
+    if isinstance(dyn, LocalVolDynamics) and isinstance(strat, EulerMaruyama):
+        return _local_vol_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     raise TypeError(
         f"unsupported grid simulation ({type(dyn).__name__}, {type(strat).__name__})"
     )

@@ -27,6 +27,7 @@ __all__ = [
     "HestonDynamics",
     "MertonJumpDynamics",
     "SABRDynamics",
+    "LocalVolDynamics",
     "lognormal_terminal_law",
     "merton_terminal_params",
     "heston_cf",
@@ -62,6 +63,15 @@ class LognormalDynamics(PriceDynamics):
 @pytree
 class HestonDynamics(PriceDynamics):
     """Heston stochastic volatility (CIR variance)."""
+
+
+@pytree
+class LocalVolDynamics(PriceDynamics):
+    """Dupire local volatility (beyond-reference model family): GBM with a
+    state/time-dependent volatility σ_loc(S, t) derived from the market's
+    implied-vol surface (models/local_vol.py).  Markets are ordinary
+    :class:`BlackScholesInputs` whose ``sigma`` is a surface; by
+    construction LV Monte Carlo reprices the surface's own vanillas."""
 
 
 @pytree
