@@ -117,3 +117,33 @@ def test_sharded_lsm_vs_crr():
     assert p_sharded == pytest.approx(p_crr, rel=2.5e-2)
     # determinism across calls
     assert float(sharded_lsm_price(prob, lsm, mesh)) == p_sharded
+
+
+def test_sharded_new_model_families():
+    """The path-sharded pricer composes with the round-3 model families
+    (Merton exact terminal draws, SABR forward-measure Euler) unchanged —
+    mc_path_values is the one interface, per-device streams fold in the
+    device index, one psum reduces."""
+    import datetime as dt
+
+    from hedgehog_tpu.parallel.sharding import make_paths_mesh, sharded_mc_price
+
+    ref, exp = dt.date(2024, 1, 1), dt.date(2024, 12, 31)
+    opt = hh.VanillaOption(100.0, exp, hh.European(), hh.Call(), hh.Spot())
+    mesh = make_paths_mesh()
+    cases = [
+        (hh.MertonInputs(ref, 0.03, 100.0, 0.2, 0.5, -0.1, 0.15),
+         hh.MonteCarlo(hh.MertonJumpDynamics(), hh.MertonExact(),
+                       hh.SimulationConfig(trajectories=1 << 13, steps=1,
+                                           variance_reduction=hh.Antithetic(), seed=0))),
+        (hh.SABRInputs(ref, 0.03, 100.0, 0.2, 0.7, -0.3, 0.4),
+         hh.MonteCarlo(hh.SABRDynamics(), hh.EulerMaruyama(),
+                       hh.SimulationConfig(trajectories=1 << 12, steps=16,
+                                           variance_reduction=hh.Antithetic(), seed=0))),
+    ]
+    for mkt, method in cases:
+        prob = hh.PricingProblem(opt, mkt)
+        p_sh = float(sharded_mc_price(prob, method, mesh))
+        p_1 = float(hh.solve(prob, method).price)
+        # independent per-device streams: statistical, not bitwise, agreement
+        assert p_sh == pytest.approx(p_1, rel=4e-2)
