@@ -126,7 +126,7 @@ def test_sharded_new_model_families():
     device index, one psum reduces."""
     import datetime as dt
 
-    from hedgehog_tpu.parallel.sharding import make_paths_mesh, sharded_mc_price
+    import hedgehog_tpu as hh
 
     ref, exp = dt.date(2024, 1, 1), dt.date(2024, 12, 31)
     opt = hh.VanillaOption(100.0, exp, hh.European(), hh.Call(), hh.Spot())
