@@ -37,6 +37,7 @@ from .core.payoffs import (  # noqa: E402
     ArithmeticAverage,
     AsianOption,
     BarrierOption,
+    VarianceSwap,
     Call,
     DigitalOption,
     Down,
@@ -160,6 +161,7 @@ from .methods.montecarlo import (  # noqa: E402
     NoVarianceReduction,
     SimulationConfig,
     heston_surface_mc,
+    heston_variance_swap_strike,
     mc_path_values,
     simulate_conditional_values,
     simulate_price_grid,
@@ -205,6 +207,7 @@ __all__ = [
     "KnockIn",
     "KnockOut",
     "AsianOption",
+    "VarianceSwap",
     "ArithmeticAverage",
     "GeometricAverage",
     "European",
@@ -316,6 +319,7 @@ __all__ = [
     "simulate_conditional_values",
     "mc_path_values",
     "heston_surface_mc",
+    "heston_variance_swap_strike",
     "heston_exact_price_and_greeks",
     "heston_mixing_price_and_greeks",
     "simulate_price_grid",

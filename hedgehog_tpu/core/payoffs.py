@@ -39,6 +39,7 @@ __all__ = [
     "KnockIn",
     "KnockOut",
     "AsianOption",
+    "VarianceSwap",
     "Averaging",
     "ArithmeticAverage",
     "GeometricAverage",
@@ -261,6 +262,37 @@ class AsianOption:
         """Intrinsic value of the realized average, broadcasting."""
         cp = self.call_put()
         return jnp.maximum(cp * (jnp.asarray(average) - self.strike), 0.0)
+
+
+@pytree
+class VarianceSwap:
+    """A (discretely-sampled) variance swap — beyond the reference's
+    vanilla-only taxonomy: at ``expiry`` it pays
+
+        notional · (RV − strike_var),
+        RV = (1/T) · Σ_{i=1..n} ln(S_{t_i}/S_{t_{i-1}})²
+
+    over ``observations`` equally-spaced fixings t_i = i·T/n (annualized by
+    the observation window T, the continuously-compounded convention; quote
+    ``strike_var`` in VARIANCE units, e.g. 0.04 for a 20-vol strike).
+    ``__call__`` maps the realized variance to the payout.  European-only,
+    linear in RV — closed forms exist wherever E[RV] does
+    (BS: σ² + (r − σ²/2)²T/n exactly for the discrete sum; Heston
+    continuous limit: θ + (V0 − θ)(1 − e^{−κT})/(κT))."""
+
+    strike_var: Any
+    expiry: Any
+    observations: int = static_field(default=252)
+    notional: Any = 1.0
+    exercise_style: ExerciseStyle = static_field(default=European())
+    underlying: Underlying = static_field(default=Spot())
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+
+    def __call__(self, realized_var):
+        """Payout of the realized variance, broadcasting."""
+        return self.notional * (jnp.asarray(realized_var) - self.strike_var)
 
 
 def require_european(payoff: "VanillaOption", method_name: str, spot_only: bool = False):

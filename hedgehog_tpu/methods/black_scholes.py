@@ -199,6 +199,30 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
 
     require_european(payoff, "BlackScholesAnalytic")
 
+    from ..core.payoffs import VarianceSwap
+
+    if isinstance(payoff, VarianceSwap):
+        # discrete fair strike under GBM, EXACT: each log return is
+        # N(μ·dt, σ²·dt) with μ = r − σ²/2, so E[RV] = σ² + μ²·T/n.
+        # Smiley surfaces have no single σ (the log-contract replication
+        # lives outside this method) — price those by LocalVolDynamics MC.
+        from ..market.vol_surface import FlatVolSurface
+
+        if not isinstance(market.sigma, FlatVolSurface):
+            raise TypeError(
+                "variance swaps on a non-flat surface have no single-σ "
+                "closed form here; use MonteCarlo(LocalVolDynamics(), "
+                "EulerMaruyama(), cfg) to price off the smile"
+            )
+        T_vs = market_yearfrac(market, payoff.expiry)
+        D_vs = df(market.rate, payoff.expiry)
+        sig = market.sigma.sigma
+        r = -jnp.log(D_vs) / jnp.maximum(T_vs, 1e-30)
+        mu = r - 0.5 * sig**2
+        fair = sig**2 + mu**2 * T_vs / payoff.observations
+        price = D_vs * payoff.notional * (fair - payoff.strike_var)
+        return AnalyticSolution(prob, method, price)
+
     K = payoff.strike
     sigma = get_vol(market.sigma, payoff.expiry, K)
     cp = payoff.call_put()

@@ -67,6 +67,7 @@ __all__ = [
     "simulate_conditional_values",
     "mc_path_values",
     "heston_surface_mc",
+    "heston_variance_swap_strike",
 ]
 
 
@@ -797,6 +798,42 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
     return MonteCarloSolution(prob, method, price, vals)
 
 
+def heston_variance_swap_strike(market, T):
+    """Continuous-sampling Heston fair variance strike
+    E[(1/T)∫₀ᵀ V dt] = θ + (V0 − θ)(1 − e^{−κT})/(κT) — the MC agreement
+    oracle for discretely-sampled variance swaps (the discrete sum carries
+    an O(dt) sampling correction the tests bound)."""
+    kT = market.kappa * T
+    return market.theta + (market.V0 - market.theta) * -jnp.expm1(-kT) / kT
+
+
+def _solve_variance_swap_mc(prob: PricingProblem, method: MonteCarlo):
+    """Variance-swap Monte Carlo: simulate a price grid under ANY grid
+    dynamics (GBM, Heston Euler/QE incl. the conditional bridge grid, SABR,
+    local vol), form the discrete realized variance
+    RV = Σ ln(S_i/S_{i-1})²/T over the grid, pay notional·(RV − K_var).
+    ``config.steps`` must equal ``observations`` so grid times are the
+    fixing dates."""
+    payoff = prob.payoff
+    require_european(payoff, "MonteCarlo", spot_only=True)
+    config = method.config
+    if config.steps != payoff.observations:
+        raise ValueError(
+            f"variance-swap MC needs config.steps == observations so grid "
+            f"times are the fixing dates; got steps={config.steps}, "
+            f"observations={payoff.observations}"
+        )
+    market = prob.market_inputs
+    discount = df(market.rate, payoff.expiry)
+    T = market_yearfrac(market, payoff.expiry)
+    grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
+    lr = jnp.diff(jnp.log(grid), axis=1)
+    rv = jnp.sum(lr * lr, axis=1) / T  # (g, paths)
+    vals = payoff(rv)
+    price = discount * jnp.mean(vals, axis=(0, -1))
+    return MonteCarloSolution(prob, method, price, vals)
+
+
 def _solve_asian_mc(prob: PricingProblem, method: MonteCarlo):
     """Asian-option Monte Carlo: simulate the price grid under any grid
     strategy, average the n fixings S_{t_1..t_n} = grid[1:], pay the vanilla
@@ -1514,12 +1551,14 @@ def reduce_payoffs(samples: jnp.ndarray, payoff) -> jnp.ndarray:
 @register_solver(MonteCarlo)
 def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSolution:
     payoff = prob.payoff
-    from ..core.payoffs import AsianOption, BarrierOption
+    from ..core.payoffs import AsianOption, BarrierOption, VarianceSwap
 
     if isinstance(payoff, BarrierOption):
         return _solve_barrier_mc(prob, method)
     if isinstance(payoff, AsianOption):
         return _solve_asian_mc(prob, method)
+    if isinstance(payoff, VarianceSwap):
+        return _solve_variance_swap_mc(prob, method)
     # European×Spot-only MC solve signature (montecarlo.jl:479)
     require_european(payoff, "MonteCarlo", spot_only=True)
     discount = df(prob.market_inputs.rate, payoff.expiry)
