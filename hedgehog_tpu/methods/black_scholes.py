@@ -157,14 +157,22 @@ def bs_barrier_price(spot, strike, barrier, vol, T, discount, cp, up: bool, knoc
         price = price + rebate * (discount - e_pu)
 
     # σ==0 or T==0: the path is the deterministic forward S·e^{rt}, monotone
-    # in t, so it touches H iff an endpoint is beyond H (the deterministic
-    # rebate discounts at expiry for both conventions)
+    # in t, so it touches H iff an endpoint is beyond H; the at-hit rebate
+    # discounts at the KNOWN deterministic hit time t_hit = ln(H/S)/r
+    # (clipped — touched-at-inception pays immediately, r→0 flat paths only
+    # ever touch at inception)
     f_T = S / discount
     det_touch = touched | ((f_T >= H) if up else (f_T <= H))
     det_pay = discount * jnp.maximum(cp * (f_T - K), 0.0)
     det_in = jnp.where(det_touch, det_pay, 0.0)
     if knock_in:
         det = det_in + rebate * discount * jnp.where(det_touch, 0.0, 1.0)
+    elif rebate_at_hit:
+        r_safe = jnp.where(jnp.abs(r) < 1e-12, 1e-12, r)
+        t_hit = jnp.clip(jnp.log(H / S) / r_safe, 0.0, T)
+        det = (det_pay - det_in) + rebate * jnp.exp(-r * t_hit) * jnp.where(
+            det_touch, 1.0, 0.0
+        )
     else:
         det = (det_pay - det_in) + rebate * discount * jnp.where(det_touch, 1.0, 0.0)
     return jnp.where((vol > 0) & (T > 0), price, det)

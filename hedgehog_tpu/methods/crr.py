@@ -20,11 +20,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.dates import add_yearfrac, yearfrac
+from ..core.dates import yearfrac
 from ..core.payoffs import American, Spot
 from ..core.problems import CRRSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
-from ..market.rate_curve import df, zero_rate
+from ..market.rate_curve import df, zero_rate, zero_rate_yf
 from ..market.inputs import market_yearfrac
 from ..market.vol_surface import get_vol
 from ..utils.pytree import pytree, static_field
@@ -89,9 +89,11 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
         if is_american:
             fwd_nodes = forward * u ** (2 * j - i)
             if on_spot:
-                # Discount forward nodes to spot at time i·ΔT (crr.jl:77-83).
-                t_i = add_yearfrac(rate_curve.reference_date, i * dT)
-                underlying = jnp.exp(-zero_rate(rate_curve, t_i) * (steps - i) * dT) * fwd_nodes
+                # Discount forward nodes to spot at time i·ΔT (crr.jl:77-83);
+                # the zero-rate lookup stays in year fractions (a tick
+                # round-trip would shift the tenor by the curve's day-count
+                # ratio on non-ACT/365 markets)
+                underlying = jnp.exp(-zero_rate_yf(rate_curve, i * dT) * (steps - i) * dT) * fwd_nodes
             else:
                 underlying = fwd_nodes
             new_value = jnp.maximum(continuation, payoff(underlying))

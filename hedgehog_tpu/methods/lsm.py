@@ -32,7 +32,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.dates import add_yearfrac, yearfrac
+from ..core.dates import yearfrac
 from ..core.payoffs import American
 from ..core.problems import LSMSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
@@ -159,8 +159,13 @@ def _lsm_setup(prob: PricingProblem, method: LSM):
     market = prob.market_inputs
     T = market_yearfrac(market, payoff.expiry)
     nsteps = method.mc_method.config.steps
-    # single-step discount factor (lsm.jl:110)
-    disc = df(market.rate, add_yearfrac(market.reference_date, T / nsteps))
+    # single-step discount factor (lsm.jl:110) — stay in YEAR-FRACTION space:
+    # materializing T/nsteps as ticks (ACT/365) and re-reading it under the
+    # curve's own day-count would scale every per-step discount by the
+    # convention ratio (e.g. 365/360 on an ACT/360 market)
+    from ..market.rate_curve import df_yf
+
+    disc = df_yf(market.rate, T / nsteps)
     return jnp.log(disc), jnp.asarray(payoff.strike, jnp.float64)
 
 

@@ -50,6 +50,32 @@ class MertonAnalytic(AbstractPricingMethod):
         return MertonJumpDynamics()
 
 
+def _check_series_terms(rate, n_terms: int) -> None:
+    """Hard truncation guard (the analytic mirror of the MC path's
+    _merton_poisson_trips raise): when λT is concrete, the Poisson tail
+    mass beyond ``n_terms`` must be < 1e-8 — a fixed 30-term series at
+    λT ≳ 15 silently misprices by percent-level otherwise.  Traced rates
+    skip the check (jit/grad cannot branch); size ``n_terms`` for the
+    largest intensity the traced program will see."""
+    import math
+
+    try:
+        r = float(rate)
+    except Exception:
+        return
+    p = math.exp(-r)
+    cdf = p
+    for k in range(1, n_terms):
+        p *= r / k
+        cdf += p
+    if cdf < 1.0 - 1e-8:
+        raise ValueError(
+            f"MertonAnalytic(n_terms={n_terms}) truncates {1.0 - cdf:.2e} of "
+            f"the Poisson mass at λT ≈ {r:.1f}; raise n_terms (≈ λT + 10√(λT)"
+            f" + 15) or price via CarrMadan(MertonJumpDynamics())"
+        )
+
+
 def _series_weights(lam_prime_T, n_terms: int):
     n = jnp.arange(n_terms, dtype=jnp.result_type(lam_prime_T))
     log_w = -lam_prime_T + n * jnp.log(jnp.maximum(lam_prime_T, 1e-300)) - gammaln(n + 1.0)
@@ -75,6 +101,7 @@ def _solve_merton_analytic(prob: PricingProblem, method: MertonAnalytic) -> Anal
     discount = df(market.rate, payoff.expiry)
     cp = payoff.call_put()
 
+    _check_series_terms(lam * T, method.n_terms)
     n, w = _series_weights(lam * T, method.n_terms)
     # conditional-on-n lognormal parameters (tower law over the jump count)
     sigma_n = jnp.sqrt(sigma**2 + n * s_j**2 / T)

@@ -371,12 +371,14 @@ def _local_vol_euler_paths(prob, config, key, *, return_grid: bool, point_offset
     return jnp.exp(x_T)
 
 
-def _merton_poisson_trips(rate, cap: int = 64, default: int = 32) -> int:
+def _merton_poisson_trips(rate, cap: int = 64, default: int = 64) -> int:
     """Checked static Poisson trip count for the Merton jump count: smallest
     k with P(N > k | λT) < 1e-9 (+1 margin, floored at 8); raises when even
     ``cap`` trips cannot meet the tail bound (λT ≳ 30 — hundreds of jumps
     per path want a different estimator).  Returns ``default`` when the
-    rate is traced."""
+    rate is traced — the full ``cap`` (the loop is cheap FMAs and a traced
+    rate means the hard λT guard cannot run, so take the most coverage
+    available; λT beyond ~35 still needs the eager/concrete path to raise)."""
     import math
 
     try:
@@ -443,16 +445,17 @@ def _merton_exact_terminal(prob, config, key, point_offset=0, with_score=False):
     return samples
 
 
-def _merton_payoffs_with_score(prob, method, payoff):
+def _merton_payoffs_with_score(prob, method, payoff, key=None, point_offset=0):
     """Per-path Merton payoffs with the likelihood-ratio surrogate baked in
     (applied per antithetic group BEFORE pair-averaging — the mirrored
     uniform draws a different count): primal unchanged, ``jax.grad``
-    through solve unbiased in λ.  Returns the reduce_payoffs contract
+    through solve AND through mc_path_values (the sharded pricer's
+    interface) is unbiased in λ.  Returns the reduce_payoffs contract
     ((paths,) or (m, paths))."""
     import dataclasses
 
     samples, logl = _merton_exact_terminal(
-        prob, method.config, None, with_score=True
+        prob, method.config, key, with_score=True, point_offset=point_offset
     )
     if jnp.ndim(payoff.strike) > 0:
         p = dataclasses.replace(payoff, strike=jnp.asarray(payoff.strike)[:, None])
@@ -1391,6 +1394,20 @@ def mc_path_values(
             prob, method, key=key, device_id=device_id, point_offset=point_offset
         )
         return jnp.mean(values, axis=0)
+    from ..core.payoffs import AsianOption, BarrierOption, VarianceSwap
+
+    if isinstance(prob.payoff, (AsianOption, BarrierOption, VarianceSwap)):
+        raise TypeError(
+            f"mc_path_values covers terminal-sample payoffs; "
+            f"{type(prob.payoff).__name__} needs a path grid — price through "
+            f"solve(...)"
+        )
+    if isinstance(strat, MertonExact) and isinstance(method.dynamics, MertonJumpDynamics):
+        # keep the likelihood-ratio surrogate on EVERY route (sharded
+        # pricers included) so λ-gradients stay unbiased
+        return _merton_payoffs_with_score(
+            prob, method, prob.payoff, key=key, point_offset=point_offset
+        )
     samples = simulate_terminal_prices(
         prob, method, key=key, device_id=device_id, point_offset=point_offset
     )

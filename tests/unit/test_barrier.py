@@ -282,3 +282,21 @@ def test_rebate_greeks_finite():
     # already-touched spot: flat in S (price pinned at the rebate), no NaN
     g0 = float(jax.grad(f)(125.0, True))
     assert g0 == pytest.approx(0.0, abs=1e-10)
+
+
+def test_zero_vol_at_hit_rebate_discounts_at_the_hit_time():
+    """σ = 0 with r > 0: the forward path crosses an up-barrier at the KNOWN
+    time t_hit = ln(H/S)/r, so the at-hit rebate is worth R·e^{−r·t_hit} —
+    strictly more than the at-expiry leg's R·D(T)."""
+    mkt = _bs_market(0.0)  # r = 0.05
+    Rb, Hb = 3.0, 102.0  # f_T ≈ 105.1 crosses 102 at t_hit = ln(1.02)/0.05
+    ko_hit = hh.BarrierOption(200.0, EXPIRY, Hb, hh.European(), hh.Call(),
+                              hh.Spot(), hh.Up(), hh.KnockOut(), Rb, True)
+    ko_exp = hh.BarrierOption(200.0, EXPIRY, Hb, hh.European(), hh.Call(),
+                              hh.Spot(), hh.Up(), hh.KnockOut(), Rb, False)
+    p_hit = float(hh.solve(hh.PricingProblem(ko_hit, mkt), hh.BlackScholesAnalytic()).price)
+    p_exp = float(hh.solve(hh.PricingProblem(ko_exp, mkt), hh.BlackScholesAnalytic()).price)
+    t_hit = np.log(Hb / SPOT) / R
+    assert p_hit == pytest.approx(Rb * np.exp(-R * t_hit), rel=1e-10)
+    assert p_exp == pytest.approx(Rb * np.exp(-R * 1.0), rel=1e-10)
+    assert p_hit > p_exp

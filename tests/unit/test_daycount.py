@@ -178,3 +178,19 @@ def test_theta_in_ticks_under_linear_convention():
     g365 = float(jax.grad(lambda t: price(mkt365, t))(ticks))
     assert np.isfinite(g360) and np.isfinite(g365)
     assert g360 != g365  # different slope through the convention
+
+
+def test_lsm_discount_under_act360():
+    """LSM's per-step discount must live in the market's convention (review
+    finding: a tick round-trip scaled every step by 365/360): American put
+    LSM on an Act360 market tracks CRR on the same market."""
+    mkt = hh.BlackScholesInputs(D1, 0.05, 100.0, 0.2, daycount=Act360())
+    am = hh.VanillaOption(105.0, D2, hh.American(), hh.Put(), hh.Spot())
+    cfg = hh.SimulationConfig(trajectories=1 << 14, steps=50,
+                              variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+    p_lsm = float(hh.solve(
+        hh.PricingProblem(am, mkt),
+        hh.LSM(hh.MonteCarlo(hh.LognormalDynamics(), hh.EulerMaruyama(), cfg), 4)).price)
+    p_crr = float(hh.solve(hh.PricingProblem(am, mkt),
+                           hh.CoxRossRubinsteinMethod(500)).price)
+    assert p_lsm == pytest.approx(p_crr, rel=2e-2)

@@ -151,3 +151,37 @@ def test_american_and_unsupported_raise():
     with pytest.raises(TypeError, match="unsupported"):
         hh.solve(hh.PricingProblem(_opt(), _market()),
                  hh.MonteCarlo(hh.MertonJumpDynamics(), hh.HestonQE(), cfg))
+
+
+def test_mc_path_values_keeps_the_intensity_surrogate():
+    """The sharded pricer's interface (mc_path_values) must carry the same
+    likelihood-ratio surrogate as solve — a dropped surrogate biases the
+    λ-gradient by >2× (review finding, reproduced then fixed)."""
+    from hedgehog_tpu.methods.montecarlo import mc_path_values
+
+    cfg = hh.SimulationConfig(trajectories=1 << 15, steps=1,
+                              variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+    method = hh.MonteCarlo(hh.MertonJumpDynamics(), hh.MertonExact(), cfg)
+
+    def price_via_values(lam):
+        prob = hh.PricingProblem(_opt(), _market(jump_intensity=lam))
+        return jnp.mean(mc_path_values(prob, method))
+
+    g_vals = float(jax.grad(price_via_values)(0.5))
+    g_series = float(jax.grad(lambda lam: hh.solve(
+        hh.PricingProblem(_opt(), _market(jump_intensity=lam)),
+        hh.MertonAnalytic()).price * np.exp(0.03 * 366 / 365))(0.5))
+    assert g_vals == pytest.approx(g_series, rel=5e-2)
+
+
+def test_series_truncation_guard():
+    """λT beyond the fixed series' reach must raise, not silently misprice
+    (the analytic mirror of the MC trip-count guard)."""
+    hot = _market(jump_intensity=25.0)
+    with pytest.raises(ValueError, match="truncates"):
+        hh.solve(hh.PricingProblem(_opt(), hot), hh.MertonAnalytic())
+    # and a sized series prices it fine vs Carr-Madan
+    pa = float(hh.solve(hh.PricingProblem(_opt(), hot), hh.MertonAnalytic(n_terms=120)).price)
+    cm = float(hh.solve(hh.PricingProblem(_opt(), hot),
+                        hh.CarrMadan(1.0, "auto", hh.MertonJumpDynamics())).price)
+    assert pa == pytest.approx(cm, rel=1e-6)

@@ -87,3 +87,13 @@ def test_variance_swap_guards():
     with pytest.raises(ValueError, match="observations"):
         hh.solve(hh.PricingProblem(vs, hh.BlackScholesInputs(REF, 0.03, 100.0, 0.2)),
                  hh.MonteCarlo(hh.LognormalDynamics(), hh.EulerMaruyama(), cfg))
+
+
+def test_mc_path_values_rejects_grid_payoffs():
+    from hedgehog_tpu.methods.montecarlo import mc_path_values
+
+    vs = hh.VarianceSwap(0.04, EXPIRY, observations=16)
+    cfg = hh.SimulationConfig(trajectories=64, steps=16)
+    method = hh.MonteCarlo(hh.LognormalDynamics(), hh.EulerMaruyama(), cfg)
+    with pytest.raises(TypeError, match="path grid"):
+        mc_path_values(hh.PricingProblem(vs, hh.BlackScholesInputs(REF, 0.03, 100.0, 0.2)), method)
