@@ -37,6 +37,8 @@ from .core.payoffs import (  # noqa: E402
     ArithmeticAverage,
     AsianOption,
     BarrierOption,
+    Cliquet,
+    ForwardStartOption,
     VarianceSwap,
     Call,
     DigitalOption,
@@ -208,6 +210,8 @@ __all__ = [
     "KnockOut",
     "AsianOption",
     "VarianceSwap",
+    "ForwardStartOption",
+    "Cliquet",
     "ArithmeticAverage",
     "GeometricAverage",
     "European",

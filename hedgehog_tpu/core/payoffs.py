@@ -40,6 +40,8 @@ __all__ = [
     "KnockOut",
     "AsianOption",
     "VarianceSwap",
+    "ForwardStartOption",
+    "Cliquet",
     "Averaging",
     "ArithmeticAverage",
     "GeometricAverage",
@@ -262,6 +264,68 @@ class AsianOption:
         """Intrinsic value of the realized average, broadcasting."""
         cp = self.call_put()
         return jnp.maximum(cp * (jnp.asarray(average) - self.strike), 0.0)
+
+
+@pytree
+class ForwardStartOption:
+    """A forward-start option — beyond the reference's vanilla taxonomy: at
+    ``expiry`` it pays max(cp·(S_T − k·S_{t_start}), 0) with the strike set
+    at ``start`` as fraction ``strike_fraction`` (k) of the then-spot — the
+    cliquet building block.  Under Black-Scholes the S_{t_start}-homogeneity
+    gives the Rubinstein closed form; under any grid dynamics it prices by
+    MC with a fixing at ``start`` (``config.steps`` must put ``start`` on
+    the grid).  ``__call__`` maps (S_fix, S_T) to the payout."""
+
+    strike_fraction: Any
+    expiry: Any
+    start: Any
+    exercise_style: ExerciseStyle = static_field(default=European())
+    call_put: CallPut = static_field(default=Call())
+    underlying: Underlying = static_field(default=Spot())
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+        object.__setattr__(self, "start", to_ticks(self.start))
+
+    def __call__(self, s_fix, s_terminal):
+        cp = self.call_put()
+        return jnp.maximum(
+            cp * (jnp.asarray(s_terminal) - self.strike_fraction * jnp.asarray(s_fix)),
+            0.0,
+        )
+
+
+@pytree
+class Cliquet:
+    """A locally-capped/floored cliquet — beyond the reference's vanilla
+    taxonomy, the classic equity structured coupon: at ``expiry`` it pays
+
+        notional · Σ_{i=1..n} clip(S_{t_i}/S_{t_{i-1}} − 1, local_floor,
+                                    local_cap)
+
+    over ``observations`` equally-spaced reset periods.  Each period's
+    clipped return is a bull call spread on the forward return, so under
+    flat-vol Black-Scholes the value has a closed form (sum of per-period
+    Black spreads, paid at expiry); any grid dynamics prices it by MC with
+    ``config.steps == observations``.  ``__call__`` maps the realized
+    period-return matrix to the payout."""
+
+    expiry: Any
+    observations: int = static_field(default=12)
+    local_floor: Any = 0.0
+    local_cap: Any = 0.08
+    notional: Any = 1.0
+    exercise_style: ExerciseStyle = static_field(default=European())
+    underlying: Underlying = static_field(default=Spot())
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+
+    def __call__(self, period_returns):
+        """Payout of per-period simple returns (…, n_periods last axis)."""
+        clipped = jnp.clip(jnp.asarray(period_returns), self.local_floor,
+                           self.local_cap)
+        return self.notional * jnp.sum(clipped, axis=-1)
 
 
 @pytree

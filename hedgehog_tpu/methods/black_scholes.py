@@ -207,7 +207,62 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
 
     require_european(payoff, "BlackScholesAnalytic")
 
-    from ..core.payoffs import VarianceSwap
+    from ..core.payoffs import Cliquet, ForwardStartOption, VarianceSwap
+
+    if isinstance(payoff, Cliquet):
+        # each period's clipped simple return decomposes as
+        # clip(R−1, f, c) = f + (R − (1+f))+ − (R − (1+c))+ — a bull spread
+        # on the forward return R over one reset period τ = T/n, whose
+        # risk-neutral Black values only need the period forward
+        # E[R] = 1/d_per (flat-vol BS; all periods are iid so the sum is n
+        # times one period), discounted once at expiry
+        from ..market.vol_surface import FlatVolSurface
+
+        if not isinstance(market.sigma, FlatVolSurface):
+            raise TypeError(
+                "the cliquet closed form needs a flat vol (the forward "
+                "smile is model-dependent); price surfaces by MC under "
+                "LocalVolDynamics/HestonDynamics"
+            )
+        sig = market.sigma.sigma
+        T_cl = market_yearfrac(market, payoff.expiry)
+        D_cl = df(market.rate, payoff.expiry)
+        n_per = payoff.observations
+        tau = T_cl / n_per
+        d_per = D_cl ** (1.0 / n_per)  # per-period discount (flat-rate exact)
+        f_per = 1.0 / d_per  # E[R] under the risk-neutral measure
+        call_f = bs_price(f_per, 1.0 + payoff.local_floor, sig, tau, 1.0, 1.0)
+        call_c = bs_price(f_per, 1.0 + payoff.local_cap, sig, tau, 1.0, 1.0)
+        per_period = payoff.local_floor + call_f - call_c
+        price = D_cl * payoff.notional * n_per * per_period
+        return AnalyticSolution(prob, method, price)
+
+    if isinstance(payoff, ForwardStartOption):
+        # Rubinstein (1991): S_{t1}-homogeneity + independent lognormal
+        # forward return give V = S0 · BlackPrice(F=e^{r·τ}, K=k, σ, τ)·D(t1,T)
+        # with τ = T − t1; flat-vol markets only (a forward smile is a model
+        # choice this closed form cannot make)
+        from ..market.vol_surface import FlatVolSurface
+
+        if not isinstance(market.sigma, FlatVolSurface):
+            raise TypeError(
+                "forward-start closed form needs a flat vol (the forward "
+                "smile is model-dependent); price surfaces by MC under "
+                "LocalVolDynamics/HestonDynamics"
+            )
+        sig = market.sigma.sigma
+        t1 = yearfrac(market.reference_date, payoff.start, getattr(market, "daycount", None))
+        T_fs = market_yearfrac(market, payoff.expiry)
+        tau = T_fs - t1
+        D_T = df(market.rate, payoff.expiry)
+        D_t1 = df(market.rate, payoff.start)
+        d_fwd = D_T / D_t1  # D(t1, T)
+        # per-unit-S_{t1} Black price on the forward return R = S_T/S_{t1}:
+        # E[R] = 1/d_fwd under the risk-neutral measure
+        unit = bs_price(1.0 / d_fwd, payoff.strike_fraction, sig, tau, d_fwd,
+                        payoff.call_put())
+        price = market.spot * unit
+        return AnalyticSolution(prob, method, price)
 
     if isinstance(payoff, VarianceSwap):
         # discrete fair strike under GBM, EXACT: each log return is

@@ -810,6 +810,60 @@ def heston_variance_swap_strike(market, T):
     return market.theta + (market.V0 - market.theta) * -jnp.expm1(-kT) / kT
 
 
+def _solve_cliquet_mc(prob: PricingProblem, method: MonteCarlo):
+    """Cliquet Monte Carlo: simulate a grid under ANY grid dynamics, form
+    the per-period simple returns S_i/S_{i-1} − 1 and pay the clipped sum
+    at expiry (``config.steps`` must equal ``observations``)."""
+    payoff = prob.payoff
+    require_european(payoff, "MonteCarlo", spot_only=True)
+    config = method.config
+    if config.steps != payoff.observations:
+        raise ValueError(
+            f"cliquet MC needs config.steps == observations so grid times "
+            f"are the reset dates; got steps={config.steps}, "
+            f"observations={payoff.observations}"
+        )
+    market = prob.market_inputs
+    discount = df(market.rate, payoff.expiry)
+    grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
+    rets = grid[:, 1:] / grid[:, :-1] - 1.0  # (g, steps, paths)
+    vals = payoff(jnp.moveaxis(rets, 1, -1))  # periods last → (g, paths)
+    price = discount * jnp.mean(vals, axis=(0, -1))
+    return MonteCarloSolution(prob, method, price, vals)
+
+
+def _solve_forward_start_mc(prob: PricingProblem, method: MonteCarlo):
+    """Forward-start Monte Carlo: simulate a grid under ANY grid dynamics,
+    read the fixing S_{t_start} off the grid (``start`` must land exactly on
+    a grid time) and pay max(cp·(S_T − k·S_fix), 0)."""
+    payoff = prob.payoff
+    require_european(payoff, "MonteCarlo", spot_only=True)
+    market = prob.market_inputs
+    config = method.config
+    T = market_yearfrac(market, payoff.expiry)
+    t1 = yearfrac(market.reference_date, payoff.start,
+                  getattr(market, "daycount", None))
+    try:
+        frac = float(t1) / float(T) * config.steps
+    except Exception as exc:
+        raise TypeError(
+            "forward-start MC needs concrete start/expiry dates to lay out "
+            "the fixing grid"
+        ) from exc
+    idx = round(frac)
+    if abs(frac - idx) > 1e-9 or not (0 < idx < config.steps):
+        raise ValueError(
+            f"forward-start MC needs the start date on the step grid: "
+            f"t_start/T·steps = {frac:.6f} is not an interior integer — "
+            f"choose config.steps as a multiple of T/(T − t_start) structure"
+        )
+    discount = df(market.rate, payoff.expiry)
+    grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
+    vals = payoff(grid[:, idx], grid[:, -1])
+    price = discount * jnp.mean(vals, axis=(0, -1))
+    return MonteCarloSolution(prob, method, price, vals)
+
+
 def _solve_variance_swap_mc(prob: PricingProblem, method: MonteCarlo):
     """Variance-swap Monte Carlo: simulate a price grid under ANY grid
     dynamics (GBM, Heston Euler/QE incl. the conditional bridge grid, SABR,
@@ -1394,9 +1448,16 @@ def mc_path_values(
             prob, method, key=key, device_id=device_id, point_offset=point_offset
         )
         return jnp.mean(values, axis=0)
-    from ..core.payoffs import AsianOption, BarrierOption, VarianceSwap
+    from ..core.payoffs import (
+        AsianOption,
+        BarrierOption,
+        Cliquet,
+        ForwardStartOption,
+        VarianceSwap,
+    )
 
-    if isinstance(prob.payoff, (AsianOption, BarrierOption, VarianceSwap)):
+    if isinstance(prob.payoff, (AsianOption, BarrierOption, Cliquet,
+                                ForwardStartOption, VarianceSwap)):
         raise TypeError(
             f"mc_path_values covers terminal-sample payoffs; "
             f"{type(prob.payoff).__name__} needs a path grid — price through "
@@ -1568,7 +1629,13 @@ def reduce_payoffs(samples: jnp.ndarray, payoff) -> jnp.ndarray:
 @register_solver(MonteCarlo)
 def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSolution:
     payoff = prob.payoff
-    from ..core.payoffs import AsianOption, BarrierOption, VarianceSwap
+    from ..core.payoffs import (
+        AsianOption,
+        BarrierOption,
+        Cliquet,
+        ForwardStartOption,
+        VarianceSwap,
+    )
 
     if isinstance(payoff, BarrierOption):
         return _solve_barrier_mc(prob, method)
@@ -1576,6 +1643,10 @@ def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSol
         return _solve_asian_mc(prob, method)
     if isinstance(payoff, VarianceSwap):
         return _solve_variance_swap_mc(prob, method)
+    if isinstance(payoff, ForwardStartOption):
+        return _solve_forward_start_mc(prob, method)
+    if isinstance(payoff, Cliquet):
+        return _solve_cliquet_mc(prob, method)
     # European×Spot-only MC solve signature (montecarlo.jl:479)
     require_european(payoff, "MonteCarlo", spot_only=True)
     discount = df(prob.market_inputs.rate, payoff.expiry)
