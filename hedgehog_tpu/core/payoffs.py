@@ -42,6 +42,8 @@ __all__ = [
     "VarianceSwap",
     "ForwardStartOption",
     "Cliquet",
+    "SpreadOption",
+    "BasketOption",
     "Averaging",
     "ArithmeticAverage",
     "GeometricAverage",
@@ -293,6 +295,62 @@ class ForwardStartOption:
             cp * (jnp.asarray(s_terminal) - self.strike_fraction * jnp.asarray(s_fix)),
             0.0,
         )
+
+
+@pytree
+class SpreadOption:
+    """A two-asset spread option — beyond the reference's single-asset
+    taxonomy: pays max(cp·(S¹_T − S²_T − K), 0) at ``expiry`` on a
+    :class:`MultiAssetBSInputs` market's first two assets.  K = 0 is the
+    exchange option with Margrabe's exact closed form; K ≠ 0 prices by
+    Kirk's approximation (analytic) or correlated terminal MC."""
+
+    strike: Any
+    expiry: Any
+    exercise_style: ExerciseStyle = static_field(default=European())
+    call_put: CallPut = static_field(default=Call())
+    underlying: Underlying = static_field(default=Spot())
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+
+    def __call__(self, s1, s2):
+        cp = self.call_put()
+        return jnp.maximum(
+            cp * (jnp.asarray(s1) - jnp.asarray(s2) - self.strike), 0.0
+        )
+
+
+@pytree
+class BasketOption:
+    """A weighted basket option — beyond the reference's single-asset
+    taxonomy: pays max(cp·(B_T − K), 0) with B the ``weights``-weighted
+    ARITHMETIC average (``geometric=False``, MC-only) or GEOMETRIC average
+    Π S_i^{w_i} (``geometric=True`` — exactly lognormal under correlated
+    GBM, so BlackScholesAnalytic carries the closed form, the MC agreement
+    oracle).  ``__call__`` maps the asset matrix (..., n_assets) to the
+    intrinsic."""
+
+    strike: Any
+    expiry: Any
+    weights: Any
+    exercise_style: ExerciseStyle = static_field(default=European())
+    call_put: CallPut = static_field(default=Call())
+    underlying: Underlying = static_field(default=Spot())
+    geometric: bool = static_field(default=False)
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+
+    def __call__(self, spots):
+        cp = self.call_put()
+        w = jnp.asarray(self.weights)
+        s = jnp.asarray(spots)
+        if self.geometric:
+            basket = jnp.exp(jnp.sum(w * jnp.log(s), axis=-1))
+        else:
+            basket = jnp.sum(w * s, axis=-1)
+        return jnp.maximum(cp * (basket - self.strike), 0.0)
 
 
 @pytree

@@ -23,6 +23,7 @@ __all__ = [
     "HestonInputs",
     "MertonInputs",
     "SABRInputs",
+    "MultiAssetBSInputs",
     "market_yearfrac",
 ]
 
@@ -126,6 +127,43 @@ class MertonInputs(AbstractMarketInputs):
         ref = to_ticks(self.reference_date)
         object.__setattr__(self, "reference_date", ref)
         object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+
+
+@pytree
+class MultiAssetBSInputs(AbstractMarketInputs):
+    """Correlated multi-asset Black-Scholes market (beyond-reference: the
+    reference is single-asset throughout): n lognormal assets with spot
+    vector ``spots`` (n,), vol vector ``sigmas`` (n,) and instantaneous
+    correlation matrix ``correlation`` (n, n; symmetric, unit diagonal —
+    validated when concrete).  All three are pytree leaves, so multi-asset
+    greeks (per-asset deltas, correlation vega) flow by AD.  ``daycount``
+    as on :class:`BlackScholesInputs`."""
+
+    reference_date: Any
+    rate: Any
+    spots: Any
+    sigmas: Any
+    correlation: Any
+    daycount: Any = static_field(default=ACT365F)
+
+    def __post_init__(self):
+        import numpy as _np
+
+        ref = to_ticks(self.reference_date)
+        object.__setattr__(self, "reference_date", ref)
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+        try:
+            c = _np.asarray(self.correlation, dtype=_np.float64)
+        except Exception:
+            return  # traced: validation is a construction-time convenience
+        if c.ndim != 2 or c.shape[0] != c.shape[1]:
+            raise ValueError("correlation must be a square (n, n) matrix")
+        if not _np.allclose(c, c.T, atol=1e-12):
+            raise ValueError("correlation must be symmetric")
+        if not _np.allclose(_np.diag(c), 1.0, atol=1e-12):
+            raise ValueError("correlation must have a unit diagonal")
+        if _np.linalg.eigvalsh(c).min() < -1e-10:
+            raise ValueError("correlation must be positive semi-definite")
 
 
 @pytree

@@ -207,7 +207,18 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
 
     require_european(payoff, "BlackScholesAnalytic")
 
-    from ..core.payoffs import Cliquet, ForwardStartOption, VarianceSwap
+    from ..core.payoffs import (
+        BasketOption,
+        Cliquet,
+        ForwardStartOption,
+        SpreadOption,
+        VarianceSwap,
+    )
+
+    if isinstance(payoff, (SpreadOption, BasketOption)):
+        from .multi_asset import solve_multi_asset_analytic
+
+        return solve_multi_asset_analytic(prob, method)
 
     if isinstance(payoff, Cliquet):
         # each period's clipped simple return decomposes as

@@ -1456,12 +1456,14 @@ def mc_path_values(
         VarianceSwap,
     )
 
-    if isinstance(prob.payoff, (AsianOption, BarrierOption, Cliquet,
-                                ForwardStartOption, VarianceSwap)):
+    from ..core.payoffs import BasketOption, SpreadOption
+
+    if isinstance(prob.payoff, (AsianOption, BarrierOption, BasketOption,
+                                Cliquet, ForwardStartOption, SpreadOption,
+                                VarianceSwap)):
         raise TypeError(
-            f"mc_path_values covers terminal-sample payoffs; "
-            f"{type(prob.payoff).__name__} needs a path grid — price through "
-            f"solve(...)"
+            f"mc_path_values covers single-asset terminal-sample payoffs; "
+            f"price {type(prob.payoff).__name__} through solve(...)"
         )
     if isinstance(strat, MertonExact) and isinstance(method.dynamics, MertonJumpDynamics):
         # keep the likelihood-ratio surrogate on EVERY route (sharded
@@ -1647,6 +1649,12 @@ def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSol
         return _solve_forward_start_mc(prob, method)
     if isinstance(payoff, Cliquet):
         return _solve_cliquet_mc(prob, method)
+    from ..core.payoffs import BasketOption, SpreadOption
+
+    if isinstance(payoff, (SpreadOption, BasketOption)):
+        from .multi_asset import solve_multi_asset_mc
+
+        return solve_multi_asset_mc(prob, method)
     # European×Spot-only MC solve signature (montecarlo.jl:479)
     require_european(payoff, "MonteCarlo", spot_only=True)
     discount = df(prob.market_inputs.rate, payoff.expiry)

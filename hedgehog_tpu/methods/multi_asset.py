@@ -1,0 +1,157 @@
+"""Multi-asset Black-Scholes pricing — beyond-reference capability (the
+reference is single-asset throughout, src/payoffs/payoffs.jl): spread
+options (Margrabe exact at K = 0, Kirk's approximation at K ≠ 0), weighted
+basket options (exact geometric closed form — the MC oracle — and
+arithmetic by MC), and the correlated exact terminal sampler every
+multi-asset MC route shares.
+
+Everything is smooth jnp: per-asset deltas and correlation sensitivities
+flow by AD through ``solve``.  The correlated draw uses a Cholesky factor
+computed in-graph (n is small — a handful of assets — so the O(n³) factor
+is negligible next to the path batch).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.stats import norm
+
+from ..core.payoffs import BasketOption, SpreadOption
+from ..core.problems import AnalyticSolution, MonteCarloSolution, PricingProblem
+from ..market.inputs import market_yearfrac
+from ..market.rate_curve import df
+
+__all__ = [
+    "margrabe_price",
+    "kirk_spread_price",
+    "geometric_basket_price",
+    "multi_asset_terminal_prices",
+]
+
+
+def margrabe_price(s1, s2, sigma1, sigma2, rho, T, cp):
+    """Margrabe (1978) exchange-option closed form for max(cp·(S¹−S²), 0):
+    EXACT under correlated GBM (no dividends — the rate cancels), with the
+    effective vol σ² = σ₁² + σ₂² − 2ρσ₁σ₂."""
+    sig = jnp.sqrt(jnp.maximum(sigma1**2 + sigma2**2 - 2.0 * rho * sigma1 * sigma2,
+                               1e-30))
+    v = sig * jnp.sqrt(T)
+    d1 = (jnp.log(s1 / s2) + 0.5 * v * v) / v
+    d2 = d1 - v
+    return cp * (s1 * norm.cdf(cp * d1) - s2 * norm.cdf(cp * d2))
+
+
+def kirk_spread_price(s1, s2, strike, sigma1, sigma2, rho, T, discount, cp):
+    """Kirk's (1995) approximation for max(cp·(S¹ − S² − K), 0): treat
+    F² + K as lognormal with the weight w = F²/(F² + K) shrinking σ₂.
+    Exact at K = 0 (reduces to Margrabe); percent-level accurate for
+    moderate K/F² — the MC agreement test bounds it."""
+    f1 = s1 / discount
+    f2 = s2 / discount
+    fk = f2 + strike
+    w = f2 / fk
+    sig = jnp.sqrt(jnp.maximum(
+        sigma1**2 + (w * sigma2) ** 2 - 2.0 * rho * sigma1 * w * sigma2, 1e-30
+    ))
+    v = sig * jnp.sqrt(T)
+    d1 = (jnp.log(f1 / fk) + 0.5 * v * v) / v
+    d2 = d1 - v
+    return discount * cp * (f1 * norm.cdf(cp * d1) - fk * norm.cdf(cp * d2))
+
+
+def geometric_basket_price(spots, weights, sigmas, corr, strike, T, discount, cp):
+    """Exact closed form for the GEOMETRIC basket Π S_i^{w_i}: the log
+    basket is Gaussian with mean Σw(ln S + (r − σ²/2)T) and variance
+    (wσ)ᵀC(wσ)T, so the price is the Black formula at the matched
+    lognormal forward."""
+    r = -jnp.log(discount) / jnp.maximum(T, 1e-30)
+    w = jnp.asarray(weights)
+    s = jnp.asarray(spots)
+    sig = jnp.asarray(sigmas)
+    mean = jnp.sum(w * (jnp.log(s) + (r - 0.5 * sig**2) * T))
+    ws = w * sig
+    var = jnp.einsum("i,ij,j->", ws, jnp.asarray(corr), ws) * T
+    f_geo = jnp.exp(mean + 0.5 * var)
+    from .black_scholes import bs_price
+
+    # only the total volatility enters: pass (vol=√var, T=1)
+    return bs_price(f_geo, strike, jnp.sqrt(jnp.maximum(var, 1e-30)), 1.0,
+                    discount, cp)
+
+
+def multi_asset_terminal_prices(prob: PricingProblem, config, key=None,
+                                point_offset: int = 0):
+    """Exact correlated lognormal terminal draws: (n_groups, paths, n_assets)
+    with n_groups == 2 under antithetic pairing.  Per-asset drift uses the
+    zero rate to expiry (forwards are repriced exactly); correlation enters
+    through an in-graph Cholesky factor of the market's matrix."""
+    from .montecarlo import Antithetic, _base_key, _qmc_normals
+
+    market = prob.market_inputs
+    T = market_yearfrac(market, prob.payoff.expiry)
+    discount = df(market.rate, prob.payoff.expiry)
+    r = -jnp.log(discount) / jnp.maximum(T, 1e-30)
+    s0 = jnp.asarray(market.spots)
+    sig = jnp.asarray(market.sigmas)
+    n = s0.shape[0]
+    chol = jnp.linalg.cholesky(jnp.asarray(market.correlation))
+    anti = isinstance(config.variance_reduction, Antithetic)
+    base = _base_key(config, key)
+    if config.qmc:
+        zb = _qmc_normals(base, 1, n, config.trajectories, skip=point_offset)[0]
+        zb = jnp.moveaxis(zb, 0, -1)  # (paths, n)
+    else:
+        zb = jax.random.normal(base, (config.trajectories, n), dtype=jnp.float64)
+    z = jnp.stack([zb, -zb]) if anti else zb[None]  # (g, paths, n)
+    zc = z @ chol.T  # correlated normals
+    log_st = (jnp.log(s0) + (r - 0.5 * sig**2) * T
+              + sig * jnp.sqrt(T) * zc)
+    return jnp.exp(log_st)
+
+
+def solve_multi_asset_analytic(prob: PricingProblem, method) -> AnalyticSolution:
+    """BlackScholesAnalytic dispatch target for multi-asset payoffs on
+    MultiAssetBSInputs markets."""
+    payoff = prob.payoff
+    market = prob.market_inputs
+    T = market_yearfrac(market, payoff.expiry)
+    D = df(market.rate, payoff.expiry)
+    cp = payoff.call_put()
+    s = jnp.asarray(market.spots)
+    sig = jnp.asarray(market.sigmas)
+    corr = jnp.asarray(market.correlation)
+    if isinstance(payoff, SpreadOption):
+        exact_exchange = margrabe_price(s[0], s[1], sig[0], sig[1], corr[0, 1], T, cp)
+        kirk = kirk_spread_price(s[0], s[1], payoff.strike, sig[0], sig[1],
+                                 corr[0, 1], T, D, cp)
+        # branchless: K == 0 → Margrabe exactly (Kirk reduces to it too, so
+        # this where only pins the strike-zero corner bit-exactly)
+        price = jnp.where(jnp.asarray(payoff.strike) == 0.0, exact_exchange, kirk)
+        return AnalyticSolution(prob, method, price)
+    if isinstance(payoff, BasketOption):
+        if not payoff.geometric:
+            raise TypeError(
+                "the arithmetic basket has no lognormal closed form; price "
+                "by MonteCarlo (the geometric=True basket is the analytic "
+                "oracle)"
+            )
+        price = geometric_basket_price(s, payoff.weights, sig, corr,
+                                       payoff.strike, T, D, cp)
+        return AnalyticSolution(prob, method, price)
+    raise TypeError(f"no multi-asset closed form for {type(payoff).__name__}")
+
+
+def solve_multi_asset_mc(prob: PricingProblem, method) -> MonteCarloSolution:
+    """MonteCarlo dispatch target: exact correlated terminal draws + payoff
+    reduction (antithetic pairs averaged)."""
+    payoff = prob.payoff
+    market = prob.market_inputs
+    discount = df(market.rate, payoff.expiry)
+    samples = multi_asset_terminal_prices(prob, method.config)
+    if isinstance(payoff, SpreadOption):
+        vals = payoff(samples[..., 0], samples[..., 1])
+    else:
+        vals = payoff(samples)
+    price = discount * jnp.mean(vals, axis=(0, -1))
+    return MonteCarloSolution(prob, method, price, vals)

@@ -95,5 +95,5 @@ def test_mc_path_values_rejects_grid_payoffs():
     vs = hh.VarianceSwap(0.04, EXPIRY, observations=16)
     cfg = hh.SimulationConfig(trajectories=64, steps=16)
     method = hh.MonteCarlo(hh.LognormalDynamics(), hh.EulerMaruyama(), cfg)
-    with pytest.raises(TypeError, match="path grid"):
+    with pytest.raises(TypeError, match="through solve"):
         mc_path_values(hh.PricingProblem(vs, hh.BlackScholesInputs(REF, 0.03, 100.0, 0.2)), method)
