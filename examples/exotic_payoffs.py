@@ -93,3 +93,42 @@ pg_mc = float(hh.solve(hh.PricingProblem(geo, BS), gbm).price)
 pa_mc = float(hh.solve(hh.PricingProblem(arith, BS), gbm).price)
 print(f"geometric asian: closed form {pg_an:.6f}   grid MC {pg_mc:.6f}")
 print(f"arithmetic asian (MC, ≥ geometric by AM-GM): {pa_mc:.6f}")
+
+# ---- 4. variance swaps, forward starts, cliquets ----------------------------
+vs = hh.VarianceSwap(0.04, EXPIRY, observations=252, notional=100.0)
+p_vs = float(hh.solve(hh.PricingProblem(vs, BS), hh.BlackScholesAnalytic()).price)
+print(f"variance swap (K=20vol on a 20-vol market): {p_vs:.6f} "
+      f"(the residual is the exact discrete-sampling drift term)")
+fair_h = float(hh.heston_variance_swap_strike(HESTON, 1.0))
+print(f"Heston continuous fair variance strike: {fair_h:.6f} "
+      f"(θ + (V0−θ)(1−e^-κT)/(κT))")
+
+fs = hh.ForwardStartOption(1.0, EXPIRY, hh.add_yearfrac(REF, 0.5),
+                           hh.European(), hh.Call(), hh.Spot())
+p_fs = float(hh.solve(hh.PricingProblem(fs, BS), hh.BlackScholesAnalytic()).price)
+print(f"ATM forward-start call (strike set at t=0.5): {p_fs:.6f} (Rubinstein)")
+
+cl = hh.Cliquet(EXPIRY, observations=12, local_floor=0.0, local_cap=0.05,
+                notional=100.0)
+p_cl = float(hh.solve(hh.PricingProblem(cl, BS), hh.BlackScholesAnalytic()).price)
+print(f"12-reset cliquet (floor 0, cap 5%): {p_cl:.6f} "
+      f"(per-period Black spreads)\n")
+
+# ---- 5. multi-asset: spreads and baskets ------------------------------------
+mkt2 = hh.MultiAssetBSInputs(REF, 0.05, jnp.asarray([100.0, 95.0]),
+                             jnp.asarray([0.25, 0.2]),
+                             jnp.asarray([[1.0, 0.5], [0.5, 1.0]]))
+ex = hh.SpreadOption(0.0, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+sp = hh.SpreadOption(5.0, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+gb = hh.BasketOption(95.0, EXPIRY, jnp.asarray([0.6, 0.4]),
+                     hh.European(), hh.Call(), hh.Spot(), geometric=True)
+print(f"exchange option (Margrabe, exact): "
+      f"{float(hh.solve(hh.PricingProblem(ex, mkt2), hh.BlackScholesAnalytic()).price):.6f}")
+print(f"spread option K=5 (Kirk):          "
+      f"{float(hh.solve(hh.PricingProblem(sp, mkt2), hh.BlackScholesAnalytic()).price):.6f}")
+print(f"geometric basket (exact):          "
+      f"{float(hh.solve(hh.PricingProblem(gb, mkt2), hh.BlackScholesAnalytic()).price):.6f}")
+corr_vega = jax.grad(lambda r_: hh.solve(hh.PricingProblem(ex, hh.MultiAssetBSInputs(
+    REF, 0.05, jnp.asarray([100.0, 95.0]), jnp.asarray([0.25, 0.2]),
+    jnp.asarray([[1.0, r_], [r_, 1.0]]))), hh.BlackScholesAnalytic()).price)(0.5)
+print(f"correlation vega of the exchange (AD): {float(corr_vega):.4f}")
