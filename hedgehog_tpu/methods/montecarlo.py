@@ -445,6 +445,65 @@ def _merton_exact_terminal(prob, config, key, point_offset=0, with_score=False):
     return samples
 
 
+def _merton_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
+    """Merton jump-diffusion paths: per step one EXACT log increment
+    (r − σ²/2 − λκ̄)dt + σ√dt·z + Σjumps, with the per-step jump count by
+    fixed-trip Poisson CDF inversion and the jump sum collapsed to its
+    conditional normal N(Nμ_J, Nσ_J²) — increments are iid and exact, so
+    the terminal distribution is EXACT at ANY step count; the grid exists
+    for path-dependent consumers (Asian fixings, LSM exercise).  Draw
+    layout per step: (z_diffusion, z_jump, u_poisson).  NOTE the
+    Brownian-bridge barrier correction does not apply between jump grids —
+    barrier payoffs stay on the diffusion dynamics."""
+    from ..models.dynamics import merton_terminal_params
+    from ..models.heston_exact import poisson_inv
+
+    market = prob.market_inputs
+    log_s0, r, T, sigma, lam, mu_j, s_j, kbar = merton_terminal_params(
+        market, prob.payoff.expiry
+    )
+    steps = config.steps
+    dt = T / steps
+    # per-STEP jump rate is small, so few trips bound the tail; reuse the
+    # checked helper on the concrete per-step rate
+    kmax = _merton_poisson_trips(lam * dt, default=16)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    paths = config.trajectories
+    base = _base_key(config, key)
+    if config.qmc:
+        z, u_p = _qmc_normals_and_uniforms(base, steps, 2, paths, skip=point_offset)
+        z_d, z_j = z[:, 0, :], z[:, 1, :]
+    else:
+        k_z, k_u = jax.random.split(base)
+        zb = jax.random.normal(k_z, (steps, 2, paths), dtype=jnp.float64)
+        z_d, z_j = zb[:, 0], zb[:, 1]
+        u_p = jax.random.uniform(k_u, (steps, paths), dtype=jnp.float64)
+    if anti:
+        z_d = jnp.stack([z_d, -z_d], axis=1)
+        z_j = jnp.stack([z_j, -z_j], axis=1)
+        u_p = jnp.stack([u_p, 1.0 - u_p], axis=1)
+    else:
+        z_d, z_j, u_p = z_d[:, None], z_j[:, None], u_p[:, None]
+
+    drift = (r - 0.5 * sigma**2 - lam * kbar) * dt
+    vol_dt = sigma * jnp.sqrt(dt)
+    rate = lam * dt
+    x0 = jnp.full((z_d.shape[1], paths), log_s0 * jnp.ones(()))
+
+    def step(x, inp):
+        zdk, zjk, upk = inp
+        n = jax.lax.stop_gradient(poisson_inv(rate, upk, kmax))
+        x_new = (x + drift + vol_dt * zdk
+                 + n * mu_j + jnp.sqrt(n) * s_j * zjk)
+        return x_new, (x_new if return_grid else None)
+
+    x_T, xs = jax.lax.scan(step, x0, (z_d, z_j, u_p))
+    if return_grid:
+        grid = jnp.concatenate([x0[None], xs], axis=0)
+        return jnp.exp(jnp.moveaxis(grid, 0, 1))
+    return jnp.exp(x_T)
+
+
 def _merton_payoffs_with_score(prob, method, payoff, key=None, point_offset=0):
     """Per-path Merton payoffs with the likelihood-ratio surrogate baked in
     (applied per antithetic group BEFORE pair-averaging — the mirrored
@@ -1557,6 +1616,13 @@ def simulate_terminal_prices(
         return broadie_kaya_terminal_prices(prob, config, strat, key=key)
     if isinstance(strat, MertonExact) and isinstance(dyn, MertonJumpDynamics):
         return _merton_exact_terminal(prob, config, key, point_offset=point_offset)
+    if isinstance(strat, EulerMaruyama) and isinstance(dyn, MertonJumpDynamics):
+        if strat.use_kernel:
+            raise TypeError("Merton has no fused kernel; drop use_kernel=True")
+        return _merton_euler_paths(
+            prob, config, _base_key(config, key), return_grid=False,
+            point_offset=point_offset,
+        )
     if isinstance(strat, EulerMaruyama) and isinstance(dyn, SABRDynamics):
         if strat.use_kernel:
             raise TypeError("SABR has no fused kernel; drop use_kernel=True")
@@ -1605,6 +1671,8 @@ def simulate_price_grid(
         return _sabr_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, LocalVolDynamics) and isinstance(strat, EulerMaruyama):
         return _local_vol_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
+    if isinstance(dyn, MertonJumpDynamics) and isinstance(strat, EulerMaruyama):
+        return _merton_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     raise TypeError(
         f"unsupported grid simulation ({type(dyn).__name__}, {type(strat).__name__})"
     )

@@ -185,3 +185,45 @@ def test_series_truncation_guard():
     cm = float(hh.solve(hh.PricingProblem(_opt(), hot),
                         hh.CarrMadan(1.0, "auto", hh.MertonJumpDynamics())).price)
     assert pa == pytest.approx(cm, rel=1e-6)
+
+
+def test_euler_grid_terminal_is_exact():
+    """Merton per-step increments are iid and exact (diffusion exact +
+    conditional-normal jump sum), so the GRID sampler's terminal price
+    matches the one-shot exact sampler's price at ANY step count."""
+    cfg1 = hh.SimulationConfig(trajectories=1 << 15, steps=1,
+                               variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+    cfg8 = hh.SimulationConfig(trajectories=1 << 15, steps=8,
+                               variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+    prob = hh.PricingProblem(_opt(), _market())
+    pa = float(hh.solve(prob, hh.MertonAnalytic()).price)
+    p8 = float(hh.solve(
+        prob, hh.MonteCarlo(hh.MertonJumpDynamics(), hh.EulerMaruyama(), cfg8)).price)
+    assert p8 == pytest.approx(pa, rel=3e-3)
+    # and the payoff grid composes: arithmetic Asian under jumps prices
+    asian = hh.AsianOption(100.0, EXPIRY, 8, hh.European(), hh.Call(),
+                           hh.Spot(), hh.ArithmeticAverage())
+    p_as = float(hh.solve(
+        hh.PricingProblem(asian, _market()),
+        hh.MonteCarlo(hh.MertonJumpDynamics(), hh.EulerMaruyama(), cfg8)).price)
+    assert 0.0 < p_as < pa  # averaging reduces optionality
+
+
+def test_american_lsm_under_jumps():
+    """LSM on the Merton grid: the jump-free corner matches CRR, and jump
+    risk is priced (American put worth MORE with downward jumps)."""
+    cfg = hh.SimulationConfig(trajectories=1 << 14, steps=50,
+                              variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+    am = hh.VanillaOption(105.0, EXPIRY, hh.American(), hh.Put(), hh.Spot())
+
+    def lsm_price(lam):
+        mkt = _market(jump_intensity=lam)
+        return float(hh.solve(
+            hh.PricingProblem(am, mkt),
+            hh.LSM(hh.MonteCarlo(hh.MertonJumpDynamics(), hh.EulerMaruyama(), cfg), 4)).price)
+
+    crr = float(hh.solve(
+        hh.PricingProblem(am, hh.BlackScholesInputs(REF, 0.03, 100.0, 0.2)),
+        hh.CoxRossRubinsteinMethod(500)).price)
+    assert lsm_price(0.0) == pytest.approx(crr, rel=2e-2)
+    assert lsm_price(0.5) > lsm_price(0.0)  # downward jumps add put value
