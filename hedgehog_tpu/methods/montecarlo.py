@@ -755,6 +755,69 @@ def brownian_bridge_survival(log_grid, seg_vars, log_barrier, up: bool):
     )
 
 
+def barrier_grid_factors(prob: PricingProblem, method: MonteCarlo):
+    """Simulate a STEPPED price grid and its per-segment Brownian-bridge
+    no-cross factors for ``prob.payoff`` (a BarrierOption) — the shared
+    substrate of the European bridge-MC estimator and the American barrier
+    LSM.  Returns ``(log_grid, factors, t_mids, v_grid)`` with shapes
+    ``(steps+1, g, paths)``, ``(steps, g, paths)``, ``(steps,)``;
+    ``v_grid`` is the ``(g, steps+1, paths)`` variance grid on the
+    conditional Heston bridge (for the joint LSM basis) and None for GBM.
+
+    Supported grids: LognormalDynamics × EulerMaruyama (segment variance
+    σ²Δt — exact for GBM at any step count) and HestonDynamics ×
+    HestonQE(conditional=True) (segment variance = the bridge grid's
+    integrated variance)."""
+    from ..core.payoffs import Up
+
+    payoff = prob.payoff
+    market = prob.market_inputs
+    dyn, strat, config = method.dynamics, method.strategy, method.config
+    up = isinstance(payoff.direction, Up)
+    log_b = jnp.log(payoff.barrier)
+    _, T, _ = _sim_params(prob)
+
+    if isinstance(dyn, LognormalDynamics) and isinstance(strat, EulerMaruyama):
+        if strat.use_kernel:
+            raise TypeError(
+                "the fused GBM kernels return terminal samples without the "
+                "bridge factors; drop use_kernel=True for barrier payoffs"
+            )
+        sigma = (
+            market.sigma.sigma
+            if isinstance(market.sigma, FlatVolSurface)
+            else get_vol(market.sigma, payoff.expiry, market.spot)
+        )
+        grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
+        log_grid = jnp.moveaxis(jnp.log(grid), 1, 0)
+        seg_vars = sigma**2 * (T / config.steps)
+        v_grid = None
+    elif (
+        isinstance(dyn, HestonDynamics)
+        and isinstance(strat, HestonQE)
+        and strat.conditional
+    ):
+        if strat.use_kernel:
+            raise TypeError(
+                "barrier pricing on the conditional grid is a pure-JAX "
+                "feature; drop use_kernel=True"
+            )
+        s_grid, v_grid = simulate_conditional_grid(prob, config)
+        dt = T / config.steps
+        iv = 0.5 * dt * (v_grid[:, :-1] + v_grid[:, 1:])  # (g, steps, paths)
+        log_grid = jnp.moveaxis(jnp.log(s_grid), 1, 0)
+        seg_vars = jnp.moveaxis(iv, 1, 0)
+    else:
+        raise TypeError(
+            "barrier grids need LognormalDynamics with EulerMaruyama or "
+            "HestonDynamics with HestonQE(conditional=True); got "
+            f"({type(dyn).__name__}, {type(strat).__name__})"
+        )
+    factors = brownian_bridge_survival_factors(log_grid, seg_vars, log_b, up)
+    t_mids = (jnp.arange(config.steps) + 0.5) * (T / config.steps)
+    return log_grid, factors, t_mids, v_grid
+
+
 def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
     """Barrier-option Monte Carlo: simulate a grid, apply the per-segment
     Brownian-bridge crossing correction, pay the unconditional intrinsic at
@@ -781,9 +844,7 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
     log_b = jnp.log(payoff.barrier)
     _, T, _ = _sim_params(prob)
 
-    if isinstance(dyn, LognormalDynamics) and isinstance(
-        strat, (BlackScholesExact, EulerMaruyama)
-    ):
+    if isinstance(dyn, LognormalDynamics) and isinstance(strat, BlackScholesExact):
         if getattr(strat, "use_kernel", False):
             raise TypeError(
                 "the fused GBM kernels return terminal samples without the "
@@ -794,45 +855,17 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
             if isinstance(market.sigma, FlatVolSurface)
             else get_vol(market.sigma, payoff.expiry, market.spot)
         )
-        if isinstance(strat, BlackScholesExact):
-            samples = simulate_terminal_prices(prob, method)  # (g, paths)
-            log_s0 = jnp.full_like(samples, jnp.log(market.spot))
-            log_grid = jnp.stack([log_s0, jnp.log(samples)])  # (2, g, paths)
-            seg_vars = sigma**2 * T
-            t_mids = jnp.asarray([0.5 * T])
-        else:
-            grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
-            log_grid = jnp.moveaxis(jnp.log(grid), 1, 0)
-            seg_vars = sigma**2 * (T / config.steps)
-            t_mids = (jnp.arange(config.steps) + 0.5) * (T / config.steps)
-        factors = brownian_bridge_survival_factors(log_grid, seg_vars, log_b, up)
-        s_t = jnp.exp(log_grid[-1])
-    elif (
-        isinstance(dyn, HestonDynamics)
-        and isinstance(strat, HestonQE)
-        and strat.conditional
-    ):
-        if strat.use_kernel:
-            raise TypeError(
-                "barrier MC on the conditional grid is a pure-JAX feature; "
-                "drop use_kernel=True"
-            )
-        s_grid, v_grid = simulate_conditional_grid(prob, config)
-        dt = T / config.steps
-        iv = 0.5 * dt * (v_grid[:, :-1] + v_grid[:, 1:])  # (g, steps, paths)
-        log_grid = jnp.moveaxis(jnp.log(s_grid), 1, 0)
+        samples = simulate_terminal_prices(prob, method)  # (g, paths)
+        log_s0 = jnp.full_like(samples, jnp.log(market.spot))
+        log_grid = jnp.stack([log_s0, jnp.log(samples)])  # (2, g, paths)
         factors = brownian_bridge_survival_factors(
-            log_grid, jnp.moveaxis(iv, 1, 0), log_b, up
+            log_grid, sigma**2 * T, log_b, up
         )
-        t_mids = (jnp.arange(config.steps) + 0.5) * dt
-        s_t = s_grid[:, -1]
+        t_mids = jnp.asarray([0.5 * T])
+        s_t = jnp.exp(log_grid[-1])
     else:
-        raise TypeError(
-            "barrier MC needs a path grid: LognormalDynamics with "
-            "BlackScholesExact/EulerMaruyama, or HestonDynamics with "
-            f"HestonQE(conditional=True); got ({type(dyn).__name__}, "
-            f"{type(strat).__name__})"
-        )
+        log_grid, factors, t_mids, _ = barrier_grid_factors(prob, method)
+        s_t = jnp.exp(log_grid[-1])
 
     surv = jnp.prod(factors, axis=0)
     pay = payoff(s_t)  # unconditional terminal intrinsic, (g, paths)

@@ -157,23 +157,30 @@ def test_barrier_delta_pathwise_ad_vs_analytic():
 
 
 def test_barrier_unsupported_routes_raise():
+    """Methods that cannot see the path reject barriers; CRR and LSM now
+    PRICE knock-outs (test_barrier_crr.py / test_american_barrier.py), so
+    only their genuinely-unsupported corners raise (American knock-ins —
+    no in-out parity — and non-bridge grids)."""
     ko = _barrier(100.0, 90.0)
     prob = hh.PricingProblem(ko, _bs_market())
     with pytest.raises(TypeError, match="path-independent"):
         hh.solve(prob, hh.CarrMadan(1.0, 32.0, hh.LognormalDynamics()))
-    with pytest.raises(TypeError, match="knock flag"):
-        hh.solve(prob, hh.CoxRossRubinsteinMethod(64))
     cfg = hh.SimulationConfig(trajectories=256, steps=2,
                               variance_reduction=hh.Antithetic(), seed=0)
     hmkt = hh.HestonInputs(REF, 0.03, SPOT, *H.values())
-    with pytest.raises(TypeError, match="path grid"):
+    with pytest.raises(TypeError, match="barrier grids need"):
         hh.solve(hh.PricingProblem(ko, hmkt),
                  hh.MonteCarlo(hh.HestonDynamics(), hh.HestonExactMixing(), cfg))
     am = hh.BarrierOption(100.0, EXPIRY, 90.0, hh.American())
     with pytest.raises(TypeError):
         hh.solve(hh.PricingProblem(am, _bs_market()), hh.BlackScholesAnalytic())
-    with pytest.raises(TypeError, match="knock flag"):
-        hh.solve(hh.PricingProblem(am, hmkt),
+    am_ki = hh.BarrierOption(100.0, EXPIRY, 90.0, hh.American(),
+                             knock=hh.KnockIn())
+    with pytest.raises(TypeError, match="in-out parity"):
+        hh.solve(hh.PricingProblem(am_ki, _bs_market()),
+                 hh.CoxRossRubinsteinMethod(64))
+    with pytest.raises(TypeError, match="in-out parity"):
+        hh.solve(hh.PricingProblem(am_ki, hmkt),
                  hh.LSM(hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(conditional=True), cfg), 3))
 
 
