@@ -23,6 +23,7 @@ __all__ = [
     "HestonInputs",
     "MertonInputs",
     "SABRInputs",
+    "BachelierInputs",
     "MultiAssetBSInputs",
     "market_yearfrac",
 ]
@@ -121,6 +122,27 @@ class MertonInputs(AbstractMarketInputs):
     jump_intensity: Any
     jump_mean: Any
     jump_std: Any
+    daycount: Any = static_field(default=ACT365F)
+
+    def __post_init__(self):
+        ref = to_ticks(self.reference_date)
+        object.__setattr__(self, "reference_date", ref)
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+
+
+@pytree
+class BachelierInputs(AbstractMarketInputs):
+    """Bachelier (normal) market data (beyond-reference model family): the
+    T-forward F = spot/D(T) follows dF = σ_N dW with ``sigma`` the NORMAL
+    volatility in PRICE units per √year (the rates/commodities quoting
+    convention; prices can go negative).  ``sigma`` is a pytree leaf —
+    vmapping, AD vega and calibration flow as for the other families.
+    ``daycount`` as on :class:`BlackScholesInputs`."""
+
+    reference_date: Any
+    rate: Any
+    spot: Any
+    sigma: Any
     daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):

@@ -47,6 +47,7 @@ from ..models.dynamics import (
     LognormalDynamics,
     LocalVolDynamics,
     MertonJumpDynamics,
+    NormalDynamics,
     SABRDynamics,
     lognormal_terminal_law,
 )
@@ -60,6 +61,7 @@ __all__ = [
     "BlackScholesExact",
     "HestonBroadieKaya",
     "MertonExact",
+    "BachelierExact",
     "NoVarianceReduction",
     "Antithetic",
     "simulate_terminal_prices",
@@ -156,6 +158,14 @@ class MertonExact(ExactSimulation):
     surrogate (same construction as HestonExactMixing's transition score) —
     plain ``jax.grad`` through ``solve`` is unbiased in ALL seven market
     parameters including λ."""
+
+
+@pytree
+class BachelierExact(ExactSimulation):
+    """Exact Bachelier terminal draw (beyond-reference model family; pair
+    with NormalDynamics/BachelierInputs): S_T = F + σ_N√T·Z in one normal
+    draw — no discretization error, negative terminal prices allowed (the
+    point of the normal model)."""
 
 
 @pytree
@@ -273,6 +283,63 @@ def _gbm_exact_terminal(prob, config, key, point_offset=0) -> jnp.ndarray:
         z = _normals(key, (config.trajectories,), anti)
     mean, std = lognormal_terminal_law(prob.market_inputs, prob.payoff.expiry)
     return jnp.exp(mean + std * z)
+
+
+def _bachelier_forward_vol(prob):
+    """(F₀, σ_N, T) for a Bachelier market at the problem's expiry."""
+    market = prob.market_inputs
+    T = market_yearfrac(market, prob.payoff.expiry)
+    f0 = market.spot / df(market.rate, prob.payoff.expiry)
+    return f0, market.sigma, T
+
+
+def _bachelier_exact_terminal(prob, config, key, point_offset=0):
+    """(n_groups, paths) Bachelier terminal prices: S_T = F + σ_N√T·Z."""
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if config.qmc:
+        zb = _qmc_normals(key, 1, 1, config.trajectories, skip=point_offset)[0, 0]
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+    else:
+        z = _normals(key, (config.trajectories,), anti)
+    f0, sigma_n, T = _bachelier_forward_vol(prob)
+    return f0 + sigma_n * jnp.sqrt(T) * z
+
+
+def _bachelier_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
+    """Bachelier paths on the T-forward: F_{k+1} = F_k + σ_N√Δt·Z — the
+    per-step increments ARE the exact arithmetic-BM transitions, so the
+    terminal law is exact at any step count; the grid exists for
+    path-dependent consumers (Asian fixings, LSM exercise), converted to
+    SPOT via the deterministic S_t = F_t·D(T)/D(t) as for the SABR grid."""
+    market = prob.market_inputs
+    f0, sigma_n, T = _bachelier_forward_vol(prob)
+    steps = config.steps
+    dt = T / steps
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if config.qmc:
+        from ..math.brownian_bridge import brownian_bridge_increments
+
+        zq = _qmc_normals(key, steps, 1, config.trajectories, skip=point_offset)[:, 0, :]
+        dw = brownian_bridge_increments(zq.T, dt, steps)
+        zb = dw.T / jnp.sqrt(dt)
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+    else:
+        z = _normals(key, (steps, config.trajectories), anti)
+    vol_dt = sigma_n * jnp.sqrt(dt)
+    x0 = jnp.full((z.shape[0], config.trajectories), f0 * jnp.ones(()))
+
+    def step(x, zk):
+        x_new = x + vol_dt * zk
+        return x_new, (x_new if return_grid else None)
+
+    zs = jnp.moveaxis(z, 1, 0)
+    x_final, xs = jax.lax.scan(step, x0, zs)
+    if return_grid:
+        grid = jnp.concatenate([x0[None], xs], axis=0)  # F grid, time leading
+        t_k = jnp.arange(steps + 1) * dt
+        d_ratio = df_yf(market.rate, T) / df_yf(market.rate, t_k)
+        return jnp.moveaxis(grid * d_ratio[:, None, None], 0, 1)
+    return x_final
 
 
 def _sabr_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
@@ -1004,6 +1071,13 @@ def _solve_asian_mc(prob: PricingProblem, method: MonteCarlo):
     if jnp.ndim(payoff.strike) > 0:
         raise TypeError("Asian MC prices one strike per solve; vmap for grids")
     discount = df(prob.market_inputs.rate, payoff.expiry)
+    if isinstance(payoff.averaging, GeometricAverage) and isinstance(
+        method.dynamics, NormalDynamics
+    ):
+        raise TypeError(
+            "geometric averaging is undefined under NormalDynamics "
+            "(Bachelier paths can go negative); use ArithmeticAverage"
+        )
     grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
     obs = grid[:, 1:, :]
     if isinstance(payoff.averaging, GeometricAverage):
@@ -1656,6 +1730,17 @@ def simulate_terminal_prices(
             prob, config, _base_key(config, key), return_grid=False,
             point_offset=point_offset,
         )
+    if isinstance(strat, BachelierExact) and isinstance(dyn, NormalDynamics):
+        return _bachelier_exact_terminal(
+            prob, config, _base_key(config, key), point_offset=point_offset
+        )
+    if isinstance(strat, EulerMaruyama) and isinstance(dyn, NormalDynamics):
+        if strat.use_kernel:
+            raise TypeError("Bachelier has no fused kernel; drop use_kernel=True")
+        return _bachelier_euler_paths(
+            prob, config, _base_key(config, key), return_grid=False,
+            point_offset=point_offset,
+        )
     if isinstance(strat, EulerMaruyama) and isinstance(dyn, SABRDynamics):
         if strat.use_kernel:
             raise TypeError("SABR has no fused kernel; drop use_kernel=True")
@@ -1706,6 +1791,8 @@ def simulate_price_grid(
         return _local_vol_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, MertonJumpDynamics) and isinstance(strat, EulerMaruyama):
         return _merton_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
+    if isinstance(dyn, NormalDynamics) and isinstance(strat, EulerMaruyama):
+        return _bachelier_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     raise TypeError(
         f"unsupported grid simulation ({type(dyn).__name__}, {type(strat).__name__})"
     )

@@ -26,6 +26,7 @@ __all__ = [
     "LognormalDynamics",
     "HestonDynamics",
     "MertonJumpDynamics",
+    "NormalDynamics",
     "SABRDynamics",
     "LocalVolDynamics",
     "lognormal_terminal_law",
@@ -89,6 +90,17 @@ class MertonJumpDynamics(PriceDynamics):
     family): dS/S = (r − λκ̄)dt + σ dW + (e^J − 1)dN with J ~ N(μ_J, σ_J²),
     N a Poisson(λ) counting process and κ̄ = e^{μ_J + σ_J²/2} − 1 the
     martingale compensator.  Markets carry :class:`MertonInputs`."""
+
+
+@pytree
+class NormalDynamics(PriceDynamics):
+    """Bachelier / normal dynamics (beyond-reference model family): the
+    T-forward follows arithmetic Brownian motion dF = σ_N dW (σ_N in PRICE
+    units), so F_T = F₀ + σ_N W_T can go negative — the rates/commodities
+    convention for low or negative underlyings.  No log-price CF exists
+    (the law has full real support) — Fourier methods raise; pricing runs
+    through :class:`BachelierAnalytic` or Monte Carlo.  Markets carry
+    :class:`BachelierInputs`."""
 
 
 def lognormal_terminal_law(market, expiry_ticks):

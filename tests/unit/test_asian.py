@@ -111,7 +111,7 @@ def test_asian_guards():
         hh.solve(prob, hh.BlackScholesAnalytic())
     with pytest.raises(TypeError, match="path-independent"):
         hh.solve(prob, hh.CarrMadan(1.0, 32.0, hh.LognormalDynamics()))
-    with pytest.raises(TypeError, match="path state"):
+    with pytest.raises(TypeError, match="running-average state"):
         hh.solve(prob, hh.CoxRossRubinsteinMethod(64))
     # steps ≠ observations is a contract violation, not silently re-dated
     cfg = hh.SimulationConfig(trajectories=256, steps=6,
