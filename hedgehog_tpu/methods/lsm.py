@@ -306,11 +306,11 @@ def _solve_lsm_knock_out(
 
     payoff = prob.payoff
     market = prob.market_inputs
-    log_grid, factors, t_mids, v_grid = barrier_grid_factors(
+    spot_grid, factors, t_mids, v_grid = barrier_grid_factors(
         prob, method.mc_method
     )
     nsteps = factors.shape[0]
-    spots = jnp.exp(log_grid.reshape(nsteps + 1, -1))  # (steps+1, g·paths)
+    spots = spot_grid.reshape(nsteps + 1, -1)  # (steps+1, g·paths)
     surv = factors.reshape(nsteps, -1)
     vols = _flatten_grid(v_grid) if v_grid is not None else None
 

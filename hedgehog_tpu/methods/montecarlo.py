@@ -799,11 +799,18 @@ def brownian_bridge_survival_factors(log_grid, seg_vars, log_barrier, up: bool):
     additionally gives the first-hit-segment distribution the at-hit rebate
     leg needs.  Smooth in every input → pathwise AD barrier greeks survive.
 
-    ``log_grid``: (steps+1, ...) log-prices, time leading; ``seg_vars``:
-    (steps, ...) or scalar."""
+    ``log_grid``: (steps+1, ...) coordinates in which the path is Brownian
+    within segments — log-prices for the lognormal families, price LEVELS
+    for Bachelier; ``seg_vars``: (steps, ...) or scalar.  ``log_barrier``
+    may be scalar or (steps+1,)-leading-broadcastable (a per-grid-time
+    barrier; the reflection argument is exact for a boundary LINEAR in time
+    within each segment, which is how the Bachelier route maps its
+    discount-modulated barrier)."""
     x0, x1 = log_grid[:-1], log_grid[1:]
-    d0 = (log_barrier - x0) if up else (x0 - log_barrier)
-    d1 = (log_barrier - x1) if up else (x1 - log_barrier)
+    b = jnp.asarray(log_barrier)
+    b0, b1 = (b, b) if b.ndim == 0 else (b[:-1], b[1:])
+    d0 = (b0 - x0) if up else (x0 - b0)
+    d1 = (b1 - x1) if up else (x1 - b1)
     inside = (d0 > 0.0) & (d1 > 0.0)
     var = jnp.maximum(seg_vars, 1e-30)
     # double-where: the false branch's (positive-exponent) value must never
@@ -826,22 +833,26 @@ def barrier_grid_factors(prob: PricingProblem, method: MonteCarlo):
     """Simulate a STEPPED price grid and its per-segment Brownian-bridge
     no-cross factors for ``prob.payoff`` (a BarrierOption) — the shared
     substrate of the European bridge-MC estimator and the American barrier
-    LSM.  Returns ``(log_grid, factors, t_mids, v_grid)`` with shapes
-    ``(steps+1, g, paths)``, ``(steps, g, paths)``, ``(steps,)``;
-    ``v_grid`` is the ``(g, steps+1, paths)`` variance grid on the
-    conditional Heston bridge (for the joint LSM basis) and None for GBM.
+    LSM.  Returns ``(spot_grid, factors, t_mids, v_grid)`` with shapes
+    ``(steps+1, g, paths)`` (PRICE space, time leading),
+    ``(steps, g, paths)``, ``(steps,)``; ``v_grid`` is the
+    ``(g, steps+1, paths)`` variance grid on the conditional Heston bridge
+    (for the joint LSM basis) and None otherwise.
 
-    Supported grids: LognormalDynamics × EulerMaruyama (segment variance
-    σ²Δt — exact for GBM at any step count) and HestonDynamics ×
-    HestonQE(conditional=True) (segment variance = the bridge grid's
-    integrated variance)."""
+    Supported grids: LognormalDynamics × EulerMaruyama (log-space bridge,
+    segment variance σ²Δt — exact for GBM at any step count),
+    HestonDynamics × HestonQE(conditional=True) (log-space bridge, segment
+    variance = the grid's integrated variance), and NormalDynamics ×
+    EulerMaruyama (PRICE-space bridge on the T-forward F = S/c(t), where
+    the barrier becomes the per-segment-linear boundary H/c(t) — the
+    reflection formula stays exact for linear boundaries, leaving only the
+    O((rΔt)²) within-segment curvature of c)."""
     from ..core.payoffs import Up
 
     payoff = prob.payoff
     market = prob.market_inputs
     dyn, strat, config = method.dynamics, method.strategy, method.config
     up = isinstance(payoff.direction, Up)
-    log_b = jnp.log(payoff.barrier)
     _, T, _ = _sim_params(prob)
 
     if isinstance(dyn, LognormalDynamics) and isinstance(strat, EulerMaruyama):
@@ -856,8 +867,11 @@ def barrier_grid_factors(prob: PricingProblem, method: MonteCarlo):
             else get_vol(market.sigma, payoff.expiry, market.spot)
         )
         grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
-        log_grid = jnp.moveaxis(jnp.log(grid), 1, 0)
+        spot_grid = jnp.moveaxis(grid, 1, 0)
         seg_vars = sigma**2 * (T / config.steps)
+        factors = brownian_bridge_survival_factors(
+            jnp.log(spot_grid), seg_vars, jnp.log(payoff.barrier), up
+        )
         v_grid = None
     elif (
         isinstance(dyn, HestonDynamics)
@@ -872,17 +886,33 @@ def barrier_grid_factors(prob: PricingProblem, method: MonteCarlo):
         s_grid, v_grid = simulate_conditional_grid(prob, config)
         dt = T / config.steps
         iv = 0.5 * dt * (v_grid[:, :-1] + v_grid[:, 1:])  # (g, steps, paths)
-        log_grid = jnp.moveaxis(jnp.log(s_grid), 1, 0)
-        seg_vars = jnp.moveaxis(iv, 1, 0)
+        spot_grid = jnp.moveaxis(s_grid, 1, 0)
+        factors = brownian_bridge_survival_factors(
+            jnp.log(spot_grid), jnp.moveaxis(iv, 1, 0),
+            jnp.log(payoff.barrier), up,
+        )
+    elif isinstance(dyn, NormalDynamics) and isinstance(strat, EulerMaruyama):
+        if strat.use_kernel:
+            raise TypeError("Bachelier has no fused kernel; drop use_kernel=True")
+        grid = simulate_price_grid(prob, method)  # SPOT grid (g, steps+1, paths)
+        spot_grid = jnp.moveaxis(grid, 1, 0)
+        # F-space: F = S/c(t) is the Brownian coordinate (c = D(T)/D(t)), so
+        # the barrier is the per-grid-time level H/c(t_k)
+        t_k = jnp.arange(config.steps + 1) * (T / config.steps)
+        c = df_yf(market.rate, T) / df_yf(market.rate, t_k)
+        f_grid = spot_grid / c[:, None, None]
+        barrier_k = (payoff.barrier / c)[:, None, None]
+        seg_vars = market.sigma**2 * (T / config.steps)
+        factors = brownian_bridge_survival_factors(f_grid, seg_vars, barrier_k, up)
+        v_grid = None
     else:
         raise TypeError(
-            "barrier grids need LognormalDynamics with EulerMaruyama or "
-            "HestonDynamics with HestonQE(conditional=True); got "
-            f"({type(dyn).__name__}, {type(strat).__name__})"
+            "barrier grids need LognormalDynamics or NormalDynamics with "
+            "EulerMaruyama, or HestonDynamics with HestonQE(conditional=True); "
+            f"got ({type(dyn).__name__}, {type(strat).__name__})"
         )
-    factors = brownian_bridge_survival_factors(log_grid, seg_vars, log_b, up)
     t_mids = (jnp.arange(config.steps) + 0.5) * (T / config.steps)
-    return log_grid, factors, t_mids, v_grid
+    return spot_grid, factors, t_mids, v_grid
 
 
 def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
@@ -931,8 +961,8 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
         t_mids = jnp.asarray([0.5 * T])
         s_t = jnp.exp(log_grid[-1])
     else:
-        log_grid, factors, t_mids, _ = barrier_grid_factors(prob, method)
-        s_t = jnp.exp(log_grid[-1])
+        spot_grid, factors, t_mids, _ = barrier_grid_factors(prob, method)
+        s_t = spot_grid[-1]
 
     surv = jnp.prod(factors, axis=0)
     pay = payoff(s_t)  # unconditional terminal intrinsic, (g, paths)

@@ -174,6 +174,67 @@ def test_american_lsm_positive_rates_put_premium():
     assert pl > pe + 0.1
 
 
+def test_barrier_image_method_r0():
+    """r = 0 Bachelier down-and-out call has the EXACT image-method price
+    DOC = C(F₀) − C(2H − F₀) (reflection of driftless BM at the barrier) —
+    pins the price-space bridge factors (measured −1.6bp at 2^16 QMC
+    pairs × 32 steps)."""
+    m0 = _market(rate=0.0)
+    H, K = 85.0, 90.0
+    doc = hh.BarrierOption(K, EXPIRY, H, hh.European(), hh.Call(), hh.Spot(),
+                           hh.Down(), hh.KnockOut())
+    cfg = hh.SimulationConfig(trajectories=1 << 16, steps=32,
+                              variance_reduction=hh.Antithetic(), seed=0,
+                              qmc=True)
+    p_mc = float(hh.solve(hh.PricingProblem(doc, m0),
+                          hh.MonteCarlo(hh.NormalDynamics(),
+                                        hh.EulerMaruyama(), cfg)).price)
+    c = float(hh.solve(hh.PricingProblem(_opt(K), m0),
+                       hh.BachelierAnalytic()).price)
+    m_img = hh.BachelierInputs(REF, 0.0, 2 * H - SPOT, SIGMA_N)
+    c_img = float(hh.solve(hh.PricingProblem(_opt(K), m_img),
+                           hh.BachelierAnalytic()).price)
+    assert p_mc == pytest.approx(c - c_img, rel=2e-3)
+
+
+@pytest.mark.slow
+def test_barrier_refinement_consistency_with_rates():
+    """r ≠ 0 maps the barrier to the per-segment-linear boundary H/c(t);
+    the residual within-segment curvature is O((rΔt)²) — 8 vs 64 steps must
+    agree to ~1bp (measured 0.9bp)."""
+    doc = hh.BarrierOption(90.0, EXPIRY, 85.0, hh.European(), hh.Call(),
+                           hh.Spot(), hh.Down(), hh.KnockOut())
+    prices = []
+    for steps in (8, 64):
+        cfg = hh.SimulationConfig(trajectories=1 << 16, steps=steps,
+                                  variance_reduction=hh.Antithetic(), seed=0,
+                                  qmc=True)
+        prices.append(float(hh.solve(
+            hh.PricingProblem(doc, _market()),
+            hh.MonteCarlo(hh.NormalDynamics(), hh.EulerMaruyama(), cfg)).price))
+    assert prices[0] == pytest.approx(prices[1], rel=1e-3)
+
+
+@pytest.mark.slow
+def test_american_barrier_ordering():
+    """American KO under Bachelier via barrier LSM: within
+    [European KO, American vanilla]."""
+    am = hh.BarrierOption(110.0, EXPIRY, 80.0, hh.American(), hh.Put(),
+                          hh.Spot(), hh.Down(), hh.KnockOut())
+    eu = hh.BarrierOption(110.0, EXPIRY, 80.0, hh.European(), hh.Put(),
+                          hh.Spot(), hh.Down(), hh.KnockOut())
+    van = hh.VanillaOption(110.0, EXPIRY, hh.American(), hh.Put(), hh.Spot())
+    cfg = hh.SimulationConfig(trajectories=1 << 14, steps=50,
+                              variance_reduction=hh.Antithetic(), seed=0,
+                              qmc=True)
+    mc = hh.MonteCarlo(hh.NormalDynamics(), hh.EulerMaruyama(), cfg)
+    p_am = float(hh.solve(hh.PricingProblem(am, _market()), hh.LSM(mc, 4)).price)
+    p_eu = float(hh.solve(hh.PricingProblem(eu, _market()), mc).price)
+    p_van = float(hh.solve(hh.PricingProblem(van, _market()), hh.LSM(mc, 4)).price)
+    assert p_eu - 0.05 <= p_am <= p_van + 0.05
+    assert p_am > p_eu + 1.0
+
+
 def test_guards():
     with pytest.raises(TypeError, match="European-only"):
         hh.solve(hh.PricingProblem(
