@@ -132,3 +132,37 @@ corr_vega = jax.grad(lambda r_: hh.solve(hh.PricingProblem(ex, hh.MultiAssetBSIn
     REF, 0.05, jnp.asarray([100.0, 95.0]), jnp.asarray([0.25, 0.2]),
     jnp.asarray([[1.0, r_], [r_, 1.0]]))), hh.BlackScholesAnalytic()).price)(0.5)
 print(f"correlation vega of the exchange (AD): {float(corr_vega):.4f}")
+
+# ---- 6. American knock-outs: bridged lattice vs barrier LSM ------------------
+am_ko = hh.BarrierOption(110.0, EXPIRY, 80.0, hh.American(), hh.Put(),
+                         hh.Spot(), hh.Down(), hh.KnockOut())
+p_crr = float(hh.solve(hh.PricingProblem(am_ko, BS),
+                       hh.CoxRossRubinsteinMethod(2000)).price)
+cfg_ko = hh.SimulationConfig(trajectories=1 << 14, steps=100,
+                             variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+p_lsm = float(hh.solve(
+    hh.PricingProblem(am_ko, BS),
+    hh.LSM(hh.MonteCarlo(hh.LognormalDynamics(), hh.EulerMaruyama(), cfg_ko), 4)).price)
+print(f"\nAmerican down-and-out put: bridged CRR {p_crr:.4f} vs barrier LSM "
+      f"{p_lsm:.4f} (no-cross factors on lattice edges / stopping state)")
+cfg_h = hh.SimulationConfig(trajectories=1 << 13, steps=50,
+                            variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+p_hes = float(hh.solve(
+    hh.PricingProblem(am_ko, HESTON),
+    hh.LSM(hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(conditional=True), cfg_h), 3)).price)
+print(f"same contract under Heston (conditional bridge grid): {p_hes:.4f}")
+
+# ---- 7. Bachelier: the normal model ------------------------------------------
+NB = hh.BachelierInputs(REF, 0.05, 100.0, 20.0)  # sigma_N = 20 price units/yr^.5
+atm_f = 100.0 / float(hh.df(NB.rate, hh.to_ticks(EXPIRY)))
+n_call = hh.VanillaOption(atm_f, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+p_n = float(hh.solve(hh.PricingProblem(n_call, NB), hh.BachelierAnalytic()).price)
+print(f"\nBachelier ATM-forward call (sigma_N=20): {p_n:.6f} = D*sigma*sqrt(T)*phi(0)")
+iv_n = float(hh.implied_normal_vol(p_n, atm_f, atm_f, 1.0,
+                                   float(hh.df(NB.rate, hh.to_ticks(EXPIRY))), 1.0))
+print(f"implied normal vol round-trip: {iv_n:.6f}")
+neg = hh.BachelierInputs(REF, 0.0, -5.0, 10.0)  # negative spot (WTI Apr 2020)
+p_neg = float(hh.solve(hh.PricingProblem(
+    hh.VanillaOption(0.0, EXPIRY, hh.European(), hh.Call(), hh.Spot()), neg),
+    hh.BachelierAnalytic()).price)
+print(f"call struck at 0 on a NEGATIVE underlying (F=-5): {p_neg:.6f}")

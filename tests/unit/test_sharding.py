@@ -140,6 +140,10 @@ def test_sharded_new_model_families():
          hh.MonteCarlo(hh.SABRDynamics(), hh.EulerMaruyama(),
                        hh.SimulationConfig(trajectories=1 << 12, steps=16,
                                            variance_reduction=hh.Antithetic(), seed=0))),
+        (hh.BachelierInputs(ref, 0.03, 100.0, 20.0),
+         hh.MonteCarlo(hh.NormalDynamics(), hh.BachelierExact(),
+                       hh.SimulationConfig(trajectories=1 << 13, steps=1,
+                                           variance_reduction=hh.Antithetic(), seed=0))),
     ]
     for mkt, method in cases:
         prob = hh.PricingProblem(opt, mkt)
