@@ -70,7 +70,8 @@ def bachelier_digital_price(forward, strike, vol, T, discount, cp, cash=1.0):
 
 
 def implied_normal_vol(price, forward, strike, T, discount, cp, iters: int = 80):
-    """Normal (Bachelier) implied vol from an undiscounted-convention price.
+    """Normal (Bachelier) implied vol from a DISCOUNTED premium (the same
+    convention ``bachelier_price`` returns and ``solve(...).price`` quotes).
 
     Bracketed bisection + IFT Newton polish (math/rootfind.implicit_root):
     the vanilla Bachelier price is strictly increasing in σ_N, and the ATM

@@ -107,7 +107,7 @@ def _joint_basis(s, v, degree: int):
 def lsm_backward_induction(
     spots, payoff, log_disc, degree: int, strike_scale,
     psum_axis: Optional[str] = None, vols=None, terminal_value=None,
-    surv_factors=None,
+    surv_factors=None, rebate_spec=None,
 ):
     """Backward stopping-rule induction over a (steps+1, paths) price grid.
 
@@ -126,9 +126,15 @@ def lsm_backward_induction(
     exercising yields the intrinsic (alive-ness multiplies both sides
     equally, so the policy comparison is unweighted), while the regression
     is weighted by the PAST survival A_t = Π_{s<t} q_s (mostly-dead paths
-    carry little value, so they should carry little fit weight).  Returns
-    ``(tau, value, fsurv)`` with fsurv = Π_{s=1}^{τ−1} q_s (the t=0 segment
-    factor q_0 is the caller's, matching the t=0-excluded exercise grid).
+    carry little value, so they should carry little fit weight).
+    ``rebate_spec = (R, at_hit)`` additionally carries the knock-out
+    rebate's hold-value leg R_t = (1−q_t)·rb_t + q_t·disc·R_{t+1} into the
+    regression target, so the exercise policy sees the FULL hold value
+    (rebate included), exactly as the lattice's bracket does — without it
+    an option whose exercise region meets the barrier over-exercises when
+    the rebate is worth holding for.  Returns ``(tau, value, fsurv)`` with
+    fsurv = Π_{s=1}^{τ−1} q_s (the t=0 segment factor q_0 is the caller's,
+    matching the t=0-excluded exercise grid).
     """
     nsteps = spots.shape[0] - 1
     tau0 = jnp.full((spots.shape[1],), nsteps, dtype=jnp.float64)
@@ -140,20 +146,35 @@ def lsm_backward_induction(
             [jnp.ones_like(surv_factors[:1]), jnp.cumprod(surv_factors, axis=0)]
         )
         fsurv0 = jnp.ones((spots.shape[1],), dtype=jnp.float64)
-    carry0 = (tau0, value0, fsurv0) if barrier else (tau0, value0)
+        rleg0 = jnp.zeros((spots.shape[1],), dtype=jnp.float64)
+        rebate, rebate_at_hit = (
+            rebate_spec if rebate_spec is not None else (0.0, False)
+        )
+    carry0 = (tau0, value0, fsurv0, rleg0) if barrier else (tau0, value0)
 
     def step(carry, t):
         if barrier:
-            tau, value, fsurv = carry
+            tau, value, fsurv, rleg = carry
             q_t = jax.lax.dynamic_index_in_dim(
                 surv_factors, t, axis=0, keepdims=False
             )
             fsurv_cont = fsurv * q_t
+            # rebate hold-value leg at t: a hit in [t, t+1) pays rb_t (at
+            # the segment midpoint, or R discounted from expiry); a
+            # surviving path carries the discounted downstream leg
+            rb_t = (
+                rebate * jnp.exp(0.5 * log_disc)
+                if rebate_at_hit
+                else rebate * jnp.exp((nsteps - t) * log_disc)
+            )
+            rleg_cont = (1.0 - q_t) * rb_t + q_t * jnp.exp(log_disc) * rleg
         else:
             tau, value = carry
-            fsurv_cont = 1.0
+            fsurv_cont, rleg_cont = 1.0, 0.0
         s_t = jax.lax.dynamic_index_in_dim(spots, t, axis=0, keepdims=False)
-        continuation = jnp.exp((tau - t) * log_disc) * value * fsurv_cont
+        continuation = (
+            jnp.exp((tau - t) * log_disc) * value * fsurv_cont + rleg_cont
+        )
         payoff_t = payoff(s_t)
         itm = payoff_t > 0.0
         w = itm.astype(jnp.float64)
@@ -184,7 +205,8 @@ def lsm_backward_induction(
         value = jnp.where(exercise, payoff_t, value)
         if barrier:
             fsurv = jnp.where(exercise, 1.0, fsurv_cont)
-            return (tau, value, fsurv), None
+            rleg = jnp.where(exercise, 0.0, rleg_cont)
+            return (tau, value, fsurv, rleg), None
         return (tau, value), None
 
     ts = jnp.arange(nsteps - 1, 0, -1)  # nsteps-1 … 1 (t=0 excluded, lsm.jl:114)
@@ -304,8 +326,17 @@ def _solve_lsm_knock_out(
     from ..market.rate_curve import df_yf
     from .montecarlo import barrier_grid_factors
 
+    from ..core.payoffs import Spot
+
     payoff = prob.payoff
     market = prob.market_inputs
+    if not isinstance(payoff.underlying, Spot):
+        raise TypeError("barrier LSM monitors the spot; use Spot underlying")
+    if jnp.ndim(payoff.strike) > 0 or jnp.ndim(payoff.barrier) > 0:
+        raise TypeError(
+            "barrier LSM prices one (strike, barrier) pair per solve; vmap "
+            "over contracts for grids"
+        )
     spot_grid, factors, t_mids, v_grid = barrier_grid_factors(
         prob, method.mc_method
     )
@@ -314,9 +345,9 @@ def _solve_lsm_knock_out(
     surv = factors.reshape(nsteps, -1)
     vols = _flatten_grid(v_grid) if v_grid is not None else None
 
-    tau, value, fsurv = lsm_backward_induction(
+    tau, value, fsurv, _rleg = lsm_backward_induction(
         spots, payoff, log_disc, method.degree, strike_scale, vols=vols,
-        surv_factors=surv,
+        surv_factors=surv, rebate_spec=(payoff.rebate, payoff.rebate_at_hit),
     )
     a_tau = surv[0] * fsurv  # Π_{s<τ} q_s
     price = jnp.mean(a_tau * jnp.exp(tau * log_disc) * value)

@@ -538,8 +538,15 @@ def _merton_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0)
     paths = config.trajectories
     base = _base_key(config, key)
     if config.qmc:
+        # bridge-order the DIFFUSION normals (dim 0 drives the terminal
+        # Brownian level, as in the GBM/Heston Euler samplers) so the QMC
+        # rate survives long jump grids; the jump normals/uniforms are
+        # per-step by nature and stay step-major
+        from ..math.brownian_bridge import brownian_bridge_increments
+
         z, u_p = _qmc_normals_and_uniforms(base, steps, 2, paths, skip=point_offset)
-        z_d, z_j = z[:, 0, :], z[:, 1, :]
+        dw = brownian_bridge_increments(z[:, 0, :].T, dt, steps)
+        z_d, z_j = dw.T / jnp.sqrt(dt), z[:, 1, :]
     else:
         k_z, k_u = jax.random.split(base)
         zb = jax.random.normal(k_z, (steps, 2, paths), dtype=jnp.float64)
@@ -808,6 +815,13 @@ def brownian_bridge_survival_factors(log_grid, seg_vars, log_barrier, up: bool):
     discount-modulated barrier)."""
     x0, x1 = log_grid[:-1], log_grid[1:]
     b = jnp.asarray(log_barrier)
+    if b.ndim > 0 and b.shape[0] != log_grid.shape[0]:
+        raise ValueError(
+            f"a non-scalar barrier must carry the (steps+1,)-leading "
+            f"per-grid-time axis (got shape {b.shape} against a "
+            f"{log_grid.shape} grid); broadcast-style barriers are "
+            f"ambiguous with the time-varying form"
+        )
     b0, b1 = (b, b) if b.ndim == 0 else (b[:-1], b[1:])
     d0 = (b0 - x0) if up else (x0 - b0)
     d1 = (b1 - x1) if up else (x1 - b1)

@@ -169,6 +169,17 @@ def sharded_lsm_price_fn(method, mesh: Mesh, axis_name: str = "paths"):
     conditional = _is_conditional(method.mc_method)
 
     def price(prob: PricingProblem):
+        from ..core.payoffs import BarrierOption
+
+        if isinstance(prob.payoff, BarrierOption):
+            # the sharded induction below carries no survival state, so a
+            # knock-out would silently price as the plain American vanilla
+            # (BarrierOption.__call__ is the UNCONDITIONAL intrinsic)
+            raise TypeError(
+                "sharded LSM does not carry the barrier survival state; "
+                "price American knock-outs through solve(problem, LSM(...)) "
+                "on a single device"
+            )
         log_disc, strike_scale = _lsm_setup(prob, method)
 
         @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False)

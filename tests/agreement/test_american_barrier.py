@@ -138,6 +138,39 @@ def test_heston_conditional_grid():
     assert -1.0 < delta < -0.3  # an ITM American put's delta
 
 
+def test_rebate_dominant_policy():
+    """Up-and-out call with rebate 30 > the boundary intrinsic (H − K = 20):
+    the OPTIMAL policy near the barrier is to HOLD for the knock, not
+    exercise — the regression target carries the rebate hold-value leg
+    (lsm_backward_induction's rebate_spec), so LSM matches the lattice
+    (measured −0.12%; without the leg the policy exercises at ~20 and the
+    price collapses)."""
+    prob = hh.PricingProblem(
+        _amer_ko(strike=100.0, barrier=120.0, direction=hh.Up(),
+                 call_put=hh.Call(), rebate=30.0, rebate_at_hit=True),
+        _market(),
+    )
+    lsm = float(hh.solve(prob, hh.LSM(_mc(steps=200), 4)).price)
+    crr = float(hh.solve(prob, hh.CoxRossRubinsteinMethod(2000)).price)
+    assert lsm == pytest.approx(crr, rel=1e-2)
+
+
+def test_sharded_lsm_rejects_barriers():
+    """The sharded LSM induction carries no survival state — a knock-out
+    must raise, not silently price the plain American vanilla."""
+    import jax
+    from jax.sharding import Mesh
+
+    from hedgehog_tpu.parallel.sharding import sharded_lsm_price_fn
+
+    devs = jax.devices()
+    mesh = Mesh(devs, ("paths",))
+    method = hh.LSM(_mc(steps=10, paths=256 * len(devs)), 2)
+    fn = sharded_lsm_price_fn(method, mesh)
+    with pytest.raises(TypeError, match="survival state"):
+        fn(hh.PricingProblem(_amer_ko(barrier=80.0), _market()))
+
+
 def test_lsm_rejects_american_knock_in():
     with pytest.raises(TypeError, match="knock-OUT"):
         hh.solve(
