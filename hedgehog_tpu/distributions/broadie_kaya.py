@@ -199,11 +199,14 @@ def broadie_kaya_terminal_prices(prob, config, strat, key=None):
     """
     from ..methods.montecarlo import Antithetic  # avoid circular import
 
+    from ..market.inputs import forward_spot
+
     market = prob.market_inputs
     T = market_yearfrac(market, prob.payoff.expiry)
     r = zero_rate(market.rate, prob.payoff.expiry)
     params = (
-        market.spot,
+        # dividend carry via the effective spot — exact for the terminal law
+        forward_spot(market, T),
         market.V0,
         market.kappa,
         market.theta,

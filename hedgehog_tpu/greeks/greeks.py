@@ -304,12 +304,16 @@ def _solve_analytic_greek(gprob, method: AnalyticGreek, pricing_method=None):
         )
     inputs, payoff, T, K, sigma, D, F, sqrtT, d1, d2 = _bs_geometry(prob)
     cp = payoff.call_put()
+    from ..market.inputs import carry_yield
+
+    q = carry_yield(inputs)
+    qf = jnp.exp(-q * T)  # carry factor e^{−qT} (1.0 without dividends)
 
     if isinstance(gprob, SecondOrderGreekProblem):
         lens1, lens2 = gprob.wrt1, gprob.wrt2
         if _is_spot_lens(lens1) and _is_spot_lens(lens2):
-            # Gamma = φ(d1) / (S σ √T)
-            greek = norm.pdf(d1) / (inputs.spot * sigma * sqrtT)
+            # Gamma = e^{−qT}·φ(d1) / (S σ √T)
+            greek = qf * norm.pdf(d1) / (inputs.spot * sigma * sqrtT)
         elif _is_vol_lens(lens1) and _is_vol_lens(lens2):
             vega = D * F * norm.pdf(d1) * sqrtT
             greek = vega * d1 * d2 / sigma
@@ -319,16 +323,18 @@ def _solve_analytic_greek(gprob, method: AnalyticGreek, pricing_method=None):
 
     lens = gprob.wrt
     if _is_spot_lens(lens):
-        greek = cp * norm.cdf(cp * d1)
+        greek = qf * cp * norm.cdf(cp * d1)
     elif _is_vol_lens(lens):
-        greek = D * F * norm.pdf(d1) * sqrtT
+        greek = D * F * norm.pdf(d1) * sqrtT  # F is carry-adjusted already
     elif _is_expiry_lens(lens):
         # dPrice/d(expiry ticks): flat-rate assumption, per-tick convention
         # (greeks_problem.jl:472-475). Sign is positive because it is the
-        # derivative against expiry, not against time-to-maturity.
+        # derivative against expiry, not against time-to-maturity.  With
+        # carry q the S leg decays at q: −q·S·e^{−qT}·N(cp·d1)·cp joins.
         r = zero_rate_yf(inputs.rate, T)
         greek = (
             r * K * D * norm.cdf(cp * d2) * cp
+            - q * F * D * norm.cdf(cp * d1) * cp
             + F * D * sigma * norm.pdf(d1) / (2.0 * sqrtT)
         ) / MILLISECONDS_IN_YEAR_365
     else:

@@ -26,6 +26,8 @@ __all__ = [
     "BachelierInputs",
     "MultiAssetBSInputs",
     "market_yearfrac",
+    "carry_yield",
+    "forward_spot",
 ]
 
 
@@ -43,6 +45,24 @@ def _wrap_vol(sigma, reference_date):
     if isinstance(sigma, (FlatVolSurface, RectVolSurface)):
         return sigma
     return FlatVolSurface(sigma, reference_date)
+
+
+def carry_yield(market):
+    """Continuous dividend/borrow yield q of a market (0.0 when absent) —
+    beyond-reference: the reference carries rates only.  The spot drifts at
+    r − q while cashflows discount at r, so the T-forward is
+    spot·e^{−qT}/D(T) and every grid sampler's drift subtracts q."""
+    return getattr(market, "dividend_yield", 0.0)
+
+
+def forward_spot(market, T):
+    """The carry-adjusted spot ``spot·e^{−qT}`` — divide by D(T) for the
+    T-forward.  For terminal-law methods this substitution alone prices
+    dividends exactly (the q-model's terminal law equals the q=0 law
+    started at spot·e^{−qT})."""
+    import jax.numpy as jnp
+
+    return market.spot * jnp.exp(-carry_yield(market) * T)
 
 
 def market_yearfrac(market, t):
@@ -72,6 +92,7 @@ class BlackScholesInputs(AbstractMarketInputs):
     rate: Any
     spot: Any
     sigma: Any
+    dividend_yield: Any = 0.0
     daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):
@@ -95,6 +116,7 @@ class HestonInputs(AbstractMarketInputs):
     theta: Any
     sigma: Any
     rho: Any
+    dividend_yield: Any = 0.0
     daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):
@@ -122,6 +144,7 @@ class MertonInputs(AbstractMarketInputs):
     jump_intensity: Any
     jump_mean: Any
     jump_std: Any
+    dividend_yield: Any = 0.0
     daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):
@@ -143,6 +166,7 @@ class BachelierInputs(AbstractMarketInputs):
     rate: Any
     spot: Any
     sigma: Any
+    dividend_yield: Any = 0.0
     daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):
@@ -206,6 +230,7 @@ class SABRInputs(AbstractMarketInputs):
     beta: Any = static_field(default=1.0)
     rho: Any = 0.0
     nu: Any = 0.0
+    dividend_yield: Any = 0.0
     daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):

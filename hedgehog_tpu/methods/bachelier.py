@@ -104,10 +104,12 @@ def _solve_bachelier(prob: PricingProblem, method: BachelierAnalytic) -> Analyti
             "BachelierAnalytic is European-only (use LSM on the Bachelier "
             "grid for early exercise)"
         )
+    from ..market.inputs import forward_spot
+
     market = prob.market_inputs
     T = market_yearfrac(market, payoff.expiry)
     D = df(market.rate, payoff.expiry)
-    F = market.spot / D
+    F = forward_spot(market, T) / D  # carry-adjusted T-forward
     cp = payoff.call_put()
     if isinstance(payoff, DigitalOption):
         price = bachelier_digital_price(

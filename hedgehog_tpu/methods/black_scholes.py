@@ -44,11 +44,13 @@ def bs_geometry(prob: PricingProblem):
     """
     payoff = prob.payoff
     market = prob.market_inputs
+    from ..market.inputs import forward_spot
+
     K = payoff.strike
     sigma = get_vol(market.sigma, payoff.expiry, K)
     T = market_yearfrac(market, payoff.expiry)
     D = df(market.rate, payoff.expiry)
-    F = market.spot / D
+    F = forward_spot(market, T) / D  # carry-adjusted T-forward
     sqrtT = jnp.sqrt(T)
     sigma_safe = jnp.where(sigma > 0, sigma, 1.0)
     d1 = (jnp.log(F / K) + 0.5 * sigma_safe**2 * T) / (sigma_safe * sqrtT)
@@ -82,10 +84,12 @@ def bs_digital_price(forward, strike, vol, T, discount, cp, cash=1.0):
 
 
 def bs_barrier_price(spot, strike, barrier, vol, T, discount, cp, up: bool, knock_in: bool,
-                     rebate=0.0, rebate_at_hit: bool = False):
-    """Reiner-Rubinstein single-barrier closed form (no dividends, flat rate
+                     rebate=0.0, rebate_at_hit: bool = False, carry=0.0):
+    """Reiner-Rubinstein single-barrier closed form (flat rate
     r = −ln(D)/T so the barrier drift matches the curve's terminal
-    discount).  Computes the KNOCK-IN price from the standard A/B/C/D
+    discount; ``carry`` is the continuous dividend yield q, giving
+    cost-of-carry b = r − q: the drift exponent uses μ = b/σ² − ½ and the
+    spot legs weight by e^{−qT}, while discounting stays at r).  Computes the KNOCK-IN price from the standard A/B/C/D
     blocks and recovers knock-out by in-out parity (in + out = vanilla at
     zero rebate); an already-touched barrier (S beyond H at t=0) makes the
     in-option vanilla and the out-option worthless.
@@ -96,15 +100,17 @@ def bs_barrier_price(spot, strike, barrier, vol, T, discount, cp, up: bool, knoc
     time, the one-touch value), else R·D·P(touch) = R·D − E."""
     S, K, H = spot, strike, barrier
     r = -jnp.log(discount) / jnp.maximum(T, 1e-30)
+    b = r - carry  # cost of carry
+    qf = jnp.exp(-carry * T)  # e^{(b−r)T}: weights every S leg
     sigma_safe = jnp.where(vol > 0, vol, 1.0)
     v = sigma_safe * jnp.sqrt(T)
-    mu = r / sigma_safe**2 - 0.5
+    mu = b / sigma_safe**2 - 0.5
     eta = -1.0 if up else 1.0
 
     def vanilla_block(lnarg):
-        # cp·[S·N(cp·x) − K·D·N(cp·(x−v))], x = lnarg/v + (1+μ)v
+        # cp·[S·e^{−qT}·N(cp·x) − K·D·N(cp·(x−v))], x = lnarg/v + (1+μ)v
         x = lnarg / v + (1.0 + mu) * v
-        return cp * (S * norm.cdf(cp * x) - K * discount * norm.cdf(cp * (x - v)))
+        return cp * (S * qf * norm.cdf(cp * x) - K * discount * norm.cdf(cp * (x - v)))
 
     hs2mu = (H / S) ** (2.0 * mu)
     hs2mu2 = hs2mu * (H / S) ** 2
@@ -113,7 +119,7 @@ def bs_barrier_price(spot, strike, barrier, vol, T, discount, cp, up: bool, knoc
         # cp·[S·(H/S)^{2μ+2}·N(η·y) − K·D·(H/S)^{2μ}·N(η·(y−v))]
         y = lnarg / v + (1.0 + mu) * v
         return cp * (
-            hs2mu2 * S * norm.cdf(eta * y)
+            hs2mu2 * S * qf * norm.cdf(eta * y)
             - hs2mu * K * discount * norm.cdf(eta * (y - v))
         )
 
@@ -128,7 +134,7 @@ def bs_barrier_price(spot, strike, barrier, vol, T, discount, cp, up: bool, knoc
     else:  # put
         in_price = jnp.where(k_ge_h, A - B + Dd, C) if up else jnp.where(k_ge_h, B - C + Dd, A)
 
-    vanilla = bs_price(S / discount, K, vol, T, discount, cp)
+    vanilla = bs_price(S * qf / discount, K, vol, T, discount, cp)
     touched = (S >= H) if up else (S <= H)
     in_price = jnp.where(touched, vanilla, jnp.clip(in_price, 0.0, None))
     # clip roundoff: when in ≈ vanilla (e.g. up-out call with K ≥ H, exactly
@@ -161,15 +167,15 @@ def bs_barrier_price(spot, strike, barrier, vol, T, discount, cp, up: bool, knoc
     # discounts at the KNOWN deterministic hit time t_hit = ln(H/S)/r
     # (clipped — touched-at-inception pays immediately, r→0 flat paths only
     # ever touch at inception)
-    f_T = S / discount
+    f_T = S * qf / discount
     det_touch = touched | ((f_T >= H) if up else (f_T <= H))
     det_pay = discount * jnp.maximum(cp * (f_T - K), 0.0)
     det_in = jnp.where(det_touch, det_pay, 0.0)
     if knock_in:
         det = det_in + rebate * discount * jnp.where(det_touch, 0.0, 1.0)
     elif rebate_at_hit:
-        r_safe = jnp.where(jnp.abs(r) < 1e-12, 1e-12, r)
-        t_hit = jnp.clip(jnp.log(H / S) / r_safe, 0.0, T)
+        b_safe = jnp.where(jnp.abs(b) < 1e-12, 1e-12, b)
+        t_hit = jnp.clip(jnp.log(H / S) / b_safe, 0.0, T)
         det = (det_pay - det_in) + rebate * jnp.exp(-r * t_hit) * jnp.where(
             det_touch, 1.0, 0.0
         )
@@ -178,13 +184,15 @@ def bs_barrier_price(spot, strike, barrier, vol, T, discount, cp, up: bool, knoc
     return jnp.where((vol > 0) & (T > 0), price, det)
 
 
-def bs_geometric_asian_price(spot, strike, vol, T, discount, cp, n: int):
+def bs_geometric_asian_price(spot, strike, vol, T, discount, cp, n: int,
+                             carry=0.0):
     """Discrete geometric-average Asian closed form (equally-spaced fixings
-    t_i = i·T/n): log A_G is Gaussian with mean ln S + (r − σ²/2)·T(n+1)/(2n)
-    and variance σ²·T·(n+1)(2n+1)/(6n²), so the price is the Black formula
-    at forward e^{m+s²/2} with total volatility s."""
+    t_i = i·T/n): log A_G is Gaussian with mean ln S + (b − σ²/2)·T(n+1)/(2n)
+    (cost-of-carry b = r − q, ``carry`` = q) and variance
+    σ²·T·(n+1)(2n+1)/(6n²), so the price is the Black formula at forward
+    e^{m+s²/2} with total volatility s."""
     r = -jnp.log(discount) / jnp.maximum(T, 1e-30)
-    m = jnp.log(spot) + (r - 0.5 * vol**2) * T * (n + 1) / (2.0 * n)
+    m = jnp.log(spot) + (r - carry - 0.5 * vol**2) * T * (n + 1) / (2.0 * n)
     s2 = vol**2 * T * (n + 1) * (2 * n + 1) / (6.0 * n * n)
     f_geo = jnp.exp(m + 0.5 * s2)
     # reuse the Black kernel: only vol·√T enters, so pass (vol=s, T=1)
@@ -240,8 +248,11 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
         D_cl = df(market.rate, payoff.expiry)
         n_per = payoff.observations
         tau = T_cl / n_per
+        from ..market.inputs import carry_yield as _carry
+
         d_per = D_cl ** (1.0 / n_per)  # per-period discount (flat-rate exact)
-        f_per = 1.0 / d_per  # E[R] under the risk-neutral measure
+        # E[R] = e^{(r−q)τ} under the risk-neutral measure with carry q
+        f_per = jnp.exp(-_carry(market) * tau) / d_per
         call_f = bs_price(f_per, 1.0 + payoff.local_floor, sig, tau, 1.0, 1.0)
         call_c = bs_price(f_per, 1.0 + payoff.local_cap, sig, tau, 1.0, 1.0)
         per_period = payoff.local_floor + call_f - call_c
@@ -268,11 +279,15 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
         D_T = df(market.rate, payoff.expiry)
         D_t1 = df(market.rate, payoff.start)
         d_fwd = D_T / D_t1  # D(t1, T)
+        from ..market.inputs import carry_yield as _carry
+
+        q_fs = _carry(market)
         # per-unit-S_{t1} Black price on the forward return R = S_T/S_{t1}:
-        # E[R] = 1/d_fwd under the risk-neutral measure
-        unit = bs_price(1.0 / d_fwd, payoff.strike_fraction, sig, tau, d_fwd,
-                        payoff.call_put())
-        price = market.spot * unit
+        # E[R] = e^{(r−q)τ} = e^{−qτ}/d_fwd under the risk-neutral measure;
+        # the homogeneity prefactor is the carry-discounted spot e^{−q·t1}·S0
+        unit = bs_price(jnp.exp(-q_fs * tau) / d_fwd, payoff.strike_fraction,
+                        sig, tau, d_fwd, payoff.call_put())
+        price = market.spot * jnp.exp(-q_fs * t1) * unit
         return AnalyticSolution(prob, method, price)
 
     if isinstance(payoff, VarianceSwap):
@@ -290,19 +305,23 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
             )
         T_vs = market_yearfrac(market, payoff.expiry)
         D_vs = df(market.rate, payoff.expiry)
+        from ..market.inputs import carry_yield as _carry
+
         sig = market.sigma.sigma
         r = -jnp.log(D_vs) / jnp.maximum(T_vs, 1e-30)
-        mu = r - 0.5 * sig**2
+        mu = r - _carry(market) - 0.5 * sig**2
         fair = sig**2 + mu**2 * T_vs / payoff.observations
         price = D_vs * payoff.notional * (fair - payoff.strike_var)
         return AnalyticSolution(prob, method, price)
+
+    from ..market.inputs import carry_yield, forward_spot
 
     K = payoff.strike
     sigma = get_vol(market.sigma, payoff.expiry, K)
     cp = payoff.call_put()
     T = market_yearfrac(market, payoff.expiry)
     D = df(market.rate, payoff.expiry)
-    F = market.spot / D
+    F = forward_spot(market, T) / D
 
     if isinstance(payoff, AsianOption):
         if not isinstance(payoff.averaging, GeometricAverage):
@@ -312,7 +331,8 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
                 "(MonteCarlo with config.steps == observations)"
             )
         price = bs_geometric_asian_price(
-            market.spot, K, sigma, T, D, cp, payoff.observations
+            market.spot, K, sigma, T, D, cp, payoff.observations,
+            carry=carry_yield(market),
         )
     elif isinstance(payoff, BarrierOption):
         price = bs_barrier_price(
@@ -320,6 +340,7 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
             up=isinstance(payoff.direction, Up),
             knock_in=isinstance(payoff.knock, KnockIn),
             rebate=payoff.rebate, rebate_at_hit=payoff.rebate_at_hit,
+            carry=carry_yield(market),
         )
     elif isinstance(payoff, DigitalOption):
         price = bs_digital_price(F, K, sigma, T, D, cp, payoff.cash)

@@ -78,10 +78,13 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
         payoff = dataclasses.replace(payoff, strike=jnp.asarray(payoff.strike)[:, None])
         prob = PricingProblem(payoff, market)
 
+    from ..market.inputs import carry_yield, forward_spot
+
     sigma = get_vol(market.sigma, payoff.expiry, payoff.strike)
     T = market_yearfrac(market, payoff.expiry)
     D_T = df(market.rate, payoff.expiry)
-    forward = market.spot / D_T
+    q = carry_yield(market)
+    forward = forward_spot(market, T) / D_T  # carry-adjusted T-forward
     dT = T / steps
     u = jnp.exp(sigma * jnp.sqrt(dT))
     p = 1.0 / (1.0 + u)
@@ -106,8 +109,11 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
                 # Discount forward nodes to spot at time i·ΔT (crr.jl:77-83);
                 # the zero-rate lookup stays in year fractions (a tick
                 # round-trip would shift the tenor by the curve's day-count
-                # ratio on non-ACT/365 markets)
-                underlying = jnp.exp(-zero_rate_yf(rate_curve, i * dT) * (steps - i) * dT) * fwd_nodes
+                # ratio on non-ACT/365 markets).  With carry q the no-arb
+                # relation is S_t = F_t·D(t,T)·e^{q(T−t)}.
+                underlying = jnp.exp(
+                    (q - zero_rate_yf(rate_curve, i * dT)) * (steps - i) * dT
+                ) * fwd_nodes
             else:
                 underlying = fwd_nodes
             new_value = jnp.maximum(continuation, payoff(underlying))
@@ -150,10 +156,13 @@ def _solve_crr_knock_out(prob: PricingProblem, method: CoxRossRubinsteinMethod):
             "over contracts for grids"
         )
 
+    from ..market.inputs import carry_yield, forward_spot
+
     sigma = get_vol(market.sigma, payoff.expiry, payoff.strike)
     T = market_yearfrac(market, payoff.expiry)
     D_T = df(market.rate, payoff.expiry)
-    forward = market.spot / D_T
+    q = carry_yield(market)
+    forward = forward_spot(market, T) / D_T
     dT = T / steps
     u = jnp.exp(sigma * jnp.sqrt(dT))
     p = 1.0 / (1.0 + u)
@@ -170,10 +179,10 @@ def _solve_crr_knock_out(prob: PricingProblem, method: CoxRossRubinsteinMethod):
     def log_spot_nodes(i, offsets):
         # log node spot levels at time i·ΔT for exponents ``offsets`` (same
         # discounted-forward semantics as the vanilla American branch /
-        # crr.jl:77-83)
+        # crr.jl:77-83; with carry q, S_t = F_t·D(t,T)·e^{q(T−t)})
         return (
             jnp.log(forward)
-            - zero_rate_yf(rate_curve, i * dT) * (steps - i) * dT
+            + (q - zero_rate_yf(rate_curve, i * dT)) * (steps - i) * dT
             + offsets * sigma * jnp.sqrt(dT)
         )
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..core.dates import yearfrac
 from ..core.payoffs import require_european
 from ..market.rate_curve import df_yf, zero_rate_yf
-from ..market.inputs import market_yearfrac
+from ..market.inputs import carry_yield, market_yearfrac
 from ..models.heston_qe import qe_constants
 
 __all__ = [
@@ -222,7 +222,8 @@ def heston_mixing_price_and_greeks(prob, method, key=None):
     market = prob.market_inputs
     config = method.config
     T = market_yearfrac(market, prob.payoff.expiry)
-    r0 = zero_rate_yf(market.rate, 0.0)
+    # drift rate is r − q; the rho greek stays d/dr (∂(r−q)/∂r = 1)
+    r0 = zero_rate_yf(market.rate, 0.0) - carry_yield(market)
     steps = config.steps
 
     # draws: identical streams to _heston_qe_mixing_values (same seed ⇒ same
@@ -367,7 +368,8 @@ def heston_exact_price_and_greeks(prob, method, key=None):
     def surrogate(pvec):
         spot, v0, kappa, theta, sigma, rho, r = tuple(pvec)
         m2 = HestonInputs(
-            market.reference_date, r, spot, v0, kappa, theta, sigma, rho
+            market.reference_date, r, spot, v0, kappa, theta, sigma, rho,
+            dividend_yield=carry_yield(market),
         )
         p2 = type(prob)(prob.payoff, m2)
         vals, logl = _heston_exact_mixing_values(p2, config, key, with_score=True)

@@ -40,7 +40,7 @@ from ..core.payoffs import require_european
 from ..core.problems import MonteCarloSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df, df_yf, zero_rate_yf
-from ..market.inputs import market_yearfrac
+from ..market.inputs import carry_yield, market_yearfrac
 from ..market.vol_surface import FlatVolSurface, get_vol
 from ..models.dynamics import (
     HestonDynamics,
@@ -269,7 +269,7 @@ def _sim_params(prob: PricingProblem):
     T = market_yearfrac(market, prob.payoff.expiry)
     # Reference drift rate: zero rate "at time 0" (montecarlo.jl:176, :200) —
     # constant-extrapolated first pillar for spine curves, the rate for flat.
-    r0 = zero_rate_yf(market.rate, 0.0)
+    r0 = zero_rate_yf(market.rate, 0.0) - carry_yield(market)
     return market, T, r0
 
 
@@ -286,10 +286,13 @@ def _gbm_exact_terminal(prob, config, key, point_offset=0) -> jnp.ndarray:
 
 
 def _bachelier_forward_vol(prob):
-    """(F₀, σ_N, T) for a Bachelier market at the problem's expiry."""
+    """(F₀, σ_N, T) for a Bachelier market at the problem's expiry
+    (carry-adjusted: F = spot·e^{−qT}/D(T))."""
+    from ..market.inputs import forward_spot
+
     market = prob.market_inputs
     T = market_yearfrac(market, prob.payoff.expiry)
-    f0 = market.spot / df(market.rate, prob.payoff.expiry)
+    f0 = forward_spot(market, T) / df(market.rate, prob.payoff.expiry)
     return f0, market.sigma, T
 
 
@@ -337,7 +340,9 @@ def _bachelier_euler_paths(prob, config, key, *, return_grid: bool, point_offset
     if return_grid:
         grid = jnp.concatenate([x0[None], xs], axis=0)  # F grid, time leading
         t_k = jnp.arange(steps + 1) * dt
-        d_ratio = df_yf(market.rate, T) / df_yf(market.rate, t_k)
+        d_ratio = df_yf(market.rate, T) / df_yf(market.rate, t_k) * jnp.exp(
+            carry_yield(market) * (T - t_k)
+        )
         return jnp.moveaxis(grid * d_ratio[:, None, None], 0, 1)
     return x_final
 
@@ -366,8 +371,10 @@ def _sabr_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
         zb = _normals(key, (2, steps, config.trajectories), anti)
         z1, z2 = zb[:, 0], zb[:, 1]
     rho, nu, beta = market.rho, market.nu, market.beta
+    from ..market.inputs import forward_spot
+
     zv = rho * z1 + jnp.sqrt(1.0 - rho**2) * z2  # vol leg, corr ρ with z1
-    f0 = market.spot / df(market.rate, prob.payoff.expiry)
+    f0 = forward_spot(market, T) / df(market.rate, prob.payoff.expiry)
     sq = jnp.sqrt(dt)
     carry0 = (
         jnp.full((z1.shape[0], config.trajectories), f0),
@@ -386,10 +393,12 @@ def _sabr_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
     if return_grid:
         grid = jnp.concatenate([carry0[0][None], fs], axis=0)
         # grid consumers (Asian fixings, LSM exercise values) want SPOT
-        # prices: S_t = F_t·D(t, T) = F_t·D(T)/D(t), exact for the
-        # deterministic rate curves this library carries
+        # prices: S_t = F_t·D(t, T)·e^{q(T−t)} = F_t·D(T)/D(t)·e^{q(T−t)},
+        # exact for the deterministic rate/carry this library carries
         t_k = jnp.arange(steps + 1) * dt
-        d_ratio = df_yf(market.rate, T) / df_yf(market.rate, t_k)
+        d_ratio = df_yf(market.rate, T) / df_yf(market.rate, t_k) * jnp.exp(
+            carry_yield(market) * (T - t_k)
+        )
         grid = grid * d_ratio[:, None, None]
         return jnp.moveaxis(grid, 0, 1)  # (g, steps+1, paths)
     return f_T
@@ -417,7 +426,8 @@ def _local_vol_euler_paths(prob, config, key, *, return_grid: bool, point_offset
         z = _normals(key, (steps, config.trajectories), anti)
     t_k = jnp.arange(steps) * dt
     d_grid = df_yf(market.rate, jnp.arange(steps + 1) * dt)
-    fwd = jnp.log(d_grid[:-1] / d_grid[1:]) / dt  # per-step forward rates
+    # per-step forward rates, less the dividend carry
+    fwd = jnp.log(d_grid[:-1] / d_grid[1:]) / dt - carry_yield(market)
     sq = jnp.sqrt(dt)
     x0 = jnp.full((z.shape[0], config.trajectories), jnp.log(market.spot))
     sig_of = jax.vmap(jax.vmap(
@@ -529,6 +539,11 @@ def _merton_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0)
     log_s0, r, T, sigma, lam, mu_j, s_j, kbar = merton_terminal_params(
         market, prob.payoff.expiry
     )
+    # merton_terminal_params folds the carry into log_s0 (= log S0 − qT,
+    # right for one-shot terminal draws); a GRID needs the carry in the
+    # PER-STEP drift instead, so intermediate fixings sit at e^{−q·t_k}
+    log_s0 = jnp.log(market.spot)
+    r = r - carry_yield(market)
     steps = config.steps
     dt = T / steps
     # per-STEP jump rate is small, so few trips bound the tail; reuse the
@@ -910,10 +925,13 @@ def barrier_grid_factors(prob: PricingProblem, method: MonteCarlo):
             raise TypeError("Bachelier has no fused kernel; drop use_kernel=True")
         grid = simulate_price_grid(prob, method)  # SPOT grid (g, steps+1, paths)
         spot_grid = jnp.moveaxis(grid, 1, 0)
-        # F-space: F = S/c(t) is the Brownian coordinate (c = D(T)/D(t)), so
-        # the barrier is the per-grid-time level H/c(t_k)
+        # F-space: F = S/c(t) is the Brownian coordinate
+        # (c = D(T)/D(t)·e^{q(T−t)} with carry q), so the barrier is the
+        # per-grid-time level H/c(t_k)
         t_k = jnp.arange(config.steps + 1) * (T / config.steps)
-        c = df_yf(market.rate, T) / df_yf(market.rate, t_k)
+        c = df_yf(market.rate, T) / df_yf(market.rate, t_k) * jnp.exp(
+            carry_yield(market) * (T - t_k)
+        )
         f_grid = spot_grid / c[:, None, None]
         barrier_k = (payoff.barrier / c)[:, None, None]
         seg_vars = market.sigma**2 * (T / config.steps)
@@ -1359,7 +1377,7 @@ def _mixing_surface_rows(
     from ..models.heston_qe import qe_constants, qe_v_step
 
     n_exp = len(T_host)
-    r0 = zero_rate_yf(market.rate, 0.0)
+    r0 = zero_rate_yf(market.rate, 0.0) - carry_yield(market)
 
     seg_len, seg_steps = surface_seg_steps(T_host, config.steps)
     total_steps = sum(seg_steps)
@@ -1471,7 +1489,7 @@ def _exact_surface_rows(
     )
 
     n_exp = len(T_host)
-    r0 = zero_rate_yf(market.rate, 0.0)
+    r0 = zero_rate_yf(market.rate, 0.0) - carry_yield(market)
     seg_len, seg_steps = surface_seg_steps(T_host, config.steps, min_first=2)
     total_segs = sum(seg_steps)
     paths = config.trajectories

@@ -94,10 +94,12 @@ def _solve_sabr_analytic(prob: PricingProblem, method: SABRAnalytic) -> Analytic
         )
     if not isinstance(payoff.exercise_style, European):
         raise TypeError("SABRAnalytic is European-only")
+    from ..market.inputs import forward_spot
+
     market = prob.market_inputs
     T = market_yearfrac(market, payoff.expiry)
     D = df(market.rate, payoff.expiry)
-    F = market.spot / D
+    F = forward_spot(market, T) / D  # carry-adjusted T-forward
     vol = hagan_vol(F, payoff.strike, T, market.alpha, market.beta,
                     market.rho, market.nu)
     price = bs_price(F, payoff.strike, vol, T, D, payoff.call_put())

@@ -111,13 +111,17 @@ def lognormal_terminal_law(market, expiry_ticks):
     """
     from ..market.vol_surface import FlatVolSurface
 
+    from ..market.inputs import carry_yield
+
     r = zero_rate(market.rate, expiry_ticks)
     if isinstance(market.sigma, FlatVolSurface):
         sigma = market.sigma.sigma
     else:
         sigma = get_vol(market.sigma, expiry_ticks, market.spot)  # ATM lookup
     T = market_yearfrac(market, expiry_ticks)
-    mean = jnp.log(market.spot) + (r - 0.5 * sigma**2) * T
+    # dividend carry: drift r − q (equivalently the q=0 law started at
+    # spot·e^{−qT} — exact for the terminal law)
+    mean = jnp.log(market.spot) + (r - carry_yield(market) - 0.5 * sigma**2) * T
     std = sigma * jnp.sqrt(T)
     return mean, std
 
@@ -126,10 +130,15 @@ def merton_terminal_params(market, expiry_ticks):
     """(log_s0, r, T, sigma, lam, mu_j, s_j, kbar) for a Merton market at an
     expiry: everything the CF/series/samplers need, derived once.  κ̄ is the
     jump compensator e^{μ_J + σ_J²/2} − 1."""
+    from ..market.inputs import carry_yield
+
     r = zero_rate(market.rate, expiry_ticks)
     T = market_yearfrac(market, expiry_ticks)
     kbar = jnp.expm1(market.jump_mean + 0.5 * market.jump_std**2)
-    return (jnp.log(market.spot), r, T, market.sigma,
+    # dividend carry enters as the effective log-spot log(S0) − qT (the
+    # drift r stays the DISCOUNTING rate downstream)
+    log_s0 = jnp.log(market.spot) - carry_yield(market) * T
+    return (log_s0, r, T, market.sigma,
             market.jump_intensity, market.jump_mean, market.jump_std, kbar)
 
 
@@ -269,10 +278,13 @@ def terminal_log_cf_pair(prob, dynamics: PriceDynamics):
         mean, std = lognormal_terminal_law(market, expiry)
         return lambda ur, ui: lognormal_cf_pair(ur, ui, mean, std)
     if isinstance(dynamics, HestonDynamics):
+        from ..market.inputs import forward_spot
+
         r = zero_rate(market.rate, expiry)
         T = market_yearfrac(market, expiry)
+        s_eff = forward_spot(market, T)  # exact for the terminal law
         return lambda ur, ui: heston_cf_pair(
-            ur, ui, market.spot, market.V0, market.kappa, market.theta,
+            ur, ui, s_eff, market.V0, market.kappa, market.theta,
             market.sigma, market.rho, r, T,
         )
     if isinstance(dynamics, MertonJumpDynamics):
@@ -290,10 +302,13 @@ def terminal_log_cf(prob, dynamics: PriceDynamics):
         mean, std = lognormal_terminal_law(market, expiry)
         return lambda u: lognormal_cf(u, mean, std)
     if isinstance(dynamics, HestonDynamics):
+        from ..market.inputs import forward_spot
+
         r = zero_rate(market.rate, expiry)
         T = market_yearfrac(market, expiry)
+        s_eff = forward_spot(market, T)  # exact for the terminal law
         return lambda u: heston_cf(
-            u, market.spot, market.V0, market.kappa, market.theta, market.sigma, market.rho, r, T
+            u, s_eff, market.V0, market.kappa, market.theta, market.sigma, market.rho, r, T
         )
     if isinstance(dynamics, MertonJumpDynamics):
         params = merton_terminal_params(market, expiry)

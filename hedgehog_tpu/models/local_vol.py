@@ -31,6 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..market.inputs import carry_yield
 from ..market.rate_curve import df_yf
 from ..market.vol_surface import FlatVolSurface, get_vol_yf
 
@@ -55,12 +56,12 @@ def dupire_local_vol(market, t, strike):
 
     def w_of(t_, y_):
         # K at fixed log-moneyness y: K = F(t)·e^y, F(t) = spot/D(t)
-        f_t = market.spot / df_yf(market.rate, t_)
+        f_t = market.spot * jnp.exp(-carry_yield(market) * t_) / df_yf(market.rate, t_)
         k_ = f_t * jnp.exp(y_)
         sig = get_vol_yf(market.sigma, t_, k_)
         return sig * sig * t_
 
-    f_t = market.spot / df_yf(market.rate, t)
+    f_t = market.spot * jnp.exp(-carry_yield(market) * t) / df_yf(market.rate, t)
     y = jnp.log(strike / f_t)
 
     w = w_of(t, y)

@@ -527,7 +527,7 @@ def heston_exact_mixing_values_pallas(prob, config, strat, key=None, device_id=0
     ``key`` reseeds the PRNG kernel stream (ops/heston_kernel.py
     ``seed_from_key``); under QMC the seed is ALWAYS config.seed so every
     device randomizes ONE shared Sobol' sequence sliced by point_offset."""
-    from ..market.inputs import market_yearfrac
+    from ..market.inputs import carry_yield, market_yearfrac
     from ..market.rate_curve import zero_rate_yf
     from ..methods.montecarlo import Antithetic, _heston_exact_mixing_values
     from .heston_kernel import seed_from_key
@@ -543,7 +543,7 @@ def heston_exact_mixing_values_pallas(prob, config, strat, key=None, device_id=0
             )
         return _heston_exact_mixing_values(prob, config, key, point_offset=point_offset)
     T = market_yearfrac(market, prob.payoff.expiry)
-    r0 = zero_rate_yf(market.rate, 0.0)
+    r0 = zero_rate_yf(market.rate, 0.0) - carry_yield(market)
     if config.qmc and not anti:
         raise ValueError("kernel QMC path is antithetic-only")
     out = heston_exact_mixing_values(

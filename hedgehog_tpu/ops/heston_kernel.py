@@ -208,13 +208,13 @@ def heston_euler_terminal_pallas(prob, config, key=None, device_id=0):
     prices shaped like the pure-JAX path (n_groups, trajectories) in f64.
     An explicit ``key`` reseeds the kernel stream (see :func:`seed_from_key`).
     """
-    from ..market.inputs import market_yearfrac
+    from ..market.inputs import carry_yield, market_yearfrac
     from ..market.rate_curve import zero_rate_yf
     from ..methods.montecarlo import Antithetic
 
     market = prob.market_inputs
     T = market_yearfrac(market, prob.payoff.expiry)
-    r0 = zero_rate_yf(market.rate, 0.0)
+    r0 = zero_rate_yf(market.rate, 0.0) - carry_yield(market)
     anti = isinstance(config.variance_reduction, Antithetic)
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:

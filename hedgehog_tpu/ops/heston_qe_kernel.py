@@ -1164,6 +1164,7 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None,
     primal-only — use the QE kernel surface for kernel-speed gradients)."""
     import dataclasses
 
+    from ..market.inputs import carry_yield
     from ..market.rate_curve import df_yf, zero_rate_yf
     from ..methods.montecarlo import (
         Antithetic,
@@ -1186,7 +1187,7 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None,
         min_first=2 if isinstance(strategy, HestonExactMixing) else 1,
     )
     seg_steps = tuple(seg_steps)
-    r0 = zero_rate_yf(market.rate, 0.0)
+    r0 = zero_rate_yf(market.rate, 0.0) - carry_yield(market)
     block = _ROWS * _LANES
     n_pairs = config.trajectories
     n_blocks = max(1, -(-n_pairs // (block * 16)))
@@ -1229,7 +1230,7 @@ def heston_qe_mixing_values_pallas(prob, config, strat, key=None, device_id=0, p
     An explicit ``key`` reseeds the kernel stream / QMC randomization
     (ops/heston_kernel.py ``seed_from_key``), matching the pure-JAX
     strategies' distinct-keys → independent-draws contract."""
-    from ..market.inputs import market_yearfrac
+    from ..market.inputs import carry_yield, market_yearfrac
     from ..market.rate_curve import zero_rate_yf
     from ..methods.montecarlo import Antithetic, _heston_qe_mixing_values
     from .heston_kernel import seed_from_key
@@ -1245,7 +1246,7 @@ def heston_qe_mixing_values_pallas(prob, config, strat, key=None, device_id=0, p
             )
         return _heston_qe_mixing_values(prob, config, key, point_offset=point_offset)
     T = market_yearfrac(market, prob.payoff.expiry)
-    r0 = zero_rate_yf(market.rate, 0.0)
+    r0 = zero_rate_yf(market.rate, 0.0) - carry_yield(market)
     # differentiable view on BOTH streams: same primal kernel, plus a custom
     # VJP backed by the cotangent-weighted greek kernel replaying the
     # identical PRNG/Sobol' stream — jax.grad through the kernel-backed
@@ -1276,7 +1277,7 @@ def heston_qe_terminal_pallas(prob, config, strat, key=None, device_id=0, point_
     per seed; sharded devices take disjoint ``point_offset`` slices).
     An explicit ``key`` reseeds the kernel stream / QMC randomization
     (ops/heston_kernel.py ``seed_from_key``)."""
-    from ..market.inputs import market_yearfrac
+    from ..market.inputs import carry_yield, market_yearfrac
     from ..market.rate_curve import zero_rate_yf
     from ..methods.montecarlo import Antithetic, _heston_qe_paths
     from .heston_kernel import seed_from_key
@@ -1294,7 +1295,7 @@ def heston_qe_terminal_pallas(prob, config, strat, key=None, device_id=0, point_
             prob, config, key, strat, return_grid=False, point_offset=point_offset
         )
     T = market_yearfrac(market, prob.payoff.expiry)
-    r0 = zero_rate_yf(market.rate, 0.0)
+    r0 = zero_rate_yf(market.rate, 0.0) - carry_yield(market)
     out = heston_qe_terminal(
         jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
         market.sigma, market.rho, T / config.steps,
