@@ -182,14 +182,17 @@ class MultiAssetBSInputs(AbstractMarketInputs):
     vector ``spots`` (n,), vol vector ``sigmas`` (n,) and instantaneous
     correlation matrix ``correlation`` (n, n; symmetric, unit diagonal —
     validated when concrete).  All three are pytree leaves, so multi-asset
-    greeks (per-asset deltas, correlation vega) flow by AD.  ``daycount``
-    as on :class:`BlackScholesInputs`."""
+    greeks (per-asset deltas, correlation vega) flow by AD.
+    ``dividend_yields`` (scalar or (n,)): per-asset continuous carry —
+    asset i drifts at r − q_i.  ``daycount`` as on
+    :class:`BlackScholesInputs`."""
 
     reference_date: Any
     rate: Any
     spots: Any
     sigmas: Any
     correlation: Any
+    dividend_yields: Any = 0.0
     daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):

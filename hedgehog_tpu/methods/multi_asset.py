@@ -92,7 +92,9 @@ def multi_asset_terminal_prices(prob: PricingProblem, config, key=None,
     T = market_yearfrac(market, prob.payoff.expiry)
     discount = df(market.rate, prob.payoff.expiry)
     r = -jnp.log(discount) / jnp.maximum(T, 1e-30)
-    s0 = jnp.asarray(market.spots)
+    # per-asset carry: the terminal law equals the q=0 law at S_i·e^{−q_i T}
+    q = jnp.asarray(getattr(market, "dividend_yields", 0.0))
+    s0 = jnp.asarray(market.spots) * jnp.exp(-q * T)
     sig = jnp.asarray(market.sigmas)
     n = s0.shape[0]
     chol = jnp.linalg.cholesky(jnp.asarray(market.correlation))
@@ -118,7 +120,10 @@ def solve_multi_asset_analytic(prob: PricingProblem, method) -> AnalyticSolution
     T = market_yearfrac(market, payoff.expiry)
     D = df(market.rate, payoff.expiry)
     cp = payoff.call_put()
-    s = jnp.asarray(market.spots)
+    # carry-adjusted spots: exact for Margrabe/Kirk/geometric-basket (all
+    # are functions of the terminal joint law only)
+    q = jnp.asarray(getattr(market, "dividend_yields", 0.0))
+    s = jnp.asarray(market.spots) * jnp.exp(-q * T)
     sig = jnp.asarray(market.sigmas)
     corr = jnp.asarray(market.correlation)
     if isinstance(payoff, SpreadOption):

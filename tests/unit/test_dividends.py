@@ -174,6 +174,37 @@ def test_forward_start_cliquet_varswap_carry():
     assert mc_vs == pytest.approx(cf_vs, abs=2e-2)
 
 
+def test_multi_asset_per_asset_yields():
+    """Per-asset carry vector: price(S, q) == price(S·e^{−qT}, 0) for
+    Margrabe/Kirk/geometric-basket (terminal-joint-law functions) and the
+    correlated exact MC agrees."""
+    import jax.numpy as jnp
+
+    qv = jnp.asarray([0.02, 0.05])
+    m_q = hh.MultiAssetBSInputs(REF, 0.05, jnp.asarray([100.0, 95.0]),
+                                jnp.asarray([0.25, 0.2]),
+                                jnp.asarray([[1.0, 0.5], [0.5, 1.0]]),
+                                dividend_yields=qv)
+    m_0 = hh.MultiAssetBSInputs(
+        REF, 0.05,
+        jnp.asarray([100.0 * math.exp(-0.02), 95.0 * math.exp(-0.05)]),
+        jnp.asarray([0.25, 0.2]), jnp.asarray([[1.0, 0.5], [0.5, 1.0]]))
+    cfg = hh.SimulationConfig(trajectories=1 << 16, steps=1,
+                              variance_reduction=hh.Antithetic(), seed=0,
+                              qmc=True)
+    for po in (hh.SpreadOption(0.0, EXPIRY, hh.European(), hh.Call(), hh.Spot()),
+               hh.BasketOption(95.0, EXPIRY, jnp.asarray([0.6, 0.4]),
+                               hh.European(), hh.Call(), hh.Spot(),
+                               geometric=True)):
+        pq = float(hh.solve(hh.PricingProblem(po, m_q), hh.BlackScholesAnalytic()).price)
+        p0 = float(hh.solve(hh.PricingProblem(po, m_0), hh.BlackScholesAnalytic()).price)
+        assert pq == pytest.approx(p0, abs=1e-10)
+        pm = float(hh.solve(hh.PricingProblem(po, m_q),
+                            hh.MonteCarlo(hh.LognormalDynamics(),
+                                          hh.BlackScholesExact(), cfg)).price)
+        assert pm == pytest.approx(pq, rel=5e-3)
+
+
 def test_q_zero_is_default_and_identical():
     """Markets without dividend_yield behave exactly as before (q = 0)."""
     a = hh.BlackScholesInputs(REF, 0.05, 100.0, 0.25)
