@@ -23,6 +23,7 @@ __all__ = [
     "ExerciseStyle",
     "European",
     "American",
+    "Bermudan",
     "CallPut",
     "Call",
     "Put",
@@ -64,6 +65,25 @@ class European(ExerciseStyle):
 @pytree
 class American(ExerciseStyle):
     pass
+
+
+@pytree
+class Bermudan(ExerciseStyle):
+    """Exercise allowed only on ``exercise_dates`` (plus expiry) — beyond
+    the reference's European/American taxonomy.  Dates are stored as a
+    STATIC tuple of int ticks (they shape the lattice/LSM exercise masks,
+    which must be concrete under jit).  CRR and LSM snap each date to the
+    nearest lattice/grid time; Bermudan(()) degenerates to European and
+    Bermudan(every grid date) to American."""
+
+    exercise_dates: Any = static_field(default=())
+
+    def __post_init__(self):
+        object.__setattr__(
+            self,
+            "exercise_dates",
+            tuple(int(to_ticks(d)) for d in self.exercise_dates),
+        )
 
 
 class CallPut:
@@ -415,6 +435,40 @@ class VarianceSwap:
     def __call__(self, realized_var):
         """Payout of the realized variance, broadcasting."""
         return self.notional * (jnp.asarray(realized_var) - self.strike_var)
+
+
+def bermudan_step_mask(style: ExerciseStyle, market, expiry, nsteps: int):
+    """Per-step exercise mask for the backward inductions (CRR nodes / LSM
+    grid): a concrete (nsteps,) bool array whose slot t gates exercise at
+    time t·T/nsteps for t = 1..nsteps−1 (slot 0 is never used — exercise at
+    inception is excluded like the reference's t=0-excluded LSM loop, and
+    expiry is always exercisable via the terminal payoff).
+
+    ``American`` → all True; ``Bermudan`` → True at the nearest grid step of
+    each exercise date (dates at/after expiry or before the first step are
+    rejected — a silently dropped exercise right would misprice)."""
+    import numpy as np
+
+    from ..market.inputs import market_yearfrac
+
+    if isinstance(style, American):
+        return jnp.ones((nsteps,), dtype=bool)
+    if not isinstance(style, Bermudan):
+        raise TypeError(f"no exercise mask for {type(style).__name__}")
+    T = float(market_yearfrac(market, expiry))
+    mask = np.zeros((nsteps,), dtype=bool)
+    for d in style.exercise_dates:
+        t = float(market_yearfrac(market, d))
+        idx = int(round(t / T * nsteps))
+        if not (1 <= idx <= nsteps - 1):
+            raise ValueError(
+                f"Bermudan exercise date at t={t:.6f}y maps to grid step "
+                f"{idx} outside 1..{nsteps - 1} (T={T:.6f}y, {nsteps} "
+                f"steps); dates at expiry are implicit, dates before the "
+                f"first step need more steps"
+            )
+        mask[idx] = True
+    return jnp.asarray(mask)
 
 
 def require_european(payoff: "VanillaOption", method_name: str, spot_only: bool = False):

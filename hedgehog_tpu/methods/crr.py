@@ -90,8 +90,16 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
     p = 1.0 / (1.0 + u)
     step_discount = jnp.exp(-zero_rate(market.rate, payoff.expiry) * dT)
 
+    from ..core.payoffs import Bermudan, bermudan_step_mask
+
     j = jnp.arange(steps + 1)
     is_american = isinstance(payoff.exercise_style, American)
+    is_bermudan = isinstance(payoff.exercise_style, Bermudan)
+    can_exercise = is_american or is_bermudan
+    ex_mask = (
+        bermudan_step_mask(payoff.exercise_style, market, payoff.expiry, steps)
+        if is_bermudan else None
+    )
     on_spot = isinstance(payoff.underlying, Spot)
 
     # Terminal payoff over all steps+1 leaves (exponents -steps, -steps+2, …, steps).
@@ -103,7 +111,7 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
         # i runs steps-1 … 0. Contraction: v'[j] = disc·(p·v[j+1] + (1-p)·v[j]).
         v_up = jnp.roll(value, -1, axis=-1)  # v[j+1]; last slot garbage, never consumed
         continuation = step_discount * (p * v_up + (1.0 - p) * value)
-        if is_american:
+        if can_exercise:
             fwd_nodes = forward * u ** (2 * j - i)
             if on_spot:
                 # Discount forward nodes to spot at time i·ΔT (crr.jl:77-83);
@@ -116,7 +124,13 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
                 ) * fwd_nodes
             else:
                 underlying = fwd_nodes
-            new_value = jnp.maximum(continuation, payoff(underlying))
+            exercised = jnp.maximum(continuation, payoff(underlying))
+            if is_bermudan:
+                # mask slot 0 is never True by construction, so i = 0 (and
+                # all non-exercise node times) stays pure continuation
+                new_value = jnp.where(ex_mask[i], exercised, continuation)
+            else:
+                new_value = exercised
         else:
             new_value = continuation
         return new_value, None
@@ -201,6 +215,15 @@ def _solve_crr_knock_out(prob: PricingProblem, method: CoxRossRubinsteinMethod):
             return R * jnp.sqrt(step_discount)
         return R * D_T / df_yf(rate_curve, i * dT)
 
+    from ..core.payoffs import Bermudan, bermudan_step_mask
+
+    is_bermudan = isinstance(payoff.exercise_style, Bermudan)
+    can_exercise = is_american or is_bermudan
+    ex_mask = (
+        bermudan_step_mask(payoff.exercise_style, market, payoff.expiry, steps)
+        if is_bermudan else None
+    )
+
     x_T = log_spot_nodes(steps, 2 * j - steps)
     s_T = jnp.exp(x_T)
     knocked_T = (x_T >= log_b) if up else (x_T <= log_b)
@@ -218,8 +241,12 @@ def _solve_crr_knock_out(prob: PricingProblem, method: CoxRossRubinsteinMethod):
         ) + (1.0 - p) * (q_dn * step_discount * value + (1.0 - q_dn) * reb)
         s_i = jnp.exp(x_i)
         knocked_i = (x_i >= log_b) if up else (x_i <= log_b)
-        if is_american:
-            new_value = jnp.maximum(new_value, payoff(s_i))
+        if can_exercise:
+            exercised = jnp.maximum(new_value, payoff(s_i))
+            new_value = (
+                jnp.where(ex_mask[i], exercised, new_value)
+                if is_bermudan else exercised
+            )
         # beyond-barrier nodes: already knocked (their inbound edges carry
         # q=0, so this only matters for the root when S0 is beyond H)
         new_value = jnp.where(

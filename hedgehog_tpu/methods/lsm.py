@@ -107,7 +107,7 @@ def _joint_basis(s, v, degree: int):
 def lsm_backward_induction(
     spots, payoff, log_disc, degree: int, strike_scale,
     psum_axis: Optional[str] = None, vols=None, terminal_value=None,
-    surv_factors=None, rebate_spec=None,
+    surv_factors=None, rebate_spec=None, exercise_mask=None,
 ):
     """Backward stopping-rule induction over a (steps+1, paths) price grid.
 
@@ -135,6 +135,10 @@ def lsm_backward_induction(
     the rebate is worth holding for.  Returns ``(tau, value, fsurv)`` with
     fsurv = Π_{s=1}^{τ−1} q_s (the t=0 segment factor q_0 is the caller's,
     matching the t=0-excluded exercise grid).
+
+    ``exercise_mask`` (Bermudan): a concrete (nsteps,) bool array gating
+    exercise per grid time (core.payoffs.bermudan_step_mask); None =
+    American (every grid date).
     """
     nsteps = spots.shape[0] - 1
     tau0 = jnp.full((spots.shape[1],), nsteps, dtype=jnp.float64)
@@ -201,6 +205,8 @@ def lsm_backward_induction(
             )
         fitted = _masked_lstsq_eval(phi, continuation, w, psum_axis)
         exercise = itm & (payoff_t > fitted)
+        if exercise_mask is not None:
+            exercise = exercise & exercise_mask[t]
         tau = jnp.where(exercise, t.astype(jnp.float64), tau)
         value = jnp.where(exercise, payoff_t, value)
         if barrier:
@@ -215,9 +221,14 @@ def lsm_backward_induction(
 
 
 def _lsm_setup(prob: PricingProblem, method: LSM):
+    from ..core.payoffs import Bermudan
+
     payoff = prob.payoff
-    if not isinstance(payoff.exercise_style, American):
-        raise TypeError("LSM prices American options (lsm.jl solve signature :99-102).")
+    if not isinstance(payoff.exercise_style, (American, Bermudan)):
+        raise TypeError(
+            "LSM prices American/Bermudan options (lsm.jl solve signature "
+            ":99-102; Bermudan is a beyond-reference extension)."
+        )
     from ..core.payoffs import AsianOption, BarrierOption, KnockIn
 
     if isinstance(payoff, AsianOption):
@@ -283,8 +294,9 @@ def _solve_lsm(prob: PricingProblem, method: LSM) -> LSMSolution:
     from ..core.payoffs import BarrierOption
 
     log_disc, strike_scale = _lsm_setup(prob, method)
+    ex_mask = _exercise_mask(prob, method)
     if isinstance(prob.payoff, BarrierOption):
-        return _solve_lsm_knock_out(prob, method, log_disc, strike_scale)
+        return _solve_lsm_knock_out(prob, method, log_disc, strike_scale, ex_mask)
     if _is_conditional(method.mc_method):
         # conditional LSM (American at flagship speed): variance-only QE path
         # + one-normal exact conditional S bridge per step, regression on the
@@ -300,14 +312,27 @@ def _solve_lsm(prob: PricingProblem, method: LSM) -> LSMSolution:
 
     tau, value = lsm_backward_induction(
         spots, prob.payoff, log_disc, method.degree, strike_scale, vols=vols,
-        terminal_value=terminal,
+        terminal_value=terminal, exercise_mask=ex_mask,
     )
     price = jnp.mean(jnp.exp(tau * log_disc) * value)
     return LSMSolution(prob, method, price, (tau, value), spots)
 
 
+def _exercise_mask(prob: PricingProblem, method: LSM):
+    """None for American (every grid date); the concrete Bermudan step mask
+    otherwise (core.payoffs.bermudan_step_mask)."""
+    from ..core.payoffs import Bermudan, bermudan_step_mask
+
+    if not isinstance(prob.payoff.exercise_style, Bermudan):
+        return None
+    return bermudan_step_mask(
+        prob.payoff.exercise_style, prob.market_inputs, prob.payoff.expiry,
+        method.mc_method.config.steps,
+    )
+
+
 def _solve_lsm_knock_out(
-    prob: PricingProblem, method: LSM, log_disc, strike_scale
+    prob: PricingProblem, method: LSM, log_disc, strike_scale, ex_mask=None
 ) -> LSMSolution:
     """American knock-out barrier LSM: the stopping induction over the
     bridge grid with the per-segment no-cross factors riding the stopping
@@ -348,6 +373,7 @@ def _solve_lsm_knock_out(
     tau, value, fsurv, _rleg = lsm_backward_induction(
         spots, payoff, log_disc, method.degree, strike_scale, vols=vols,
         surv_factors=surv, rebate_spec=(payoff.rebate, payoff.rebate_at_hit),
+        exercise_mask=ex_mask,
     )
     a_tau = surv[0] * fsurv  # Π_{s<τ} q_s
     price = jnp.mean(a_tau * jnp.exp(tau * log_disc) * value)

@@ -181,6 +181,9 @@ def sharded_lsm_price_fn(method, mesh: Mesh, axis_name: str = "paths"):
                 "on a single device"
             )
         log_disc, strike_scale = _lsm_setup(prob, method)
+        from ..methods.lsm import _exercise_mask
+
+        ex_mask = _exercise_mask(prob, method)  # Bermudan gate (None = American)
 
         @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False)
         def inner(prob):
@@ -203,6 +206,7 @@ def sharded_lsm_price_fn(method, mesh: Mesh, axis_name: str = "paths"):
             tau, value = lsm_backward_induction(
                 spots, prob.payoff, log_disc, method.degree, strike_scale,
                 psum_axis=axis_name, vols=vols, terminal_value=terminal,
+                exercise_mask=ex_mask,
             )
             local_sum = jnp.sum(jnp.exp(tau * log_disc) * value)
             total = jax.lax.psum(local_sum, axis_name)
