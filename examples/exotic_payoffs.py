@@ -166,3 +166,26 @@ p_neg = float(hh.solve(hh.PricingProblem(
     hh.VanillaOption(0.0, EXPIRY, hh.European(), hh.Call(), hh.Spot()), neg),
     hh.BachelierAnalytic()).price)
 print(f"call struck at 0 on a NEGATIVE underlying (F=-5): {p_neg:.6f}")
+
+# ---- 8. dividends and Bermudan exercise --------------------------------------
+DIV = hh.BlackScholesInputs(REF, 0.02, 100.0, 0.25, dividend_yield=0.08)
+am_call = hh.VanillaOption(100.0, EXPIRY, hh.American(), hh.Call(), hh.Spot())
+eu_div = float(hh.solve(hh.PricingProblem(
+    hh.VanillaOption(100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot()), DIV),
+    hh.BlackScholesAnalytic()).price)
+am_div = float(hh.solve(hh.PricingProblem(am_call, DIV),
+                        hh.CoxRossRubinsteinMethod(1000)).price)
+print(f"\nq=8% > r=2%: American call {am_div:.4f} > European {eu_div:.4f} "
+      f"(dividends make early exercise optimal)")
+
+import datetime as _dt
+quarters = (_dt.date(2024, 4, 1), _dt.date(2024, 7, 1), _dt.date(2024, 10, 1))
+berm = hh.VanillaOption(110.0, EXPIRY, hh.Bermudan(quarters), hh.Put(), hh.Spot())
+p_eu2 = float(hh.solve(hh.PricingProblem(
+    hh.VanillaOption(110.0, EXPIRY, hh.European(), hh.Put(), hh.Spot()), BS),
+    hh.BlackScholesAnalytic()).price)
+p_bq = float(hh.solve(hh.PricingProblem(berm, BS), hh.CoxRossRubinsteinMethod(1000)).price)
+p_am2 = float(hh.solve(hh.PricingProblem(
+    hh.VanillaOption(110.0, EXPIRY, hh.American(), hh.Put(), hh.Spot()), BS),
+    hh.CoxRossRubinsteinMethod(1000)).price)
+print(f"put 110: European {p_eu2:.4f} < Bermudan(quarterly) {p_bq:.4f} < American {p_am2:.4f}")

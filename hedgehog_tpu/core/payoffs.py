@@ -455,7 +455,15 @@ def bermudan_step_mask(style: ExerciseStyle, market, expiry, nsteps: int):
         return jnp.ones((nsteps,), dtype=bool)
     if not isinstance(style, Bermudan):
         raise TypeError(f"no exercise mask for {type(style).__name__}")
-    T = float(market_yearfrac(market, expiry))
+    try:
+        T = float(market_yearfrac(market, expiry))
+    except Exception as exc:  # jax ConcretizationTypeError under tracing
+        raise TypeError(
+            "Bermudan exercise masks are concrete lattice/grid structure "
+            "and cannot be built from traced dates — price Bermudans with "
+            "concrete reference/expiry dates outside jit/vmap over the "
+            "market (the same boundary as the calendar day-counts)"
+        ) from exc
     mask = np.zeros((nsteps,), dtype=bool)
     for d in style.exercise_dates:
         t = float(market_yearfrac(market, d))

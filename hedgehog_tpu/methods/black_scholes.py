@@ -16,7 +16,7 @@ from ..core.dates import yearfrac
 from ..core.problems import AnalyticSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df
-from ..market.inputs import market_yearfrac
+from ..market.inputs import carry_yield, forward_spot, market_yearfrac
 from ..market.vol_surface import get_vol
 from ..utils.pytree import pytree
 
@@ -44,8 +44,6 @@ def bs_geometry(prob: PricingProblem):
     """
     payoff = prob.payoff
     market = prob.market_inputs
-    from ..market.inputs import forward_spot
-
     K = payoff.strike
     sigma = get_vol(market.sigma, payoff.expiry, K)
     T = market_yearfrac(market, payoff.expiry)
@@ -248,11 +246,9 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
         D_cl = df(market.rate, payoff.expiry)
         n_per = payoff.observations
         tau = T_cl / n_per
-        from ..market.inputs import carry_yield as _carry
-
         d_per = D_cl ** (1.0 / n_per)  # per-period discount (flat-rate exact)
         # E[R] = e^{(r−q)τ} under the risk-neutral measure with carry q
-        f_per = jnp.exp(-_carry(market) * tau) / d_per
+        f_per = jnp.exp(-carry_yield(market) * tau) / d_per
         call_f = bs_price(f_per, 1.0 + payoff.local_floor, sig, tau, 1.0, 1.0)
         call_c = bs_price(f_per, 1.0 + payoff.local_cap, sig, tau, 1.0, 1.0)
         per_period = payoff.local_floor + call_f - call_c
@@ -279,9 +275,7 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
         D_T = df(market.rate, payoff.expiry)
         D_t1 = df(market.rate, payoff.start)
         d_fwd = D_T / D_t1  # D(t1, T)
-        from ..market.inputs import carry_yield as _carry
-
-        q_fs = _carry(market)
+        q_fs = carry_yield(market)
         # per-unit-S_{t1} Black price on the forward return R = S_T/S_{t1}:
         # E[R] = e^{(r−q)τ} = e^{−qτ}/d_fwd under the risk-neutral measure;
         # the homogeneity prefactor is the carry-discounted spot e^{−q·t1}·S0
@@ -305,16 +299,12 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
             )
         T_vs = market_yearfrac(market, payoff.expiry)
         D_vs = df(market.rate, payoff.expiry)
-        from ..market.inputs import carry_yield as _carry
-
         sig = market.sigma.sigma
         r = -jnp.log(D_vs) / jnp.maximum(T_vs, 1e-30)
-        mu = r - _carry(market) - 0.5 * sig**2
+        mu = r - carry_yield(market) - 0.5 * sig**2
         fair = sig**2 + mu**2 * T_vs / payoff.observations
         price = D_vs * payoff.notional * (fair - payoff.strike_var)
         return AnalyticSolution(prob, method, price)
-
-    from ..market.inputs import carry_yield, forward_spot
 
     K = payoff.strike
     sigma = get_vol(market.sigma, payoff.expiry, K)

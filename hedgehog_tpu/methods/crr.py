@@ -58,11 +58,17 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
         # (European only — American knock-in has no parity: the knocked-in
         # claim is a LIVE American vanilla, not a terminal payout).
         if isinstance(payoff.knock, KnockIn):
-            if isinstance(payoff.exercise_style, American):
+            from ..core.payoffs import European
+
+            if not isinstance(payoff.exercise_style, European):
+                # in-out parity is EUROPEAN-only: knocking in leaves a live
+                # American/Bermudan option, so KI = vanilla − KO silently
+                # misprices any early-exercise style
                 raise TypeError(
-                    "American knock-in has no in-out parity (knocking in "
-                    "leaves a live American option); CRR supports American "
-                    "knock-OUTS and European knock-ins only"
+                    "knock-in options have no in-out parity under early "
+                    "exercise (knocking in leaves a live option); CRR "
+                    "supports American/Bermudan knock-OUTS and European "
+                    "knock-ins only"
                 )
             return _solve_crr_knock_in(prob, method)
         return _solve_crr_knock_out(prob, method)

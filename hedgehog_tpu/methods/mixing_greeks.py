@@ -369,7 +369,7 @@ def heston_exact_price_and_greeks(prob, method, key=None):
         spot, v0, kappa, theta, sigma, rho, r = tuple(pvec)
         m2 = HestonInputs(
             market.reference_date, r, spot, v0, kappa, theta, sigma, rho,
-            dividend_yield=carry_yield(market),
+            dividend_yield=carry_yield(market), daycount=market.daycount,
         )
         p2 = type(prob)(prob.payoff, m2)
         vals, logl = _heston_exact_mixing_values(p2, config, key, with_score=True)

@@ -1052,15 +1052,16 @@ def heston_qe_mixing_surface_price_and_jacobian(
 def heston_qe_mixing_surface_price_diff(
     log_s0, v0, r, kappa, theta, sigma, rho, T_host, strikes,
     *, seg_steps, n_strikes: int, n_blocks: int, n_batches: int, seed, cp=1.0,
-    device_id=0,
+    device_id=0, carry=0.0,
 ):
     """Differentiable view of the PRNG surface kernel: identical primal to
     ``heston_qe_mixing_surface_price``, with a custom VJP whose backward is
     ONE surface-Jacobian kernel dispatch — ``jax.grad`` of any surface loss
     (e.g. a least-squares calibration objective) runs at kernel speed.
-    Differentiable in the 7 leading scalars; strikes/T are fixed.  Discounts
-    are computed internally as e^{−r·T_i} (flat short rate), so the rate
-    gradient includes the discount term."""
+    Differentiable in the 7 leading scalars; strikes/T are fixed.  ``r`` is
+    the flat short rate: discounts are e^{−r·T_i} while the simulated drift
+    is r − ``carry`` (the dividend yield, fixed) — the rate gradient keeps
+    both the drift and the discount terms (∂(r−q)/∂r = 1)."""
     from .heston_qe_kernel import heston_qe_mixing_surface_price
 
     kw = dict(seg_steps=seg_steps, n_strikes=n_strikes, n_blocks=n_blocks,
@@ -1071,14 +1072,14 @@ def heston_qe_mixing_surface_price_diff(
     def surface(log_s0, v0, r, kappa, theta, sigma, rho):
         discounts_r = jnp.exp(-r * jnp.asarray(T_host_t))
         return heston_qe_mixing_surface_price(
-            log_s0, v0, r, kappa, theta, sigma, rho, T_host_t, strikes,
+            log_s0, v0, r - carry, kappa, theta, sigma, rho, T_host_t, strikes,
             discounts_r, **kw,
         )
 
     def fwd(log_s0, v0, r, kappa, theta, sigma, rho):
         discounts_r = jnp.exp(-r * jnp.asarray(T_host_t))
         surf, jac = heston_qe_mixing_surface_price_and_jacobian(
-            log_s0, v0, r, kappa, theta, sigma, rho, T_host_t, strikes,
+            log_s0, v0, r - carry, kappa, theta, sigma, rho, T_host_t, strikes,
             discounts_r, **kw,
         )
         return surf, (jac, log_s0)

@@ -1211,9 +1211,13 @@ def heston_surface_mc_tpu(market, expiries, strikes, config, cp=1.0, seed=None,
         # scalar-rate contract the mixing kernels already rely on.
         from .heston_qe_greeks_kernel import heston_qe_mixing_surface_price_diff
 
+        # r0 is the carry-adjusted DRIFT; the diff kernel needs the pure
+        # rate for its internal e^{−r·T_i} discounts plus the carry
+        q = carry_yield(market)
         return heston_qe_mixing_surface_price_diff(
-            jnp.log(market.spot), market.V0, r0, market.kappa, market.theta,
-            market.sigma, market.rho, tuple(T_host), jnp.asarray(strikes), **kw,
+            jnp.log(market.spot), market.V0, r0 + q, market.kappa, market.theta,
+            market.sigma, market.rho, tuple(T_host), jnp.asarray(strikes),
+            carry=q, **kw,
         )
     discounts = jnp.stack([df_yf(market.rate, t) for t in T_host])
     return heston_qe_mixing_surface_price(

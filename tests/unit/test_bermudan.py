@@ -105,3 +105,17 @@ def test_guards():
     with pytest.raises(ValueError, match="outside"):
         hh.solve(hh.PricingProblem(_put(hh.Bermudan((dt.date(2025, 6, 1),))),
                                    _mkt()), crr)
+    # in-out parity is EUROPEAN-only: a Bermudan knock-in must raise, not
+    # silently misprice (a KO subtraction would undershoot the European KI)
+    ki = hh.BarrierOption(110.0, EXPIRY, 80.0, hh.Bermudan(QUARTERS),
+                          hh.Put(), hh.Spot(), hh.Down(), hh.KnockIn())
+    with pytest.raises(TypeError, match="in-out parity"):
+        hh.solve(hh.PricingProblem(ki, _mkt()), crr)
+    # Bermudan masks are concrete lattice structure: jitting over the
+    # problem raises a directed TypeError instead of a tracer leak
+    import jax
+
+    with pytest.raises(TypeError, match="concrete"):
+        jax.jit(lambda p: hh.solve(p, crr).price)(
+            hh.PricingProblem(_put(hh.Bermudan(QUARTERS)), _mkt())
+        )
