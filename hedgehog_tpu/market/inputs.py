@@ -23,6 +23,7 @@ __all__ = [
     "HestonInputs",
     "MertonInputs",
     "SABRInputs",
+    "KouInputs",
     "BachelierInputs",
     "MultiAssetBSInputs",
     "market_yearfrac",
@@ -151,6 +152,43 @@ class MertonInputs(AbstractMarketInputs):
         ref = to_ticks(self.reference_date)
         object.__setattr__(self, "reference_date", ref)
         object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+
+
+@pytree
+class KouInputs(AbstractMarketInputs):
+    """Kou (2002) double-exponential jump-diffusion market data
+    (beyond-reference model family): dS/S = (r − q − λκ̄)dt + σ dW +
+    (e^J − 1)dN with asymmetric double-exponential jump sizes — upward
+    Exp(eta_up) with probability ``p_up``, downward −Exp(eta_down)
+    otherwise — N a Poisson(``jump_intensity``) process, and
+    κ̄ = p·η₁/(η₁−1) + (1−p)·η₂/(η₂+1) − 1 the martingale compensator.
+    ``eta_up`` must exceed 1 (E[e^J] finite).  All five jump/vol parameters
+    are pytree leaves; ``dividend_yield``/``daycount`` as on
+    :class:`BlackScholesInputs`."""
+
+    reference_date: Any
+    rate: Any
+    spot: Any
+    sigma: Any
+    jump_intensity: Any
+    p_up: Any
+    eta_up: Any
+    eta_down: Any
+    dividend_yield: Any = 0.0
+    daycount: Any = static_field(default=ACT365F)
+
+    def __post_init__(self):
+        ref = to_ticks(self.reference_date)
+        object.__setattr__(self, "reference_date", ref)
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+        try:
+            e1 = float(self.eta_up)
+        except Exception:
+            return  # traced: validation is a construction-time convenience
+        if e1 <= 1.0:
+            raise ValueError(
+                f"eta_up must exceed 1 for E[e^J] to be finite (got {e1})"
+            )
 
 
 @pytree

@@ -45,6 +45,7 @@ from ..market.inputs import market_yearfrac
 from ..market.vol_surface import get_vol
 from ..models.dynamics import (
     HestonDynamics,
+    KouJumpDynamics,
     LognormalDynamics,
     MertonJumpDynamics,
     terminal_log_cf,
@@ -182,10 +183,17 @@ def _auto_bound(prob: PricingProblem, dynamics) -> jnp.ndarray:
         # log-variance σ²T + λT(μ_J² + σ_J²)
         s2 = (market.sigma**2
               + market.jump_intensity * (market.jump_mean**2 + market.jump_std**2)) * T
+    elif isinstance(dynamics, KouJumpDynamics):
+        # same envelope with the double-exponential second moment
+        # E[J²] = 2p/η₁² + 2(1−p)/η₂²
+        ej2 = (2.0 * market.p_up / market.eta_up**2
+               + 2.0 * (1.0 - market.p_up) / market.eta_down**2)
+        s2 = (market.sigma**2 + market.jump_intensity * ej2) * T
     else:
         raise TypeError(
-            f"bound='auto' needs LognormalDynamics, HestonDynamics or "
-            f"MertonJumpDynamics, got {type(dynamics).__name__}"
+            f"bound='auto' needs LognormalDynamics, HestonDynamics, "
+            f"MertonJumpDynamics or KouJumpDynamics, got "
+            f"{type(dynamics).__name__}"
         )
     s = jnp.sqrt(jnp.maximum(jnp.min(s2), 1e-16))
     return jnp.maximum(64.0, 16.0 / s)

@@ -44,6 +44,7 @@ from ..market.inputs import carry_yield, market_yearfrac
 from ..market.vol_surface import FlatVolSurface, get_vol
 from ..models.dynamics import (
     HestonDynamics,
+    KouJumpDynamics,
     LognormalDynamics,
     LocalVolDynamics,
     MertonJumpDynamics,
@@ -61,6 +62,7 @@ __all__ = [
     "BlackScholesExact",
     "HestonBroadieKaya",
     "MertonExact",
+    "KouExact",
     "BachelierExact",
     "NoVarianceReduction",
     "Antithetic",
@@ -158,6 +160,19 @@ class MertonExact(ExactSimulation):
     surrogate (same construction as HestonExactMixing's transition score) —
     plain ``jax.grad`` through ``solve`` is unbiased in ALL seven market
     parameters including λ."""
+
+
+@pytree
+class KouExact(ExactSimulation):
+    """Exact Kou double-exponential jump-diffusion terminal sampling
+    (beyond-reference model family; pair with KouJumpDynamics/KouInputs):
+    Poisson jump count by fixed-trip CDF inversion, each jump size by the
+    piecewise double-exponential inverse CDF from one uniform, plus the
+    exact diffusion normal — no discretization error.
+
+    Greeks: the count and the up/down branch are discrete, so pathwise AD
+    misses the (λ, p_up) sensitivities — differentiate the Carr-Madan CF
+    route for jump-parameter greeks (smooth in all five)."""
 
 
 @pytree
@@ -283,6 +298,136 @@ def _gbm_exact_terminal(prob, config, key, point_offset=0) -> jnp.ndarray:
         z = _normals(key, (config.trajectories,), anti)
     mean, std = lognormal_terminal_law(prob.market_inputs, prob.payoff.expiry)
     return jnp.exp(mean + std * z)
+
+
+def _kou_jump_size(u, p, e1, e2):
+    """Double-exponential jump size from one uniform by the piecewise
+    inverse CDF: u < 1−p → ln(u/(1−p))/η₂ (downward), else
+    −ln((1−u)/p)/η₁ (upward).  Double-where keeps the dead branch's log
+    argument positive so masked gradients stay clean."""
+    down = u < (1.0 - p)
+    u_dn = jnp.where(down, u, 1.0 - p)
+    u_up = jnp.where(down, p, 1.0 - u)
+    return jnp.where(
+        down,
+        jnp.log(jnp.maximum(u_dn / (1.0 - p), 1e-300)) / e2,
+        -jnp.log(jnp.maximum(u_up / p, 1e-300)) / e1,
+    )
+
+
+def _kou_jump_sum(u_count, u_sizes, rate, p, e1, e2, kmax: int):
+    """Compound-Poisson double-exponential jump sum: N = poisson_inv(rate,
+    u_count) and Σ_{j<N} J(u_sizes[j]) via a fixed ``kmax``-trip masked sum
+    (u_sizes leading axis = trip).  The count is gradient-stopped (discrete);
+    sizes keep their (η₁, η₂) pathwise gradients."""
+    from ..models.heston_exact import poisson_inv
+
+    n = jax.lax.stop_gradient(poisson_inv(rate, u_count, kmax))
+    sizes = _kou_jump_size(u_sizes, p, e1, e2)  # (kmax, ...)
+    j_idx = jnp.arange(kmax, dtype=jnp.float64).reshape(
+        (kmax,) + (1,) * (sizes.ndim - 1)
+    )
+    return jnp.sum(jnp.where(j_idx < n[None], sizes, 0.0), axis=0)
+
+
+def _kou_exact_terminal(prob, config, key, point_offset=0):
+    """(n_groups, paths) exact Kou terminal prices: exact diffusion normal
+    + compound-Poisson double-exponential jump sum."""
+    from ..models.dynamics import kou_terminal_params
+
+    market = prob.market_inputs
+    log_s0, r, T, sigma, lam, p, e1, e2, kbar = kou_terminal_params(
+        market, prob.payoff.expiry
+    )
+    kmax = _merton_poisson_trips(lam * T, default=64)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    paths = config.trajectories
+    base = _base_key(config, key)
+    if config.qmc:
+        from jax.scipy.special import ndtri
+
+        from ..math.sobol import sobol_uniforms
+
+        # dims: 1 diffusion normal + 1 count uniform + kmax size uniforms
+        us = sobol_uniforms(base, paths, 2 + kmax, skip=point_offset).T
+        z_d = ndtri(us[0])
+        u_c, u_s = us[1], us[2:]
+    else:
+        k_z, k_c, k_s = jax.random.split(base, 3)
+        z_d = jax.random.normal(k_z, (paths,), dtype=jnp.float64)
+        u_c = jax.random.uniform(k_c, (paths,), dtype=jnp.float64)
+        u_s = jax.random.uniform(k_s, (kmax, paths), dtype=jnp.float64)
+    if anti:
+        z_d = jnp.stack([z_d, -z_d])
+        u_c = jnp.stack([u_c, 1.0 - u_c])
+        u_s = jnp.stack([u_s, 1.0 - u_s], axis=1)  # (kmax, g, paths)
+    else:
+        z_d, u_c, u_s = z_d[None], u_c[None], u_s[:, None]
+
+    jumps = _kou_jump_sum(u_c, u_s, lam * T, p, e1, e2, kmax)
+    x = (log_s0 + (r - 0.5 * sigma**2 - lam * kbar) * T
+         + sigma * jnp.sqrt(T) * z_d + jumps)
+    return jnp.exp(x)
+
+
+def _kou_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
+    """Kou paths: per step one EXACT log increment (diffusion normal +
+    per-step compound-Poisson double-exponential jump sum), so the terminal
+    law is exact at ANY step count — the grid serves Asian fixings and LSM
+    exercise, like the Merton grid.  Brownian-bridge barrier corrections do
+    NOT apply between jump grids."""
+    from ..models.dynamics import kou_terminal_params
+
+    market = prob.market_inputs
+    log_s0, r, T, sigma, lam, p, e1, e2, kbar = kou_terminal_params(
+        market, prob.payoff.expiry
+    )
+    # grids need the carry in the PER-STEP drift (see _merton_euler_paths)
+    log_s0 = jnp.log(market.spot)
+    r = r - carry_yield(market)
+    steps = config.steps
+    dt = T / steps
+    kmax = _merton_poisson_trips(lam * dt, default=16)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    paths = config.trajectories
+    base = _base_key(config, key)
+    n_dims = 2 + kmax
+    if config.qmc:
+        from jax.scipy.special import ndtri
+
+        from ..math.sobol import sobol_uniforms
+
+        us = sobol_uniforms(base, paths, steps * n_dims, skip=point_offset)
+        us = jnp.moveaxis(us.reshape(paths, steps, n_dims), 0, -1)
+        z_d = ndtri(us[:, 0])
+        u_c, u_s = us[:, 1], us[:, 2:]  # (steps, paths), (steps, kmax, paths)
+    else:
+        k_z, k_c, k_s = jax.random.split(base, 3)
+        z_d = jax.random.normal(k_z, (steps, paths), dtype=jnp.float64)
+        u_c = jax.random.uniform(k_c, (steps, paths), dtype=jnp.float64)
+        u_s = jax.random.uniform(k_s, (steps, kmax, paths), dtype=jnp.float64)
+    if anti:
+        z_d = jnp.stack([z_d, -z_d], axis=1)
+        u_c = jnp.stack([u_c, 1.0 - u_c], axis=1)
+        u_s = jnp.stack([u_s, 1.0 - u_s], axis=2)  # (steps, kmax, g, paths)
+    else:
+        z_d, u_c, u_s = z_d[:, None], u_c[:, None], u_s[:, :, None]
+
+    drift = (r - 0.5 * sigma**2 - lam * kbar) * dt
+    vol_dt = sigma * jnp.sqrt(dt)
+    x0 = jnp.full((z_d.shape[1], paths), log_s0 * jnp.ones(()))
+
+    def step(x, inp):
+        zdk, uck, usk = inp
+        jumps = _kou_jump_sum(uck, usk, lam * dt, p, e1, e2, kmax)
+        x_new = x + drift + vol_dt * zdk + jumps
+        return x_new, (x_new if return_grid else None)
+
+    x_T, xs = jax.lax.scan(step, x0, (z_d, u_c, u_s))
+    if return_grid:
+        grid = jnp.concatenate([x0[None], xs], axis=0)
+        return jnp.exp(jnp.moveaxis(grid, 0, 1))
+    return jnp.exp(x_T)
 
 
 def _bachelier_forward_vol(prob):
@@ -1792,6 +1937,17 @@ def simulate_terminal_prices(
             prob, config, _base_key(config, key), return_grid=False,
             point_offset=point_offset,
         )
+    if isinstance(strat, KouExact) and isinstance(dyn, KouJumpDynamics):
+        return _kou_exact_terminal(
+            prob, config, _base_key(config, key), point_offset=point_offset
+        )
+    if isinstance(strat, EulerMaruyama) and isinstance(dyn, KouJumpDynamics):
+        if strat.use_kernel:
+            raise TypeError("Kou has no fused kernel; drop use_kernel=True")
+        return _kou_euler_paths(
+            prob, config, _base_key(config, key), return_grid=False,
+            point_offset=point_offset,
+        )
     if isinstance(strat, BachelierExact) and isinstance(dyn, NormalDynamics):
         return _bachelier_exact_terminal(
             prob, config, _base_key(config, key), point_offset=point_offset
@@ -1855,6 +2011,8 @@ def simulate_price_grid(
         return _merton_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, NormalDynamics) and isinstance(strat, EulerMaruyama):
         return _bachelier_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
+    if isinstance(dyn, KouJumpDynamics) and isinstance(strat, EulerMaruyama):
+        return _kou_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     raise TypeError(
         f"unsupported grid simulation ({type(dyn).__name__}, {type(strat).__name__})"
     )

@@ -26,6 +26,7 @@ __all__ = [
     "LognormalDynamics",
     "HestonDynamics",
     "MertonJumpDynamics",
+    "KouJumpDynamics",
     "NormalDynamics",
     "SABRDynamics",
     "LocalVolDynamics",
@@ -34,6 +35,8 @@ __all__ = [
     "heston_cf",
     "lognormal_cf",
     "merton_cf",
+    "kou_cf",
+    "kou_terminal_params",
     "terminal_log_cf",
     "log_dynamics",
 ]
@@ -93,6 +96,14 @@ class MertonJumpDynamics(PriceDynamics):
 
 
 @pytree
+class KouJumpDynamics(PriceDynamics):
+    """Kou (2002) double-exponential jump-diffusion (beyond-reference model
+    family): lognormal diffusion plus compound-Poisson jumps with
+    asymmetric double-exponential sizes — the model behind the classic
+    leptokurtic smile/skew fits.  Markets carry :class:`KouInputs`."""
+
+
+@pytree
 class NormalDynamics(PriceDynamics):
     """Bachelier / normal dynamics (beyond-reference model family): the
     T-forward follows arithmetic Brownian motion dF = σ_N dW (σ_N in PRICE
@@ -140,6 +151,56 @@ def merton_terminal_params(market, expiry_ticks):
     log_s0 = jnp.log(market.spot) - carry_yield(market) * T
     return (log_s0, r, T, market.sigma,
             market.jump_intensity, market.jump_mean, market.jump_std, kbar)
+
+
+def kou_terminal_params(market, expiry_ticks):
+    """(log_s0, r, T, sigma, lam, p, eta1, eta2, kbar) for a Kou market —
+    κ̄ = p·η₁/(η₁−1) + (1−p)·η₂/(η₂+1) − 1; carry folds into log_s0 as for
+    Merton (the drift r stays the DISCOUNTING rate downstream)."""
+    from ..market.inputs import carry_yield
+
+    r = zero_rate(market.rate, expiry_ticks)
+    T = market_yearfrac(market, expiry_ticks)
+    p, e1, e2 = market.p_up, market.eta_up, market.eta_down
+    kbar = p * e1 / (e1 - 1.0) + (1.0 - p) * e2 / (e2 + 1.0) - 1.0
+    log_s0 = jnp.log(market.spot) - carry_yield(market) * T
+    return (log_s0, r, T, market.sigma, market.jump_intensity, p, e1, e2, kbar)
+
+
+def kou_cf(u, log_s0, r, T, sigma, lam, p, e1, e2, kbar):
+    """Kou CF of log S_T:
+    φ(u) = exp(iu·(log S0 + (r − σ²/2 − λκ̄)T) − ½u²σ²T
+               + λT·(p·η₁/(η₁ − iu) + (1−p)·η₂/(η₂ + iu) − 1)).
+    ``u`` may be complex (Carr-Madan evaluates at v − (α+1)i)."""
+    u = jnp.asarray(u)
+    if not jnp.iscomplexobj(u):
+        u = u.astype(jnp.complex128)
+    rdt = jnp.finfo(u.dtype).dtype
+    log_s0, r, T, sigma, lam, p, e1, e2, kbar = (
+        jnp.asarray(x, rdt) for x in (log_s0, r, T, sigma, lam, p, e1, e2, kbar)
+    )
+    iu = 1j * u
+    drift = log_s0 + (r - 0.5 * sigma**2 - lam * kbar) * T
+    phi_j = p * e1 / (e1 - iu) + (1.0 - p) * e2 / (e2 + iu)
+    return jnp.exp(iu * drift - 0.5 * u**2 * sigma**2 * T + lam * T * (phi_j - 1.0))
+
+
+def kou_cf_pair(u_re, u_im, log_s0, r, T, sigma, lam, p, e1, e2, kbar):
+    """Kou CF in split-complex (re, im) pairs for the native-TPU Carr-Madan
+    engine; math identical to :func:`kou_cf`."""
+    from ..math.complexops import cdiv, cexp
+
+    iu = (-u_im, u_re)
+    u2 = (u_re * u_re - u_im * u_im, 2.0 * u_re * u_im)
+    drift = log_s0 + (r - 0.5 * sigma**2 - lam * kbar) * T
+    one_up = cdiv((p * e1, jnp.zeros_like(u_re)), (e1 - iu[0], -iu[1]))
+    one_dn = cdiv(((1.0 - p) * e2, jnp.zeros_like(u_re)), (e2 + iu[0], iu[1]))
+    phi_j = (one_up[0] + one_dn[0], one_up[1] + one_dn[1])
+    expo = (
+        iu[0] * drift - 0.5 * sigma**2 * T * u2[0] + lam * T * (phi_j[0] - 1.0),
+        iu[1] * drift - 0.5 * sigma**2 * T * u2[1] + lam * T * phi_j[1],
+    )
+    return cexp(expo)
 
 
 def merton_cf(u, log_s0, r, T, sigma, lam, mu_j, s_j, kbar):
@@ -290,6 +351,9 @@ def terminal_log_cf_pair(prob, dynamics: PriceDynamics):
     if isinstance(dynamics, MertonJumpDynamics):
         params = merton_terminal_params(market, expiry)
         return lambda ur, ui: merton_cf_pair(ur, ui, *params)
+    if isinstance(dynamics, KouJumpDynamics):
+        params = kou_terminal_params(market, expiry)
+        return lambda ur, ui: kou_cf_pair(ur, ui, *params)
     raise TypeError(f"no terminal law for dynamics {type(dynamics).__name__}")
 
 
@@ -313,4 +377,7 @@ def terminal_log_cf(prob, dynamics: PriceDynamics):
     if isinstance(dynamics, MertonJumpDynamics):
         params = merton_terminal_params(market, expiry)
         return lambda u: merton_cf(u, *params)
+    if isinstance(dynamics, KouJumpDynamics):
+        params = kou_terminal_params(market, expiry)
+        return lambda u: kou_cf(u, *params)
     raise TypeError(f"no terminal law for dynamics {type(dynamics).__name__}")
