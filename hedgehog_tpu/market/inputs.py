@@ -24,6 +24,7 @@ __all__ = [
     "MertonInputs",
     "SABRInputs",
     "KouInputs",
+    "VarianceGammaInputs",
     "BachelierInputs",
     "MultiAssetBSInputs",
     "market_yearfrac",
@@ -188,6 +189,41 @@ class KouInputs(AbstractMarketInputs):
         if e1 <= 1.0:
             raise ValueError(
                 f"eta_up must exceed 1 for E[e^J] to be finite (got {e1})"
+            )
+
+
+@pytree
+class VarianceGammaInputs(AbstractMarketInputs):
+    """Variance Gamma market data (Madan-Carr-Chang 1998; beyond-reference
+    model family): log S_T = log S0 + (r − q + ω)T + θ·G_T + σ·W_{G_T}
+    with the gamma subordinator G_T ~ Gamma(T/ν, scale ν) (mean T,
+    variance νT) — a PURE-JUMP infinite-activity Lévy process, the classic
+    fit for short-dated equity smiles.  ω = ln(1 − θν − σ²ν/2)/ν is the
+    martingale correction; 1 − θν − σ²ν/2 > 0 is required (validated when
+    concrete) for E[S_T] to be finite.  (σ, ν, θ) are pytree leaves;
+    ``dividend_yield``/``daycount`` as on :class:`BlackScholesInputs`."""
+
+    reference_date: Any
+    rate: Any
+    spot: Any
+    sigma: Any
+    nu: Any
+    theta: Any
+    dividend_yield: Any = 0.0
+    daycount: Any = static_field(default=ACT365F)
+
+    def __post_init__(self):
+        ref = to_ticks(self.reference_date)
+        object.__setattr__(self, "reference_date", ref)
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+        try:
+            margin = 1.0 - float(self.theta) * float(self.nu)                 - 0.5 * float(self.sigma) ** 2 * float(self.nu)
+        except Exception:
+            return  # traced: validation is a construction-time convenience
+        if margin <= 0.0:
+            raise ValueError(
+                f"VG needs 1 − θν − σ²ν/2 > 0 for a finite forward "
+                f"(got {margin:.6f}); reduce θ·ν or σ²·ν"
             )
 
 

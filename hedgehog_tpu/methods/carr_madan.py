@@ -46,6 +46,7 @@ from ..market.vol_surface import get_vol
 from ..models.dynamics import (
     HestonDynamics,
     KouJumpDynamics,
+    VarianceGammaDynamics,
     LognormalDynamics,
     MertonJumpDynamics,
     terminal_log_cf,
@@ -183,6 +184,16 @@ def _auto_bound(prob: PricingProblem, dynamics) -> jnp.ndarray:
         # log-variance σ²T + λT(μ_J² + σ_J²)
         s2 = (market.sigma**2
               + market.jump_intensity * (market.jump_mean**2 + market.jump_std**2)) * T
+    elif isinstance(dynamics, VarianceGammaDynamics):
+        # VG's CF decays POLYNOMIALLY: |φ| ~ (½σ²ν u²)^{−T/ν}; with the
+        # integrand's extra 1/u², truncating where the envelope reaches
+        # 1e-12 bounds the tail mass — u* = √(2/(σ²ν))·(1e-12)^{−ν/(2T)}
+        # (capped: the log-substituted tail panels make big bounds free)
+        T_safe = jnp.maximum(T, 1e-6)
+        u_star = jnp.sqrt(2.0 / (market.sigma**2 * market.nu)) * jnp.exp(
+            (market.nu / (2.0 * T_safe)) * jnp.log(1e12)
+        )
+        return jnp.clip(u_star, 64.0, 1e7)
     elif isinstance(dynamics, KouJumpDynamics):
         # same envelope with the double-exponential second moment
         # E[J²] = 2p/η₁² + 2(1−p)/η₂²

@@ -45,6 +45,7 @@ from ..market.vol_surface import FlatVolSurface, get_vol
 from ..models.dynamics import (
     HestonDynamics,
     KouJumpDynamics,
+    VarianceGammaDynamics,
     LognormalDynamics,
     LocalVolDynamics,
     MertonJumpDynamics,
@@ -63,6 +64,7 @@ __all__ = [
     "HestonBroadieKaya",
     "MertonExact",
     "KouExact",
+    "VarianceGammaExact",
     "BachelierExact",
     "NoVarianceReduction",
     "Antithetic",
@@ -173,6 +175,18 @@ class KouExact(ExactSimulation):
     Greeks: the count and the up/down branch are discrete, so pathwise AD
     misses the (λ, p_up) sensitivities — differentiate the Carr-Madan CF
     route for jump-parameter greeks (smooth in all five)."""
+
+
+@pytree
+class VarianceGammaExact(ExactSimulation):
+    """Exact Variance Gamma terminal sampling (beyond-reference model
+    family; pair with VarianceGammaDynamics/VarianceGammaInputs): one gamma
+    subordinator draw G ~ Gamma(T/ν, ν) plus one normal —
+    logS += (r−q+ω)T + θG + σ√G·Z, no discretization error.  PRNG gamma
+    draws use jax.random.gamma (exact, implicitly differentiable); the
+    Sobol' stream inverts the corrected-saddlepoint gamma quantile
+    (models/heston_exact.gamma_qtl — smooth, ≲bp-accurate for shape
+    T/ν ≳ 0.25; very small shapes prefer the PRNG stream)."""
 
 
 @pytree
@@ -424,6 +438,100 @@ def _kou_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
         return x_new, (x_new if return_grid else None)
 
     x_T, xs = jax.lax.scan(step, x0, (z_d, u_c, u_s))
+    if return_grid:
+        grid = jnp.concatenate([x0[None], xs], axis=0)
+        return jnp.exp(jnp.moveaxis(grid, 0, 1))
+    return jnp.exp(x_T)
+
+
+def _vg_increments(key, alpha, nu, n_draws, paths, qmc: bool, point_offset=0):
+    """(G, Z) gamma-subordinator increments Gamma(alpha, scale=ν) and unit
+    normals, shapes (n_draws, paths).  PRNG = jax.random.gamma (exact).
+    QMC draws through the corrected-saddlepoint gamma quantile
+    (models/heston_exact.gamma_qtl), which is accurate for shape ≥ 1 but
+    COLLAPSES at small shapes (measured −77% price bias at α = 0.08 on a
+    50-step VG grid) — so small/traced shapes use the BOOSTING identity
+    G_α = G_{α+1}·U^{1/α} (exact in distribution for every α > 0, smooth
+    in α): one extra Sobol' uniform lifts the quantile evaluation to shape
+    α+1 ≥ 1 where it is sub-bp."""
+    if qmc:
+        from ..models.heston_exact import gamma_qtl
+
+        z, u_boost = _qmc_normals_and_uniforms(
+            key, n_draws, 2, paths, skip=point_offset
+        )
+        z_g, z_n = z[:, 0, :], z[:, 1, :]
+        try:
+            fast = float(alpha) >= 1.0
+        except Exception:  # traced shape (e.g. grad over ν): boosted path
+            fast = False
+        if fast:
+            g = gamma_qtl(alpha, z_g) * nu
+        else:
+            g = gamma_qtl(alpha + 1.0, z_g) * u_boost ** (1.0 / alpha) * nu
+        return g, z_n
+    k_g, k_z = jax.random.split(key)
+    g = jax.random.gamma(k_g, alpha, (n_draws, paths), dtype=jnp.float64) * nu
+    z = jax.random.normal(k_z, (n_draws, paths), dtype=jnp.float64)
+    return g, z
+
+
+def _vg_exact_terminal(prob, config, key, point_offset=0):
+    """(n_groups, paths) exact VG terminal prices.  Antithetic pairs SHARE
+    the subordinator draw and negate the conditional normal (the same
+    conditional-Gaussian mirroring as Broadie-Kaya, heston.jl:296-297)."""
+    from ..models.dynamics import vg_terminal_params
+
+    market = prob.market_inputs
+    log_s0, r, T, sigma, nu, theta, omega = vg_terminal_params(
+        market, prob.payoff.expiry
+    )
+    anti = isinstance(config.variance_reduction, Antithetic)
+    paths = config.trajectories
+    g, z = _vg_increments(_base_key(config, key), T / nu, nu, 1, paths,
+                          config.qmc, point_offset)
+    g, z = g[0], z[0]
+    zg = jnp.stack([z, -z]) if anti else z[None]
+    x = (log_s0 + (r + omega) * T
+         + theta * g[None] + sigma * jnp.sqrt(g)[None] * zg)
+    return jnp.exp(x)
+
+
+def _vg_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
+    """VG paths: per step one EXACT Lévy increment (gamma subordinator +
+    conditional normal) — terminal exact at ANY step count; the grid serves
+    Asian fixings and LSM exercise.  No Brownian-bridge barrier correction
+    (pure-jump paths)."""
+    from ..models.dynamics import vg_terminal_params
+
+    market = prob.market_inputs
+    log_s0, r, T, sigma, nu, theta, omega = vg_terminal_params(
+        market, prob.payoff.expiry
+    )
+    # grids carry the dividend in the per-step drift (see _merton_euler_paths)
+    log_s0 = jnp.log(market.spot)
+    r = r - carry_yield(market)
+    steps = config.steps
+    dt = T / steps
+    anti = isinstance(config.variance_reduction, Antithetic)
+    paths = config.trajectories
+    g, z = _vg_increments(_base_key(config, key), dt / nu, nu, steps, paths,
+                          config.qmc, point_offset)
+    if anti:
+        zg = jnp.stack([z, -z], axis=1)  # (steps, g, paths); shared G
+        gg = g[:, None]
+    else:
+        zg, gg = z[:, None], g[:, None]
+
+    drift = (r + omega) * dt
+    x0 = jnp.full((zg.shape[1], paths), log_s0 * jnp.ones(()))
+
+    def step(x, inp):
+        gk, zk = inp
+        x_new = x + drift + theta * gk + sigma * jnp.sqrt(gk) * zk
+        return x_new, (x_new if return_grid else None)
+
+    x_T, xs = jax.lax.scan(step, x0, (gg, zg))
     if return_grid:
         grid = jnp.concatenate([x0[None], xs], axis=0)
         return jnp.exp(jnp.moveaxis(grid, 0, 1))
@@ -1948,6 +2056,17 @@ def simulate_terminal_prices(
             prob, config, _base_key(config, key), return_grid=False,
             point_offset=point_offset,
         )
+    if isinstance(strat, VarianceGammaExact) and isinstance(dyn, VarianceGammaDynamics):
+        return _vg_exact_terminal(
+            prob, config, _base_key(config, key), point_offset=point_offset
+        )
+    if isinstance(strat, EulerMaruyama) and isinstance(dyn, VarianceGammaDynamics):
+        if strat.use_kernel:
+            raise TypeError("VG has no fused kernel; drop use_kernel=True")
+        return _vg_euler_paths(
+            prob, config, _base_key(config, key), return_grid=False,
+            point_offset=point_offset,
+        )
     if isinstance(strat, BachelierExact) and isinstance(dyn, NormalDynamics):
         return _bachelier_exact_terminal(
             prob, config, _base_key(config, key), point_offset=point_offset
@@ -2013,6 +2132,8 @@ def simulate_price_grid(
         return _bachelier_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, KouJumpDynamics) and isinstance(strat, EulerMaruyama):
         return _kou_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
+    if isinstance(dyn, VarianceGammaDynamics) and isinstance(strat, EulerMaruyama):
+        return _vg_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     raise TypeError(
         f"unsupported grid simulation ({type(dyn).__name__}, {type(strat).__name__})"
     )

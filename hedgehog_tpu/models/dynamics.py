@@ -27,6 +27,7 @@ __all__ = [
     "HestonDynamics",
     "MertonJumpDynamics",
     "KouJumpDynamics",
+    "VarianceGammaDynamics",
     "NormalDynamics",
     "SABRDynamics",
     "LocalVolDynamics",
@@ -36,6 +37,8 @@ __all__ = [
     "lognormal_cf",
     "merton_cf",
     "kou_cf",
+    "vg_cf",
+    "vg_terminal_params",
     "kou_terminal_params",
     "terminal_log_cf",
     "log_dynamics",
@@ -104,6 +107,14 @@ class KouJumpDynamics(PriceDynamics):
 
 
 @pytree
+class VarianceGammaDynamics(PriceDynamics):
+    """Variance Gamma (Madan-Carr-Chang 1998) pure-jump Lévy dynamics —
+    Brownian motion with drift time-changed by a gamma subordinator
+    (infinite activity, finite variation).  Markets carry
+    :class:`VarianceGammaInputs`."""
+
+
+@pytree
 class NormalDynamics(PriceDynamics):
     """Bachelier / normal dynamics (beyond-reference model family): the
     T-forward follows arithmetic Brownian motion dF = σ_N dW (σ_N in PRICE
@@ -165,6 +176,51 @@ def kou_terminal_params(market, expiry_ticks):
     kbar = p * e1 / (e1 - 1.0) + (1.0 - p) * e2 / (e2 + 1.0) - 1.0
     log_s0 = jnp.log(market.spot) - carry_yield(market) * T
     return (log_s0, r, T, market.sigma, market.jump_intensity, p, e1, e2, kbar)
+
+
+def vg_terminal_params(market, expiry_ticks):
+    """(log_s0, r, T, sigma, nu, theta, omega) for a VG market — the
+    martingale correction ω = ln(1 − θν − σ²ν/2)/ν; carry folds into
+    log_s0 (the drift r stays the DISCOUNTING rate downstream)."""
+    from ..market.inputs import carry_yield
+
+    r = zero_rate(market.rate, expiry_ticks)
+    T = market_yearfrac(market, expiry_ticks)
+    sigma, nu, theta = market.sigma, market.nu, market.theta
+    omega = jnp.log(1.0 - theta * nu - 0.5 * sigma**2 * nu) / nu
+    log_s0 = jnp.log(market.spot) - carry_yield(market) * T
+    return (log_s0, r, T, sigma, nu, theta, omega)
+
+
+def vg_cf(u, log_s0, r, T, sigma, nu, theta, omega):
+    """Variance Gamma CF of log S_T:
+    φ(u) = e^{iu·(log S0 + (r + ω)T)} · (1 − iuθν + ½σ²ν u²)^{−T/ν}.
+    ``u`` may be complex (Carr-Madan evaluates at v − (α+1)i)."""
+    u = jnp.asarray(u)
+    if not jnp.iscomplexobj(u):
+        u = u.astype(jnp.complex128)
+    rdt = jnp.finfo(u.dtype).dtype
+    log_s0, r, T, sigma, nu, theta, omega = (
+        jnp.asarray(x, rdt) for x in (log_s0, r, T, sigma, nu, theta, omega)
+    )
+    iu = 1j * u
+    drift = log_s0 + (r + omega) * T
+    base = 1.0 - iu * theta * nu + 0.5 * sigma**2 * nu * u**2
+    return jnp.exp(iu * drift) * base ** (-T / nu)
+
+
+def vg_cf_pair(u_re, u_im, log_s0, r, T, sigma, nu, theta, omega):
+    """VG CF in split-complex (re, im) pairs for the native-TPU Carr-Madan
+    engine; math identical to :func:`vg_cf` (complex power via clog/cexp)."""
+    from ..math.complexops import cexp, clog, cmul
+
+    iu = (-u_im, u_re)
+    u2 = (u_re * u_re - u_im * u_im, 2.0 * u_re * u_im)
+    drift = log_s0 + (r + omega) * T
+    base = (1.0 - iu[0] * theta * nu + 0.5 * sigma**2 * nu * u2[0],
+            -iu[1] * theta * nu + 0.5 * sigma**2 * nu * u2[1])
+    powed = cexp(tuple((-T / nu) * c for c in clog(base)))
+    return cmul(cexp((-u_im * drift, u_re * drift)), powed)
 
 
 def kou_cf(u, log_s0, r, T, sigma, lam, p, e1, e2, kbar):
@@ -354,6 +410,9 @@ def terminal_log_cf_pair(prob, dynamics: PriceDynamics):
     if isinstance(dynamics, KouJumpDynamics):
         params = kou_terminal_params(market, expiry)
         return lambda ur, ui: kou_cf_pair(ur, ui, *params)
+    if isinstance(dynamics, VarianceGammaDynamics):
+        params = vg_terminal_params(market, expiry)
+        return lambda ur, ui: vg_cf_pair(ur, ui, *params)
     raise TypeError(f"no terminal law for dynamics {type(dynamics).__name__}")
 
 
@@ -380,4 +439,7 @@ def terminal_log_cf(prob, dynamics: PriceDynamics):
     if isinstance(dynamics, KouJumpDynamics):
         params = kou_terminal_params(market, expiry)
         return lambda u: kou_cf(u, *params)
+    if isinstance(dynamics, VarianceGammaDynamics):
+        params = vg_terminal_params(market, expiry)
+        return lambda u: vg_cf(u, *params)
     raise TypeError(f"no terminal law for dynamics {type(dynamics).__name__}")
