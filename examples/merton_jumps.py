@@ -81,3 +81,35 @@ sol = hh.solve(calib, hh.OptimizerAlgo(max_iters=300),
                lb=jnp.asarray([0.01, -0.5, 0.01]), ub=jnp.asarray([3.0, 0.3, 0.6]))
 print("calibrated (λ, μ_J, σ_J):", [round(float(x), 4) for x in sol.u],
       "| true (0.5, -0.1, 0.15) | converged:", bool(sol.converged))
+
+# ---- 5. the other jump families: Kou and Variance Gamma ---------------------
+kou = hh.KouInputs(REF, 0.03, 100.0, 0.16,
+                   jump_intensity=1.0, p_up=0.4, eta_up=10.0, eta_down=5.0)
+p_kou_cm = float(hh.solve(hh.PricingProblem(opt, kou),
+                          hh.CarrMadan(1.0, "auto", hh.KouJumpDynamics())).price)
+cfg_x = hh.SimulationConfig(trajectories=1 << 16, steps=1,
+                            variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+p_kou_mc = float(hh.solve(hh.PricingProblem(opt, kou),
+                          hh.MonteCarlo(hh.KouJumpDynamics(), hh.KouExact(), cfg_x)).price)
+print(f"\nKou double-exponential: CM {p_kou_cm:.5f}  exact MC {p_kou_mc:.5f}")
+
+vg = hh.VarianceGammaInputs(REF, 0.03, 100.0, 0.18, nu=0.25, theta=-0.14)
+p_vg_cm = float(hh.solve(hh.PricingProblem(opt, vg),
+                         hh.CarrMadan(1.0, "auto", hh.VarianceGammaDynamics())).price)
+p_vg_mc = float(hh.solve(hh.PricingProblem(opt, vg),
+                         hh.MonteCarlo(hh.VarianceGammaDynamics(),
+                                       hh.VarianceGammaExact(), cfg_x)).price)
+print(f"Variance Gamma (pure jump): CM {p_vg_cm:.5f}  exact MC {p_vg_mc:.5f}")
+
+# the three jump families' smiles at a glance (10-delta-ish wings)
+for name, mkt_j, dyn in (("Merton", market, hh.MertonJumpDynamics()),
+                         ("Kou", kou, hh.KouJumpDynamics()),
+                         ("VG", vg, hh.VarianceGammaDynamics())):
+    ivs = []
+    for k in (80.0, 100.0, 120.0):
+        po = hh.VanillaOption(k, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+        pr = float(hh.solve(hh.PricingProblem(po, mkt_j),
+                            hh.CarrMadan(1.0, "auto", dyn)).price)
+        ivs.append(float(hh.implied_vol_bs(pr, k, 1.0, 100.0, 0.03)))
+    print(f"  {name:6s} smile (K=80/100/120): "
+          + "  ".join(f"{v:.4f}" for v in ivs))
