@@ -21,6 +21,7 @@ __all__ = [
     "AbstractMarketInputs",
     "BlackScholesInputs",
     "HestonInputs",
+    "BatesInputs",
     "MertonInputs",
     "SABRInputs",
     "KouInputs",
@@ -118,6 +119,40 @@ class HestonInputs(AbstractMarketInputs):
     theta: Any
     sigma: Any
     rho: Any
+    dividend_yield: Any = 0.0
+    daycount: Any = static_field(default=ACT365F)
+
+    def __post_init__(self):
+        ref = to_ticks(self.reference_date)
+        object.__setattr__(self, "reference_date", ref)
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+
+
+@pytree
+class BatesInputs(AbstractMarketInputs):
+    """Bates (1996) market data — Heston stochastic variance PLUS Merton
+    lognormal jumps (beyond-reference model family; the production equity
+    smile model):
+
+        dS/S = (r − q − λκ̄)dt + √V dW₁ + (e^J − 1)dN
+        dV   = κ(θ − V)dt + σ√V dW₂,   corr(dW₁, dW₂) = ρ
+
+    with J ~ N(jump_mean, jump_std²), N ~ Poisson(jump_intensity·t)
+    independent of (W₁, W₂), and κ̄ = e^{μ_J+σ_J²/2} − 1.  All eight model
+    parameters are pytree leaves; ``dividend_yield``/``daycount`` as on
+    :class:`BlackScholesInputs`."""
+
+    reference_date: Any
+    rate: Any
+    spot: Any
+    V0: Any
+    kappa: Any
+    theta: Any
+    sigma: Any
+    rho: Any
+    jump_intensity: Any
+    jump_mean: Any
+    jump_std: Any
     dividend_yield: Any = 0.0
     daycount: Any = static_field(default=ACT365F)
 

@@ -44,6 +44,7 @@ from ..market.rate_curve import df
 from ..market.inputs import market_yearfrac
 from ..market.vol_surface import get_vol
 from ..models.dynamics import (
+    BatesDynamics,
     HestonDynamics,
     KouJumpDynamics,
     VarianceGammaDynamics,
@@ -174,11 +175,16 @@ def _auto_bound(prob: PricingProblem, dynamics) -> jnp.ndarray:
     if isinstance(dynamics, LognormalDynamics):
         sigma = get_vol(market.sigma, prob.payoff.expiry, prob.payoff.strike)
         s2 = sigma**2 * T
-    elif isinstance(dynamics, HestonDynamics):
+    elif isinstance(dynamics, (HestonDynamics, BatesDynamics)):
         # mean integrated variance E[∫V] = θT + (V0−θ)(1−e^{−κT})/κ
         s2 = market.theta * T + (market.V0 - market.theta) * (
             1.0 - jnp.exp(-market.kappa * T)
         ) / market.kappa
+        if isinstance(dynamics, BatesDynamics):
+            # plus the Merton jump envelope λT(μ_J² + σ_J²)
+            s2 = s2 + market.jump_intensity * (
+                market.jump_mean**2 + market.jump_std**2
+            ) * T
     elif isinstance(dynamics, MertonJumpDynamics):
         # the Gaussian envelope of the Merton CF decays with the total
         # log-variance σ²T + λT(μ_J² + σ_J²)

@@ -43,6 +43,7 @@ from ..market.rate_curve import df, df_yf, zero_rate_yf
 from ..market.inputs import carry_yield, market_yearfrac
 from ..market.vol_surface import FlatVolSurface, get_vol
 from ..models.dynamics import (
+    BatesDynamics,
     HestonDynamics,
     KouJumpDynamics,
     VarianceGammaDynamics,
@@ -1066,6 +1067,150 @@ def _heston_qe_mixing_values(prob, config, key, point_offset=0):
     return _conditional_bs_close(prob, market, T, r0, iv, j)
 
 
+def _bates_qe_mixing_values(prob, config, key, point_offset=0):
+    """Per-path UNDISCOUNTED conditional values under BATES (Heston + Merton
+    jumps): the Romano-Touzi mixing estimator extends verbatim — conditional
+    on the QE variance path AND the jump count N (independent of V),
+
+        logS_T | (V path, N) ~ N(logS0 + (r−q−λκ̄)T − ½IV + ρJ + Nμ_J,
+                                  (1−ρ²)·IV + Nσ_J²)
+
+    so the conditional close runs at the jump-shifted effective forward
+    F_eff·e^{Nμ_J + ½Nσ_J² − λκ̄T} with the jump variance added.  Smooth in
+    every parameter EXCEPT the discrete count: (spot, V0, κ, θ, σ, ρ, μ_J,
+    σ_J) greeks are pathwise; the λ greek differentiates the Carr-Madan CF
+    route (the count is gradient-stopped)."""
+    from ..models.heston_qe import qe_constants, qe_v_step
+
+    market, T, r0 = _sim_params(prob)
+    steps = config.steps
+    dt = T / steps
+    c = qe_constants(market.kappa, market.theta, market.sigma, market.rho, r0, dt)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    base = _base_key(config, key)
+    paths = config.trajectories
+    lam, mu_j, s_j = market.jump_intensity, market.jump_mean, market.jump_std
+    kbar = jnp.expm1(mu_j + 0.5 * s_j**2)
+    kmax = _merton_poisson_trips(lam * T, default=64)
+    if config.qmc:
+        from jax.scipy.special import ndtri
+
+        from ..math.sobol import sobol_uniforms
+
+        # dims: per step (z_v, u_qe) + ONE global jump-count uniform
+        u = sobol_uniforms(base, paths, 2 * steps + 1, skip=point_offset)
+        zb = ndtri(u[:, :steps]).T          # (steps, paths)
+        ub = u[:, steps:2 * steps].T
+        u_nb = u[:, -1]
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+        us = jnp.stack([ub, 1.0 - ub]) if anti else ub[None]
+        u_n = jnp.stack([u_nb, 1.0 - u_nb]) if anti else u_nb[None]
+    else:
+        k_z, k_u, k_n = jax.random.split(base, 3)
+        z = _normals(k_z, (steps, paths), anti)
+        u = jax.random.uniform(k_u, (steps, paths), dtype=jnp.float64)
+        us = jnp.stack([u, 1.0 - u]) if anti else u[None]
+        un = jax.random.uniform(k_n, (paths,), dtype=jnp.float64)
+        u_n = jnp.stack([un, 1.0 - un]) if anti else un[None]
+    n_groups = z.shape[0]
+
+    kappa, sigma, rho = market.kappa, market.sigma, market.rho
+    ktd = kappa * market.theta * dt
+    v0 = jnp.full((n_groups, paths), market.V0)
+    zero = jnp.zeros_like(v0)
+
+    def step(carry, inp):
+        v, iv, j = carry
+        zk, uk = inp
+        v_new = qe_v_step(v, zk, uk, c)
+        iv_step = 0.5 * dt * (v + v_new)
+        j_new = j + (v_new - v - ktd + kappa * iv_step) / sigma
+        return (v_new, iv + iv_step, j_new), None
+
+    zs = jnp.moveaxis(z, 1, 0)
+    us_s = jnp.moveaxis(us, 1, 0)
+    (v_t, iv, j), _ = jax.lax.scan(jax.checkpoint(step), (v0, zero, zero), (zs, us_s))
+
+    from ..models.heston_exact import poisson_inv
+
+    n = jax.lax.stop_gradient(poisson_inv(lam * T, u_n, kmax))
+    f_eff = market.spot * jnp.exp(
+        r0 * T + rho * j - 0.5 * rho**2 * iv
+        + n * (mu_j + 0.5 * s_j**2) - lam * kbar * T
+    )
+    var = (1.0 - rho**2) * iv + n * s_j**2
+    return conditional_payoff_close(prob.payoff, f_eff, var)
+
+
+def _bates_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
+    """Full-truncation log-Euler BATES paths: the Heston stepper plus a
+    per-step EXACT compound-Poisson jump increment (count by fixed-trip
+    inversion, jump sum collapsed to its conditional normal — the Merton
+    grid trick), so the jump component carries no discretization error.
+    Terminal (n_groups, paths) or grid (n_groups, steps+1, paths) for LSM
+    and Asian fixings under Bates."""
+    market, T, r0 = _sim_params(prob)
+    kappa, theta, sigma, rho, V0 = (market.kappa, market.theta, market.sigma,
+                                    market.rho, market.V0)
+    lam, mu_j, s_j = market.jump_intensity, market.jump_mean, market.jump_std
+    kbar = jnp.expm1(mu_j + 0.5 * s_j**2)
+    steps = config.steps
+    dt = T / steps
+    sqrt_dt = jnp.sqrt(dt)
+    kmax = _merton_poisson_trips(lam * dt, default=16)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    paths = config.trajectories
+    base = _base_key(config, key)
+    if config.qmc:
+        from jax.scipy.special import ndtri
+
+        from ..math.sobol import sobol_uniforms
+
+        u = sobol_uniforms(base, paths, 4 * steps, skip=point_offset)
+        u = jnp.moveaxis(u.reshape(paths, steps, 4), 0, -1)  # (steps, 4, paths)
+        zb = ndtri(u[:, :3])                                  # z_s, z_v, z_jump
+        upb = u[:, 3]
+        z = jnp.stack([zb, -zb], axis=1) if anti else zb[:, None]
+        u_p = jnp.stack([upb, 1.0 - upb], axis=1) if anti else upb[:, None]
+    else:
+        k_z, k_u = jax.random.split(base)
+        zb = jax.random.normal(k_z, (steps, 3, paths), dtype=jnp.float64)
+        upb = jax.random.uniform(k_u, (steps, paths), dtype=jnp.float64)
+        if anti:
+            z = jnp.stack([zb, -zb], axis=1)
+            u_p = jnp.stack([upb, 1.0 - upb], axis=1)
+        else:
+            z, u_p = zb[:, None], upb[:, None]
+    # z: (steps, g, 3, paths); u_p: (steps, g, paths)
+    z = jnp.moveaxis(z, 2, 0)  # (3, steps, g, paths)
+    from ..models.heston_exact import poisson_inv
+
+    rho_bar = jnp.sqrt(1.0 - rho**2)
+    n_groups = z.shape[2]
+    x0 = jnp.full((n_groups, paths), jnp.log(market.spot))
+    v0 = jnp.full((n_groups, paths), V0)
+
+    def step(carry, inp):
+        x, v = carry
+        z1, z2, zj, uk = inp
+        v_plus = jnp.maximum(v, 0.0)
+        sqrt_v = jnp.where(v > 0.0, jnp.sqrt(jnp.where(v > 0.0, v, 1.0)), 0.0)
+        n = jax.lax.stop_gradient(poisson_inv(lam * dt, uk, kmax))
+        x_new = (x + (r0 - lam * kbar - 0.5 * v_plus) * dt
+                 + sqrt_v * sqrt_dt * z1
+                 + n * mu_j + jnp.sqrt(n) * s_j * zj)
+        v_new = v + kappa * (theta - v_plus) * dt + sigma * sqrt_v * sqrt_dt * (
+            rho * z1 + rho_bar * z2
+        )
+        return (x_new, v_new), (x_new if return_grid else None)
+
+    (x_T, _), xs = jax.lax.scan(step, (x0, v0), (z[0], z[1], z[2], jnp.moveaxis(u_p, 0, 0)))
+    if return_grid:
+        grid = jnp.concatenate([x0[None], xs], axis=0)
+        return jnp.exp(jnp.moveaxis(grid, 0, 1))
+    return jnp.exp(x_T)
+
+
 def brownian_bridge_survival_factors(log_grid, seg_vars, log_barrier, up: bool):
     """Per-SEGMENT Brownian-bridge no-cross factors 1 − exp(−2·d0·d1/σ²_k),
     zeroed when either endpoint lies beyond the barrier (Glasserman, *MC
@@ -1874,6 +2019,19 @@ def simulate_conditional_values(
     elsewhere).  Same key/device/point-offset contract as
     :func:`simulate_terminal_prices`."""
     dyn, strat, config = method.dynamics, method.strategy, method.config
+    if isinstance(dyn, BatesDynamics):
+        if not (isinstance(strat, HestonQE) and strat.conditional):
+            raise TypeError(
+                "Bates conditional MC runs on HestonQE(conditional=True); "
+                f"got {type(strat).__name__}"
+            )
+        if strat.use_kernel:
+            raise TypeError(
+                "the fused mixing kernels are Heston-only; Bates conditional "
+                "MC is a pure-JAX estimator (drop use_kernel=True)"
+            )
+        require_european(prob.payoff, "conditional MonteCarlo", spot_only=True)
+        return _bates_qe_mixing_values(prob, config, key, point_offset=point_offset)
     if not (
         isinstance(strat, (HestonQE, HestonExactMixing))
         and isinstance(dyn, HestonDynamics)
@@ -2056,6 +2214,13 @@ def simulate_terminal_prices(
             prob, config, _base_key(config, key), return_grid=False,
             point_offset=point_offset,
         )
+    if isinstance(strat, EulerMaruyama) and isinstance(dyn, BatesDynamics):
+        if strat.use_kernel:
+            raise TypeError("Bates has no fused kernel; drop use_kernel=True")
+        return _bates_euler_paths(
+            prob, config, _base_key(config, key), return_grid=False,
+            point_offset=point_offset,
+        )
     if isinstance(strat, VarianceGammaExact) and isinstance(dyn, VarianceGammaDynamics):
         return _vg_exact_terminal(
             prob, config, _base_key(config, key), point_offset=point_offset
@@ -2134,6 +2299,8 @@ def simulate_price_grid(
         return _kou_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, VarianceGammaDynamics) and isinstance(strat, EulerMaruyama):
         return _vg_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
+    if isinstance(dyn, BatesDynamics) and isinstance(strat, EulerMaruyama):
+        return _bates_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     raise TypeError(
         f"unsupported grid simulation ({type(dyn).__name__}, {type(strat).__name__})"
     )

@@ -25,6 +25,7 @@ __all__ = [
     "PriceDynamics",
     "LognormalDynamics",
     "HestonDynamics",
+    "BatesDynamics",
     "MertonJumpDynamics",
     "KouJumpDynamics",
     "VarianceGammaDynamics",
@@ -34,6 +35,7 @@ __all__ = [
     "lognormal_terminal_law",
     "merton_terminal_params",
     "heston_cf",
+    "bates_jump_factor",
     "lognormal_cf",
     "merton_cf",
     "kou_cf",
@@ -88,6 +90,13 @@ class SABRDynamics(PriceDynamics):
     Fourier methods raise; pricing runs through :class:`SABRAnalytic`
     (Hagan's expansion) or Euler Monte Carlo.  Markets carry
     :class:`SABRInputs`."""
+
+
+@pytree
+class BatesDynamics(PriceDynamics):
+    """Bates (1996) stochastic-volatility jump-diffusion — Heston variance
+    plus Merton lognormal jumps, the production equity smile model.
+    Markets carry :class:`BatesInputs`."""
 
 
 @pytree
@@ -162,6 +171,17 @@ def merton_terminal_params(market, expiry_ticks):
     log_s0 = jnp.log(market.spot) - carry_yield(market) * T
     return (log_s0, r, T, market.sigma,
             market.jump_intensity, market.jump_mean, market.jump_std, kbar)
+
+
+def bates_jump_factor(u, lam, mu_j, s_j, T):
+    """Jump multiplier of the Bates CF: exp(λT(e^{iuμ_J − ½u²σ_J²} − 1)
+    − iu·λκ̄T) — the Merton jump block with its martingale compensator."""
+    kbar = jnp.expm1(mu_j + 0.5 * s_j**2)
+    iu = 1j * u
+    return jnp.exp(
+        lam * T * (jnp.exp(iu * mu_j - 0.5 * u**2 * s_j**2) - 1.0)
+        - iu * lam * kbar * T
+    )
 
 
 def kou_terminal_params(market, expiry_ticks):
@@ -404,6 +424,33 @@ def terminal_log_cf_pair(prob, dynamics: PriceDynamics):
             ur, ui, s_eff, market.V0, market.kappa, market.theta,
             market.sigma, market.rho, r, T,
         )
+    if isinstance(dynamics, BatesDynamics):
+        from ..math.complexops import cmul
+        from ..market.inputs import forward_spot
+
+        r = zero_rate(market.rate, expiry)
+        T = market_yearfrac(market, expiry)
+        s_eff = forward_spot(market, T)
+        lam, mu_j, s_j = (market.jump_intensity, market.jump_mean,
+                          market.jump_std)
+        kbar = jnp.expm1(mu_j + 0.5 * s_j**2)
+
+        def pair(ur, ui):
+            from ..math.complexops import cexp
+
+            h = heston_cf_pair(ur, ui, s_eff, market.V0, market.kappa,
+                               market.theta, market.sigma, market.rho, r, T)
+            iu = (-ui, ur)
+            u2 = (ur * ur - ui * ui, 2.0 * ur * ui)
+            jexp = cexp((iu[0] * mu_j - 0.5 * s_j**2 * u2[0],
+                         iu[1] * mu_j - 0.5 * s_j**2 * u2[1]))
+            expo = (
+                lam * T * (jexp[0] - 1.0) - iu[0] * lam * kbar * T,
+                lam * T * jexp[1] - iu[1] * lam * kbar * T,
+            )
+            return cmul(h, cexp(expo))
+
+        return pair
     if isinstance(dynamics, MertonJumpDynamics):
         params = merton_terminal_params(market, expiry)
         return lambda ur, ui: merton_cf_pair(ur, ui, *params)
@@ -432,6 +479,20 @@ def terminal_log_cf(prob, dynamics: PriceDynamics):
         s_eff = forward_spot(market, T)  # exact for the terminal law
         return lambda u: heston_cf(
             u, s_eff, market.V0, market.kappa, market.theta, market.sigma, market.rho, r, T
+        )
+    if isinstance(dynamics, BatesDynamics):
+        from ..market.inputs import forward_spot
+
+        r = zero_rate(market.rate, expiry)
+        T = market_yearfrac(market, expiry)
+        s_eff = forward_spot(market, T)
+        return lambda u: heston_cf(
+            u, s_eff, market.V0, market.kappa, market.theta, market.sigma,
+            market.rho, r, T,
+        ) * bates_jump_factor(
+            jnp.asarray(u, jnp.complex128)
+            if not jnp.iscomplexobj(jnp.asarray(u)) else jnp.asarray(u),
+            market.jump_intensity, market.jump_mean, market.jump_std, T,
         )
     if isinstance(dynamics, MertonJumpDynamics):
         params = merton_terminal_params(market, expiry)
