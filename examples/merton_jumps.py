@@ -113,3 +113,20 @@ for name, mkt_j, dyn in (("Merton", market, hh.MertonJumpDynamics()),
         ivs.append(float(hh.implied_vol_bs(pr, k, 1.0, 100.0, 0.03)))
     print(f"  {name:6s} smile (K=80/100/120): "
           + "  ".join(f"{v:.4f}" for v in ivs))
+
+# ---- 6. Bates: Heston variance + Merton jumps (the production smile model) --
+bates = hh.BatesInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7,
+                       jump_intensity=0.5, jump_mean=-0.10, jump_std=0.15)
+p_bates_cm = float(hh.solve(hh.PricingProblem(opt, bates),
+                            hh.CarrMadan(1.0, "auto", hh.BatesDynamics())).price)
+cfg_b = hh.SimulationConfig(trajectories=1 << 16, steps=12,
+                            variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+p_bates_mx = float(hh.solve(
+    hh.PricingProblem(opt, bates),
+    hh.MonteCarlo(hh.BatesDynamics(), hh.HestonQE(conditional=True), cfg_b)).price)
+print(f"\nBates (Heston+jumps): CM {p_bates_cm:.5f}  jump-extended mixing MC "
+      f"{p_bates_mx:.5f} ({(p_bates_mx/p_bates_cm-1)*1e4:+.1f}bp)")
+heston_only = hh.HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7)
+p_h = float(hh.solve(hh.PricingProblem(opt, heston_only),
+                     hh.CarrMadan(1.0, "auto", hh.HestonDynamics())).price)
+print(f"jump premium over pure Heston: {p_bates_cm - p_h:+.5f}")
