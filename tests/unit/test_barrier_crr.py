@@ -133,7 +133,7 @@ def test_knocked_root():
 def test_guards():
     mkt = _market()
     method = hh.CoxRossRubinsteinMethod(50)
-    with pytest.raises(TypeError, match="knock-in has no in-out parity"):
+    with pytest.raises(TypeError, match="no in-out parity"):
         hh.solve(
             hh.PricingProblem(
                 _barrier(hh.American(), barrier=80.0, knock=hh.KnockIn(),
