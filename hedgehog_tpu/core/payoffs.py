@@ -40,6 +40,10 @@ __all__ = [
     "KnockIn",
     "KnockOut",
     "AsianOption",
+    "LookbackOption",
+    "StrikeStyle",
+    "FloatingStrike",
+    "FixedStrike",
     "VarianceSwap",
     "ForwardStartOption",
     "Cliquet",
@@ -286,6 +290,74 @@ class AsianOption:
         """Intrinsic value of the realized average, broadcasting."""
         cp = self.call_put()
         return jnp.maximum(cp * (jnp.asarray(average) - self.strike), 0.0)
+
+
+class StrikeStyle:
+    """Marker base: lookback strike convention (floating vs fixed)."""
+
+
+@pytree
+class FloatingStrike(StrikeStyle):
+    pass
+
+
+@pytree
+class FixedStrike(StrikeStyle):
+    pass
+
+
+@pytree
+class LookbackOption:
+    """A continuously-monitored lookback option — beyond the reference's
+    vanilla-only taxonomy (src/payoffs/payoffs.jl).
+
+    ``FloatingStrike``: a call pays S_T − m_T (m = running minimum), a put
+    pays M_T − S_T (M = running maximum) — ``strike`` is ignored.
+    ``FixedStrike``: a call pays max(M_T − K, 0), a put pays max(K − m_T, 0).
+    The extremum each contract monitors is :attr:`uses_maximum`.
+
+    ``running_extremum`` seeds an already-running monitoring window (the
+    max/min observed before the valuation date); ``None`` starts fresh at
+    the spot.  Pricers clamp it against the spot (a max below spot or a min
+    above it is inconsistent), so the fresh and ``running_extremum=spot``
+    contracts price identically.
+
+    BlackScholesAnalytic carries the continuous closed forms
+    (Goldman-Sosin-Gatto floating / Conze-Viswanathan fixed, derived with a
+    general cost of carry and the b→0 limit); MC draws the per-segment
+    Brownian-bridge extremum by inverse CDF — EXACT for GBM grids at any
+    step count (``BlackScholesExact`` needs just ONE bridge over [0, T]),
+    and on the conditional Heston grid the segment variance is the
+    integrated variance.  ``__call__`` maps (S_T, realized extremum) to the
+    payout."""
+
+    expiry: Any
+    strike: Any = 0.0
+    strike_style: StrikeStyle = static_field(default=FloatingStrike())
+    call_put: CallPut = static_field(default=Call())
+    exercise_style: ExerciseStyle = static_field(default=European())
+    underlying: Underlying = static_field(default=Spot())
+    running_extremum: Any = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+
+    @property
+    def uses_maximum(self) -> bool:
+        """True when the contract monitors the running MAXIMUM (fixed-strike
+        call, floating-strike put); False for the running minimum."""
+        if isinstance(self.strike_style, FixedStrike):
+            return isinstance(self.call_put, Call)
+        return isinstance(self.call_put, Put)
+
+    def __call__(self, spot, extremum):
+        """Payout from the terminal spot and the realized extremum (the one
+        :attr:`uses_maximum` names), broadcasting."""
+        cp = self.call_put()
+        if isinstance(self.strike_style, FixedStrike):
+            return jnp.maximum(cp * (jnp.asarray(extremum) - self.strike), 0.0)
+        # floating: cp·(S_T − extremum) ≥ 0 by construction (min ≤ S_T ≤ max)
+        return cp * (jnp.asarray(spot) - extremum)
 
 
 @pytree

@@ -26,6 +26,7 @@ __all__ = [
     "bs_digital_price",
     "bs_barrier_price",
     "bs_geometric_asian_price",
+    "bs_lookback_price",
     "bs_geometry",
 ]
 
@@ -197,6 +198,93 @@ def bs_geometric_asian_price(spot, strike, vol, T, discount, cp, n: int,
     return bs_price(f_geo, strike, jnp.sqrt(s2), 1.0, discount, cp)
 
 
+def bs_lookback_price(spot, strike, extremum, vol, T, discount, cp,
+                      fixed: bool, carry=0.0):
+    """Continuously-monitored lookback closed forms under Black-Scholes with
+    cost of carry b = r − q (Goldman-Sosin-Gatto floating strike,
+    Conze-Viswanathan fixed strike — derived from the drifted-BM running
+    extremum law P(M̄ ≤ y) = Φ((y−νT)/s) − e^{2νy/σ²}Φ((−y−νT)/s), not
+    transcribed, so the b→0 limits below are exact Taylor limits of the
+    same expressions).
+
+    With x the effective reflection level, d1 = (ln(S/x)+(b+σ²/2)T)/(σ√T),
+    d2 = d1 − σ√T, β = 2b/σ², D = e^{−rT}, E = e^{(b−r)T} = e^{−qT}:
+
+        A(x) = (σ²/2b)·[(S/x)^{−β}·Φ(−d1+2b√T/σ) − e^{bT}·Φ(−d1)]
+        C(x) = (σ²/2b)·[e^{bT}·Φ(d1) − (S/x)^{−β}·Φ(d1−2b√T/σ)]
+        floating call (x = m):        S·E·Φ(d1) − m·D·Φ(d2) + S·D·A(m)
+        floating put  (x = M):        M·D·Φ(−d2) − S·E·Φ(−d1) + S·D·C(M)
+        fixed call (x = max(K, M)):   D·(M−K)⁺ + S·E·Φ(d1) − x·D·Φ(d2) + S·D·C(x)
+        fixed put  (x = min(K, m)):   D·(K−m)⁺ + x·D·Φ(−d2) − S·E·Φ(−d1) + S·D·A(x)
+
+    b→0 limits (double-where so the 1/b pole never poisons gradients):
+    A₀ = σ√T·φ(d1) − (ln(S/x)+σ²T/2)·Φ(−d1),
+    C₀ = σ√T·φ(d1) + (ln(S/x)+σ²T/2)·Φ(d1).
+
+    ``extremum`` is the running max (fixed call / floating put) or min
+    (fixed put / floating call), pre-clamped against the spot by the
+    caller.  Exactness is pinned against the exact bridge-MC estimator in
+    tests/unit/test_lookback.py, including the floating↔fixed parity
+    identities."""
+    S, K, m = spot, strike, extremum
+    r = -jnp.log(discount) / jnp.maximum(T, 1e-30)
+    b = r - carry
+    E = jnp.exp(-carry * T)  # e^{(b−r)T}
+    sqrtT = jnp.sqrt(T)
+    sig = jnp.where(vol > 0, vol, 1.0)
+    v = sig * sqrtT
+    call = cp > 0
+    if fixed:
+        x = jnp.maximum(K, m) if call else jnp.minimum(K, m)
+        head = discount * jnp.maximum(cp * (m - K), 0.0)
+    else:
+        x = m
+        head = 0.0
+    d1 = (jnp.log(S / x) + (b + 0.5 * sig**2) * T) / v
+    d2 = d1 - v
+    # the strange term: σ²/(2b) pole handled by its exact b→0 Taylor limit
+    from jax.scipy.special import log_ndtr
+
+    small = jnp.abs(b) * T < 1e-7
+    b_safe = jnp.where(small, 1.0, b)
+    beta = 2.0 * b_safe / sig**2
+    shift = 2.0 * b_safe * sqrtT / sig
+    lnSx = jnp.log(S / x)
+    half = 0.5 * sig**2 * T
+    # (S/x)^{−β}·Φ(y) in log space: β is O(1/σ²), so the power can overflow
+    # long before the matching Φ tail underflows; exp(−β·lnSx + logΦ(y)) is
+    # finite wherever the product is.  The exponent is zeroed on the dead
+    # (small-b) branch so the Taylor limit's masked gradient stays clean.
+    expo = jnp.where(small, 0.0, -beta * lnSx)
+    if call == fixed:  # fixed call / floating put → C(x)
+        gen = (sig**2 / (2.0 * b_safe)) * (
+            jnp.exp(b_safe * T) * norm.cdf(d1) - jnp.exp(expo + log_ndtr(d1 - shift))
+        )
+        lim = v * norm.pdf(d1) + (lnSx + half) * norm.cdf(d1)
+    else:  # floating call / fixed put → A(x)
+        gen = (sig**2 / (2.0 * b_safe)) * (
+            jnp.exp(expo + log_ndtr(-d1 + shift)) - jnp.exp(b_safe * T) * norm.cdf(-d1)
+        )
+        lim = v * norm.pdf(d1) - (lnSx + half) * norm.cdf(-d1)
+    strange = S * discount * jnp.where(small, lim, gen)
+    if fixed:
+        body = cp * (S * E * norm.cdf(cp * d1) - x * discount * norm.cdf(cp * d2))
+    else:
+        body = cp * (S * E * norm.cdf(cp * d1) - m * discount * norm.cdf(cp * d2))
+    price = head + body + strange
+    # σ→0 / T→0: the path is deterministic S·e^{b·t}; its extremum over
+    # [0, T] combines with the running one, and the payout discounts back
+    run_det = jnp.maximum(m, jnp.maximum(S, S * jnp.exp(b * T))) if (
+        call == fixed
+    ) else jnp.minimum(m, jnp.minimum(S, S * jnp.exp(b * T)))
+    s_det = S * jnp.exp(b * T)
+    if fixed:
+        det = discount * jnp.maximum(cp * (run_det - K), 0.0)
+    else:
+        det = discount * cp * (s_det - run_det)
+    return jnp.where((vol > 0) & (T > 0), price, det)
+
+
 @register_solver(BlackScholesAnalytic)
 def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> AnalyticSolution:
     payoff = prob.payoff
@@ -205,8 +293,10 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
         AsianOption,
         BarrierOption,
         DigitalOption,
+        FixedStrike,
         GeometricAverage,
         KnockIn,
+        LookbackOption,
         Up,
         require_european,
     )
@@ -334,6 +424,26 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
         )
     elif isinstance(payoff, DigitalOption):
         price = bs_digital_price(F, K, sigma, T, D, cp, payoff.cash)
+    elif isinstance(payoff, LookbackOption):
+        from ..market.vol_surface import FlatVolSurface
+
+        if not isinstance(market.sigma, FlatVolSurface):
+            raise TypeError(
+                "the lookback closed form needs a flat vol (the extremum "
+                "law is whole-path, not one-strike); price surfaces by MC "
+                "under LocalVolDynamics/HestonDynamics"
+            )
+        spot = market.spot
+        run = spot if payoff.running_extremum is None else payoff.running_extremum
+        ext = (
+            jnp.maximum(run, spot) if payoff.uses_maximum
+            else jnp.minimum(run, spot)
+        )
+        price = bs_lookback_price(
+            spot, K, ext, market.sigma.sigma, T, D, cp,
+            fixed=isinstance(payoff.strike_style, FixedStrike),
+            carry=carry_yield(market),
+        )
     else:
         price = bs_price(F, K, sigma, T, D, cp)
     return AnalyticSolution(prob, method, price)

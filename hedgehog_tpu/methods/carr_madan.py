@@ -302,9 +302,14 @@ def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolut
 
         engine = "pair" if jax.default_backend() == "tpu" else "complex"
 
-    from ..core.payoffs import AsianOption, BarrierOption, DigitalOption
+    from ..core.payoffs import (
+        AsianOption,
+        BarrierOption,
+        DigitalOption,
+        LookbackOption,
+    )
 
-    if isinstance(payoff, (BarrierOption, AsianOption)):
+    if isinstance(payoff, (BarrierOption, AsianOption, LookbackOption)):
         raise TypeError(
             f"CarrMadan prices path-independent payoffs (the CF of log S_T "
             f"carries no path law); {type(payoff).__name__} prices "

@@ -43,13 +43,19 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
     market = prob.market_inputs
     steps = method.steps
 
-    from ..core.payoffs import AsianOption, BarrierOption, KnockIn
+    from ..core.payoffs import AsianOption, BarrierOption, KnockIn, LookbackOption
 
     if isinstance(payoff, AsianOption):
         raise TypeError(
             "CRR's backward induction carries no running-average state; "
             "Asian options price analytically under Black-Scholes (geometric) "
             "or via grid Monte Carlo"
+        )
+    if isinstance(payoff, LookbackOption):
+        raise TypeError(
+            "CRR's backward induction carries no running-extremum state; "
+            "lookbacks price analytically under Black-Scholes or via the "
+            "bridge Monte Carlo estimator"
         )
     if isinstance(payoff, BarrierOption):
         # A single barrier IS lattice-compatible: knocked nodes are absorbed

@@ -229,12 +229,17 @@ def _lsm_setup(prob: PricingProblem, method: LSM):
             "LSM prices American/Bermudan options (lsm.jl solve signature "
             ":99-102; Bermudan is a beyond-reference extension)."
         )
-    from ..core.payoffs import AsianOption, BarrierOption, KnockIn
+    from ..core.payoffs import AsianOption, BarrierOption, KnockIn, LookbackOption
 
     if isinstance(payoff, AsianOption):
         raise TypeError(
             "LSM's stopping state carries no running-average state; American "
             "Asian pricing is unsupported"
+        )
+    if isinstance(payoff, LookbackOption):
+        raise TypeError(
+            "LSM's stopping state carries no running-extremum state; "
+            "American lookback pricing is unsupported"
         )
     if isinstance(payoff, BarrierOption) and isinstance(payoff.knock, KnockIn):
         raise TypeError(

@@ -75,6 +75,7 @@ __all__ = [
     "mc_path_values",
     "heston_surface_mc",
     "heston_variance_swap_strike",
+    "brownian_bridge_extremum",
 ]
 
 
@@ -1256,6 +1257,31 @@ def brownian_bridge_survival(log_grid, seg_vars, log_barrier, up: bool):
     )
 
 
+def brownian_bridge_extremum(log_grid, seg_vars, u, maximum: bool):
+    """Running extremum of the continuous path by EXACT per-segment
+    Brownian-bridge draws: given segment endpoints (a, b) and variance s²,
+    the bridge maximum has CDF P(M ≤ y) = 1 − e^{−2(y−a)(y−b)/s²} (y ≥
+    max(a, b)), so one uniform inverts it in closed form,
+
+        M = ½·(a + b + √((a−b)² − 2·s²·log1p(−u))),
+
+    the minimum by reflection (− the root).  The running extremum over
+    [0, T] is the max/min over segments — segments are independent bridges
+    given the grid, so this is the path's extremum IN DISTRIBUTION, jointly
+    with the grid (exact for GBM grids at any step count; on the Heston
+    conditional grid s²_k is the segment's integrated variance).  Smooth in
+    (grid, seg_vars) almost everywhere → pathwise AD lookback greeks work.
+
+    ``log_grid``: (steps+1, ...); ``seg_vars``: (steps, ...) or scalar;
+    ``u``: (steps, ...) uniforms in [0, 1).  Returns shape ``(...)``."""
+    a, b = log_grid[:-1], log_grid[1:]
+    var = jnp.maximum(seg_vars, 1e-30)
+    rad = jnp.sqrt((a - b) ** 2 - 2.0 * var * jnp.log1p(-u))
+    if maximum:
+        return jnp.max(0.5 * (a + b + rad), axis=0)
+    return jnp.min(0.5 * (a + b - rad), axis=0)
+
+
 def barrier_grid_factors(prob: PricingProblem, method: MonteCarlo):
     """Simulate a STEPPED price grid and its per-segment Brownian-bridge
     no-cross factors for ``prob.payoff`` (a BarrierOption) — the shared
@@ -1420,6 +1446,98 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
     return MonteCarloSolution(prob, method, price, vals)
 
 
+def _solve_lookback_mc(prob: PricingProblem, method: MonteCarlo):
+    """Lookback Monte Carlo: simulate a grid, draw the per-segment
+    Brownian-bridge extremum (:func:`brownian_bridge_extremum`), pay the
+    contract on (S_T, realized extremum).  Continuous monitoring with NO
+    discretization bias on GBM grids: gridpoint marginals AND segment
+    extremum draws are both exact, so ``BlackScholesExact`` needs just ONE
+    bridge over [0, T] and Euler grids are exact at any step count.  On the
+    conditional Heston grid the segment variance is the grid's integrated
+    variance (within-segment V stochasticity is the same O(dt)
+    approximation the barrier estimator documents; refinement-consistency
+    is tested).
+
+    The extremum uniforms come from a dedicated fold of the path key, so
+    they are independent of the grid draws under both PRNG and QMC configs
+    (QMC's low-discrepancy structure covers the GRID dims; the extremum
+    dims ride plain counter-based streams)."""
+    from ..core.payoffs import require_european
+
+    payoff = prob.payoff
+    require_european(payoff, "MonteCarlo", spot_only=True)
+    if jnp.ndim(payoff.strike) > 0:
+        raise TypeError(
+            "lookback MC prices one contract per solve; vmap over contracts "
+            "for grids"
+        )
+    market = prob.market_inputs
+    dyn, strat, config = method.dynamics, method.strategy, method.config
+    discount = df(market.rate, payoff.expiry)
+    maximum = payoff.uses_maximum
+    _, T, _ = _sim_params(prob)
+    anti = isinstance(config.variance_reduction, Antithetic)
+
+    if isinstance(dyn, LognormalDynamics) and isinstance(
+        strat, (BlackScholesExact, EulerMaruyama)
+    ):
+        if getattr(strat, "use_kernel", False):
+            raise TypeError(
+                "the fused GBM kernels return terminal samples without the "
+                "bridge state; drop use_kernel=True for lookback payoffs"
+            )
+        sigma = (
+            market.sigma.sigma
+            if isinstance(market.sigma, FlatVolSurface)
+            else get_vol(market.sigma, payoff.expiry, market.spot)
+        )
+        if isinstance(strat, BlackScholesExact):
+            samples = simulate_terminal_prices(prob, method)  # (g, paths)
+            log_s0 = jnp.full_like(samples, jnp.log(market.spot))
+            log_grid = jnp.stack([log_s0, jnp.log(samples)])  # (2, g, paths)
+            seg_vars = sigma**2 * T
+        else:
+            grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
+            log_grid = jnp.log(jnp.moveaxis(grid, 1, 0))
+            seg_vars = sigma**2 * (T / config.steps)
+    elif (
+        isinstance(dyn, HestonDynamics)
+        and isinstance(strat, HestonQE)
+        and strat.conditional
+    ):
+        if strat.use_kernel:
+            raise TypeError(
+                "lookback pricing on the conditional grid is a pure-JAX "
+                "feature; drop use_kernel=True"
+            )
+        s_grid, v_grid = simulate_conditional_grid(prob, config)
+        dt = T / config.steps
+        iv = 0.5 * dt * (v_grid[:, :-1] + v_grid[:, 1:])  # (g, steps, paths)
+        log_grid = jnp.log(jnp.moveaxis(s_grid, 1, 0))
+        seg_vars = jnp.moveaxis(iv, 1, 0)
+    else:
+        raise TypeError(
+            "lookback grids need LognormalDynamics with BlackScholesExact/"
+            "EulerMaruyama, or HestonDynamics with HestonQE(conditional="
+            f"True); got ({type(dyn).__name__}, {type(strat).__name__})"
+        )
+
+    n_seg = log_grid.shape[0] - 1
+    k_ext = jax.random.fold_in(_base_key(config, None), 0x6C6F6F6B)  # "look"
+    u_b = jax.random.uniform(k_ext, (n_seg, config.trajectories), dtype=jnp.float64)
+    # antithetic groups reflect the extremum uniforms with the grid draws;
+    # clip keeps the reflected endpoint u=1 off log1p(−u)'s pole
+    u = jnp.stack([u_b, 1.0 - u_b], axis=1) if anti else u_b[:, None]
+    u = jnp.clip(u, 0.0, 1.0 - 1e-16)
+    ext_log = brownian_bridge_extremum(log_grid, seg_vars, u, maximum)
+    run = market.spot if payoff.running_extremum is None else payoff.running_extremum
+    log_run = jnp.log(run)
+    ext_log = jnp.maximum(ext_log, log_run) if maximum else jnp.minimum(ext_log, log_run)
+    vals = payoff(jnp.exp(log_grid[-1]), jnp.exp(ext_log))  # (g, paths)
+    price = discount * jnp.mean(vals, axis=(0, -1))
+    return MonteCarloSolution(prob, method, price, vals)
+
+
 def heston_variance_swap_strike(market, T):
     """Continuous-sampling Heston fair variance strike
     E[(1/T)∫₀ᵀ V dt] = θ + (V0 − θ)(1 − e^{−κT})/(κT) — the MC agreement
@@ -1557,9 +1675,14 @@ def conditional_payoff_close(payoff, f_eff, iv_var):
     Black-Scholes formula; digitals the smooth cash·Φ(cp·d2) (pathwise AD
     greeks survive — the raw terminal-sample estimator differentiates an
     indicator to zero)."""
-    from ..core.payoffs import AsianOption, BarrierOption, DigitalOption
+    from ..core.payoffs import (
+        AsianOption,
+        BarrierOption,
+        DigitalOption,
+        LookbackOption,
+    )
 
-    if isinstance(payoff, (BarrierOption, AsianOption)):
+    if isinstance(payoff, (BarrierOption, AsianOption, LookbackOption)):
         raise TypeError(
             f"the conditional close integrates S_T out analytically and "
             f"cannot see the path; {type(payoff).__name__} prices through "
@@ -2092,14 +2215,15 @@ def mc_path_values(
         BarrierOption,
         Cliquet,
         ForwardStartOption,
+        LookbackOption,
         VarianceSwap,
     )
 
     from ..core.payoffs import BasketOption, SpreadOption
 
     if isinstance(prob.payoff, (AsianOption, BarrierOption, BasketOption,
-                                Cliquet, ForwardStartOption, SpreadOption,
-                                VarianceSwap)):
+                                Cliquet, ForwardStartOption, LookbackOption,
+                                SpreadOption, VarianceSwap)):
         raise TypeError(
             f"mc_path_values covers single-asset terminal-sample payoffs; "
             f"price {type(prob.payoff).__name__} through solve(...)"
@@ -2337,6 +2461,10 @@ def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSol
 
     if isinstance(payoff, BarrierOption):
         return _solve_barrier_mc(prob, method)
+    from ..core.payoffs import LookbackOption
+
+    if isinstance(payoff, LookbackOption):
+        return _solve_lookback_mc(prob, method)
     if isinstance(payoff, AsianOption):
         return _solve_asian_mc(prob, method)
     if isinstance(payoff, VarianceSwap):
