@@ -39,6 +39,7 @@ __all__ = [
     "BarrierKnock",
     "KnockIn",
     "KnockOut",
+    "DoubleBarrierOption",
     "AsianOption",
     "LookbackOption",
     "StrikeStyle",
@@ -240,6 +241,50 @@ class BarrierOption:
             raise ValueError(
                 "rebate_at_hit applies to knock-outs only (a knock-in's "
                 "rebate pays at expiry iff the barrier is never touched)"
+            )
+
+    def __call__(self, spot):
+        """Unconditional terminal intrinsic (see class docstring)."""
+        cp = self.call_put()
+        return jnp.maximum(cp * (jnp.asarray(spot) - self.strike), 0.0)
+
+
+@pytree
+class DoubleBarrierOption:
+    """A continuously-monitored DOUBLE-barrier option on a vanilla payoff —
+    beyond the reference's vanilla-only taxonomy.
+
+    ``KnockOut`` pays the vanilla intrinsic at expiry iff the path never
+    leaves the corridor (``lower``, ``upper``); ``KnockIn`` pays iff it
+    does (in + out = vanilla at zero rebate — European only).  ``__call__``
+    is the UNCONDITIONAL terminal intrinsic; the exit probability is
+    applied by the pricers (the reflection image series under
+    Black-Scholes; per-segment two-sided Brownian-bridge no-exit products
+    on MC grids — both smooth, so AD greeks survive).
+
+    ``rebate`` (cash R ≥ 0): a knock-OUT pays R when the corridor IS left —
+    at the hit time if ``rebate_at_hit`` (double one-touch; MC only, the
+    closed form rejects it) else at expiry; a knock-IN pays R at expiry iff
+    the corridor is never left.  Rebate in-out parity:
+    KI(R) + KO(R, at expiry) = vanilla + R·D(T)."""
+
+    strike: Any
+    expiry: Any
+    lower: Any
+    upper: Any
+    exercise_style: ExerciseStyle = static_field(default=European())
+    call_put: CallPut = static_field(default=Call())
+    underlying: Underlying = static_field(default=Spot())
+    knock: BarrierKnock = static_field(default=KnockOut())
+    rebate: Any = 0.0
+    rebate_at_hit: bool = static_field(default=False)
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+        if self.rebate_at_hit and isinstance(self.knock, KnockIn):
+            raise ValueError(
+                "rebate_at_hit applies to knock-outs only (a knock-in's "
+                "rebate pays at expiry iff the corridor is never left)"
             )
 
     def __call__(self, spot):

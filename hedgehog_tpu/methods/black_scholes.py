@@ -25,6 +25,7 @@ __all__ = [
     "bs_price",
     "bs_digital_price",
     "bs_barrier_price",
+    "bs_double_barrier_price",
     "bs_geometric_asian_price",
     "bs_lookback_price",
     "bs_geometry",
@@ -198,6 +199,94 @@ def bs_geometric_asian_price(spot, strike, vol, T, discount, cp, n: int,
     return bs_price(f_geo, strike, jnp.sqrt(s2), 1.0, discount, cp)
 
 
+def bs_double_barrier_price(spot, strike, lower, upper, vol, T, discount, cp,
+                            knock_in: bool, rebate=0.0,
+                            rebate_at_hit: bool = False, carry=0.0,
+                            n_images: int = 5):
+    """Continuously-monitored double-barrier closed form under Black-Scholes
+    with cost of carry b = r − q, derived from the reflection image series
+    (the Ikeda-Kunitomo family, built directly rather than transcribed):
+    with X = ln(S_T/S), ν = b − σ²/2, α = ν/σ², l = ln(L/S) < 0 < u =
+    ln(U/S), c = u − l, the no-exit density is
+
+        f(x) = e^{αx − α²s²/2} · Σ_n [φ_s(x − 2nc) − φ_s(x − (2l − 2nc))]
+
+    so the knock-out price is a ±-signed sum of lognormal partial
+    expectations ∫_A^B e^{γx} φ_s(x−m) dx = e^{γm+γ²s²/2}[Φ(·) − Φ(·)],
+    each evaluated in LOG space (exp(exponent + logΦ)) — the exponents
+    cancel analytically against the Gaussian tails, so far images neither
+    overflow nor poison gradients.  Knock-in by in-out parity.
+
+    ``rebate`` pays at expiry: knock-out → R·D·P(exit), knock-in →
+    R·D·P(no exit); the double one-touch (``rebate_at_hit``) has no
+    closed form here — price it by the bridge MC (first-hit-segment legs).
+    A spot already outside (L, U) makes the knock-out pure rebate and the
+    knock-in vanilla.  Truncation at ``n_images`` (terms decay like
+    e^{−2n²c²/s²}; 5 covers s ≲ 1.5·c to beyond f64 precision).
+
+    MC agreement + single-barrier limits are pinned in
+    tests/unit/test_double_barrier.py."""
+    if rebate_at_hit:
+        raise TypeError(
+            "the double one-touch (rebate_at_hit) has no closed form here; "
+            "price it by the bridge MC estimator"
+        )
+    from jax.scipy.special import log_ndtr
+
+    S, K = spot, strike
+    r = -jnp.log(discount) / jnp.maximum(T, 1e-30)
+    b = r - carry
+    qf = jnp.exp(-carry * T)
+    sig = jnp.where(vol > 0, vol, 1.0)
+    s = sig * jnp.sqrt(T)
+    s2 = sig**2 * T
+    inside0 = (S > lower) & (S < upper)
+    # dead-branch-safe corridor keeps the series' masked gradients finite
+    l = jnp.log(jnp.where(inside0, lower, 0.5 * S) / S)
+    u = jnp.log(jnp.where(inside0, upper, 2.0 * S) / S)
+    c = u - l
+    alpha = (b - 0.5 * sig**2) / sig**2
+    k = jnp.log(K / S)
+    call = cp > 0
+    A = jnp.clip(k, l, u) if call else l
+    B = u if call else jnp.clip(k, l, u)
+    base = -0.5 * alpha**2 * s2
+
+    def series(gamma, lo, hi):
+        tot = 0.0
+        for n in range(-n_images, n_images + 1):
+            for m, sgn in ((2.0 * n * c, 1.0), (2.0 * l - 2.0 * n * c, -1.0)):
+                e0 = base + gamma * m + 0.5 * gamma**2 * s2
+                z_hi = (hi - m) / s - gamma * s
+                z_lo = (lo - m) / s - gamma * s
+                tot = tot + sgn * (
+                    jnp.exp(e0 + log_ndtr(z_hi)) - jnp.exp(e0 + log_ndtr(z_lo))
+                )
+        return tot
+
+    ko = discount * cp * (S * series(alpha + 1.0, A, B) - K * series(alpha, A, B))
+    p_stay = jnp.clip(series(alpha, l, u), 0.0, 1.0)
+    F = S * qf / discount
+    vanilla = bs_price(F, K, vol, T, discount, cp)
+    if knock_in:
+        price = (vanilla - ko) + rebate * discount * p_stay
+        price = jnp.where(inside0, price, vanilla)
+    else:
+        price = ko + rebate * discount * (1.0 - p_stay)
+        price = jnp.where(inside0, price, rebate * discount)
+    # σ→0 / T→0: the deterministic path S·e^{b·t} is monotone, so its
+    # extremes sit at the endpoints
+    s_det = S * jnp.exp(b * T)
+    touched = (jnp.maximum(S, s_det) >= upper) | (jnp.minimum(S, s_det) <= lower)
+    intrinsic = discount * jnp.maximum(cp * (s_det - K), 0.0)
+    w_t = jnp.where(touched, 1.0, 0.0)
+    if knock_in:
+        det = intrinsic * w_t + rebate * discount * (1.0 - w_t)
+    else:
+        det = intrinsic * (1.0 - w_t) + rebate * discount * w_t
+    return jnp.where((vol > 0) & (T > 0), price, det)
+
+
 def bs_lookback_price(spot, strike, extremum, vol, T, discount, cp,
                       fixed: bool, carry=0.0):
     """Continuously-monitored lookback closed forms under Black-Scholes with
@@ -293,6 +382,7 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
         AsianOption,
         BarrierOption,
         DigitalOption,
+        DoubleBarrierOption,
         FixedStrike,
         GeometricAverage,
         KnockIn,
@@ -418,6 +508,13 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
         price = bs_barrier_price(
             market.spot, K, payoff.barrier, sigma, T, D, cp,
             up=isinstance(payoff.direction, Up),
+            knock_in=isinstance(payoff.knock, KnockIn),
+            rebate=payoff.rebate, rebate_at_hit=payoff.rebate_at_hit,
+            carry=carry_yield(market),
+        )
+    elif isinstance(payoff, DoubleBarrierOption):
+        price = bs_double_barrier_price(
+            market.spot, K, payoff.lower, payoff.upper, sigma, T, D, cp,
             knock_in=isinstance(payoff.knock, KnockIn),
             rebate=payoff.rebate, rebate_at_hit=payoff.rebate_at_hit,
             carry=carry_yield(market),

@@ -306,10 +306,12 @@ def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolut
         AsianOption,
         BarrierOption,
         DigitalOption,
+        DoubleBarrierOption,
         LookbackOption,
     )
 
-    if isinstance(payoff, (BarrierOption, AsianOption, LookbackOption)):
+    if isinstance(payoff, (BarrierOption, AsianOption, DoubleBarrierOption,
+                           LookbackOption)):
         raise TypeError(
             f"CarrMadan prices path-independent payoffs (the CF of log S_T "
             f"carries no path law); {type(payoff).__name__} prices "

@@ -57,6 +57,14 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
             "lookbacks price analytically under Black-Scholes or via the "
             "bridge Monte Carlo estimator"
         )
+    from ..core.payoffs import DoubleBarrierOption
+
+    if isinstance(payoff, DoubleBarrierOption):
+        raise TypeError(
+            "the CRR lattice carries the single-barrier bridge correction "
+            "only; double barriers price analytically under Black-Scholes "
+            "or via the two-sided bridge Monte Carlo estimator"
+        )
     if isinstance(payoff, BarrierOption):
         # A single barrier IS lattice-compatible: knocked nodes are absorbed
         # at the rebate value during the backward induction, so no path state

@@ -241,6 +241,13 @@ def _lsm_setup(prob: PricingProblem, method: LSM):
             "LSM's stopping state carries no running-extremum state; "
             "American lookback pricing is unsupported"
         )
+    from ..core.payoffs import DoubleBarrierOption
+
+    if isinstance(payoff, DoubleBarrierOption):
+        raise TypeError(
+            "barrier LSM carries the single-barrier survival state only; "
+            "American double-barrier pricing is unsupported"
+        )
     if isinstance(payoff, BarrierOption) and isinstance(payoff.knock, KnockIn):
         raise TypeError(
             "American knock-in has no in-out parity (knocking in leaves a "

@@ -76,6 +76,7 @@ __all__ = [
     "heston_surface_mc",
     "heston_variance_swap_strike",
     "brownian_bridge_extremum",
+    "double_bridge_survival_factors",
 ]
 
 
@@ -1282,6 +1283,94 @@ def brownian_bridge_extremum(log_grid, seg_vars, u, maximum: bool):
     return jnp.min(0.5 * (a + b - rad), axis=0)
 
 
+def double_bridge_survival_factors(log_grid, seg_vars, log_lower, log_upper,
+                                   n_images: int = 5):
+    """Per-SEGMENT two-sided Brownian-bridge NO-EXIT factors for the
+    corridor (log_lower, log_upper): with segment endpoints ã, b̃ relative
+    to the lower barrier, width c and variance s², the no-exit probability
+    is the image series
+
+        Σ_n [ e^{−2nc(nc + b̃ − ã)/s²} − e^{−2(nc + ã)(nc + b̃)/s²} ]
+
+    (n = 0 recovers the single lower-barrier factor; every exponent is ≤ 0
+    inside the corridor, so no term can overflow).  Zeroed when either
+    endpoint lies outside; truncated at ``n_images`` (terms decay like
+    e^{−2n²c²/s²}) and clipped to [0, 1] against truncation residue.
+    Smooth in every input → pathwise AD double-barrier greeks survive.
+
+    Shapes as in :func:`brownian_bridge_survival_factors`."""
+    x0, x1 = log_grid[:-1], log_grid[1:]
+    c = log_upper - log_lower
+    at = x0 - log_lower
+    bt = x1 - log_lower
+    inside = (at > 0.0) & (bt > 0.0) & (at < c) & (bt < c)
+    var = jnp.maximum(seg_vars, 1e-30)
+    # double-where: park the dead branch mid-corridor so its exponents stay
+    # finite and its masked gradients clean
+    at_s = jnp.where(inside, at, 0.5 * c)
+    bt_s = jnp.where(inside, bt, 0.5 * c)
+    p = jnp.zeros_like(at_s)
+    for n in range(-n_images, n_images + 1):
+        nc = n * c
+        p = p + jnp.exp(-2.0 * nc * (nc + bt_s - at_s) / var)
+        p = p - jnp.exp(-2.0 * (nc + at_s) * (nc + bt_s) / var)
+    return jnp.where(inside, jnp.clip(p, 0.0, 1.0), 0.0)
+
+
+def _bridge_log_grid(prob: PricingProblem, method: MonteCarlo, what: str):
+    """Shared grid substrate for the bridge estimators: simulate a STEPPED
+    price grid whose path is Brownian in LOG space within segments, plus
+    the per-segment variances.  Returns ``(spot_grid, seg_vars, v_grid)``
+    with ``spot_grid`` (steps+1, g, paths) time-leading PRICE space,
+    ``seg_vars`` scalar or (steps, g, paths), and ``v_grid`` the
+    (g, steps+1, paths) variance grid on the conditional Heston bridge
+    (None otherwise).
+
+    Supported: LognormalDynamics × EulerMaruyama (segment variance σ²Δt —
+    exact for GBM at any step count) and HestonDynamics ×
+    HestonQE(conditional=True) (segment variance = the grid's integrated
+    variance).  ``what`` names the payoff family in error messages."""
+    market = prob.market_inputs
+    dyn, strat, config = method.dynamics, method.strategy, method.config
+    _, T, _ = _sim_params(prob)
+
+    if isinstance(dyn, LognormalDynamics) and isinstance(strat, EulerMaruyama):
+        if strat.use_kernel:
+            raise TypeError(
+                "the fused GBM kernels return terminal samples without the "
+                f"bridge factors; drop use_kernel=True for {what} payoffs"
+            )
+        sigma = (
+            market.sigma.sigma
+            if isinstance(market.sigma, FlatVolSurface)
+            else get_vol(market.sigma, prob.payoff.expiry, market.spot)
+        )
+        grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
+        spot_grid = jnp.moveaxis(grid, 1, 0)
+        seg_vars = sigma**2 * (T / config.steps)
+        return spot_grid, seg_vars, None
+    if (
+        isinstance(dyn, HestonDynamics)
+        and isinstance(strat, HestonQE)
+        and strat.conditional
+    ):
+        if strat.use_kernel:
+            raise TypeError(
+                f"{what} pricing on the conditional grid is a pure-JAX "
+                "feature; drop use_kernel=True"
+            )
+        s_grid, v_grid = simulate_conditional_grid(prob, config)
+        dt = T / config.steps
+        iv = 0.5 * dt * (v_grid[:, :-1] + v_grid[:, 1:])  # (g, steps, paths)
+        spot_grid = jnp.moveaxis(s_grid, 1, 0)
+        return spot_grid, jnp.moveaxis(iv, 1, 0), v_grid
+    raise TypeError(
+        f"{what} grids need LognormalDynamics with EulerMaruyama or "
+        "HestonDynamics with HestonQE(conditional=True); got "
+        f"({type(dyn).__name__}, {type(strat).__name__})"
+    )
+
+
 def barrier_grid_factors(prob: PricingProblem, method: MonteCarlo):
     """Simulate a STEPPED price grid and its per-segment Brownian-bridge
     no-cross factors for ``prob.payoff`` (a BarrierOption) — the shared
@@ -1308,41 +1397,16 @@ def barrier_grid_factors(prob: PricingProblem, method: MonteCarlo):
     up = isinstance(payoff.direction, Up)
     _, T, _ = _sim_params(prob)
 
-    if isinstance(dyn, LognormalDynamics) and isinstance(strat, EulerMaruyama):
-        if strat.use_kernel:
-            raise TypeError(
-                "the fused GBM kernels return terminal samples without the "
-                "bridge factors; drop use_kernel=True for barrier payoffs"
-            )
-        sigma = (
-            market.sigma.sigma
-            if isinstance(market.sigma, FlatVolSurface)
-            else get_vol(market.sigma, payoff.expiry, market.spot)
-        )
-        grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
-        spot_grid = jnp.moveaxis(grid, 1, 0)
-        seg_vars = sigma**2 * (T / config.steps)
-        factors = brownian_bridge_survival_factors(
-            jnp.log(spot_grid), seg_vars, jnp.log(payoff.barrier), up
-        )
-        v_grid = None
-    elif (
+    if (
+        isinstance(dyn, LognormalDynamics) and isinstance(strat, EulerMaruyama)
+    ) or (
         isinstance(dyn, HestonDynamics)
         and isinstance(strat, HestonQE)
         and strat.conditional
     ):
-        if strat.use_kernel:
-            raise TypeError(
-                "barrier pricing on the conditional grid is a pure-JAX "
-                "feature; drop use_kernel=True"
-            )
-        s_grid, v_grid = simulate_conditional_grid(prob, config)
-        dt = T / config.steps
-        iv = 0.5 * dt * (v_grid[:, :-1] + v_grid[:, 1:])  # (g, steps, paths)
-        spot_grid = jnp.moveaxis(s_grid, 1, 0)
+        spot_grid, seg_vars, v_grid = _bridge_log_grid(prob, method, "barrier")
         factors = brownian_bridge_survival_factors(
-            jnp.log(spot_grid), jnp.moveaxis(iv, 1, 0),
-            jnp.log(payoff.barrier), up,
+            jnp.log(spot_grid), seg_vars, jnp.log(payoff.barrier), up
         )
     elif isinstance(dyn, NormalDynamics) and isinstance(strat, EulerMaruyama):
         if strat.use_kernel:
@@ -1446,6 +1510,80 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
     return MonteCarloSolution(prob, method, price, vals)
 
 
+def _solve_double_barrier_mc(prob: PricingProblem, method: MonteCarlo):
+    """Double-barrier Monte Carlo: simulate a grid, apply the per-segment
+    TWO-SIDED Brownian-bridge no-exit correction
+    (:func:`double_bridge_survival_factors`), pay the unconditional
+    intrinsic at expiry.  Knock-in = intrinsic·(1 − survival) per path.
+    Exact for GBM grids at any step count (`BlackScholesExact` needs ONE
+    bridge over [0, T]); the conditional Heston grid carries per-segment
+    integrated variance.  Rebate legs mirror the single-barrier estimator:
+    at expiry R·D·(1 − surv) (knock-out) / R·D·surv (knock-in), or at the
+    hit time via the first-hit-segment distribution (the double one-touch —
+    this is the route the closed form lacks)."""
+    from ..core.payoffs import KnockOut, require_european
+
+    payoff = prob.payoff
+    require_european(payoff, "MonteCarlo", spot_only=True)
+    if (jnp.ndim(payoff.strike) > 0 or jnp.ndim(payoff.lower) > 0
+            or jnp.ndim(payoff.upper) > 0):
+        raise TypeError(
+            "double-barrier MC prices one (strike, lower, upper) triple per "
+            "solve; vmap over contracts for grids"
+        )
+    market = prob.market_inputs
+    dyn, strat, config = method.dynamics, method.strategy, method.config
+    discount = df(market.rate, payoff.expiry)
+    log_l = jnp.log(payoff.lower)
+    log_u = jnp.log(payoff.upper)
+    _, T, _ = _sim_params(prob)
+
+    if isinstance(dyn, LognormalDynamics) and isinstance(strat, BlackScholesExact):
+        if getattr(strat, "use_kernel", False):
+            raise TypeError(
+                "the fused GBM kernels return terminal samples without the "
+                "bridge factors; drop use_kernel=True for barrier payoffs"
+            )
+        sigma = (
+            market.sigma.sigma
+            if isinstance(market.sigma, FlatVolSurface)
+            else get_vol(market.sigma, payoff.expiry, market.spot)
+        )
+        samples = simulate_terminal_prices(prob, method)  # (g, paths)
+        log_s0 = jnp.full_like(samples, jnp.log(market.spot))
+        log_grid = jnp.stack([log_s0, jnp.log(samples)])  # (2, g, paths)
+        seg_vars = sigma**2 * T
+        t_mids = jnp.asarray([0.5 * T])
+    else:
+        spot_grid, seg_vars, _ = _bridge_log_grid(prob, method, "barrier")
+        log_grid = jnp.log(spot_grid)
+        t_mids = (jnp.arange(config.steps) + 0.5) * (T / config.steps)
+
+    factors = double_bridge_survival_factors(log_grid, seg_vars, log_l, log_u)
+    surv = jnp.prod(factors, axis=0)
+    s_t = jnp.exp(log_grid[-1])
+    pay = payoff(s_t)  # unconditional terminal intrinsic, (g, paths)
+    rebate = payoff.rebate
+    if isinstance(payoff.knock, KnockOut):
+        vals = pay * surv
+        if payoff.rebate_at_hit:
+            # P(first exit in segment k) = (Π_{j<k} f_j)·(1 − f_k), rebate
+            # discounted at the segment midpoint (carried as d/D(T) since
+            # the common discount multiplies vals at the end)
+            cum = jnp.cumprod(factors, axis=0)
+            prev = jnp.concatenate([jnp.ones_like(factors[:1]), cum[:-1]], axis=0)
+            first_hit = prev * (1.0 - factors)  # (steps, g, paths)
+            d_mid = df_yf(market.rate, t_mids)  # (steps,)
+            reb = jnp.sum(d_mid[:, None, None] * first_hit, axis=0)
+            vals = vals + (rebate / discount) * reb
+        else:
+            vals = vals + rebate * (1.0 - surv)
+    else:  # KnockIn: rebate pays at expiry iff the corridor is never left
+        vals = pay * (1.0 - surv) + rebate * surv
+    price = discount * jnp.mean(vals, axis=(0, -1))
+    return MonteCarloSolution(prob, method, price, vals)
+
+
 def _solve_lookback_mc(prob: PricingProblem, method: MonteCarlo):
     """Lookback Monte Carlo: simulate a grid, draw the per-segment
     Brownian-bridge extremum (:func:`brownian_bridge_extremum`), pay the
@@ -1478,9 +1616,7 @@ def _solve_lookback_mc(prob: PricingProblem, method: MonteCarlo):
     _, T, _ = _sim_params(prob)
     anti = isinstance(config.variance_reduction, Antithetic)
 
-    if isinstance(dyn, LognormalDynamics) and isinstance(
-        strat, (BlackScholesExact, EulerMaruyama)
-    ):
+    if isinstance(dyn, LognormalDynamics) and isinstance(strat, BlackScholesExact):
         if getattr(strat, "use_kernel", False):
             raise TypeError(
                 "the fused GBM kernels return terminal samples without the "
@@ -1491,36 +1627,13 @@ def _solve_lookback_mc(prob: PricingProblem, method: MonteCarlo):
             if isinstance(market.sigma, FlatVolSurface)
             else get_vol(market.sigma, payoff.expiry, market.spot)
         )
-        if isinstance(strat, BlackScholesExact):
-            samples = simulate_terminal_prices(prob, method)  # (g, paths)
-            log_s0 = jnp.full_like(samples, jnp.log(market.spot))
-            log_grid = jnp.stack([log_s0, jnp.log(samples)])  # (2, g, paths)
-            seg_vars = sigma**2 * T
-        else:
-            grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
-            log_grid = jnp.log(jnp.moveaxis(grid, 1, 0))
-            seg_vars = sigma**2 * (T / config.steps)
-    elif (
-        isinstance(dyn, HestonDynamics)
-        and isinstance(strat, HestonQE)
-        and strat.conditional
-    ):
-        if strat.use_kernel:
-            raise TypeError(
-                "lookback pricing on the conditional grid is a pure-JAX "
-                "feature; drop use_kernel=True"
-            )
-        s_grid, v_grid = simulate_conditional_grid(prob, config)
-        dt = T / config.steps
-        iv = 0.5 * dt * (v_grid[:, :-1] + v_grid[:, 1:])  # (g, steps, paths)
-        log_grid = jnp.log(jnp.moveaxis(s_grid, 1, 0))
-        seg_vars = jnp.moveaxis(iv, 1, 0)
+        samples = simulate_terminal_prices(prob, method)  # (g, paths)
+        log_s0 = jnp.full_like(samples, jnp.log(market.spot))
+        log_grid = jnp.stack([log_s0, jnp.log(samples)])  # (2, g, paths)
+        seg_vars = sigma**2 * T
     else:
-        raise TypeError(
-            "lookback grids need LognormalDynamics with BlackScholesExact/"
-            "EulerMaruyama, or HestonDynamics with HestonQE(conditional="
-            f"True); got ({type(dyn).__name__}, {type(strat).__name__})"
-        )
+        spot_grid, seg_vars, _ = _bridge_log_grid(prob, method, "lookback")
+        log_grid = jnp.log(spot_grid)
 
     n_seg = log_grid.shape[0] - 1
     k_ext = jax.random.fold_in(_base_key(config, None), 0x6C6F6F6B)  # "look"
@@ -1679,10 +1792,12 @@ def conditional_payoff_close(payoff, f_eff, iv_var):
         AsianOption,
         BarrierOption,
         DigitalOption,
+        DoubleBarrierOption,
         LookbackOption,
     )
 
-    if isinstance(payoff, (BarrierOption, AsianOption, LookbackOption)):
+    if isinstance(payoff, (BarrierOption, AsianOption, DoubleBarrierOption,
+                           LookbackOption)):
         raise TypeError(
             f"the conditional close integrates S_T out analytically and "
             f"cannot see the path; {type(payoff).__name__} prices through "
@@ -2214,6 +2329,7 @@ def mc_path_values(
         AsianOption,
         BarrierOption,
         Cliquet,
+        DoubleBarrierOption,
         ForwardStartOption,
         LookbackOption,
         VarianceSwap,
@@ -2222,7 +2338,8 @@ def mc_path_values(
     from ..core.payoffs import BasketOption, SpreadOption
 
     if isinstance(prob.payoff, (AsianOption, BarrierOption, BasketOption,
-                                Cliquet, ForwardStartOption, LookbackOption,
+                                Cliquet, DoubleBarrierOption,
+                                ForwardStartOption, LookbackOption,
                                 SpreadOption, VarianceSwap)):
         raise TypeError(
             f"mc_path_values covers single-asset terminal-sample payoffs; "
@@ -2461,8 +2578,10 @@ def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSol
 
     if isinstance(payoff, BarrierOption):
         return _solve_barrier_mc(prob, method)
-    from ..core.payoffs import LookbackOption
+    from ..core.payoffs import DoubleBarrierOption, LookbackOption
 
+    if isinstance(payoff, DoubleBarrierOption):
+        return _solve_double_barrier_mc(prob, method)
     if isinstance(payoff, LookbackOption):
         return _solve_lookback_mc(prob, method)
     if isinstance(payoff, AsianOption):
