@@ -80,6 +80,26 @@ for at_hit in (False, True):
     print(f"  + rebate 3.0 paid {'at hit ' if at_hit else 'at expiry'}: {p:.6f}")
 print()
 
+# ---- 2b. double barriers and lookbacks --------------------------------------
+dko = hh.DoubleBarrierOption(100.0, EXPIRY, 80.0, 125.0)
+p_img = float(hh.solve(hh.PricingProblem(dko, BS), hh.BlackScholesAnalytic()).price)
+p_dmc = float(hh.solve(hh.PricingProblem(dko, BS),
+                       hh.MonteCarlo(hh.LognormalDynamics(), hh.BlackScholesExact(),
+                                     one_bridge)).price)
+print(f"double knock-out call (80,125): image series {p_img:.6f}   "
+      f"two-sided bridge MC {p_dmc:.6f}")
+
+fl_call = hh.LookbackOption(EXPIRY)  # floating strike: pays S_T − min
+fx_call = hh.LookbackOption(EXPIRY, 100.0, hh.FixedStrike())  # pays (max − K)+
+for po, label in ((fl_call, "floating-strike lookback call"),
+                  (fx_call, "fixed-strike lookback call  ")):
+    p_an = float(hh.solve(hh.PricingProblem(po, BS), hh.BlackScholesAnalytic()).price)
+    p_mc = float(hh.solve(hh.PricingProblem(po, BS),
+                          hh.MonteCarlo(hh.LognormalDynamics(),
+                                        hh.BlackScholesExact(), one_bridge)).price)
+    print(f"{label}: closed form {p_an:.6f}   bridge-extremum MC {p_mc:.6f}")
+print()
+
 # ---- 3. asians -------------------------------------------------------------
 geo = hh.AsianOption(100.0, EXPIRY, 12, hh.European(), hh.Call(), hh.Spot(),
                      hh.GeometricAverage())
