@@ -75,15 +75,10 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
             from ..core.payoffs import European
 
             if not isinstance(payoff.exercise_style, European):
-                # in-out parity is EUROPEAN-only: knocking in leaves a live
-                # American/Bermudan option, so KI = vanilla − KO silently
-                # misprices any early-exercise style
-                raise TypeError(
-                    "knock-in options have no in-out parity under early "
-                    "exercise (knocking in leaves a live option); CRR "
-                    "supports American/Bermudan knock-OUTS and European "
-                    "knock-ins only"
-                )
+                # in-out parity is EUROPEAN-only (knocking in leaves a LIVE
+                # American/Bermudan option); early-exercise knock-ins run
+                # the joint two-layer induction instead
+                return _solve_crr_knock_in_early(prob, method)
             return _solve_crr_knock_in(prob, method)
         return _solve_crr_knock_out(prob, method)
 
@@ -277,6 +272,160 @@ def _solve_crr_knock_out(prob: PricingProblem, method: CoxRossRubinsteinMethod):
     steps_rev = jnp.arange(steps - 1, -1, -1)
     value_final, _ = jax.lax.scan(step_fn, value0, steps_rev)
     return CRRSolution(prob, method, value_final[..., 0])
+
+
+def _solve_crr_knock_in_early(
+    prob: PricingProblem, method: CoxRossRubinsteinMethod
+):
+    """American/Bermudan knock-IN: hit-time quadrature against the lattice
+    value of the LIVE option at the barrier (no in-out parity exists —
+    knocking in leaves a live early-exercise option, not a terminal payout).
+
+    By the strong Markov property, under the engine's lognormal dynamics
+
+        KI = ∫₀ᵀ  D(0,t) · V_live(t, H) · dF(t)  +  R · D(0,T) · (1 − F(T)),
+
+    where F is the CLOSED-FORM first-passage law of the drifted log-spot to
+    the barrier (inverse-Gaussian; drift z(T) − q − σ²/2, the same flat
+    per-step drift the lattice itself uses) and V_live(t, H) is the
+    American/Bermudan vanilla value at the barrier — one standard lattice
+    induction (layer A), interpolated at log H per time step.  The
+    quadrature is per-segment midpoint: P(τ ∈ segment) from F differences,
+    V at the segment-endpoint average, curve discount at the midpoint.
+
+    Chosen over a crossing-mass-absorption lattice (the knock-out engine
+    with rebate → V_live): absorption converges only as O(√ΔT) — the
+    two-point child quadrature near the barrier misweights the kinked
+    value function — measured +270 bp → +23 bp over 250→2000 steps on an
+    up-in call, while this quadrature is exact in the hit law and measured
+    ~1 bp at 2000 steps (the residual is layer A's node-interp sawtooth).
+
+    Sanity anchors (tests/unit/test_barrier.py, test_american_barrier.py):
+    an American up-in CALL on a carry-free market equals the European
+    knock-in parity price (early exercise of the live call is never
+    optimal); H at the spot recovers the plain American vanilla; KI ≤
+    vanilla American; KI_am ≥ KI_eu; KI_am + KO_am superreplicates.
+    """
+    from ..core.payoffs import Up
+
+    payoff = prob.payoff
+    market = prob.market_inputs
+    steps = method.steps
+    if not isinstance(payoff.underlying, Spot):
+        raise TypeError("barrier CRR monitors the spot; use Spot underlying")
+    if jnp.ndim(payoff.strike) > 0 or jnp.ndim(payoff.barrier) > 0:
+        raise TypeError(
+            "barrier CRR prices one (strike, barrier) pair per solve; vmap "
+            "over contracts for grids"
+        )
+
+    from ..market.inputs import carry_yield, forward_spot
+
+    sigma = get_vol(market.sigma, payoff.expiry, payoff.strike)
+    T = market_yearfrac(market, payoff.expiry)
+    D_T = df(market.rate, payoff.expiry)
+    q = carry_yield(market)
+    forward = forward_spot(market, T) / D_T
+    dT = T / steps
+    u = jnp.exp(sigma * jnp.sqrt(dT))
+    p = 1.0 / (1.0 + u)
+    step_discount = jnp.exp(-zero_rate(market.rate, payoff.expiry) * dT)
+
+    j = jnp.arange(steps + 1)
+    up = isinstance(payoff.direction, Up)
+    log_b = jnp.log(payoff.barrier)
+    R = payoff.rebate
+    rate_curve = market.rate
+
+    def log_spot_nodes(i, offsets):
+        return (
+            jnp.log(forward)
+            + (q - zero_rate_yf(rate_curve, i * dT)) * (steps - i) * dT
+            + offsets * sigma * jnp.sqrt(dT)
+        )
+
+    from ..core.payoffs import Bermudan, bermudan_step_mask
+
+    is_bermudan = isinstance(payoff.exercise_style, Bermudan)
+    ex_mask = (
+        bermudan_step_mask(payoff.exercise_style, market, payoff.expiry, steps)
+        if is_bermudan else None
+    )
+
+    x_T = log_spot_nodes(steps, 2 * j - steps)
+    am0 = payoff(jnp.exp(x_T))  # live vanilla terminal value
+
+    sq_dT = sigma * jnp.sqrt(dT)
+
+    def barrier_interp(vals, it):
+        # linear interpolation of ``vals`` at log H across the node axis,
+        # CLAMPED to the valid triangle: after steps−it contractions only
+        # slots 0..it hold real node values (slot j, exponent 2j−it; later
+        # slots carry the roll wrap-around).  Clamping is benign — it only
+        # engages while the lattice cannot reach the barrier, where the
+        # first-passage mass it multiplies is ~0 (P(τ ≤ it·ΔT) ≲ Φ(−√it)).
+        c = jnp.log(forward) + (
+            q - zero_rate_yf(rate_curve, it * dT)
+        ) * (steps - it) * dT
+        jf = jnp.clip(((log_b - c) / sq_dT + it) / 2.0, 0.0, it)
+        j0 = jnp.clip(jnp.floor(jf).astype(jnp.int32), 0, steps - 1)
+        w = jf - j0
+        return (1.0 - w) * vals[j0] + w * vals[j0 + 1]
+
+    def step_fn(am, i):
+        # layer A: live American/Bermudan vanilla, barrier value collected
+        x_i = log_spot_nodes(i, 2 * j - i)
+        am_up = jnp.roll(am, -1, axis=-1)
+        am_cont = step_discount * (p * am_up + (1.0 - p) * am)
+        exercised = jnp.maximum(am_cont, payoff(jnp.exp(x_i)))
+        if is_bermudan:
+            am_i = jnp.where(ex_mask[i], exercised, am_cont)
+        else:
+            am_i = exercised
+        return am_i, barrier_interp(am_i, i)
+
+    steps_rev = jnp.arange(steps - 1, -1, -1)
+    am_root_vec, ys_rev = jax.lax.scan(step_fn, am0, steps_rev)
+    # V_live(t_k, H) for k = 0..steps (terminal = intrinsic at the barrier)
+    y = jnp.concatenate(
+        [ys_rev[::-1], jnp.asarray(payoff(payoff.barrier))[None]]
+    )
+
+    # ---- closed-form first-passage law of the log-spot to log H ----
+    # Drift is the lattice's own flat horizon drift ν = z(T) − q − σ²/2
+    # (a non-flat curve enters only through the exact segment discounts).
+    x_root = log_spot_nodes(0, jnp.asarray(0))
+    nu = zero_rate(market.rate, payoff.expiry) - q - 0.5 * sigma**2
+    d = (log_b - x_root) if up else (x_root - log_b)  # > 0 while un-knocked
+    mu = nu if up else -nu  # signed drift TOWARD the barrier
+    d_safe = jnp.maximum(d, 1e-300)
+
+    from jax.scipy.stats import norm as _norm
+
+    def fp_cdf(t):
+        # P(τ_H ≤ t) = Φ((μt − d)/(σ√t)) + e^{2μd/σ²} Φ((−d − μt)/(σ√t));
+        # the reflection term is assembled in log space (e^{2μd/σ²} can
+        # overflow alone when its Φ factor underflows)
+        st = sigma * jnp.sqrt(jnp.maximum(t, 1e-300))
+        direct = _norm.cdf((mu * t - d_safe) / st)
+        reflect = jnp.exp(
+            2.0 * mu * d_safe / sigma**2 + _norm.logcdf((-d_safe - mu * t) / st)
+        )
+        return jnp.where(t > 0.0, direct + reflect, 0.0)
+
+    t_grid = jnp.arange(steps + 1) * dT
+    F = fp_cdf(t_grid)
+    P_seg = jnp.diff(F)
+    t_mid = (jnp.arange(steps) + 0.5) * dT
+    disc_mid = df_yf(rate_curve, t_mid)  # exact curve discount to midpoints
+    v_mid = 0.5 * (y[:-1] + y[1:])
+    ki = jnp.sum(P_seg * disc_mid * v_mid) + R * D_T * (1.0 - F[-1])
+
+    # already beyond the barrier at inception → the option IS the live
+    # American: layer A's root value
+    knocked_root = (x_root >= log_b) if up else (x_root <= log_b)
+    price = jnp.where(knocked_root, am_root_vec[..., 0], ki)
+    return CRRSolution(prob, method, price)
 
 
 def _solve_crr_knock_in(prob: PricingProblem, method: CoxRossRubinsteinMethod):
