@@ -45,7 +45,9 @@ def _wrap_rate(rate, reference_date, daycount):
 
 
 def _wrap_vol(sigma, reference_date):
-    if isinstance(sigma, (FlatVolSurface, RectVolSurface)):
+    from .svi import SVIVolSurface
+
+    if isinstance(sigma, (FlatVolSurface, RectVolSurface, SVIVolSurface)):
         return sigma
     return FlatVolSurface(sigma, reference_date)
 

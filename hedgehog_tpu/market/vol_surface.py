@@ -115,6 +115,10 @@ def get_vol_yf(surface: AnyVolSurface, t, strike):
     (vol_surface.jl:96-98, :178-180)."""
     if isinstance(surface, FlatVolSurface):
         return surface.sigma
+    from .svi import SVIVolSurface
+
+    if isinstance(surface, SVIVolSurface):
+        return surface.vol_yf(t, strike)
     return interp2d_nested(
         t,
         strike,
