@@ -287,6 +287,41 @@ class BachelierInputs(AbstractMarketInputs):
 
 
 @pytree
+class CEVInputs(AbstractMarketInputs):
+    """Constant-elasticity-of-variance market data (beyond-reference model
+    family): dS = (r − q)·S dt + σ·S^β dW with elasticity ``beta`` ∈ (0, 1)
+    and an ABSORBING boundary at zero (the martingale-preserving
+    convention).  ``sigma`` is the CEV scale — its price-vol units are
+    σ·S^{β−1}, so e.g. a 20% lognormal vol at spot 100 with β = ½ means
+    σ = 0.2·100^{½} = 2.  β < 1 produces the equity-style downward implied
+    skew; β → 1 recovers Black-Scholes.  ``sigma`` and ``beta`` are pytree
+    leaves: AD vega/skew-risk and calibration flow as for the other
+    families.  ``daycount`` as on :class:`BlackScholesInputs`."""
+
+    reference_date: Any
+    rate: Any
+    spot: Any
+    sigma: Any
+    beta: Any
+    dividend_yield: Any = 0.0
+    daycount: Any = static_field(default=ACT365F)
+
+    def __post_init__(self):
+        ref = to_ticks(self.reference_date)
+        object.__setattr__(self, "reference_date", ref)
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+        try:
+            b = float(self.beta)
+        except TypeError:
+            return  # traced: domain is the caller's contract
+        if not 0.0 < b < 1.0:
+            raise ValueError(
+                f"CEV elasticity beta must lie in (0, 1); got {b} "
+                "(beta = 1 IS Black-Scholes — use BlackScholesInputs)"
+            )
+
+
+@pytree
 class MultiAssetBSInputs(AbstractMarketInputs):
     """Correlated multi-asset Black-Scholes market (beyond-reference: the
     reference is single-asset throughout): n lognormal assets with spot

@@ -44,6 +44,7 @@ from ..market.inputs import carry_yield, market_yearfrac
 from ..market.vol_surface import FlatVolSurface, get_vol
 from ..models.dynamics import (
     BatesDynamics,
+    CEVDynamics,
     HestonDynamics,
     KouJumpDynamics,
     VarianceGammaDynamics,
@@ -601,6 +602,49 @@ def _bachelier_euler_paths(prob, config, key, *, return_grid: bool, point_offset
         )
         return jnp.moveaxis(grid * d_ratio[:, None, None], 0, 1)
     return x_final
+
+
+def _cev_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
+    """CEV Euler paths in PRICE space (beyond-reference model family):
+    S_{k+1} = max(S_k·(1 + f_k·Δt) + σ·S_k^β·√Δt·Z, 0) with the exact
+    per-step forward rate f_k less the carry.  Price space (not log): the
+    log diffusion σ·S^{β−1} blows up as S → 0 for β < 1, while the price
+    SDE is exactly where the absorbing boundary lives — the max(·, 0) floor
+    IS the absorption (σ·0^β = 0 keeps absorbed paths at zero).  Terminal
+    (n_groups, paths) or grid (n_groups, steps+1, paths)."""
+    market = prob.market_inputs
+    T = market_yearfrac(market, prob.payoff.expiry)
+    steps = config.steps
+    dt = T / steps
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if config.qmc:
+        zb = _qmc_normals(key, steps, 1, config.trajectories, skip=point_offset)[:, 0, :]
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+    else:
+        z = _normals(key, (steps, config.trajectories), anti)
+    d_grid = df_yf(market.rate, jnp.arange(steps + 1) * dt)
+    fwd = jnp.log(d_grid[:-1] / d_grid[1:]) / dt - carry_yield(market)
+    sq = jnp.sqrt(dt)
+    sigma, beta = market.sigma, market.beta
+    s0 = jnp.full((z.shape[0], config.trajectories), market.spot * jnp.ones(()))
+
+    def step(s, inp):
+        zk, fk = inp
+        # double-where guard: d(s^β)/ds → ∞ at the absorbing boundary, so
+        # absorbed paths must see a literal zero diffusion (not 0^β) or
+        # pathwise AD NaNs out (same pattern as the QE psi guards)
+        alive = s > 0.0
+        s_safe = jnp.where(alive, s, 1.0)
+        diffusion = jnp.where(alive, sigma * s_safe**beta, 0.0)
+        s_new = jnp.maximum(s * (1.0 + fk * dt) + diffusion * sq * zk, 0.0)
+        return s_new, (s_new if return_grid else None)
+
+    zs = (jnp.moveaxis(z, 1, 0), fwd)
+    s_T, ss = jax.lax.scan(step, s0, zs)
+    if return_grid:
+        grid = jnp.concatenate([s0[None], ss], axis=0)
+        return jnp.moveaxis(grid, 0, 1)
+    return s_T
 
 
 def _sabr_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
@@ -2498,6 +2542,13 @@ def simulate_terminal_prices(
             prob, config, _base_key(config, key), return_grid=False,
             point_offset=point_offset,
         )
+    if isinstance(strat, EulerMaruyama) and isinstance(dyn, CEVDynamics):
+        if strat.use_kernel:
+            raise TypeError("CEV has no fused kernel; drop use_kernel=True")
+        return _cev_euler_paths(
+            prob, config, _base_key(config, key), return_grid=False,
+            point_offset=point_offset,
+        )
     raise TypeError(
         f"unsupported (dynamics, strategy) = ({type(dyn).__name__}, {type(strat).__name__})"
     )
@@ -2532,6 +2583,8 @@ def simulate_price_grid(
         return _sabr_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, LocalVolDynamics) and isinstance(strat, EulerMaruyama):
         return _local_vol_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
+    if isinstance(dyn, CEVDynamics) and isinstance(strat, EulerMaruyama):
+        return _cev_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, MertonJumpDynamics) and isinstance(strat, EulerMaruyama):
         return _merton_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, NormalDynamics) and isinstance(strat, EulerMaruyama):

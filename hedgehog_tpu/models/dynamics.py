@@ -30,6 +30,7 @@ __all__ = [
     "KouJumpDynamics",
     "VarianceGammaDynamics",
     "NormalDynamics",
+    "CEVDynamics",
     "SABRDynamics",
     "LocalVolDynamics",
     "lognormal_terminal_law",
@@ -81,6 +82,16 @@ class LocalVolDynamics(PriceDynamics):
     implied-vol surface (models/local_vol.py).  Markets are ordinary
     :class:`BlackScholesInputs` whose ``sigma`` is a surface; by
     construction LV Monte Carlo reprices the surface's own vanillas."""
+
+
+@pytree
+class CEVDynamics(PriceDynamics):
+    """Constant elasticity of variance (beyond-reference model family):
+    dS = (r − q)·S dt + σ·S^β dW, β ∈ (0, 1), absorbing at zero.  No
+    log-price CF exists (the law carries an atom at zero) — Fourier
+    methods raise; pricing runs through :class:`CEVAnalytic` (Schroder
+    noncentral-χ² closed form) or price-space Euler Monte Carlo.  Markets
+    carry :class:`CEVInputs`."""
 
 
 @pytree
