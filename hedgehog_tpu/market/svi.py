@@ -129,8 +129,15 @@ class SVIVolSurface:
     def total_variance(self, t, strike):
         """w(t, k) with k = log(strike / F(t)): linear-in-t interpolation of
         the slice total variances at fixed k; proportional-in-t scaling
-        outside the tenor range."""
+        outside the tenor range.  ``t`` is a SCALAR (strike may be any
+        shape); vmap over expiries for time batches — a raw array ``t``
+        would broadcast against the strike axis, not pair with it."""
         t = jnp.asarray(t, jnp.float64)
+        if t.ndim > 0:
+            raise TypeError(
+                "SVIVolSurface.total_variance takes a scalar t; vmap over "
+                "expiries for batched lookups"
+            )
         k = jnp.log(jnp.asarray(strike, jnp.float64) / self.forward_at(t))
         tt = jnp.asarray(self.tenors)
         p = jnp.asarray(self.params)

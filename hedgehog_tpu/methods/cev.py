@@ -28,6 +28,7 @@ IgammaGradA), so AD greeks flow to spot, σ, r, q AND β.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammainc, gammaln
 
@@ -66,6 +67,18 @@ def ncx2_cdf(x, k, lam, terms: int = 2048):
     k = jnp.asarray(k, jnp.float64)
     lam = jnp.asarray(lam, jnp.float64)
     half = lam / 2.0
+    try:  # eager path: refuse a silently-truncated window (λ too large —
+        # for CEV that is β pushed toward 1, where BS is the right model)
+        need = float(jnp.max(half)) ** 0.5 * 14.0
+        if need > terms:
+            raise ValueError(
+                f"ncx2_cdf window of {terms} terms cannot cover "
+                f"noncentrality/2 = {float(jnp.max(half)):.3g} "
+                f"(needs ~{int(need) + 1}); raise `terms` "
+                "(CEVAnalytic(terms=...)) or move β toward Black-Scholes"
+            )
+    except (jax.errors.ConcretizationTypeError, TypeError):
+        pass  # traced: the window contract is the caller's
     j0 = jnp.maximum(jnp.floor(half) - terms // 2, 0.0)
     j = j0[..., None] + jnp.arange(terms, dtype=jnp.float64)
     log_w = j * jnp.log(jnp.maximum(half[..., None], 1e-300)) - half[..., None] - gammaln(j + 1.0)
