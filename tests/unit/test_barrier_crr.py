@@ -133,15 +133,8 @@ def test_knocked_root():
 def test_guards():
     mkt = _market()
     method = hh.CoxRossRubinsteinMethod(50)
-    with pytest.raises(TypeError, match="no in-out parity"):
-        hh.solve(
-            hh.PricingProblem(
-                _barrier(hh.American(), barrier=80.0, knock=hh.KnockIn(),
-                         call_put=hh.Put()),
-                mkt,
-            ),
-            method,
-        )
+    # American knock-ins now PRICE via the hit-time quadrature engine
+    # (test_american_knock_in.py); the remaining guards are structural
     with pytest.raises(TypeError, match="monitors the spot"):
         hh.solve(
             hh.PricingProblem(

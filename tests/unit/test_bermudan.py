@@ -105,12 +105,19 @@ def test_guards():
     with pytest.raises(ValueError, match="outside"):
         hh.solve(hh.PricingProblem(_put(hh.Bermudan((dt.date(2025, 6, 1),))),
                                    _mkt()), crr)
-    # in-out parity is EUROPEAN-only: a Bermudan knock-in must raise, not
-    # silently misprice (a KO subtraction would undershoot the European KI)
+    # Bermudan knock-ins price via the hit-time quadrature (no parity is
+    # USED — the engine integrates the live Bermudan's barrier value), and
+    # must sit between the European and American knock-in prices
     ki = hh.BarrierOption(110.0, EXPIRY, 80.0, hh.Bermudan(QUARTERS),
                           hh.Put(), hh.Spot(), hh.Down(), hh.KnockIn())
-    with pytest.raises(TypeError, match="in-out parity"):
-        hh.solve(hh.PricingProblem(ki, _mkt()), crr)
+    ki_be = float(hh.solve(hh.PricingProblem(ki, _mkt()), crr).price)
+    import dataclasses
+
+    ki_eu = float(hh.solve(hh.PricingProblem(
+        dataclasses.replace(ki, exercise_style=hh.European()), _mkt()), crr).price)
+    ki_am = float(hh.solve(hh.PricingProblem(
+        dataclasses.replace(ki, exercise_style=hh.American()), _mkt()), crr).price)
+    assert ki_eu - 5e-3 <= ki_be <= ki_am + 1e-9, (ki_eu, ki_be, ki_am)
     # Bermudan masks are concrete lattice structure: jitting over the
     # problem raises a directed TypeError instead of a tracer leak
     import jax
