@@ -64,8 +64,8 @@ class LSM(AbstractPricingMethod):
     rao_blackwell: bool = static_field(default=True)
 
 
-def _masked_lstsq_eval(phi, y, w, psum_axis: Optional[str]):
-    """Fit y ~ phi·β on rows where w==1; return fitted values at all rows.
+def _masked_lstsq_beta(phi, y, w, psum_axis: Optional[str]):
+    """Fit y ~ phi·β on rows where w==1; return β.
 
     Weighted normal equations with a tiny ridge: singular systems (e.g. no
     ITM paths) stay solvable and are masked out downstream.  Under path
@@ -83,8 +83,12 @@ def _masked_lstsq_eval(phi, y, w, psum_axis: Optional[str]):
     ridge = 1e-10 * jnp.eye(n_terms) * (1.0 + jnp.trace(A) / n_terms)
     # unrolled Cholesky (math/linalg.py): jnp.linalg.solve lowers to an f64
     # LuDecomposition that TPU cannot compile
-    beta = cholesky_solve_small(A + ridge, b)
-    return phi @ beta
+    return cholesky_solve_small(A + ridge, b)
+
+
+def _masked_lstsq_eval(phi, y, w, psum_axis: Optional[str]):
+    """Fitted values phi·β of the masked regression (see _masked_lstsq_beta)."""
+    return phi @ _masked_lstsq_beta(phi, y, w, psum_axis)
 
 
 def _poly_basis(x, degree: int):
@@ -108,6 +112,7 @@ def lsm_backward_induction(
     spots, payoff, log_disc, degree: int, strike_scale,
     psum_axis: Optional[str] = None, vols=None, terminal_value=None,
     surv_factors=None, rebate_spec=None, exercise_mask=None,
+    barrier_eval=None,
 ):
     """Backward stopping-rule induction over a (steps+1, paths) price grid.
 
@@ -139,7 +144,18 @@ def lsm_backward_induction(
     ``exercise_mask`` (Bermudan): a concrete (nsteps,) bool array gating
     exercise per grid time (core.payoffs.bermudan_step_mask); None =
     American (every grid date).
+
+    ``barrier_eval = (h_scaled, intrinsic_h)`` (American knock-INS): each
+    step ALSO evaluates the fitted continuation at the BARRIER state
+    (s = h_scaled·strike_scale, per-path v on joint-basis grids) and
+    returns ``(tau, value, ys)`` with ys[i] = max(intrinsic_h, φ(H, v)·β)
+    at t = nsteps−1−i — the live option's value where the hit happens,
+    which the knock-in estimator integrates against the first-hit-segment
+    distribution (_solve_lsm_knock_in).  Mutually exclusive with
+    ``surv_factors`` (the live option is a plain vanilla).
     """
+    if barrier_eval is not None and surv_factors is not None:
+        raise TypeError("barrier_eval is for knock-ins; surv_factors for knock-outs")
     nsteps = spots.shape[0] - 1
     tau0 = jnp.full((spots.shape[1],), nsteps, dtype=jnp.float64)
     value0 = payoff(spots[nsteps]) if terminal_value is None else terminal_value
@@ -203,7 +219,8 @@ def lsm_backward_induction(
                 [phi, q_t[:, None], (q_t * q_t)[:, None], (q_t * s_n)[:, None]],
                 axis=1,
             )
-        fitted = _masked_lstsq_eval(phi, continuation, w, psum_axis)
+        beta = _masked_lstsq_beta(phi, continuation, w, psum_axis)
+        fitted = phi @ beta
         exercise = itm & (payoff_t > fitted)
         if exercise_mask is not None:
             exercise = exercise & exercise_mask[t]
@@ -213,10 +230,20 @@ def lsm_backward_induction(
             fsurv = jnp.where(exercise, 1.0, fsurv_cont)
             rleg = jnp.where(exercise, 0.0, rleg_cont)
             return (tau, value, fsurv, rleg), None
+        if barrier_eval is not None:
+            h_scaled, intrinsic_h = barrier_eval
+            if vols is None:
+                phi_h = _poly_basis(jnp.full_like(s_t, h_scaled * 1.0), degree)
+            else:
+                phi_h = _joint_basis(jnp.full_like(s_t, h_scaled * 1.0), v_t, degree)
+            y_t = jnp.maximum(intrinsic_h, phi_h @ beta)
+            return (tau, value), y_t
         return (tau, value), None
 
     ts = jnp.arange(nsteps - 1, 0, -1)  # nsteps-1 … 1 (t=0 excluded, lsm.jl:114)
-    out, _ = jax.lax.scan(step, carry0, ts)
+    out, ys = jax.lax.scan(step, carry0, ts)
+    if barrier_eval is not None:
+        return out + (ys,)
     return out
 
 
@@ -247,12 +274,6 @@ def _lsm_setup(prob: PricingProblem, method: LSM):
         raise TypeError(
             "barrier LSM carries the single-barrier survival state only; "
             "American double-barrier pricing is unsupported"
-        )
-    if isinstance(payoff, BarrierOption) and isinstance(payoff.knock, KnockIn):
-        raise TypeError(
-            "American knock-in has no in-out parity (knocking in leaves a "
-            "live American option) and its value needs the hit-time state; "
-            "LSM supports American knock-OUTS"
         )
     market = prob.market_inputs
     T = market_yearfrac(market, payoff.expiry)
@@ -303,11 +324,13 @@ def rb_terminal_value(prob: PricingProblem, spots, vols):
 
 @register_solver(LSM)
 def _solve_lsm(prob: PricingProblem, method: LSM) -> LSMSolution:
-    from ..core.payoffs import BarrierOption
+    from ..core.payoffs import BarrierOption, KnockIn
 
     log_disc, strike_scale = _lsm_setup(prob, method)
     ex_mask = _exercise_mask(prob, method)
     if isinstance(prob.payoff, BarrierOption):
+        if isinstance(prob.payoff.knock, KnockIn):
+            return _solve_lsm_knock_in(prob, method, log_disc, strike_scale, ex_mask)
         return _solve_lsm_knock_out(prob, method, log_disc, strike_scale, ex_mask)
     if _is_conditional(method.mc_method):
         # conditional LSM (American at flagship speed): variance-only QE path
@@ -341,6 +364,74 @@ def _exercise_mask(prob: PricingProblem, method: LSM):
         prob.payoff.exercise_style, prob.market_inputs, prob.payoff.expiry,
         method.mc_method.config.steps,
     )
+
+
+def _solve_lsm_knock_in(
+    prob: PricingProblem, method: LSM, log_disc, strike_scale, ex_mask=None
+) -> LSMSolution:
+    """American/Bermudan knock-IN barrier LSM — the hit-time estimator on a
+    SIMULATED grid (beyond the lattice engine, this handles STOCHASTIC
+    VARIANCE: the live option's value at the hit depends on (τ, V_τ)).
+
+    By the strong Markov property KI = E[Σ_k 1{first hit ∈ seg k}·D(t_k)·
+    V_live(t_k, H, V_k)] + R·D(T)·P(never hit).  Per path, the first-hit-
+    segment distribution comes from the bridge no-cross factors (the same
+    substrate as the knock-out legs), and V_live(t, H, v) is the VANILLA
+    American induction's fitted continuation evaluated AT THE BARRIER —
+    max(intrinsic(H), φ(H, v)·β_t), per-path in v on the conditional Heston
+    grid (this is where the hit-time state lives; a lattice cannot carry
+    it).  The (hit-prob × barrier-value) product is per-path, so the
+    fh_k ↔ V_k correlation through the variance path is captured — the
+    quantity a deterministic hit-law quadrature misses under Heston.
+
+    Accuracy: the regression surrogate extrapolates the continuation fit to
+    s = H; for down-in puts (H below spot, deep ITM) the barrier sits
+    inside the well-sampled ITM regression region.  Validated against the
+    closed-hit-law CRR engine on GBM grids and in the σ_v → 0 Heston
+    degeneration (tests/agreement/test_american_knock_in_mc.py)."""
+    from ..market.rate_curve import df_yf
+    from .montecarlo import barrier_grid_factors
+
+    from ..core.payoffs import Spot
+
+    payoff = prob.payoff
+    market = prob.market_inputs
+    if not isinstance(payoff.underlying, Spot):
+        raise TypeError("barrier LSM monitors the spot; use Spot underlying")
+    if jnp.ndim(payoff.strike) > 0 or jnp.ndim(payoff.barrier) > 0:
+        raise TypeError(
+            "barrier LSM prices one (strike, barrier) pair per solve; vmap "
+            "over contracts for grids"
+        )
+    spot_grid, factors, t_mids, v_grid = barrier_grid_factors(
+        prob, method.mc_method
+    )
+    nsteps = factors.shape[0]
+    spots = spot_grid.reshape(nsteps + 1, -1)
+    surv = factors.reshape(nsteps, -1)
+    vols = _flatten_grid(v_grid) if v_grid is not None else None
+
+    intrinsic_h = payoff(payoff.barrier)
+    tau, value, ys_rev = lsm_backward_induction(
+        spots, payoff, log_disc, method.degree, strike_scale, vols=vols,
+        exercise_mask=ex_mask,
+        barrier_eval=(payoff.barrier / strike_scale, intrinsic_h),
+    )
+    # V_live(t_k, H, V_k) over k = 0..nsteps: no t=0 regression (the
+    # induction excludes it — reuse t=1's fit; the first segment's hit mass
+    # is paired with it), terminal hit = intrinsic at the barrier
+    ys = ys_rev[::-1]  # t = 1..nsteps−1
+    y_full = jnp.concatenate(
+        [ys[:1], ys, jnp.full_like(ys[:1], intrinsic_h)], axis=0
+    )  # (nsteps+1, N)
+    v_mid = 0.5 * (y_full[:-1] + y_full[1:])  # per-segment midpoint value
+
+    past = jnp.concatenate([jnp.ones_like(surv[:1]), jnp.cumprod(surv, axis=0)])
+    first_hit = past[:-1] * (1.0 - surv)  # (nsteps, N)
+    d_mid = df_yf(market.rate, t_mids)
+    knocked_leg = jnp.mean(jnp.sum(d_mid[:, None] * first_hit * v_mid, axis=0))
+    rebate_leg = payoff.rebate * df(market.rate, payoff.expiry) * jnp.mean(past[-1])
+    return LSMSolution(prob, method, knocked_leg + rebate_leg, (tau, value), spots)
 
 
 def _solve_lsm_knock_out(

@@ -171,16 +171,19 @@ def test_sharded_lsm_rejects_barriers():
         fn(hh.PricingProblem(_amer_ko(barrier=80.0), _market()))
 
 
-def test_lsm_rejects_american_knock_in():
-    with pytest.raises(TypeError, match="knock-OUT"):
-        hh.solve(
-            hh.PricingProblem(
-                hh.BarrierOption(110.0, EXPIRY, 80.0, hh.American(), hh.Put(),
-                                 hh.Spot(), hh.Down(), hh.KnockIn()),
-                _market(),
-            ),
-            hh.LSM(_mc(steps=10, paths=256), 2),
-        )
+def test_lsm_american_knock_in_prices():
+    """American knock-ins now PRICE on LSM grids via the hit-time estimator
+    (the deep agreement suite is test_american_knock_in_mc.py) — a coarse
+    run must land between zero and the vanilla American."""
+    ki = hh.BarrierOption(110.0, EXPIRY, 80.0, hh.American(), hh.Put(),
+                          hh.Spot(), hh.Down(), hh.KnockIn())
+    p = float(hh.solve(hh.PricingProblem(ki, _market()),
+                       hh.LSM(_mc(steps=25, paths=2048), 3)).price)
+    van = float(hh.solve(
+        hh.PricingProblem(hh.VanillaOption(110.0, EXPIRY, hh.American(),
+                                           hh.Put(), hh.Spot()), _market()),
+        hh.CoxRossRubinsteinMethod(500)).price)
+    assert 0.0 < p < van
 
 
 def test_lsm_barrier_needs_bridge_grid():

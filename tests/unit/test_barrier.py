@@ -174,14 +174,13 @@ def test_barrier_unsupported_routes_raise():
     am = hh.BarrierOption(100.0, EXPIRY, 90.0, hh.American())
     with pytest.raises(TypeError):
         hh.solve(hh.PricingProblem(am, _bs_market()), hh.BlackScholesAnalytic())
-    # CRR now PRICES American knock-ins (hit-time quadrature,
-    # test_american_knock_in.py); LSM still rejects them (the knocked-in
-    # claim is a live American — the hit-time state is not in the grid)
+    # American knock-ins now PRICE on both engines (CRR hit-time
+    # quadrature, LSM hit-time estimator); a non-bridge grid still raises
     am_ki = hh.BarrierOption(100.0, EXPIRY, 90.0, hh.American(),
                              knock=hh.KnockIn())
-    with pytest.raises(TypeError, match="knock-OUT"):
+    with pytest.raises(TypeError, match="barrier grids need"):
         hh.solve(hh.PricingProblem(am_ki, hmkt),
-                 hh.LSM(hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(conditional=True), cfg), 3))
+                 hh.LSM(hh.MonteCarlo(hh.HestonDynamics(), hh.EulerMaruyama(), cfg), 3))
 
 
 def test_zero_vol_barrier_deterministic():
