@@ -97,3 +97,19 @@ d = jax.grad(
     ).price
 )(jnp.float64(S0))
 print("American knock-in delta (AD):", round(float(d), 4))
+
+# the second engine: LSM hit-time estimator — and the HESTON case, where
+# the live option's value at the hit depends on the variance state V_tau
+# (the conditional grid's joint (S, V) regression carries it per path)
+cfg = hh.SimulationConfig(trajectories=1 << 13, steps=50,
+                          variance_reduction=hh.Antithetic(), seed=0, qmc=True)
+lsm_bs = hh.LSM(hh.MonteCarlo(hh.LognormalDynamics(), hh.EulerMaruyama(), cfg), 4)
+p_lsm = float(hh.solve(hh.PricingProblem(down_in_am, mkt_flat), lsm_bs).price)
+print(f"LSM hit-time engine (GBM grid): {p_lsm:.4f}  (lattice {aki:.4f})")
+
+heston = hh.HestonInputs(REF, 0.05, S0, 0.0625, 2.0, 0.0625, 0.4, -0.6)
+cfg_h = hh.SimulationConfig(trajectories=1 << 13, steps=50,
+                            variance_reduction=hh.Antithetic(), seed=0)
+lsm_h = hh.LSM(hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(conditional=True), cfg_h), 3)
+p_h = float(hh.solve(hh.PricingProblem(down_in_am, heston), lsm_h).price)
+print(f"HESTON American down-in put (hit-time variance state): {p_h:.4f}")
