@@ -50,6 +50,9 @@ __all__ = [
     "Cliquet",
     "SpreadOption",
     "BasketOption",
+    "RainbowOption",
+    "CompoundOption",
+    "ChooserOption",
     "Averaging",
     "ArithmeticAverage",
     "GeometricAverage",
@@ -488,6 +491,92 @@ class BasketOption:
         else:
             basket = jnp.sum(w * s, axis=-1)
         return jnp.maximum(cp * (basket - self.strike), 0.0)
+
+
+@pytree
+class RainbowOption:
+    """A two-or-more-asset best-of/worst-of option — beyond the reference's
+    single-asset taxonomy: pays max(cp·(ext_i S^i_T − K), 0) at ``expiry``
+    with ext = max (``best=True``) or min over the assets of a
+    :class:`MultiAssetBSInputs` market.  Two assets price in closed form
+    (Stulz 1982 via the bivariate normal, max by the min-identity
+    max = S₁ + S₂ − min); any asset count prices by correlated exact
+    terminal MC.  ``__call__`` maps the asset matrix (..., n_assets) to
+    the intrinsic."""
+
+    strike: Any
+    expiry: Any
+    best: bool = static_field(default=True)
+    exercise_style: ExerciseStyle = static_field(default=European())
+    call_put: CallPut = static_field(default=Call())
+    underlying: Underlying = static_field(default=Spot())
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+
+    def __call__(self, spots):
+        cp = self.call_put()
+        s = jnp.asarray(spots)
+        ext = jnp.max(s, axis=-1) if self.best else jnp.min(s, axis=-1)
+        return jnp.maximum(cp * (ext - self.strike), 0.0)
+
+
+@pytree
+class CompoundOption:
+    """An option on an option (Geske 1979) — beyond the reference's vanilla
+    taxonomy: at ``decision_date`` the holder may pay ``strike`` for the
+    INNER European vanilla (``inner_call_put``, ``inner_strike``,
+    ``expiry``).  All four variants (call/put on call/put) price in closed
+    form under Black-Scholes via the bivariate normal with correlation
+    √(t₁/T₂) and the Geske critical spot (an implicit-root solve, IFT
+    differentiable); the MC oracle draws S_{t₁} exactly and closes with the
+    inner Black-Scholes value.  ``__call__`` maps the DECISION-date spot to
+    the undiscounted decision value given the inner value function is
+    closed over it by the pricer — pricers use ``decision_value``."""
+
+    strike: Any
+    decision_date: Any
+    inner_strike: Any
+    expiry: Any
+    exercise_style: ExerciseStyle = static_field(default=European())
+    call_put: CallPut = static_field(default=Call())
+    inner_call_put: CallPut = static_field(default=Call())
+    underlying: Underlying = static_field(default=Spot())
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+        object.__setattr__(self, "decision_date", to_ticks(self.decision_date))
+        if self.decision_date >= self.expiry:
+            raise ValueError(
+                "compound decision_date must precede the inner expiry"
+            )
+
+    def decision_value(self, inner_value):
+        """max(w₁·(inner − K₁), 0) at the decision date."""
+        cp = self.call_put()
+        return jnp.maximum(cp * (jnp.asarray(inner_value) - self.strike), 0.0)
+
+
+@pytree
+class ChooserOption:
+    """A simple chooser — beyond the reference's vanilla taxonomy: at
+    ``choose_date`` the holder picks EITHER the call OR the put with the
+    same ``strike``/``expiry``.  Closed form under Black-Scholes: the
+    chooser decomposes as call(K, T) + put(K·e^{−(r−q)(T−t₁)} adjusted,
+    t₁)-style via max(C, P) = C + max(P − C, 0) and put-call parity —
+    the second leg is a put on the t₁-forward (Rubinstein 1991)."""
+
+    strike: Any
+    expiry: Any
+    choose_date: Any
+    exercise_style: ExerciseStyle = static_field(default=European())
+    underlying: Underlying = static_field(default=Spot())
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+        object.__setattr__(self, "choose_date", to_ticks(self.choose_date))
+        if self.choose_date >= self.expiry:
+            raise ValueError("chooser choose_date must precede expiry")
 
 
 @pytree

@@ -374,6 +374,79 @@ def bs_lookback_price(spot, strike, extremum, vol, T, discount, cp,
     return jnp.where((vol > 0) & (T > 0), price, det)
 
 
+def _solve_bs_two_date(prob: PricingProblem, method) -> AnalyticSolution:
+    """Two-date closed forms under flat-vol Black-Scholes: compound options
+    (Geske 1979, all four variants via the bivariate normal with
+    ρ = √(t₁/T₂) and the IFT-differentiable critical spot) and simple
+    choosers (max(C, P) at t₁ = call + a put on the t₁-forward, by parity).
+    Both need ONE σ across both horizons, so a flat vol surface is
+    required — term structures are model choices these forms don't make."""
+    from jax.scipy.stats import norm
+
+    from ..core.payoffs import CompoundOption
+    from ..market.inputs import carry_yield
+    from ..market.vol_surface import FlatVolSurface
+    from ..math.bvn import bvn_cdf
+    from ..math.rootfind import implicit_root
+
+    payoff = prob.payoff
+    market = prob.market_inputs
+    if not isinstance(market.sigma, FlatVolSurface):
+        raise TypeError(
+            "compound/chooser closed forms need a flat vol (one σ spans "
+            "both decision and expiry horizons); price surfaces by MC"
+        )
+    sigma = market.sigma.sigma
+    q = carry_yield(market)
+    is_compound = isinstance(payoff, CompoundOption)
+    t1_ticks = payoff.decision_date if is_compound else payoff.choose_date
+    t1 = market_yearfrac(market, t1_ticks)
+    T2 = market_yearfrac(market, payoff.expiry)
+    D1 = df(market.rate, t1_ticks)
+    D2 = df(market.rate, payoff.expiry)
+    D12 = D2 / D1
+    spot = market.spot
+
+    if not is_compound:
+        # chooser = call(K, T₂) + put on X = S_{t₁}e^{−q(T₂−t₁)} struck at
+        # K·D(t₁,T₂), expiring at t₁ (parity at the choose date)
+        leg1 = bs_price(
+            spot * jnp.exp(-q * T2) / D2, payoff.strike, sigma, T2, D2, 1.0
+        )
+        leg2 = bs_price(
+            spot * jnp.exp(-q * T2) / D1, payoff.strike * D12, sigma, t1, D1, -1.0
+        )
+        return AnalyticSolution(prob, method, leg1 + leg2)
+
+    w1, w2 = payoff.call_put(), payoff.inner_call_put()
+    K1, K2 = payoff.strike, payoff.inner_strike
+    tau = T2 - t1
+
+    def inner_value(log_s):
+        s = jnp.exp(log_s)
+        return bs_price(s * jnp.exp(-q * tau) / D12, K2, sigma, tau, D12, w2)
+
+    # Geske critical spot: inner(S*) = K₁, bisected in log-spot (monotone:
+    # increasing for an inner call, decreasing for an inner put), IFT
+    # gradients through the captured parameters
+    log_k2 = jnp.log(K2)
+    s_star = jnp.exp(
+        implicit_root(lambda x: inner_value(x) - K1, log_k2 - 20.0, log_k2 + 20.0)
+    )
+    sq1, sq2 = sigma * jnp.sqrt(t1), sigma * jnp.sqrt(T2)
+    a1 = (jnp.log(spot * jnp.exp(-q * t1) / (D1 * s_star)) + 0.5 * sigma**2 * t1) / sq1
+    a2 = a1 - sq1
+    b1 = (jnp.log(spot * jnp.exp(-q * T2) / (D2 * K2)) + 0.5 * sigma**2 * T2) / sq2
+    b2 = b1 - sq2
+    rho = jnp.sqrt(t1 / T2)
+    s12 = w1 * w2
+    price = s12 * (
+        spot * jnp.exp(-q * T2) * bvn_cdf(s12 * a1, w2 * b1, w1 * rho)
+        - K2 * D2 * bvn_cdf(s12 * a2, w2 * b2, w1 * rho)
+    ) - w1 * K1 * D1 * norm.cdf(s12 * a2)
+    return AnalyticSolution(prob, method, price)
+
+
 @register_solver(BlackScholesAnalytic)
 def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> AnalyticSolution:
     payoff = prob.payoff
@@ -401,10 +474,15 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
         VarianceSwap,
     )
 
-    if isinstance(payoff, (SpreadOption, BasketOption)):
+    from ..core.payoffs import ChooserOption, CompoundOption, RainbowOption
+
+    if isinstance(payoff, (SpreadOption, BasketOption, RainbowOption)):
         from .multi_asset import solve_multi_asset_analytic
 
         return solve_multi_asset_analytic(prob, method)
+
+    if isinstance(payoff, (CompoundOption, ChooserOption)):
+        return _solve_bs_two_date(prob, method)
 
     if isinstance(payoff, Cliquet):
         # each period's clipped simple return decomposes as

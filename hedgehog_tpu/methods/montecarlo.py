@@ -1726,6 +1726,60 @@ def _solve_cliquet_mc(prob: PricingProblem, method: MonteCarlo):
     return MonteCarloSolution(prob, method, price, vals)
 
 
+def _solve_two_date_mc(prob: PricingProblem, method: MonteCarlo):
+    """Compound/chooser Monte Carlo oracle: draw S_{t₁} from the EXACT
+    lognormal law (curve forward, carry), close with the inner
+    Black-Scholes value at the decision/choose date (the inner option is
+    European vanilla — its t₁-value is the closed form, so the only MC
+    dimension is the decision-date spot), discount at D(t₁).  Lognormal
+    dynamics only: the estimator's closing step IS Black-Scholes."""
+    from ..core.payoffs import CompoundOption
+    from ..market.vol_surface import FlatVolSurface
+    from .black_scholes import bs_price
+
+    payoff = prob.payoff
+    market = prob.market_inputs
+    config = method.config
+    if not isinstance(method.dynamics, LognormalDynamics):
+        raise TypeError(
+            "compound/chooser MC closes with the inner Black-Scholes value; "
+            "use LognormalDynamics"
+        )
+    if not isinstance(market.sigma, FlatVolSurface):
+        raise TypeError("compound/chooser MC needs a flat vol (one σ both legs)")
+    sigma = market.sigma.sigma
+    q = carry_yield(market)
+    is_compound = isinstance(payoff, CompoundOption)
+    t1_ticks = payoff.decision_date if is_compound else payoff.choose_date
+    t1 = market_yearfrac(market, t1_ticks)
+    T2 = market_yearfrac(market, payoff.expiry)
+    D1 = df(market.rate, t1_ticks)
+    D2 = df(market.rate, payoff.expiry)
+    D12, tau = D2 / D1, T2 - t1
+
+    key = _base_key(config, None)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if config.qmc:
+        zb = _qmc_normals(key, 1, 1, config.trajectories)[0, 0]
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+    else:
+        z = _normals(key, (config.trajectories,), anti)
+    f1 = market.spot * jnp.exp(-q * t1) / D1  # exact t₁-forward
+    s_t1 = f1 * jnp.exp(-0.5 * sigma**2 * t1 + sigma * jnp.sqrt(t1) * z)
+
+    fwd_inner = s_t1 * jnp.exp(-q * tau) / D12
+    if is_compound:
+        inner = bs_price(fwd_inner, payoff.inner_strike, sigma, tau, D12,
+                         payoff.inner_call_put())
+        vals = payoff.decision_value(inner)
+    else:
+        call = bs_price(fwd_inner, payoff.strike, sigma, tau, D12, 1.0)
+        put = bs_price(fwd_inner, payoff.strike, sigma, tau, D12, -1.0)
+        vals = jnp.maximum(call, put)
+    price = D1 * jnp.mean(vals)
+    return MonteCarloSolution(prob, method, price, vals)
+
+
 def _solve_forward_start_mc(prob: PricingProblem, method: MonteCarlo):
     """Forward-start Monte Carlo: simulate a grid under ANY grid dynamics,
     read the fixing S_{t_start} off the grid (``start`` must land exactly on
@@ -2645,12 +2699,20 @@ def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSol
         return _solve_forward_start_mc(prob, method)
     if isinstance(payoff, Cliquet):
         return _solve_cliquet_mc(prob, method)
-    from ..core.payoffs import BasketOption, SpreadOption
+    from ..core.payoffs import (
+        BasketOption,
+        ChooserOption,
+        CompoundOption,
+        RainbowOption,
+        SpreadOption,
+    )
 
-    if isinstance(payoff, (SpreadOption, BasketOption)):
+    if isinstance(payoff, (SpreadOption, BasketOption, RainbowOption)):
         from .multi_asset import solve_multi_asset_mc
 
         return solve_multi_asset_mc(prob, method)
+    if isinstance(payoff, (CompoundOption, ChooserOption)):
+        return _solve_two_date_mc(prob, method)
     # European×Spot-only MC solve signature (montecarlo.jl:479)
     require_european(payoff, "MonteCarlo", spot_only=True)
     discount = df(prob.market_inputs.rate, payoff.expiry)

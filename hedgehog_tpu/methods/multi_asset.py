@@ -80,6 +80,50 @@ def geometric_basket_price(spots, weights, sigmas, corr, strike, T, discount, cp
                     discount, cp)
 
 
+def stulz_min_call_price(s1, s2, sigma1, sigma2, rho, strike, T, discount):
+    """Call on the MINIMUM of two assets (Stulz 1982): s1/s2 are the
+    carry-DISCOUNTED spots S_i·e^{−q_i T}; strike > 0.  The max variant and
+    both puts follow from pointwise identities (rainbow_prices)."""
+    from ..math.bvn import bvn_cdf
+
+    sq = jnp.sqrt(T)
+    sig_s = jnp.sqrt(sigma1**2 + sigma2**2 - 2.0 * rho * sigma1 * sigma2)
+    # forwards F_i = s_i/D make the b_i drop out: ln(F1/F2) = ln(s1/s2)
+    d = (jnp.log(s1 / s2) + 0.5 * sig_s**2 * T) / (sig_s * sq)
+    y1 = (jnp.log(s1 / (discount * strike)) + 0.5 * sigma1**2 * T) / (sigma1 * sq)
+    y2 = (jnp.log(s2 / (discount * strike)) + 0.5 * sigma2**2 * T) / (sigma2 * sq)
+    rho1 = (rho * sigma2 - sigma1) / sig_s
+    rho2 = (rho * sigma1 - sigma2) / sig_s
+    return (
+        s1 * bvn_cdf(y1, -d, rho1)
+        + s2 * bvn_cdf(y2, d - sig_s * sq, rho2)
+        - strike * discount * bvn_cdf(y1 - sigma1 * sq, y2 - sigma2 * sq, rho)
+    )
+
+
+def rainbow_prices(s1, s2, sigma1, sigma2, rho, strike, T, discount):
+    """(c_min, c_max, p_min, p_max) for two-asset rainbow options from the
+    Stulz min-call plus pointwise identities:
+    (max−K)⁺ = (S1−K)⁺ + (S2−K)⁺ − (min−K)⁺ and put-call parity per
+    extremum with D·E[min] = s1·Φ(−d) + s2·Φ(d − σ_s√T)."""
+    from jax.scipy.stats import norm
+
+    from .black_scholes import bs_price
+
+    sq = jnp.sqrt(T)
+    sig_s = jnp.sqrt(sigma1**2 + sigma2**2 - 2.0 * rho * sigma1 * sigma2)
+    d = (jnp.log(s1 / s2) + 0.5 * sig_s**2 * T) / (sig_s * sq)
+    c_min = stulz_min_call_price(s1, s2, sigma1, sigma2, rho, strike, T, discount)
+    c1 = bs_price(s1 / discount, strike, sigma1, T, discount, 1.0)
+    c2 = bs_price(s2 / discount, strike, sigma2, T, discount, 1.0)
+    c_max = c1 + c2 - c_min
+    min_fwd = s1 * norm.cdf(-d) + s2 * norm.cdf(d - sig_s * sq)  # D·E[min]
+    max_fwd = s1 + s2 - min_fwd
+    p_min = c_min + strike * discount - min_fwd
+    p_max = c_max + strike * discount - max_fwd
+    return c_min, c_max, p_min, p_max
+
+
 def multi_asset_terminal_prices(prob: PricingProblem, config, key=None,
                                 point_offset: int = 0):
     """Exact correlated lognormal terminal draws: (n_groups, paths, n_assets)
@@ -144,6 +188,20 @@ def solve_multi_asset_analytic(prob: PricingProblem, method) -> AnalyticSolution
         price = geometric_basket_price(s, payoff.weights, sig, corr,
                                        payoff.strike, T, D, cp)
         return AnalyticSolution(prob, method, price)
+    from ..core.payoffs import RainbowOption
+
+    if isinstance(payoff, RainbowOption):
+        if s.shape[0] != 2:
+            raise TypeError(
+                "the rainbow closed form is two-asset (Stulz); price wider "
+                "baskets by MonteCarlo"
+            )
+        c_min, c_max, p_min, p_max = rainbow_prices(
+            s[0], s[1], sig[0], sig[1], corr[0, 1], payoff.strike, T, D
+        )
+        call = c_max if payoff.best else c_min
+        put = p_max if payoff.best else p_min
+        return AnalyticSolution(prob, method, jnp.where(cp > 0, call, put))
     raise TypeError(f"no multi-asset closed form for {type(payoff).__name__}")
 
 
