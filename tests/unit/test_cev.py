@@ -131,6 +131,19 @@ def test_lsm_american_on_cev_grid():
     assert am < eu * 1.3
 
 
+def test_cev_strike_grid_contract():
+    """Array strikes follow the framework's in-method grid contract
+    (leading strike axis) — the ncx2 window broadcasts per strike."""
+    Ks = jnp.array([80.0, 95.0, 110.0])
+    grid = hh.solve(
+        hh.PricingProblem(
+            hh.VanillaOption(Ks, EXPIRY, hh.European(), hh.Call(), hh.Spot()),
+            _market()),
+        hh.CEVAnalytic()).price
+    singles = [_price(_vanilla(float(k))) for k in Ks]
+    np.testing.assert_allclose(np.asarray(grid), singles, rtol=1e-12)
+
+
 def test_cev_validation_and_method_guards():
     with pytest.raises(ValueError, match="beta"):
         hh.CEVInputs(REF, RATE, S0, SIGMA, 1.3)
