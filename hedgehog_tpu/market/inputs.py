@@ -52,6 +52,24 @@ def _wrap_vol(sigma, reference_date):
     return FlatVolSurface(sigma, reference_date)
 
 
+def quanto_dividend_yield(r_domestic, r_foreign, q, sigma, fx_vol, corr):
+    """Effective continuous carry that makes a DOMESTIC-currency
+    :class:`BlackScholesInputs` price a QUANTO option on a foreign asset
+    (payoff converted at a fixed FX rate) — beyond the reference's
+    single-currency scope.
+
+    Under the domestic risk-neutral measure the foreign asset drifts at
+    r_f − q − ρ·σ_S·σ_FX (the quanto adjustment), while cashflows discount
+    at r_d; with ``BlackScholesInputs(rate=r_d, dividend_yield=this)`` the
+    forward S·e^{(r_d − yield)T} reproduces exactly that drift:
+
+        yield = r_d − r_f + q + ρ·σ_S·σ_FX
+
+    ``corr`` is the instantaneous correlation between the asset (in its
+    own currency) and the DOMESTIC-per-foreign FX rate."""
+    return r_domestic - r_foreign + q + corr * sigma * fx_vol
+
+
 def carry_yield(market):
     """Continuous dividend/borrow yield q of a market (0.0 when absent) —
     beyond-reference: the reference carries rates only.  The spot drifts at
