@@ -206,7 +206,13 @@ def calibrate_svi_slices(
         strikes = jnp.broadcast_to(strikes, ivs.shape)
     k = jnp.log(strikes / forwards[:, None])
     w_mkt = ivs * ivs * tenors[:, None]
-    wts = jnp.ones_like(w_mkt) if weights is None else jnp.asarray(weights, jnp.float64)
+    wts = (
+        jnp.ones_like(w_mkt)
+        if weights is None
+        # same broadcast contract as strikes: (m,) per-strike weights apply
+        # to every slice
+        else jnp.broadcast_to(jnp.asarray(weights, jnp.float64), w_mkt.shape)
+    )
 
     lb = _DEF_LB if lb is None else jnp.asarray(lb, jnp.float64)
     ub = _DEF_UB if ub is None else jnp.asarray(ub, jnp.float64)

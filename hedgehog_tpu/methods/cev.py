@@ -147,10 +147,12 @@ def _solve_cev(prob: PricingProblem, method: CEVAnalytic) -> AnalyticSolution:
     q = carry_yield(market)
     K = payoff.strike
     cp = payoff.call_put()
-    surv = cev_survival(market.spot, K, r - q, market.sigma, market.beta, T, method.terms)
     if isinstance(payoff, DigitalOption):
         # cash-or-nothing: D·P(S_T > K) for calls; puts pay on the
         # complement, which INCLUDES the absorbed-at-zero mass
+        surv = cev_survival(
+            market.spot, K, r - q, market.sigma, market.beta, T, method.terms
+        )
         price = payoff.cash * D * jnp.where(cp > 0, surv, 1.0 - surv)
     else:
         call = cev_call_price(

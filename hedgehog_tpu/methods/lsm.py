@@ -146,13 +146,15 @@ def lsm_backward_induction(
     American (every grid date).
 
     ``barrier_eval = (h_scaled, intrinsic_h)`` (American knock-INS): each
-    step ALSO evaluates the fitted continuation at the BARRIER state
-    (s = h_scaled·strike_scale, per-path v on joint-basis grids) and
-    returns ``(tau, value, ys)`` with ys[i] = max(intrinsic_h, φ(H, v)·β)
-    at t = nsteps−1−i — the live option's value where the hit happens,
-    which the knock-in estimator integrates against the first-hit-segment
-    distribution (_solve_lsm_knock_in).  Mutually exclusive with
-    ``surv_factors`` (the live option is a plain vanilla).
+    step ALSO fits a SECOND, barrier-LOCALIZED regression (Gaussian kernel
+    in log(S/H) — interpolation even when the barrier is OTM) of the same
+    continuation targets and returns ``(tau, value, ys)`` with ys[i] the
+    live option's value at the barrier at t = nsteps−1−i (max'ed with the
+    intrinsic at exercise dates only), scalar per step on S-only grids and
+    per-path in v on joint-basis grids — what the knock-in estimator
+    integrates against the first-hit-segment distribution
+    (_solve_lsm_knock_in).  Mutually exclusive with ``surv_factors`` (the
+    live option is a plain vanilla).
     """
     if barrier_eval is not None and surv_factors is not None:
         raise TypeError("barrier_eval is for knock-ins; surv_factors for knock-outs")
@@ -232,11 +234,37 @@ def lsm_backward_induction(
             return (tau, value, fsurv, rleg), None
         if barrier_eval is not None:
             h_scaled, intrinsic_h = barrier_eval
+            # SECOND regression, localized at the barrier: the policy fit
+            # above is ITM-only, so for contracts whose barrier sits in the
+            # OTM region (down-in calls, up-in puts) evaluating it at H
+            # would extrapolate outside the sample.  A Gaussian kernel in
+            # log(S/H) re-fits the SAME continuation targets with weight
+            # concentrated where the hit happens — interpolation for every
+            # barrier placement.
+            lx = jnp.log(s_t / (h_scaled * strike_scale))
+            hw = jnp.maximum(0.5 * jnp.std(lx), 0.05)
+            u = lx / hw
+            w_h = jnp.exp(-0.5 * u * u)
+            # basis CENTERED AND SCALED at the barrier (powers of u, u = 0
+            # at H): the kernel-weighted normal equations stay
+            # well-conditioned — raw s/K monomials on the narrow kernel
+            # band are near-singular and NaN the Cholesky under the TPU's
+            # emulated f64 — and the barrier evaluation is just β[0]
             if vols is None:
-                phi_h = _poly_basis(jnp.full_like(s_t, h_scaled * 1.0), degree)
+                phi_b = _poly_basis(u, degree)
+                beta_h = _masked_lstsq_beta(phi_b, continuation, w_h, psum_axis)
+                cont_h = beta_h[0]
             else:
-                phi_h = _joint_basis(jnp.full_like(s_t, h_scaled * 1.0), v_t, degree)
-            y_t = jnp.maximum(intrinsic_h, phi_h @ beta)
+                phi_b = _joint_basis(u, v_t, degree)
+                beta_h = _masked_lstsq_beta(phi_b, continuation, w_h, psum_axis)
+                cont_h = _joint_basis(jnp.zeros_like(u), v_t, degree) @ beta_h
+            # the live option only admits exercise at exercise dates — a
+            # Bermudan knocked in between dates carries pure continuation
+            exercised_h = jnp.maximum(intrinsic_h, cont_h)
+            if exercise_mask is not None:
+                y_t = jnp.where(exercise_mask[t], exercised_h, cont_h)
+            else:
+                y_t = exercised_h
             return (tau, value), y_t
         return (tau, value), None
 
@@ -417,21 +445,37 @@ def _solve_lsm_knock_in(
         exercise_mask=ex_mask,
         barrier_eval=(payoff.barrier / strike_scale, intrinsic_h),
     )
-    # V_live(t_k, H, V_k) over k = 0..nsteps: no t=0 regression (the
+    # V_live(t_k, H[, V_k]) over k = 0..nsteps: no t=0 regression (the
     # induction excludes it — reuse t=1's fit; the first segment's hit mass
-    # is paired with it), terminal hit = intrinsic at the barrier
+    # is paired with it), terminal hit = intrinsic at the barrier.
+    # ys is (nsteps−1,) on S-only grids, (nsteps−1, N) on joint (S, V) ones.
     ys = ys_rev[::-1]  # t = 1..nsteps−1
     y_full = jnp.concatenate(
         [ys[:1], ys, jnp.full_like(ys[:1], intrinsic_h)], axis=0
-    )  # (nsteps+1, N)
+    )
     v_mid = 0.5 * (y_full[:-1] + y_full[1:])  # per-segment midpoint value
+    if v_mid.ndim == 1:
+        v_mid = v_mid[:, None]  # broadcast against the path axis
 
     past = jnp.concatenate([jnp.ones_like(surv[:1]), jnp.cumprod(surv, axis=0)])
     first_hit = past[:-1] * (1.0 - surv)  # (nsteps, N)
     d_mid = df_yf(market.rate, t_mids)
     knocked_leg = jnp.mean(jnp.sum(d_mid[:, None] * first_hit * v_mid, axis=0))
     rebate_leg = payoff.rebate * df(market.rate, payoff.expiry) * jnp.mean(past[-1])
-    return LSMSolution(prob, method, knocked_leg + rebate_leg, (tau, value), spots)
+    ki_price = knocked_leg + rebate_leg
+
+    # already beyond the barrier at inception → the contract IS the live
+    # American: the SAME induction's stopping value prices it (the CRR
+    # engine's knocked_root branch, mirrored)
+    from ..core.payoffs import Up
+
+    up = isinstance(payoff.direction, Up)
+    knocked_root = (
+        market.spot >= payoff.barrier if up else market.spot <= payoff.barrier
+    )
+    vanilla_price = jnp.mean(jnp.exp(tau * log_disc) * value)
+    price = jnp.where(knocked_root, vanilla_price, ki_price)
+    return LSMSolution(prob, method, price, (tau, value), spots)
 
 
 def _solve_lsm_knock_out(

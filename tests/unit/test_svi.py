@@ -80,6 +80,11 @@ def test_batched_calibration_recovers_slices():
     assert bool(jnp.all(conv))
     np.testing.assert_allclose(np.asarray(params), np.asarray(PARAMS), atol=2e-4)
     assert float(jnp.max(loss)) < 1e-10
+    # per-strike (m,) weights broadcast like strikes do — to every slice
+    p_w, _, conv_w = hh.calibrate_svi_slices(
+        TENORS, FWDS, strikes, ivs, weights=jnp.linspace(0.5, 1.5, ivs.shape[1]))
+    assert bool(jnp.all(conv_w))
+    np.testing.assert_allclose(np.asarray(p_w), np.asarray(PARAMS), atol=2e-3)
 
 
 def test_prices_through_solve_with_param_gradients():
