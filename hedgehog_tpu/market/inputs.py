@@ -22,6 +22,7 @@ __all__ = [
     "BlackScholesInputs",
     "HestonInputs",
     "BatesInputs",
+    "RoughBergomiInputs",
     "MertonInputs",
     "SABRInputs",
     "KouInputs",
@@ -173,6 +174,38 @@ class BatesInputs(AbstractMarketInputs):
     jump_intensity: Any
     jump_mean: Any
     jump_std: Any
+    dividend_yield: Any = 0.0
+    daycount: Any = static_field(default=ACT365F)
+
+    def __post_init__(self):
+        ref = to_ticks(self.reference_date)
+        object.__setattr__(self, "reference_date", ref)
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+
+
+@pytree
+class RoughBergomiInputs(AbstractMarketInputs):
+    """Rough Bergomi market data (beyond-reference model family; Bayer-Friz-
+    Gatheral 2016 — see models/rough_bergomi.py for the TPU-first scheme):
+
+        V_t = xi0·exp(η·Z_t − ½η²·t^{2H}),  Z = Riemann-Liouville fBM(H)
+        dS/S = (r − q)dt + √V (ρ dW₁ + √(1−ρ²) dW⊥)
+
+    ``xi0`` is the (flat) forward-variance level — E[V_t] = xi0 for all t —
+    ``eta`` the vol-of-vol, ``hurst`` the roughness index H ∈ (0, ½]
+    (H ≈ 0.05-0.15 fits the equity ATM-skew power law), ``rho`` the
+    spot/vol correlation.  ALL FOUR model parameters are pytree leaves —
+    including ``hurst``: the Volterra covariance is built from smooth jnp
+    ops, so ∂price/∂H (roughness vega) flows through plain ``jax.grad``.
+    ``daycount`` as on :class:`BlackScholesInputs`."""
+
+    reference_date: Any
+    rate: Any
+    spot: Any
+    xi0: Any
+    eta: Any
+    hurst: Any
+    rho: Any
     dividend_yield: Any = 0.0
     daycount: Any = static_field(default=ACT365F)
 

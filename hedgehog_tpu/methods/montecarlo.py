@@ -52,6 +52,7 @@ from ..models.dynamics import (
     LocalVolDynamics,
     MertonJumpDynamics,
     NormalDynamics,
+    RoughBergomiDynamics,
     SABRDynamics,
     lognormal_terminal_law,
 )
@@ -68,6 +69,7 @@ __all__ = [
     "KouExact",
     "VarianceGammaExact",
     "BachelierExact",
+    "RoughBergomiMixing",
     "NoVarianceReduction",
     "Antithetic",
     "simulate_terminal_prices",
@@ -219,6 +221,28 @@ class HestonExactMixing(ExactSimulation):
     primal-only — kernel-speed greeks serve from the QE mixing kernels."""
 
     use_kernel: bool = static_field(default=False)
+
+
+@pytree
+class RoughBergomiMixing(ExactSimulation):
+    """Exact-Volterra mixing estimator for rough Bergomi (beyond-reference
+    model family; pair with RoughBergomiDynamics/RoughBergomiInputs; scheme
+    in models/rough_bergomi.py): the joint Gaussian (ΔW₁, Z) vector is
+    drawn EXACTLY from its analytic covariance — one Cholesky at trace
+    time, one MXU matmul per batch — then each variance path closes with
+    the conditional Black-Scholes formula (Romano-Touzi: logS_T | W₁-path
+    is exactly normal).  The only discretization is the left-point Riemann
+    sum for (∫V, ∫√V dW₁), which keeps the effective forward exactly
+    unbiased; ``config.steps`` is the grid size n (Cholesky is (2n)² —
+    n ≲ 512 is effectively free on the MXU).
+
+    Like the Heston mixing strategies it never materializes terminal
+    samples; smooth per-path values → pathwise AD greeks including
+    ∂price/∂H (the covariance panel is differentiable in the Hurst
+    index).  ``quad_nodes`` sizes the Gauss-Legendre panel behind the
+    Z-covariance (64 ≈ 1e-11 accurate for H ∈ [0.03, 0.5])."""
+
+    quad_nodes: int = static_field(default=64)
 
 
 @pytree
@@ -702,6 +726,99 @@ def _sabr_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
         grid = grid * d_ratio[:, None, None]
         return jnp.moveaxis(grid, 0, 1)  # (g, steps+1, paths)
     return f_T
+
+
+def _rbergomi_draws(prob, config, key, point_offset, n_extra: int, quad_nodes: int):
+    """Exact joint (ΔW₁ increments, Z gridpoints) for rough Bergomi, plus
+    ``n_extra`` iid standard-normal rows (the orthogonal spot leg for grid
+    schemes): returns (dw, z, extra) each (g, n, paths) with g = 2 under
+    antithetic pairing.  One (2n × 2n) Cholesky at trace time + one matmul
+    per call — the TPU-first alternative to the hybrid-FFT scheme (see
+    models/rough_bergomi.py)."""
+    from ..models.rough_bergomi import volterra_chol
+
+    market, T, _ = _sim_params(prob)
+    n = config.steps
+    paths = config.trajectories
+    anti = isinstance(config.variance_reduction, Antithetic)
+    chol = volterra_chol(market.hurst, T, n, quad_nodes=quad_nodes)  # (2n, 2n)
+    dims = 2 * n + n_extra
+    base = _base_key(config, key)
+    if config.qmc:
+        from jax.scipy.special import ndtri
+
+        from ..math.sobol import sobol_uniforms
+
+        u = sobol_uniforms(base, paths, dims, skip=point_offset)  # (P, dims)
+        xi = ndtri(u).T  # (dims, P)
+    else:
+        xi = jax.random.normal(base, (dims, paths), dtype=jnp.float64)
+    xi = jnp.stack([xi, -xi]) if anti else xi[None]  # (g, dims, P)
+    x = jnp.einsum("ij,gjp->gip", chol, xi[:, : 2 * n])
+    extra = xi[:, 2 * n :] if n_extra else None
+    return x[:, :n], x[:, n:], extra
+
+
+def _rbergomi_left_variance(market, z, T, n):
+    """Variance at the grid LEFT points, (g, n, paths): V_0 = xi0 exactly,
+    V_{t_k} from the exact Volterra samples (k = 1..n−1) — the left-point
+    rule is what keeps the discrete mixing forward exactly unbiased."""
+    from ..models.rough_bergomi import rbergomi_variance
+
+    z_left = jnp.concatenate([jnp.zeros_like(z[:, :1]), z[:, : n - 1]], axis=1)
+    t_left = (jnp.arange(n) / n) * T  # t_0 = 0 .. t_{n-1}
+    return rbergomi_variance(market, z_left, t_left[None, :, None])
+
+
+def _rbergomi_mixing_values(prob, config, key, point_offset=0, quad_nodes=64):
+    """Per-path UNDISCOUNTED conditional vanilla values (g, paths) — the
+    Romano-Touzi mixing close on exact-Volterra variance paths: conditional
+    on the W₁ path, logS_T is normal with the (IV, J) = (ΣV_kΔt, Σ√V_kΔW_k)
+    mixing factors, so each path finishes with the conditional BS closed
+    form (smooth → pathwise AD greeks, incl. the roughness greek ∂/∂H)."""
+    market, T, r0 = _sim_params(prob)
+    n = config.steps
+    dw, z, _ = _rbergomi_draws(prob, config, key, point_offset, 0, quad_nodes)
+    v = _rbergomi_left_variance(market, z, T, n)
+    iv = jnp.sum(v, axis=1) * (T / n)
+    j = jnp.sum(jnp.sqrt(v) * dw, axis=1)
+    return _conditional_bs_close(prob, market, T, r0, iv, j)
+
+
+def _rbergomi_grid_with_variance(prob, config, key, point_offset=0,
+                                 quad_nodes: int = 64):
+    """(spot grid (g, n+1, paths), left-point variance (g, n, paths)) —
+    shared substrate of the grid consumers and the barrier bridge factors
+    (the within-segment log-bridge variance is V_k·Δt)."""
+    market, T, r0 = _sim_params(prob)
+    n = config.steps
+    dt = T / n
+    dw, z, zp = _rbergomi_draws(prob, config, key, point_offset, n, quad_nodes)
+    v = _rbergomi_left_variance(market, z, T, n)
+    rho = market.rho
+    dlog = (r0 - 0.5 * v) * dt + jnp.sqrt(v) * (
+        rho * dw + jnp.sqrt(1.0 - rho**2) * jnp.sqrt(dt) * zp
+    )
+    logs = jnp.log(market.spot) + jnp.concatenate(
+        [jnp.zeros_like(dlog[:, :1]), jnp.cumsum(dlog, axis=1)], axis=1
+    )
+    return jnp.exp(logs), v
+
+
+def _rbergomi_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0,
+                          quad_nodes: int = 64):
+    """Rough Bergomi spot paths (beyond-reference model family): variance
+    EXACT at the gridpoints (Volterra Cholesky draw), spot log-Euler with
+    the left-point variance —
+    ΔlogS_k = (r−q−V_k/2)Δt + √V_k(ρ·ΔW_k + √(1−ρ²)·√Δt·Z⊥_k).
+    Terminal (g, paths) or full grid (g, n+1, paths); composes with the
+    grid consumers (Asians, barriers via the bridge factors, LSM — note V
+    is non-Markovian, so an (S, V) regression basis is approximate by
+    construction; documented in docs/models.md)."""
+    grid, _ = _rbergomi_grid_with_variance(
+        prob, config, key, point_offset=point_offset, quad_nodes=quad_nodes
+    )
+    return grid if return_grid else grid[:, -1]
 
 
 def _local_vol_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
@@ -1408,9 +1525,17 @@ def _bridge_log_grid(prob: PricingProblem, method: MonteCarlo, what: str):
         iv = 0.5 * dt * (v_grid[:, :-1] + v_grid[:, 1:])  # (g, steps, paths)
         spot_grid = jnp.moveaxis(s_grid, 1, 0)
         return spot_grid, jnp.moveaxis(iv, 1, 0), v_grid
+    if isinstance(dyn, RoughBergomiDynamics) and isinstance(strat, EulerMaruyama):
+        s_grid, v = _rbergomi_grid_with_variance(prob, config, None)
+        dt = T / config.steps
+        spot_grid = jnp.moveaxis(s_grid, 1, 0)
+        # within a segment the simulated log-bridge variance is the frozen
+        # left-point V_k·Δt (the same freeze the stepper itself uses)
+        return spot_grid, jnp.moveaxis(v * dt, 1, 0), None
     raise TypeError(
-        f"{what} grids need LognormalDynamics with EulerMaruyama or "
-        "HestonDynamics with HestonQE(conditional=True); got "
+        f"{what} grids need LognormalDynamics with EulerMaruyama, "
+        "HestonDynamics with HestonQE(conditional=True) or "
+        "RoughBergomiDynamics with EulerMaruyama; got "
         f"({type(dyn).__name__}, {type(strat).__name__})"
     )
 
@@ -1442,7 +1567,8 @@ def barrier_grid_factors(prob: PricingProblem, method: MonteCarlo):
     _, T, _ = _sim_params(prob)
 
     if (
-        isinstance(dyn, LognormalDynamics) and isinstance(strat, EulerMaruyama)
+        isinstance(dyn, (LognormalDynamics, RoughBergomiDynamics))
+        and isinstance(strat, EulerMaruyama)
     ) or (
         isinstance(dyn, HestonDynamics)
         and isinstance(strat, HestonQE)
@@ -2368,6 +2494,21 @@ def simulate_conditional_values(
             )
         require_european(prob.payoff, "conditional MonteCarlo", spot_only=True)
         return _bates_qe_mixing_values(prob, config, key, point_offset=point_offset)
+    if isinstance(dyn, RoughBergomiDynamics) or isinstance(strat, RoughBergomiMixing):
+        if not (
+            isinstance(dyn, RoughBergomiDynamics)
+            and isinstance(strat, RoughBergomiMixing)
+        ):
+            raise TypeError(
+                "rough Bergomi conditional MC pairs RoughBergomiDynamics with "
+                f"RoughBergomiMixing; got ({type(dyn).__name__}, "
+                f"{type(strat).__name__})"
+            )
+        require_european(prob.payoff, "conditional MonteCarlo", spot_only=True)
+        return _rbergomi_mixing_values(
+            prob, config, key, point_offset=point_offset,
+            quad_nodes=strat.quad_nodes,
+        )
     if not (
         isinstance(strat, (HestonQE, HestonExactMixing))
         and isinstance(dyn, HestonDynamics)
@@ -2462,7 +2603,7 @@ def _is_conditional_strategy(strat) -> bool:
     """True for strategies that price through the conditional (mixing)
     estimator and never materialize terminal samples."""
     return (isinstance(strat, HestonQE) and strat.conditional) or isinstance(
-        strat, HestonExactMixing
+        strat, (HestonExactMixing, RoughBergomiMixing)
     )
 
 
@@ -2589,6 +2730,12 @@ def simulate_terminal_prices(
             prob, config, _base_key(config, key), return_grid=False,
             point_offset=point_offset,
         )
+    if isinstance(strat, EulerMaruyama) and isinstance(dyn, RoughBergomiDynamics):
+        if strat.use_kernel:
+            raise TypeError("rough Bergomi has no fused kernel; drop use_kernel=True")
+        return _rbergomi_euler_paths(
+            prob, config, key, return_grid=False, point_offset=point_offset
+        )
     if isinstance(strat, EulerMaruyama) and isinstance(dyn, LocalVolDynamics):
         if strat.use_kernel:
             raise TypeError("local vol has no fused kernel; drop use_kernel=True")
@@ -2635,6 +2782,8 @@ def simulate_price_grid(
         return _heston_qe_paths(prob, config, key, strat, return_grid=True, point_offset=point_offset)
     if isinstance(dyn, SABRDynamics) and isinstance(strat, EulerMaruyama):
         return _sabr_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
+    if isinstance(dyn, RoughBergomiDynamics) and isinstance(strat, EulerMaruyama):
+        return _rbergomi_euler_paths(prob, config, key, return_grid=True, point_offset=point_offset)
     if isinstance(dyn, LocalVolDynamics) and isinstance(strat, EulerMaruyama):
         return _local_vol_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, CEVDynamics) and isinstance(strat, EulerMaruyama):

@@ -30,6 +30,7 @@ __all__ = [
     "KouJumpDynamics",
     "VarianceGammaDynamics",
     "NormalDynamics",
+    "RoughBergomiDynamics",
     "CEVDynamics",
     "SABRDynamics",
     "LocalVolDynamics",
@@ -132,6 +133,16 @@ class VarianceGammaDynamics(PriceDynamics):
     Brownian motion with drift time-changed by a gamma subordinator
     (infinite activity, finite variation).  Markets carry
     :class:`VarianceGammaInputs`."""
+
+
+@pytree
+class RoughBergomiDynamics(PriceDynamics):
+    """Rough Bergomi dynamics (beyond-reference model family): instantaneous
+    variance driven by a Riemann-Liouville fractional BM with Hurst index
+    H < ½ — NON-Markovian, so there is no SDE state, no characteristic
+    function and no closed form; pricing runs through Monte Carlo only
+    (the exact-Volterra mixing estimator or grid paths, see
+    models/rough_bergomi.py).  Markets carry :class:`RoughBergomiInputs`."""
 
 
 @pytree

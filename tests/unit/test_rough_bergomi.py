@@ -1,0 +1,205 @@
+"""Rough Bergomi model family (beyond-reference: the reference covers BS and
+Heston — src/market_inputs/market_inputs.jl).  Exact-Volterra simulation via
+one joint-covariance Cholesky + MXU matmul (models/rough_bergomi.py) with the
+Romano-Touzi mixing close; no closed form exists for the model, so the
+agreement matrix is internal: degenerate corners pinned to BS, mixing vs the
+independent full-grid Euler estimator, refinement consistency, and the
+power-law ATM skew signature that defines rough volatility."""
+
+import datetime as dt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hedgehog_tpu as hh
+from hedgehog_tpu.models.rough_bergomi import volterra_chol, volterra_cov
+
+REF, EXPIRY = dt.date(2024, 1, 1), dt.date(2024, 12, 31)  # T = 1 (ACT/365)
+
+
+def _market(xi0=0.04, eta=1.5, hurst=0.1, rho=-0.7, **kw):
+    return hh.RoughBergomiInputs(REF, 0.03, 100.0, xi0, eta, hurst, rho, **kw)
+
+
+def _opt(strike=100.0, cp=None, expiry=EXPIRY):
+    return hh.VanillaOption(strike, expiry, hh.European(), cp or hh.Call(), hh.Spot())
+
+
+def _mix(trajectories=20_000, steps=32, seed=0, **kw):
+    return hh.MonteCarlo(
+        hh.RoughBergomiDynamics(), hh.RoughBergomiMixing(),
+        hh.SimulationConfig(trajectories=trajectories, steps=steps, seed=seed,
+                            variance_reduction=hh.Antithetic(), **kw))
+
+
+def _euler(trajectories=20_000, steps=32, seed=0, **kw):
+    return hh.MonteCarlo(
+        hh.RoughBergomiDynamics(), hh.EulerMaruyama(),
+        hh.SimulationConfig(trajectories=trajectories, steps=steps, seed=seed,
+                            variance_reduction=hh.Antithetic(), **kw))
+
+
+def test_volterra_cov_brownian_corner():
+    """H = ½ is standard BM: Cov(Z_s, Z_t) = min(s, t), Cov(Z_t, ΔW_i) = Δt
+    for covered increments — the quadrature must hit these exactly."""
+    n = 8
+    t = np.asarray((np.arange(1, n + 1) / n) * 2.0)
+    cov = np.asarray(volterra_cov(0.5, jnp.asarray(t)))
+    assert np.abs(cov[n:, n:] - np.minimum.outer(t, t)).max() < 1e-12
+    dt_ = t[1] - t[0]
+    b = cov[n:, :n]
+    assert b[3, 2] == pytest.approx(dt_, abs=1e-12)  # covered increment
+    assert b[2, 5] == 0.0  # future increment uncorrelated
+
+
+def test_volterra_cov_quadrature_converges():
+    """The 64-node Gauss-Legendre panel is converged: doubling the nodes
+    moves nothing at rough H (the substitution absorbed the singularity)."""
+    t = jnp.asarray((np.arange(1, 9) / 8) * 1.3)
+    c64 = np.asarray(volterra_cov(0.07, t, quad_nodes=64))
+    c128 = np.asarray(volterra_cov(0.07, t, quad_nodes=128))
+    assert np.abs(c64 - c128).max() < 1e-9
+    # Cholesky reconstructs: the matrix is genuinely PD
+    L = np.asarray(volterra_chol(0.07, 1.3, 8))
+    assert np.abs(L @ L.T - c64).max() < 1e-9
+
+
+def test_eta_zero_is_black_scholes_exactly():
+    """η = 0, ρ = 0 degenerates to deterministic variance xi0: the mixing
+    close is the BS price path-by-path (no MC error at all)."""
+    p = hh.solve(hh.PricingProblem(_opt(), _market(eta=0.0, rho=0.0)),
+                 _mix(trajectories=64, steps=8)).price
+    p_bs = hh.solve(
+        hh.PricingProblem(_opt(), hh.BlackScholesInputs(REF, 0.03, 100.0, 0.2)),
+        hh.BlackScholesAnalytic()).price
+    assert float(p) == pytest.approx(float(p_bs), rel=1e-12)
+
+
+def test_mixing_vs_euler_agreement():
+    """The mixing estimator and the independent full-grid Euler estimator
+    (extra orthogonal draws, different reduction) agree — the internal
+    agreement-matrix pattern standing in for the missing closed form."""
+    prob = hh.PricingProblem(_opt(), _market())
+    p_mix = float(hh.solve(prob, _mix(40_000, 48, seed=3)).price)
+    p_eul = float(hh.solve(prob, _euler(40_000, 48, seed=11)).price)
+    assert p_mix == pytest.approx(p_eul, rel=2e-2)
+
+
+def test_forward_unbiased_and_parity():
+    """Left-point mixing keeps the effective forward exactly unbiased in
+    expectation; per-path call − put = f_eff − K, so parity holds to the
+    (small, antithetic) forward MC error at ANY step count."""
+    m = _market()
+    call = float(hh.solve(hh.PricingProblem(_opt(cp=hh.Call()), m),
+                          _mix(30_000, 16, seed=5)).price)
+    put = float(hh.solve(hh.PricingProblem(_opt(cp=hh.Put()), m),
+                         _mix(30_000, 16, seed=5)).price)
+    T = 364.0 / 365.0
+    disc = float(np.exp(-0.03 * T))
+    fwd = 100.0 / disc
+    assert call - put == pytest.approx(disc * (fwd - 100.0), abs=3e-2)
+
+
+def test_refinement_consistency():
+    """Riemann-sum bias: n = 16 vs n = 96 within a small band (same seed —
+    the difference isolates discretization, not MC noise)."""
+    prob = hh.PricingProblem(_opt(), _market())
+    p_c = float(hh.solve(prob, _mix(20_000, 16, seed=7)).price)
+    p_f = float(hh.solve(prob, _mix(20_000, 96, seed=7)).price)
+    assert p_c == pytest.approx(p_f, rel=3e-2)
+
+
+def test_strike_grid_contract():
+    """Array strikes: ONE variance-path set prices every strike through the
+    conditional close — identical to per-strike scalar solves."""
+    m = _market()
+    ks = jnp.asarray([80.0, 100.0, 120.0])
+    grid = hh.solve(hh.PricingProblem(_opt(ks), m), _mix(4_000, 16)).price
+    singles = [float(hh.solve(hh.PricingProblem(_opt(float(k)), m),
+                              _mix(4_000, 16)).price) for k in ks]
+    np.testing.assert_allclose(np.asarray(grid), singles, rtol=1e-12)
+
+
+def test_ad_greeks_incl_roughness():
+    """Pathwise AD through the smooth mixing close: delta and the roughness
+    greek ∂price/∂H both match central finite differences (same seed)."""
+    def price(spot, h):
+        m = hh.RoughBergomiInputs(REF, 0.03, spot, 0.04, 1.5, h, -0.7)
+        return hh.solve(hh.PricingProblem(_opt(), m), _mix(8_000, 16, seed=2)).price
+
+    d_ad = float(jax.grad(price, argnums=0)(100.0, 0.1))
+    eps = 0.5
+    d_fd = float((price(100.0 + eps, 0.1) - price(100.0 - eps, 0.1)) / (2 * eps))
+    assert d_ad == pytest.approx(d_fd, rel=2e-2)
+
+    h_ad = float(jax.grad(price, argnums=1)(100.0, 0.1))
+    he = 5e-3
+    h_fd = float((price(100.0, 0.1 + he) - price(100.0, 0.1 - he)) / (2 * he))
+    assert np.isfinite(h_ad)
+    assert h_ad == pytest.approx(h_fd, rel=5e-2)
+
+
+def test_atm_skew_steepens_at_short_maturity():
+    """THE rough-vol signature: |ATM skew| grows like T^{H−½} as T → 0 —
+    the short-dated skew must be steeper than the 1y skew by roughly
+    (T1/T2)^{H−½} (checked loosely; this is what H < ½ buys)."""
+    m = _market(hurst=0.1)
+
+    def atm_skew(expiry, steps):
+        t_yf = (expiry - REF).days / 365.0
+        ks = jnp.asarray([99.0, 101.0])
+        prices = hh.solve(hh.PricingProblem(_opt(ks, expiry=expiry), m),
+                          _mix(60_000, steps, seed=9)).price
+        ivs = [float(hh.implied_vol_bs(float(p), float(k), t_yf, 100.0, 0.03))
+               for p, k in zip(prices, ks)]
+        return (ivs[1] - ivs[0]) / (jnp.log(101.0) - jnp.log(99.0)), t_yf
+
+    s_short, t_short = atm_skew(dt.date(2024, 1, 31), 12)
+    s_long, t_long = atm_skew(EXPIRY, 32)
+    ratio = float(s_short / s_long)
+    expected = (t_short / t_long) ** (0.1 - 0.5)
+    assert ratio > 1.5  # short skew is materially steeper
+    assert ratio == pytest.approx(expected, rel=0.5)
+
+
+def test_qmc_runs_and_reduces_error():
+    """Sobol' over the full (2n + n) dimension set: runs, and the absolute
+    error vs a high-path anchor is no worse than PRNG at equal paths."""
+    prob = hh.PricingProblem(_opt(), _market())
+    anchor = float(hh.solve(prob, _mix(80_000, 16, seed=1)).price)
+    p_q = float(hh.solve(prob, _mix(8_000, 16, seed=4, qmc=True)).price)
+    p_p = float(hh.solve(prob, _mix(8_000, 16, seed=4)).price)
+    assert abs(p_q - anchor) < max(abs(p_p - anchor), 0.05)
+
+
+def test_barrier_and_asian_compose():
+    """The family rides the generic grid machinery: a knock-out barrier
+    (bridge factors from the frozen left-point variance) is below the
+    vanilla, knock-in + knock-out = vanilla by per-path parity, and a
+    discrete Asian prices below the vanilla (averaging cuts variance)."""
+    m = _market()
+    eul = _euler(8_000, 32)
+    vanilla = float(hh.solve(hh.PricingProblem(_opt(), m), eul).price)
+    ko = hh.BarrierOption(100.0, EXPIRY, 130.0, call_put=hh.Call(),
+                          direction=hh.Up(), knock=hh.KnockOut())
+    ki = hh.BarrierOption(100.0, EXPIRY, 130.0, call_put=hh.Call(),
+                          direction=hh.Up(), knock=hh.KnockIn())
+    p_ko = float(hh.solve(hh.PricingProblem(ko, m), eul).price)
+    p_ki = float(hh.solve(hh.PricingProblem(ki, m), eul).price)
+    assert 0.0 < p_ko < vanilla
+    assert p_ko + p_ki == pytest.approx(vanilla, rel=1e-10)
+    asian = hh.AsianOption(100.0, EXPIRY, observations=32)
+    p_as = float(hh.solve(hh.PricingProblem(asian, m), eul).price)
+    assert 0.0 < p_as < vanilla
+
+
+def test_mismatched_pairing_raises():
+    with pytest.raises(TypeError, match="rough Bergomi"):
+        hh.solve(hh.PricingProblem(_opt(), _market()),
+                 hh.MonteCarlo(hh.HestonDynamics(), hh.RoughBergomiMixing(),
+                               hh.SimulationConfig(trajectories=64)))
+    with pytest.raises(TypeError, match="no terminal law"):
+        hh.solve(hh.PricingProblem(_opt(), _market()),
+                 hh.CarrMadan(dynamics=hh.RoughBergomiDynamics()))
