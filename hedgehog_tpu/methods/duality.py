@@ -1,0 +1,233 @@
+"""Andersen-Broadie primal-dual bounds for LSM American/Bermudan prices.
+
+Beyond-reference capability (the reference's LSM — /root/reference/src/
+pricing_methods/least_squares_montecarlo.jl:99-136 — reports only the primal
+estimate and validates it against CRR; here the framework bounds its own
+bias).  The LSM price is a LOWER bound in expectation when evaluated on
+fresh paths (any concrete stopping rule is suboptimal); the Andersen-Broadie
+(2004) dual turns the SAME frozen policy into an UPPER bound:
+
+    price ≤ E[ max_t (h_t − M_t) ]        for ANY martingale M,
+
+with the near-optimal choice M built from the policy's value process —
+M_t − M_{t−1} = V̂_t − Ĉ_{t−1}, where V̂_t is h_t where the policy exercises
+and the nested continuation estimate Ĉ_t where it continues.  Both bounds
+hold in expectation at ANY regression quality; a tight [lower, upper]
+interval certifies the policy, a wide one flags basis misspecification —
+the estimator audits itself without an external oracle.
+
+TPU shape: the classic formulation nests simulations per (outer path,
+exercise date) — a triply-nested loop on CPUs.  Here ALL inner bundles run
+in ONE lax.scan over calendar time on a (dates × outer × inner) lane tensor
+(lanes activate when the clock passes their start date), so the whole dual
+is a single fixed-shape XLA program; the O(n²·P·I) work is elementwise and
+embarrassingly lane-parallel.
+
+Scope: plain-vanilla American/Bermudan payoffs on LognormalDynamics grids
+(exact per-step lognormal transitions — the same grid semantics as
+``simulate_price_grid``, so the replayed policy is EXACTLY the solver's).
+Stochastic-vol policies need the (S, V) state in the inner sampler; route
+those through the conditional-LSM primal and CRR/lattice checks instead.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.payoffs import VanillaOption
+from ..core.problems import PricingProblem
+from ..market.inputs import market_yearfrac
+from ..market.vol_surface import FlatVolSurface, get_vol
+from ..utils.pytree import pytree
+from .lsm import (
+    LSM,
+    _exercise_mask,
+    _flatten_grid,
+    _lsm_setup,
+    _poly_basis,
+    lsm_backward_induction,
+)
+from .montecarlo import LognormalDynamics, _sim_params, simulate_price_grid
+
+__all__ = ["DualBound", "lsm_dual_bound"]
+
+
+@pytree
+class DualBound:
+    """Primal-dual interval for an LSM price.
+
+    ``lower``/``upper``: out-of-sample policy value and Andersen-Broadie
+    dual estimate (each unbiased-conservative in expectation);
+    ``se_lower``/``se_upper``: standard errors over the outer paths;
+    ``primal``: the in-sample LSM price (the number `solve` reports);
+    ``gap``: upper − lower — the policy's certified suboptimality budget
+    (includes the O(1/√n_inner) dual inflation)."""
+
+    lower: Any
+    upper: Any
+    se_lower: Any
+    se_upper: Any
+    primal: Any
+    gap: Any
+
+
+def _gbm_step_params(prob: PricingProblem):
+    market, T, r0 = _sim_params(prob)
+    sigma = (
+        market.sigma.sigma
+        if isinstance(market.sigma, FlatVolSurface)
+        else get_vol(market.sigma, prob.payoff.expiry, market.spot)
+    )
+    return market, T, r0, sigma
+
+
+def lsm_dual_bound(
+    prob: PricingProblem,
+    method: LSM,
+    n_outer: int = 2048,
+    n_inner: int = 128,
+    seed: int = 0x0AB1,
+) -> DualBound:
+    """Fit the LSM policy on the method's own config, then certify it:
+    fresh-path lower bound + Andersen-Broadie dual upper bound.
+
+    ``n_outer`` fresh outer paths (both bounds average over them),
+    ``n_inner`` nested continuation samples per (outer path, date).
+    ``seed`` derives the outer/inner streams — independent of the fit
+    stream by construction (distinct fold tags)."""
+    payoff = prob.payoff
+    if not isinstance(payoff, VanillaOption):
+        raise TypeError(
+            "lsm_dual_bound certifies plain-vanilla LSM policies; got "
+            f"{type(payoff).__name__}"
+        )
+    if not isinstance(method.mc_method.dynamics, LognormalDynamics):
+        raise TypeError(
+            "lsm_dual_bound's nested sampler is exact for LognormalDynamics "
+            "grids only; validate stochastic-vol LSM against lattice/"
+            "conditional oracles instead"
+        )
+    if jnp.ndim(payoff.strike) > 0:
+        raise TypeError("lsm_dual_bound prices one contract; vmap for grids")
+
+    log_disc, strike_scale = _lsm_setup(prob, method)
+    ex_mask = _exercise_mask(prob, method)  # None = American
+    nsteps = method.mc_method.config.steps
+    degree = method.degree
+
+    # ---- 1. fit the policy on the method's own (training) stream ----
+    grid = simulate_price_grid(prob, method.mc_method)  # (g, steps+1, paths)
+    spots = _flatten_grid(grid)
+    tau_fit, val_fit, betas_scan = lsm_backward_induction(
+        spots, payoff, log_disc, degree, strike_scale,
+        exercise_mask=ex_mask, collect_betas=True,
+    )
+    primal = jnp.mean(jnp.exp(tau_fit * log_disc) * val_fit)
+    # scan order was t = nsteps−1 … 1; betas_by_t[t−1] is the policy at t
+    betas_by_t = betas_scan[::-1]  # (nsteps−1, n_terms)
+
+    def exercises(t, s):
+        """Policy exercise indicator at date t (1 ≤ t ≤ nsteps−1), any shape."""
+        pay = payoff(s)
+        fitted = _poly_basis(
+            (s / strike_scale).reshape(-1), degree
+        ) @ betas_by_t[t - 1]
+        ex = (pay > 0.0) & (pay > fitted.reshape(s.shape))
+        if ex_mask is not None:
+            ex = ex & ex_mask[t]
+        return ex
+
+    # ---- 2. outer fresh paths (exact per-step lognormal transitions) ----
+    market, T, r0, sigma = _gbm_step_params(prob)
+    dt = T / nsteps
+    drift = (r0 - 0.5 * sigma**2) * dt
+    vol_dt = sigma * jnp.sqrt(dt)
+    base = jax.random.fold_in(
+        jax.random.PRNGKey(method.mc_method.config.seed), seed
+    )
+    k_outer, k_inner = jax.random.split(base)
+    n_outer = 2 * (n_outer // 2)  # antithetic outer pairs cut the lower
+    half = jax.random.normal(  # bound's MC noise at no extra model cost
+        k_outer, (nsteps, n_outer // 2), dtype=jnp.float64
+    )
+    z_o = jnp.concatenate([half, -half], axis=1)
+    log_s = jnp.log(market.spot) + jnp.concatenate(
+        [jnp.zeros((1, n_outer)), jnp.cumsum(drift + vol_dt * z_o, axis=0)]
+    )
+    s_outer = jnp.exp(log_s)  # (nsteps+1, n_outer)
+    disc_t = jnp.exp(jnp.arange(nsteps + 1) * log_disc)
+    h = disc_t[:, None] * payoff(s_outer)  # discounted-to-0 payoff
+
+    ex_outer = jnp.stack(
+        [exercises(t, s_outer[t]) for t in range(1, nsteps)]
+        + [jnp.ones((n_outer,), bool)]
+    )  # (nsteps, n_outer) for t = 1..nsteps (terminal always "exercises")
+
+    # ---- 3. ALL nested continuation bundles in one scan over the clock ----
+    # lane (t, p, i): start at S_t^outer, step once the clock passes t,
+    # stop at the policy's first exercise (or at expiry); value is
+    # discounted to 0.  C[t, p] = mean_i — the Ĉ_t estimates for t = 0..n−1.
+    s0 = jnp.broadcast_to(
+        s_outer[:nsteps, :, None], (nsteps, n_outer, n_inner)
+    )
+    start_t = jnp.arange(nsteps)[:, None, None]
+
+    def clock_step(carry, u):
+        s, stopped, val = carry
+        z = jax.random.normal(
+            jax.random.fold_in(k_inner, u), (nsteps, n_outer, n_inner),
+            dtype=jnp.float64,
+        )
+        live = u > start_t  # lanes whose bundle has started
+        s = jnp.where(live, s * jnp.exp(drift + vol_dt * z), s)
+        ex_u = jax.lax.cond(
+            u < nsteps,
+            lambda: exercises(u, s),
+            lambda: jnp.ones(s.shape, bool),
+        )
+        stop_now = live & ~stopped & ex_u
+        val = jnp.where(stop_now, jnp.exp(u * log_disc) * payoff(s), val)
+        return (s, stopped | stop_now, val), None
+
+    init = (s0, jnp.zeros(s0.shape, bool), jnp.zeros(s0.shape))
+    (_, _, val_inner), _ = jax.lax.scan(
+        clock_step, init, jnp.arange(1, nsteps + 1)
+    )
+    c_hat = jnp.mean(val_inner, axis=-1)  # (nsteps, n_outer): Ĉ_0 .. Ĉ_{n−1}
+
+    # ---- 4. lower bound: replay the policy on the outer paths ----
+    first_ex = jnp.argmax(ex_outer, axis=0)  # index into t = 1..nsteps
+    tau_out = first_ex + 1
+    low_vals = jnp.exp(tau_out * log_disc) * payoff(
+        jnp.take_along_axis(s_outer, tau_out[None, :], axis=0)[0]
+    )
+    pair_vals = 0.5 * (low_vals[: n_outer // 2] + low_vals[n_outer // 2 :])
+    lower = jnp.mean(pair_vals)
+    se_lower = jnp.std(pair_vals) / jnp.sqrt(n_outer // 2)
+
+    # ---- 5. dual martingale and upper bound ----
+    # V̂_t = h_t where the policy exercises at t, else Ĉ_t (t < n);
+    # Δ_t = V̂_t − Ĉ_{t−1};  M_t = Σ_{s ≤ t} Δ_s;  U = max_t (h_t − M_t)
+    c_cont = jnp.concatenate([c_hat[1:], jnp.zeros((1, n_outer))])  # Ĉ_t, t=1..n
+    v_hat = jnp.where(ex_outer, h[1:], c_cont)
+    deltas = v_hat - c_hat  # aligned: Δ_t = V̂_t − Ĉ_{t−1}, t = 1..n
+    m = jnp.cumsum(deltas, axis=0)
+    slack = h[1:] - m
+    if ex_mask is not None:
+        # mask slot t gates exercise at date t (1..nsteps−1); expiry always
+        # pays the terminal intrinsic, so row t = nsteps stays allowed
+        allowed_rows = jnp.concatenate(
+            [jnp.asarray(ex_mask)[1:], jnp.ones((1,), bool)]
+        )
+        slack = jnp.where(allowed_rows[:, None], slack, -jnp.inf)
+    up_vals = jnp.max(slack, axis=0)
+    upper = jnp.mean(up_vals)
+    se_upper = jnp.std(up_vals) / jnp.sqrt(n_outer)
+
+    return DualBound(
+        lower=lower, upper=upper, se_lower=se_lower, se_upper=se_upper,
+        primal=primal, gap=upper - lower,
+    )

@@ -112,7 +112,7 @@ def lsm_backward_induction(
     spots, payoff, log_disc, degree: int, strike_scale,
     psum_axis: Optional[str] = None, vols=None, terminal_value=None,
     surv_factors=None, rebate_spec=None, exercise_mask=None,
-    barrier_eval=None,
+    barrier_eval=None, collect_betas: bool = False,
 ):
     """Backward stopping-rule induction over a (steps+1, paths) price grid.
 
@@ -145,6 +145,11 @@ def lsm_backward_induction(
     exercise per grid time (core.payoffs.bermudan_step_mask); None =
     American (every grid date).
 
+    ``collect_betas`` (plain vanilla grids only): additionally return the
+    per-step regression coefficients, stacked in scan order t = nsteps−1 … 1
+    — the frozen exercise POLICY the Andersen-Broadie dual bound replays on
+    fresh paths (methods/duality.py).
+
     ``barrier_eval = (h_scaled, intrinsic_h)`` (American knock-INS): each
     step ALSO fits a SECOND, barrier-LOCALIZED regression (Gaussian kernel
     in log(S/H) — interpolation even when the barrier is OTM) of the same
@@ -158,6 +163,8 @@ def lsm_backward_induction(
     """
     if barrier_eval is not None and surv_factors is not None:
         raise TypeError("barrier_eval is for knock-ins; surv_factors for knock-outs")
+    if collect_betas and (barrier_eval is not None or surv_factors is not None):
+        raise TypeError("collect_betas supports plain vanilla grids only")
     nsteps = spots.shape[0] - 1
     tau0 = jnp.full((spots.shape[1],), nsteps, dtype=jnp.float64)
     value0 = payoff(spots[nsteps]) if terminal_value is None else terminal_value
@@ -266,11 +273,13 @@ def lsm_backward_induction(
             else:
                 y_t = exercised_h
             return (tau, value), y_t
+        if collect_betas:
+            return (tau, value), beta
         return (tau, value), None
 
     ts = jnp.arange(nsteps - 1, 0, -1)  # nsteps-1 … 1 (t=0 excluded, lsm.jl:114)
     out, ys = jax.lax.scan(step, carry0, ts)
-    if barrier_eval is not None:
+    if barrier_eval is not None or collect_betas:
         return out + (ys,)
     return out
 
