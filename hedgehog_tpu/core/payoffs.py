@@ -56,6 +56,10 @@ __all__ = [
     "Averaging",
     "ArithmeticAverage",
     "GeometricAverage",
+    "ZeroCouponBond",
+    "BondOption",
+    "Caplet",
+    "Swaption",
     "parity_transform",
     "require_european",
 ]
@@ -641,6 +645,98 @@ class VarianceSwap:
     def __call__(self, realized_var):
         """Payout of the realized variance, broadcasting."""
         return self.notional * (jnp.asarray(realized_var) - self.strike_var)
+
+
+@pytree
+class ZeroCouponBond:
+    """A unit zero-coupon bond paying 1 at ``maturity`` — the atom of the
+    interest-rate payoff family (beyond the reference's equity-only
+    taxonomy).  Under deterministic curves its price is the discount
+    factor; under a short-rate model (HullWhiteAnalytic /
+    HullWhiteMonteCarlo) it is the model bond — identical by construction
+    when the model is fitted to the curve, which is the fit's unit test."""
+
+    maturity: Any = static_field()
+
+    def __post_init__(self):
+        object.__setattr__(self, "maturity", to_ticks(self.maturity))
+
+    @property
+    def expiry(self):  # uniform problem plumbing (market_yearfrac etc.)
+        return self.maturity
+
+
+@pytree
+class BondOption:
+    """European option, exercising at ``expiry``, on a unit zero-coupon bond
+    maturing at ``bond_maturity`` (> expiry): pays
+    max(cp·(P(T_E, T_B) − K), 0) at T_E.  The building block of the
+    cap/floor and swaption closed forms (caplet = scaled bond put)."""
+
+    strike: Any
+    expiry: Any = static_field()
+    bond_maturity: Any = static_field()
+    call_put: CallPut = static_field(default=Call())
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+        object.__setattr__(self, "bond_maturity", to_ticks(self.bond_maturity))
+        if self.bond_maturity <= self.expiry:
+            raise ValueError("bond_maturity must exceed the option expiry")
+
+
+@pytree
+class Caplet:
+    """A caplet (``call_put=Call()``) or floorlet (``Put()``) on the simple
+    forward rate L(start, end): pays notional·τ·max(cp·(L − strike_rate), 0)
+    at ``end`` with accrual τ = yearfrac(start, end).  Equivalent to
+    notional·(1 + X·τ) bond puts/calls struck at 1/(1 + X·τ) exercising at
+    ``start`` — how both the closed form and the MC estimator price it."""
+
+    strike_rate: Any
+    start: Any = static_field()
+    end: Any = static_field()
+    notional: Any = 1.0
+    call_put: CallPut = static_field(default=Call())
+
+    def __post_init__(self):
+        object.__setattr__(self, "start", to_ticks(self.start))
+        object.__setattr__(self, "end", to_ticks(self.end))
+        if self.end <= self.start:
+            raise ValueError("caplet end must exceed start")
+
+    @property
+    def expiry(self):  # the rate fixes at start (the option's exercise)
+        return self.start
+
+
+@pytree
+class Swaption:
+    """European ``payer=True`` (pay fixed X, receive float) or receiver
+    swaption on a unit-notional vanilla swap: exercising at ``expiry`` into
+    a swap with fixed payments at ``payment_dates`` (strictly increasing,
+    first > expiry; accruals from consecutive gaps against ``expiry``).
+    At T_E the swap's fixed+principal leg is Σ c_i·P(T_E, t_i) with
+    c_i = X·τ_i (+1 at t_n); the payer payoff is max(1 − Σ c_i P, 0) —
+    priced in closed form by Jamshidian decomposition under one-factor
+    short-rate models and by the same formula pathwise in MC."""
+
+    strike_rate: Any
+    expiry: Any = static_field()
+    payment_dates: Any = static_field()
+    payer: bool = static_field(default=True)
+    notional: Any = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+        dates = tuple(to_ticks(d) for d in self.payment_dates)
+        if len(dates) == 0:
+            raise ValueError("swaption needs at least one payment date")
+        if any(b <= a for a, b in zip(dates, dates[1:])) or dates[0] <= self.expiry:
+            raise ValueError(
+                "payment_dates must be strictly increasing and after expiry"
+            )
+        object.__setattr__(self, "payment_dates", dates)
 
 
 def bermudan_step_mask(style: ExerciseStyle, market, expiry, nsteps: int):

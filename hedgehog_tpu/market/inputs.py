@@ -23,6 +23,7 @@ __all__ = [
     "HestonInputs",
     "BatesInputs",
     "RoughBergomiInputs",
+    "HullWhiteInputs",
     "MertonInputs",
     "SABRInputs",
     "KouInputs",
@@ -213,6 +214,38 @@ class RoughBergomiInputs(AbstractMarketInputs):
         ref = to_ticks(self.reference_date)
         object.__setattr__(self, "reference_date", ref)
         object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+
+
+@pytree
+class HullWhiteInputs(AbstractMarketInputs):
+    """Hull-White / G1++ one-factor Gaussian short-rate market (beyond-
+    reference ASSET CLASS — the reference treats rates as deterministic
+    discounting only): dr = (θ(t) − a·r)dt + σ dW with θ(t) fitted so model
+    bonds reproduce ``rate`` (a FlatRateCurve or spine RateCurve) exactly —
+    the x-factor formulation in models/hull_white.py never materializes θ.
+
+    ``a`` (mean reversion, must be > 0) and ``sigma`` (absolute short-rate
+    vol) are pytree leaves: AD rate-vega/mean-reversion greeks and (a, σ)
+    calibration to caplet/swaption quotes flow through the standard lenses,
+    and curve-spine bumps (ZeroRateSpineLens) give key-rate durations.
+    Pair with the interest-rate payoffs (ZeroCouponBond, BondOption,
+    Caplet, Swaption) under HullWhiteAnalytic / HullWhiteMonteCarlo."""
+
+    reference_date: Any
+    rate: Any
+    a: Any
+    sigma: Any
+    daycount: Any = static_field(default=ACT365F)
+
+    def __post_init__(self):
+        ref = to_ticks(self.reference_date)
+        object.__setattr__(self, "reference_date", ref)
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+        try:
+            if float(self.a) <= 0.0:
+                raise ValueError("HullWhiteInputs.a (mean reversion) must be > 0")
+        except TypeError:
+            pass  # traced: the B(τ) = (1−e^{−aτ})/a forms assume a > 0
 
 
 @pytree
