@@ -719,13 +719,21 @@ class Swaption:
     At T_E the swap's fixed+principal leg is Σ c_i·P(T_E, t_i) with
     c_i = X·τ_i (+1 at t_n); the payer payoff is max(1 − Σ c_i P, 0) —
     priced in closed form by Jamshidian decomposition under one-factor
-    short-rate models and by the same formula pathwise in MC."""
+    short-rate models and by the same formula pathwise in MC.
+
+    ``exercise_style=Bermudan(dates)`` (beyond-European): extra exercise
+    rights on RESET dates after ``expiry`` (each must be one of the
+    payment dates except the last — the standard co-terminal convention;
+    exercising at a reset enters the remaining swap).  ``expiry`` is
+    always the FIRST exercise date.  Bermudans price on the
+    HullWhiteGrid backward induction."""
 
     strike_rate: Any
     expiry: Any = static_field()
     payment_dates: Any = static_field()
     payer: bool = static_field(default=True)
     notional: Any = 1.0
+    exercise_style: ExerciseStyle = static_field(default=European())
 
     def __post_init__(self):
         object.__setattr__(self, "expiry", to_ticks(self.expiry))
@@ -737,6 +745,27 @@ class Swaption:
                 "payment_dates must be strictly increasing and after expiry"
             )
         object.__setattr__(self, "payment_dates", dates)
+        if isinstance(self.exercise_style, Bermudan):
+            extra = tuple(to_ticks(d) for d in self.exercise_style.exercise_dates)
+            if any(d not in dates[:-1] for d in extra):
+                raise ValueError(
+                    "Bermudan swaption exercise dates must be reset dates: "
+                    "payment dates except the last (co-terminal convention)"
+                )
+        elif not isinstance(self.exercise_style, European):
+            raise TypeError(
+                "Swaption exercise_style must be European or Bermudan(dates)"
+            )
+
+    def exercise_ticks(self):
+        """Sorted exercise dates in ticks — expiry first, then any Bermudan
+        reset dates."""
+        extra = (
+            tuple(to_ticks(d) for d in self.exercise_style.exercise_dates)
+            if isinstance(self.exercise_style, Bermudan)
+            else ()
+        )
+        return tuple(sorted({self.expiry, *extra}))
 
 
 def bermudan_step_mask(style: ExerciseStyle, market, expiry, nsteps: int):

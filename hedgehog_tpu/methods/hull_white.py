@@ -38,7 +38,12 @@ from ..models.hull_white import hw_b, hw_bond, hw_gamma, hw_sigma_p, hw_step_mom
 from ..utils.pytree import pytree, static_field
 from .montecarlo import Antithetic, SimulationConfig, _base_key, _qmc_normals
 
-__all__ = ["HullWhiteAnalytic", "HullWhiteMonteCarlo", "hw_zbo_price"]
+__all__ = [
+    "HullWhiteAnalytic",
+    "HullWhiteMonteCarlo",
+    "HullWhiteGrid",
+    "hw_zbo_price",
+]
 
 _IR_PAYOFFS = (ZeroCouponBond, BondOption, Caplet, Swaption)
 
@@ -57,6 +62,24 @@ class HullWhiteMonteCarlo(AbstractPricingMethod):
     ``config.qmc`` draws the (2 × steps)-dimensional Sobol' stream."""
 
     config: SimulationConfig = static_field(default=SimulationConfig())
+
+
+@pytree
+class HullWhiteGrid(AbstractPricingMethod):
+    """Dense x-grid backward induction for (Bermudan) swaptions — the
+    TPU-native replacement for the classic Hull-White trinomial tree.
+
+    The OU transition density over ANY gap is Gaussian in closed form, and
+    the bank-account weight E[e^{−∫x}|x, x'] is a closed-form exponential
+    of (x, x'), so the discounted transition operator between consecutive
+    exercise dates is one dense (nodes × nodes) kernel matrix: a Bermudan
+    with m exercise dates prices in m matmuls on the MXU — no per-Δt
+    stepping, no tree geometry, exact transitions at any date spacing.
+    ``nodes`` trapezoid points over ``width`` stationary standard
+    deviations; European swaptions cross-check Jamshidian at ~1e-5."""
+
+    nodes: int = static_field(default=257)
+    width: float = static_field(default=7.0)
 
 
 def _yf(market, ticks):
@@ -85,6 +108,18 @@ def _caplet_as_zbo(market, payoff: Caplet):
     k_bond = 1.0 / (1.0 + payoff.strike_rate * tau)
     scale = payoff.notional * (1.0 + payoff.strike_rate * tau)
     return _yf(market, payoff.start), _yf(market, payoff.end), k_bond, scale
+
+
+def _require_european_swaption(payoff, name):
+    from ..core.payoffs import European
+
+    if isinstance(payoff, Swaption) and not isinstance(
+        payoff.exercise_style, European
+    ):
+        raise TypeError(
+            f"{name} prices European swaptions; Bermudan exercise prices on "
+            "HullWhiteGrid (the x-grid backward induction)"
+        )
 
 
 def _swap_legs(market, payoff: Swaption):
@@ -132,6 +167,7 @@ def _solve_hw_analytic(prob: PricingProblem, method: HullWhiteAnalytic):
         cp_bond = -payoff.call_put()  # caplet = bond PUT, floorlet = bond CALL
         price = scale * hw_zbo_price(market, t_exp, t_end, k_bond, cp_bond)
     elif isinstance(payoff, Swaption):
+        _require_european_swaption(payoff, "HullWhiteAnalytic")
         t_exp, times, c = _swap_legs(market, payoff)
         strikes = _jamshidian_strikes(market, t_exp, times, c)
         cp_bond = -1.0 if payoff.payer else 1.0  # payer = basket of bond puts
@@ -220,6 +256,7 @@ def _solve_hw_mc(prob: PricingProblem, method: HullWhiteMonteCarlo):
                         market.sigma, t_exp, t_end, x)
             return scale * jnp.maximum(cp_bond * (p - k_bond), 0.0)
     else:  # Swaption
+        _require_european_swaption(payoff, "HullWhiteMonteCarlo")
         t_exp, times, c = _swap_legs(market, payoff)
         p_t = df_yf(market.rate, t_exp)
         sign = 1.0 if payoff.payer else -1.0
@@ -238,3 +275,78 @@ def _solve_hw_mc(prob: PricingProblem, method: HullWhiteMonteCarlo):
     vals = disc * terminal(x_T)
     price = jnp.mean(vals, axis=(0, -1))
     return MonteCarloSolution(prob, method, price, vals)
+
+
+def _hw_kernel(market, t_a, t_b, x_from, x_to, w_to):
+    """Discounted transition operator between two dates on the x grid:
+
+        K[i, j] = E[ e^{−∫_{t_a}^{t_b} r du} · 1{x_{t_b} ≈ x_j} | x_{t_a} = x_i ]·w_j
+
+    = (deterministic exp(−∫α) block) × (exact OU Gaussian density) ×
+    (E[e^{−∫x} | x_i, x_j] — lognormal in the conditional (∫x | x, x')
+    Gaussian) × trapezoid weight.  All closed form; one such matrix per
+    exercise-date gap, applied as a single (nodes × nodes) matmul."""
+    a, sig = market.a, market.sigma
+    delta = t_b - t_a
+    e1 = jnp.exp(-a * delta)
+    b = hw_b(a, delta)
+    v_x = sig**2 * (1.0 - e1 * e1) / (2.0 * a)
+    s_x = jnp.sqrt(v_x)
+    c = sig**2 * (1.0 - e1) ** 2 / (2.0 * a**2)
+    beta = c / v_x
+    v_res = jnp.maximum(sig**2 * hw_gamma(a, delta) - c * beta, 0.0)
+    det = (
+        df_yf(market.rate, t_b) / df_yf(market.rate, t_a)
+        * jnp.exp(-0.5 * sig**2 * (hw_gamma(a, t_b) - hw_gamma(a, t_a)))
+    )
+    diff = x_to[None, :] - x_from[:, None] * e1
+    dens = jnp.exp(-0.5 * (diff / s_x) ** 2) / (s_x * jnp.sqrt(2.0 * jnp.pi))
+    mu_i_cond = x_from[:, None] * b + beta * diff
+    return det * dens * jnp.exp(-mu_i_cond + 0.5 * v_res) * w_to[None, :]
+
+
+def _swap_intrinsic_on_grid(market, payoff: Swaption, e_j, x):
+    """Exercise value at date e_j (yf) on the x grid: the remaining swap's
+    fixed+principal leg vs par, co-terminal accruals from e_j."""
+    sign = 1.0 if payoff.payer else -1.0
+    times = [
+        _yf(market, d) for d in payoff.payment_dates
+        if _yf(market, d) > e_j + 1e-12
+    ]
+    prev = [e_j] + times[:-1]
+    taus = jnp.asarray([t - p for t, p in zip(times, prev)])
+    coup = payoff.strike_rate * taus
+    coup = coup.at[-1].add(1.0)
+    t_arr = jnp.asarray(times)
+    p = hw_bond(
+        df_yf(market.rate, e_j), df_yf(market.rate, t_arr)[:, None],
+        market.a, market.sigma, e_j, t_arr[:, None], x[None, :],
+    )
+    leg = jnp.sum(coup[:, None] * p, axis=0)
+    return payoff.notional * jnp.maximum(sign * (1.0 - leg), 0.0)
+
+
+@register_solver(HullWhiteGrid)
+def _solve_hw_grid(prob: PricingProblem, method: HullWhiteGrid):
+    payoff, market = prob.payoff, prob.market_inputs
+    _require_hw(market, payoff, "HullWhiteGrid")
+    if not isinstance(payoff, Swaption):
+        raise TypeError(
+            "HullWhiteGrid prices (Bermudan) Swaptions; ZCBs/bond options/"
+            "caplets price on HullWhiteAnalytic / HullWhiteMonteCarlo"
+        )
+    ex = [_yf(market, t) for t in payoff.exercise_ticks()]
+    a, sig = market.a, market.sigma
+    s_stat = sig * jnp.sqrt((1.0 - jnp.exp(-2.0 * a * ex[-1])) / (2.0 * a))
+    n = method.nodes
+    x = jnp.linspace(-method.width, method.width, n) * s_stat
+    h = x[1] - x[0]
+    w_trap = jnp.full((n,), h).at[0].mul(0.5).at[-1].mul(0.5)
+
+    value = _swap_intrinsic_on_grid(market, payoff, ex[-1], x)
+    for j in range(len(ex) - 2, -1, -1):
+        cont = _hw_kernel(market, ex[j], ex[j + 1], x, x, w_trap) @ value
+        value = jnp.maximum(_swap_intrinsic_on_grid(market, payoff, ex[j], x), cont)
+    k0 = _hw_kernel(market, 0.0, ex[0], jnp.zeros((1,)), x, w_trap)
+    price = (k0 @ value)[0]
+    return AnalyticSolution(prob, method, price)

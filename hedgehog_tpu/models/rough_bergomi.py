@@ -56,10 +56,12 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
+from ..utils.pytree import pytree
+
 __all__ = [
+    "ForwardVarianceCurve",
     "volterra_cov",
     "volterra_chol",
     "rbergomi_variance",
@@ -138,9 +140,32 @@ def volterra_chol(hurst, horizon, steps: int, quad_nodes: int = _QUAD_NODES):
 
 def rbergomi_variance(market, z, t_left):
     """Instantaneous variance at the grid LEFT points from exact Volterra
-    samples: V_k = xi0·exp(η·Z_{t_k} − ½η²·t_k^{2H}) with Z_0 = 0 — the
-    exponential-martingale normalization makes E[V_t] = xi0 exactly (flat
-    forward-variance curve).  ``z``: (..., n) with z[..., 0] ≡ Z_0 = 0."""
+    samples: V_k = ξ₀(t_k)·exp(η·Z_{t_k} − ½η²·t_k^{2H}) with Z_0 = 0 — the
+    exponential-martingale normalization makes E[V_t] = ξ₀(t) exactly
+    (``xi0`` scalar = flat forward variance; a
+    :class:`ForwardVarianceCurve` = the practitioner fit to the
+    variance-swap strip).  ``z``: (..., n) with z[..., 0] ≡ Z_0 = 0."""
     eta = market.eta
     t2h = _pow(t_left, 2.0 * market.hurst)
-    return market.xi0 * jnp.exp(eta * z - 0.5 * eta**2 * t2h)
+    xi0 = market.xi0
+    level = xi0(t_left) if isinstance(xi0, ForwardVarianceCurve) else xi0
+    return level * jnp.exp(eta * z - 0.5 * eta**2 * t2h)
+
+
+@pytree
+class ForwardVarianceCurve:
+    """Piecewise-linear forward-variance term structure ξ₀(t) for rough
+    Bergomi (E[V_t] = ξ₀(t) by the exponential-martingale normalization):
+    ``tenors`` (year fractions, increasing) and ``xi`` (variance levels,
+    e.g. squared vol-swap marks) are BOTH pytree leaves — bucketed
+    variance-curve vegas ∂price/∂ξᵢ come from one ``jax.grad``, the
+    rates-curve key-rate idiom applied to the variance curve.  Flat
+    extrapolation outside the spine."""
+
+    tenors: object
+    xi: object
+
+    def __call__(self, t):
+        return jnp.interp(
+            jnp.asarray(t), jnp.asarray(self.tenors), jnp.asarray(self.xi)
+        )

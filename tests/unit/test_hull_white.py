@@ -207,3 +207,55 @@ def test_payoff_validation_and_guards():
         hh.solve(hh.PricingProblem(
             hh.ZeroCouponBond(dt.date(2025, 1, 1)),
             hh.BlackScholesInputs(REF, 0.03, 100.0, 0.2)), hh.HullWhiteAnalytic())
+
+
+def test_grid_european_corner_matches_jamshidian():
+    """The x-grid backward induction with ONE exercise date must reproduce
+    the Jamshidian closed form — two very different derivations (Gaussian
+    kernel quadrature vs critical-state bond-option basket)."""
+    m = _market()
+    for payer in (True, False):
+        sw = hh.Swaption(0.032, dt.date(2025, 1, 1), _SWAP_DATES,
+                         payer=payer, notional=100.0)
+        pj = float(hh.solve(hh.PricingProblem(sw, m), hh.HullWhiteAnalytic()).price)
+        pg = float(hh.solve(hh.PricingProblem(sw, m), hh.HullWhiteGrid()).price)
+        assert pg == pytest.approx(pj, rel=2e-4), payer
+
+
+def test_bermudan_swaption_dominates_europeans():
+    """Bermudan ≥ every European entered at a single exercise date (rights
+    superset), converges in the node count, and collapses to the European
+    price when the style is European."""
+    m = _market()
+    berm = hh.Swaption(
+        0.032, dt.date(2025, 1, 1), _SWAP_DATES, payer=True, notional=100.0,
+        exercise_style=hh.Bermudan([dt.date(2026, 1, 1), dt.date(2027, 1, 1)]))
+    pb = float(hh.solve(hh.PricingProblem(berm, m), hh.HullWhiteGrid()).price)
+    singles = []
+    for d0, rem in [(dt.date(2025, 1, 1), _SWAP_DATES),
+                    (dt.date(2026, 1, 1), _SWAP_DATES[1:]),
+                    (dt.date(2027, 1, 1), _SWAP_DATES[2:])]:
+        sw1 = hh.Swaption(0.032, d0, rem, payer=True, notional=100.0)
+        singles.append(float(hh.solve(hh.PricingProblem(sw1, m),
+                                      hh.HullWhiteAnalytic()).price))
+    assert pb >= max(singles) - 1e-8
+    assert pb <= sum(singles) + 1e-8  # crude upper bound: sum of rights
+    pb_fine = float(hh.solve(hh.PricingProblem(berm, m),
+                             hh.HullWhiteGrid(nodes=513)).price)
+    assert pb == pytest.approx(pb_fine, rel=3e-4)  # O(h²) kink error
+
+
+def test_bermudan_swaption_validation():
+    with pytest.raises(ValueError, match="reset dates"):
+        hh.Swaption(0.03, dt.date(2025, 1, 1), _SWAP_DATES,
+                    exercise_style=hh.Bermudan([dt.date(2026, 6, 1)]))
+    m = _market()
+    berm = hh.Swaption(0.032, dt.date(2025, 1, 1), _SWAP_DATES,
+                       exercise_style=hh.Bermudan([dt.date(2026, 1, 1)]))
+    with pytest.raises(TypeError, match="HullWhiteGrid"):
+        hh.solve(hh.PricingProblem(berm, m), hh.HullWhiteAnalytic())
+    with pytest.raises(TypeError, match="HullWhiteGrid"):
+        hh.solve(hh.PricingProblem(berm, m), _mc(1024, 1))
+    with pytest.raises(TypeError, match="Swaption"):
+        hh.solve(hh.PricingProblem(hh.ZeroCouponBond(dt.date(2025, 1, 1)), m),
+                 hh.HullWhiteGrid())

@@ -96,7 +96,7 @@ def test_forward_unbiased_and_parity():
                           _mix(30_000, 16, seed=5)).price)
     put = float(hh.solve(hh.PricingProblem(_opt(cp=hh.Put()), m),
                          _mix(30_000, 16, seed=5)).price)
-    T = 364.0 / 365.0
+    T = 1.0  # 365 days ACT/365
     disc = float(np.exp(-0.03 * T))
     fwd = 100.0 / disc
     assert call - put == pytest.approx(disc * (fwd - 100.0), abs=3e-2)
@@ -193,6 +193,44 @@ def test_barrier_and_asian_compose():
     asian = hh.AsianOption(100.0, EXPIRY, observations=32)
     p_as = float(hh.solve(hh.PricingProblem(asian, m), eul).price)
     assert 0.0 < p_as < vanilla
+
+
+def test_forward_variance_curve():
+    """ξ₀ term structure: a flat ForwardVarianceCurve is bit-identical to
+    the scalar; at η = 0, ρ = 0 the price is BS with the left-Riemann total
+    variance of ξ₀(t) — exact, no MC error; bucketed ∂price/∂ξᵢ flow."""
+    from hedgehog_tpu.models.rough_bergomi import ForwardVarianceCurve
+
+    flat = ForwardVarianceCurve(jnp.asarray([0.25, 1.0]), jnp.asarray([0.04, 0.04]))
+    m_flat = _market(xi0=flat)
+    p_curve = float(hh.solve(hh.PricingProblem(_opt(), m_flat), _mix(2_000, 8)).price)
+    p_scalar = float(hh.solve(hh.PricingProblem(_opt(), _market()), _mix(2_000, 8)).price)
+    assert p_curve == p_scalar
+
+    # deterministic corner: upward-sloping curve, exact BS check
+    ten = jnp.asarray([0.0, 1.0])
+    xi = jnp.asarray([0.03, 0.06])
+    curve = ForwardVarianceCurve(ten, xi)
+    n = 16
+    m0 = hh.RoughBergomiInputs(REF, 0.03, 100.0, curve, 0.0, 0.1, 0.0)
+    p = float(hh.solve(hh.PricingProblem(_opt(), m0), _mix(64, n)).price)
+    T = 1.0  # 2024-01-01 -> 2024-12-31 is 365 days (ACT/365)
+    t_left = np.arange(n) / n * T
+    total_var = float(np.sum(np.interp(t_left, ten, xi)) * T / n)
+    p_bs = float(hh.solve(
+        hh.PricingProblem(_opt(), hh.BlackScholesInputs(
+            REF, 0.03, 100.0, float(np.sqrt(total_var / T)))),
+        hh.BlackScholesAnalytic()).price)
+    assert p == pytest.approx(p_bs, rel=1e-10)
+
+    # bucketed variance-curve vega: gradient w.r.t. each xi pillar
+    def price(xi_vec):
+        mm = hh.RoughBergomiInputs(
+            REF, 0.03, 100.0, ForwardVarianceCurve(ten, xi_vec), 1.5, 0.1, -0.7)
+        return hh.solve(hh.PricingProblem(_opt(), mm), _mix(2_000, 8, seed=6)).price
+
+    g = jax.grad(price)(xi)
+    assert np.all(np.isfinite(np.asarray(g))) and float(g[1]) > 0.0
 
 
 def test_mismatched_pairing_raises():

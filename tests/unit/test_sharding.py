@@ -144,6 +144,10 @@ def test_sharded_new_model_families():
          hh.MonteCarlo(hh.NormalDynamics(), hh.BachelierExact(),
                        hh.SimulationConfig(trajectories=1 << 13, steps=1,
                                            variance_reduction=hh.Antithetic(), seed=0))),
+        (hh.RoughBergomiInputs(ref, 0.03, 100.0, 0.04, 1.5, 0.1, -0.7),
+         hh.MonteCarlo(hh.RoughBergomiDynamics(), hh.RoughBergomiMixing(),
+                       hh.SimulationConfig(trajectories=1 << 12, steps=16,
+                                           variance_reduction=hh.Antithetic(), seed=0))),
     ]
     for mkt, method in cases:
         prob = hh.PricingProblem(opt, mkt)
