@@ -23,11 +23,14 @@ in ONE lax.scan over calendar time on a (dates × outer × inner) lane tensor
 is a single fixed-shape XLA program; the O(n²·P·I) work is elementwise and
 embarrassingly lane-parallel.
 
-Scope: plain-vanilla American/Bermudan payoffs on LognormalDynamics grids
-(exact per-step lognormal transitions — the same grid semantics as
-``simulate_price_grid``, so the replayed policy is EXACTLY the solver's).
-Stochastic-vol policies need the (S, V) state in the inner sampler; route
-those through the conditional-LSM primal and CRR/lattice checks instead.
+Scope — two Markov-state nested samplers:
+
+* LognormalDynamics grids (exact per-step lognormal transitions, the same
+  grid semantics as ``simulate_price_grid``), state = S.
+* HestonDynamics with ``HestonQE(conditional=True)`` — the conditional-LSM
+  policy on the (S, V) joint basis; the nested sampler replays the SAME
+  QE variance step + exact conditional lognormal bridge the fit grid used
+  (montecarlo.simulate_conditional_grid), state = (logS, V).
 """
 
 from __future__ import annotations
@@ -39,18 +42,27 @@ import jax.numpy as jnp
 
 from ..core.payoffs import VanillaOption
 from ..core.problems import PricingProblem
-from ..market.inputs import market_yearfrac
 from ..market.vol_surface import FlatVolSurface, get_vol
 from ..utils.pytree import pytree
 from .lsm import (
     LSM,
     _exercise_mask,
     _flatten_grid,
+    _is_conditional,
+    _joint_basis,
     _lsm_setup,
     _poly_basis,
     lsm_backward_induction,
+    rb_terminal_value,
 )
-from .montecarlo import LognormalDynamics, _sim_params, simulate_price_grid
+from .montecarlo import (
+    Antithetic,
+    HestonDynamics,
+    LognormalDynamics,
+    _sim_params,
+    simulate_conditional_grid,
+    simulate_price_grid,
+)
 
 __all__ = ["DualBound", "lsm_dual_bound"]
 
@@ -74,14 +86,17 @@ class DualBound:
     gap: Any
 
 
-def _gbm_step_params(prob: PricingProblem):
-    market, T, r0 = _sim_params(prob)
-    sigma = (
-        market.sigma.sigma
-        if isinstance(market.sigma, FlatVolSurface)
-        else get_vol(market.sigma, prob.payoff.expiry, market.spot)
+def _replaced_config(method: LSM, trajectories: int, seed_tag: int):
+    from ..utils.pytree import replace
+
+    cfg = method.mc_method.config
+    return replace(
+        cfg,
+        trajectories=trajectories,
+        seed=cfg.seed + seed_tag,
+        variance_reduction=Antithetic(),
+        qmc=False,
     )
-    return market, T, r0, sigma
 
 
 def lsm_dual_bound(
@@ -94,21 +109,26 @@ def lsm_dual_bound(
     """Fit the LSM policy on the method's own config, then certify it:
     fresh-path lower bound + Andersen-Broadie dual upper bound.
 
-    ``n_outer`` fresh outer paths (both bounds average over them),
-    ``n_inner`` nested continuation samples per (outer path, date).
-    ``seed`` derives the outer/inner streams — independent of the fit
-    stream by construction (distinct fold tags)."""
+    ``n_outer`` fresh outer paths (antithetic pairs; both bounds average
+    over them), ``n_inner`` nested continuation samples per (outer path,
+    date).  ``seed`` derives the outer/inner streams — independent of the
+    fit stream by construction (distinct fold tags)."""
     payoff = prob.payoff
     if not isinstance(payoff, VanillaOption):
         raise TypeError(
             "lsm_dual_bound certifies plain-vanilla LSM policies; got "
             f"{type(payoff).__name__}"
         )
-    if not isinstance(method.mc_method.dynamics, LognormalDynamics):
+    conditional = _is_conditional(method.mc_method) and isinstance(
+        method.mc_method.dynamics, HestonDynamics
+    )
+    if not conditional and not isinstance(
+        method.mc_method.dynamics, LognormalDynamics
+    ):
         raise TypeError(
-            "lsm_dual_bound's nested sampler is exact for LognormalDynamics "
-            "grids only; validate stochastic-vol LSM against lattice/"
-            "conditional oracles instead"
+            "lsm_dual_bound's nested samplers cover LognormalDynamics grids "
+            "and HestonDynamics with HestonQE(conditional=True); other "
+            "stochastic-vol policies validate against lattice oracles"
         )
     if jnp.ndim(payoff.strike) > 0:
         raise TypeError("lsm_dual_bound prices one contract; vmap for grids")
@@ -117,82 +137,150 @@ def lsm_dual_bound(
     ex_mask = _exercise_mask(prob, method)  # None = American
     nsteps = method.mc_method.config.steps
     degree = method.degree
+    market, T, r0 = _sim_params(prob)
+    dt = T / nsteps
+    n_outer = 2 * (n_outer // 2)  # antithetic outer pairs
 
     # ---- 1. fit the policy on the method's own (training) stream ----
-    grid = simulate_price_grid(prob, method.mc_method)  # (g, steps+1, paths)
-    spots = _flatten_grid(grid)
+    if conditional:
+        s_g, v_g = simulate_conditional_grid(prob, method.mc_method.config)
+        spots, vols = _flatten_grid(s_g), _flatten_grid(v_g)
+        terminal = rb_terminal_value(prob, spots, vols) if method.rao_blackwell else None
+    else:
+        grid = simulate_price_grid(prob, method.mc_method)
+        spots, vols, terminal = _flatten_grid(grid), None, None
     tau_fit, val_fit, betas_scan = lsm_backward_induction(
-        spots, payoff, log_disc, degree, strike_scale,
-        exercise_mask=ex_mask, collect_betas=True,
+        spots, payoff, log_disc, degree, strike_scale, vols=vols,
+        terminal_value=terminal, exercise_mask=ex_mask, collect_betas=True,
     )
     primal = jnp.mean(jnp.exp(tau_fit * log_disc) * val_fit)
-    # scan order was t = nsteps−1 … 1; betas_by_t[t−1] is the policy at t
-    betas_by_t = betas_scan[::-1]  # (nsteps−1, n_terms)
+    betas_by_t = betas_scan[::-1]  # [t−1] is the policy at date t
 
-    def exercises(t, s):
-        """Policy exercise indicator at date t (1 ≤ t ≤ nsteps−1), any shape."""
+    def exercises(t, s, v):
+        """Frozen-policy exercise indicator at date t (1 ≤ t ≤ nsteps−1)."""
         pay = payoff(s)
-        fitted = _poly_basis(
-            (s / strike_scale).reshape(-1), degree
-        ) @ betas_by_t[t - 1]
+        s_n = (s / strike_scale).reshape(-1)
+        phi = (
+            _joint_basis(s_n, v.reshape(-1), degree)
+            if conditional
+            else _poly_basis(s_n, degree)
+        )
+        fitted = phi @ betas_by_t[t - 1]
         ex = (pay > 0.0) & (pay > fitted.reshape(s.shape))
         if ex_mask is not None:
             ex = ex & ex_mask[t]
         return ex
 
-    # ---- 2. outer fresh paths (exact per-step lognormal transitions) ----
-    market, T, r0, sigma = _gbm_step_params(prob)
-    dt = T / nsteps
-    drift = (r0 - 0.5 * sigma**2) * dt
-    vol_dt = sigma * jnp.sqrt(dt)
+    # ---- 2. outer fresh paths + per-state nested stepper ----
     base = jax.random.fold_in(
         jax.random.PRNGKey(method.mc_method.config.seed), seed
     )
-    k_outer, k_inner = jax.random.split(base)
-    n_outer = 2 * (n_outer // 2)  # antithetic outer pairs cut the lower
-    half = jax.random.normal(  # bound's MC noise at no extra model cost
-        k_outer, (nsteps, n_outer // 2), dtype=jnp.float64
-    )
-    z_o = jnp.concatenate([half, -half], axis=1)
-    log_s = jnp.log(market.spot) + jnp.concatenate(
-        [jnp.zeros((1, n_outer)), jnp.cumsum(drift + vol_dt * z_o, axis=0)]
-    )
-    s_outer = jnp.exp(log_s)  # (nsteps+1, n_outer)
+    k_inner = jax.random.fold_in(base, 1)
+    lane_shape = (nsteps, n_outer, n_inner)
+    start_t = jnp.arange(nsteps)[:, None, None]
+
+    if conditional:
+        from ..models.heston_qe import qe_constants, qe_v_step
+
+        kappa, sig_v, rho = market.kappa, market.sigma, market.rho
+        qe_c = qe_constants(kappa, market.theta, sig_v, rho, r0, dt)
+        ktd = kappa * market.theta * dt
+        rho_bar2 = 1.0 - rho**2
+        cfg_o = _replaced_config(method, n_outer // 2, seed)
+        s_og, v_og = simulate_conditional_grid(prob, cfg_o)
+        s_outer, v_outer = _flatten_grid(s_og), _flatten_grid(v_og)
+
+        def lane_init():
+            x0 = jnp.log(jnp.broadcast_to(s_outer[:nsteps, :, None], lane_shape))
+            v0 = jnp.broadcast_to(v_outer[:nsteps, :, None], lane_shape)
+            return (x0, v0)
+
+        def lane_step(state, live, u):
+            x, v = state
+            ku = jax.random.fold_in(k_inner, u)
+            z = jax.random.normal(ku, (2,) + lane_shape, dtype=jnp.float64)
+            uu = jax.random.uniform(
+                jax.random.fold_in(ku, 7), lane_shape, dtype=jnp.float64
+            )
+            v_new = qe_v_step(v, z[0], uu, qe_c)
+            iv = 0.5 * dt * (v + v_new)
+            j = (v_new - v - ktd + kappa * iv) / sig_v
+            x_new = x + r0 * dt - 0.5 * iv + rho * j + jnp.sqrt(
+                jnp.maximum(rho_bar2 * iv, 1e-18)
+            ) * z[1]
+            return (
+                jnp.where(live, x_new, x),
+                jnp.where(live, v_new, v),
+            )
+
+        def lane_spot(state):
+            return jnp.exp(state[0])
+
+        def lane_vol(state):
+            return state[1]
+    else:
+        sigma = (
+            market.sigma.sigma
+            if isinstance(market.sigma, FlatVolSurface)
+            else get_vol(market.sigma, payoff.expiry, market.spot)
+        )
+        drift = (r0 - 0.5 * sigma**2) * dt
+        vol_dt = sigma * jnp.sqrt(dt)
+        half = jax.random.normal(
+            jax.random.fold_in(base, 0), (nsteps, n_outer // 2),
+            dtype=jnp.float64,
+        )
+        z_o = jnp.concatenate([half, -half], axis=1)
+        log_s = jnp.log(market.spot) + jnp.concatenate(
+            [jnp.zeros((1, n_outer)), jnp.cumsum(drift + vol_dt * z_o, axis=0)]
+        )
+        s_outer = jnp.exp(log_s)
+        v_outer = None
+
+        def lane_init():
+            return (jnp.broadcast_to(s_outer[:nsteps, :, None], lane_shape),)
+
+        def lane_step(state, live, u):
+            (s,) = state
+            z = jax.random.normal(
+                jax.random.fold_in(k_inner, u), lane_shape, dtype=jnp.float64
+            )
+            return (jnp.where(live, s * jnp.exp(drift + vol_dt * z), s),)
+
+        def lane_spot(state):
+            return state[0]
+
+        def lane_vol(state):
+            return jnp.zeros(lane_shape)
+
     disc_t = jnp.exp(jnp.arange(nsteps + 1) * log_disc)
     h = disc_t[:, None] * payoff(s_outer)  # discounted-to-0 payoff
 
+    def ex_at(t, s, v):
+        return exercises(t, s, v if conditional else jnp.zeros_like(s))
+
     ex_outer = jnp.stack(
-        [exercises(t, s_outer[t]) for t in range(1, nsteps)]
+        [ex_at(t, s_outer[t], v_outer[t] if conditional else None)
+         for t in range(1, nsteps)]
         + [jnp.ones((n_outer,), bool)]
-    )  # (nsteps, n_outer) for t = 1..nsteps (terminal always "exercises")
+    )  # (nsteps, n_outer), t = 1..nsteps (terminal always "exercises")
 
     # ---- 3. ALL nested continuation bundles in one scan over the clock ----
-    # lane (t, p, i): start at S_t^outer, step once the clock passes t,
-    # stop at the policy's first exercise (or at expiry); value is
-    # discounted to 0.  C[t, p] = mean_i — the Ĉ_t estimates for t = 0..n−1.
-    s0 = jnp.broadcast_to(
-        s_outer[:nsteps, :, None], (nsteps, n_outer, n_inner)
-    )
-    start_t = jnp.arange(nsteps)[:, None, None]
-
     def clock_step(carry, u):
-        s, stopped, val = carry
-        z = jax.random.normal(
-            jax.random.fold_in(k_inner, u), (nsteps, n_outer, n_inner),
-            dtype=jnp.float64,
-        )
+        state, stopped, val = carry
         live = u > start_t  # lanes whose bundle has started
-        s = jnp.where(live, s * jnp.exp(drift + vol_dt * z), s)
+        state = lane_step(state, live, u)
+        s = lane_spot(state)
         ex_u = jax.lax.cond(
             u < nsteps,
-            lambda: exercises(u, s),
-            lambda: jnp.ones(s.shape, bool),
+            lambda: exercises(u, s, lane_vol(state)),
+            lambda: jnp.ones(lane_shape, bool),
         )
         stop_now = live & ~stopped & ex_u
         val = jnp.where(stop_now, jnp.exp(u * log_disc) * payoff(s), val)
-        return (s, stopped | stop_now, val), None
+        return (state, stopped | stop_now, val), None
 
-    init = (s0, jnp.zeros(s0.shape, bool), jnp.zeros(s0.shape))
+    init = (lane_init(), jnp.zeros(lane_shape, bool), jnp.zeros(lane_shape))
     (_, _, val_inner), _ = jax.lax.scan(
         clock_step, init, jnp.arange(1, nsteps + 1)
     )

@@ -112,3 +112,27 @@ def test_scope_guards():
                                knock=hh.KnockOut())
     with pytest.raises(TypeError, match="plain-vanilla"):
         lsm_dual_bound(hh.PricingProblem(barrier, mkt), _lsm(256, 8), 128, 16)
+
+
+def test_heston_conditional_policy_certified():
+    """The (S, V) joint-basis conditional-LSM policy certifies under the
+    QE-bridge nested sampler: the interval brackets an independent
+    Euler-grid LSM primal, and the lower bound respects the primal."""
+    REF_, EXP_ = dt.date(2024, 1, 1), dt.date(2024, 12, 31)
+    m = hh.HestonInputs(REF_, 0.03, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7)
+    put = hh.VanillaOption(110.0, EXP_, hh.American(), hh.Put(), hh.Spot())
+    prob = hh.PricingProblem(put, m)
+    lsm_c = hh.LSM(
+        hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(conditional=True),
+                      hh.SimulationConfig(trajectories=20_000, steps=24, seed=0)),
+        degree=3)
+    db = lsm_dual_bound(prob, lsm_c, n_outer=1024, n_inner=64)
+    lo, up = float(db.lower), float(db.upper)
+    assert np.isfinite(lo) and np.isfinite(up) and lo <= up
+    p_euler = float(hh.solve(prob, hh.LSM(
+        hh.MonteCarlo(hh.HestonDynamics(), hh.EulerMaruyama(),
+                      hh.SimulationConfig(trajectories=30_000, steps=48, seed=2)),
+        degree=4)).price)
+    assert lo - 3 * float(db.se_lower) <= p_euler
+    assert up + 3 * float(db.se_upper) >= p_euler - 0.05
+    assert lo - 3 * float(db.se_lower) <= float(db.primal) <= up + 3 * float(db.se_upper)
