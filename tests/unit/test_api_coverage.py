@@ -111,3 +111,11 @@ def test_interpolator2d_call_alias():
     itp = hh.Interpolator2D(jnp.array([0.0, 1.0]), jnp.array([0.0, 1.0]),
                             jnp.array([[0.0, 1.0], [2.0, 3.0]]))
     assert float(itp(0.5, 0.5)) == pytest.approx(1.5)
+
+
+def test_all_exports_resolve():
+    """Every name in hedgehog_tpu.__all__ must resolve to a real object —
+    the reference exports `implied_vol` without defining it
+    (src/Hedgehog.jl:79); this test makes that class of bug impossible."""
+    for name in hh.__all__:
+        assert getattr(hh, name, None) is not None, name
