@@ -59,6 +59,7 @@ __all__ = [
     "ZeroCouponBond",
     "BondOption",
     "Caplet",
+    "CapFloor",
     "Swaption",
     "parity_transform",
     "require_european",
@@ -708,6 +709,42 @@ class Caplet:
     @property
     def expiry(self):  # the rate fixes at start (the option's exercise)
         return self.start
+
+
+@pytree
+class CapFloor:
+    """An interest-rate cap (``call_put=Call()``) or floor (``Put()``): the
+    strip of caplets/floorlets on consecutive ``dates`` pairs — payment i
+    covers [dates[i], dates[i+1]] and pays
+    notional·τ_i·max(cp·(L_i − strike_rate), 0) at dates[i+1].  Priced as
+    the sum of the per-period Caplet prices (closed form and MC alike);
+    the first period's rate fixes at dates[0] (spot-start caps include
+    today's known fixing by convention — pass dates[0] > reference date
+    to exclude it)."""
+
+    strike_rate: Any
+    dates: Any = static_field()
+    notional: Any = 1.0
+    call_put: CallPut = static_field(default=Call())
+
+    def __post_init__(self):
+        d = tuple(to_ticks(x) for x in self.dates)
+        if len(d) < 2:
+            raise ValueError("CapFloor needs at least two dates (one period)")
+        if any(b <= a for a, b in zip(d, d[1:])):
+            raise ValueError("CapFloor dates must be strictly increasing")
+        object.__setattr__(self, "dates", d)
+
+    @property
+    def expiry(self):  # last payment (uniform problem plumbing)
+        return self.dates[-1]
+
+    def caplets(self):
+        """The equivalent Caplet strip."""
+        return tuple(
+            Caplet(self.strike_rate, a, b, self.notional, self.call_put)
+            for a, b in zip(self.dates, self.dates[1:])
+        )
 
 
 @pytree

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.stats import norm
 
-from ..core.payoffs import BondOption, Call, Caplet, Swaption, ZeroCouponBond
+from ..core.payoffs import BondOption, Call, CapFloor, Caplet, Swaption, ZeroCouponBond
 from ..core.problems import AnalyticSolution, MonteCarloSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df_yf
@@ -45,7 +45,7 @@ __all__ = [
     "hw_zbo_price",
 ]
 
-_IR_PAYOFFS = (ZeroCouponBond, BondOption, Caplet, Swaption)
+_IR_PAYOFFS = (ZeroCouponBond, BondOption, Caplet, CapFloor, Swaption)
 
 
 @pytree
@@ -166,6 +166,13 @@ def _solve_hw_analytic(prob: PricingProblem, method: HullWhiteAnalytic):
         t_exp, t_end, k_bond, scale = _caplet_as_zbo(market, payoff)
         cp_bond = -payoff.call_put()  # caplet = bond PUT, floorlet = bond CALL
         price = scale * hw_zbo_price(market, t_exp, t_end, k_bond, cp_bond)
+    elif isinstance(payoff, CapFloor):
+        from ..utils.pytree import replace as _replace
+
+        price = sum(
+            _solve_hw_analytic(_replace(prob, payoff=c), method).price
+            for c in payoff.caplets()
+        )
     elif isinstance(payoff, Swaption):
         _require_european_swaption(payoff, "HullWhiteAnalytic")
         t_exp, times, c = _swap_legs(market, payoff)
@@ -233,6 +240,20 @@ def _solve_hw_mc(prob: PricingProblem, method: HullWhiteMonteCarlo):
     payoff, market = prob.payoff, prob.market_inputs
     _require_hw(market, payoff, "HullWhiteMonteCarlo")
     config = method.config
+    if isinstance(payoff, CapFloor):
+        from ..utils.pytree import replace as _replace
+
+        # per-period seeds decorrelate the legs (a shared stream would be
+        # fine too; independent legs give the tighter strip estimate)
+        vals = None
+        price = 0.0
+        for i, c in enumerate(payoff.caplets()):
+            cfg_i = _replace(config, seed=config.seed + 7919 * i)
+            sol = _solve_hw_mc(
+                _replace(prob, payoff=c), HullWhiteMonteCarlo(cfg_i)
+            )
+            price = price + sol.price
+        return MonteCarloSolution(prob, method, price, vals)
     if isinstance(payoff, ZeroCouponBond):
         t_exp = _yf(market, payoff.maturity)
         terminal = lambda x: jnp.ones_like(x)  # noqa: E731

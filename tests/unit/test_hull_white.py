@@ -259,3 +259,32 @@ def test_bermudan_swaption_validation():
     with pytest.raises(TypeError, match="Swaption"):
         hh.solve(hh.PricingProblem(hh.ZeroCouponBond(dt.date(2025, 1, 1)), m),
                  hh.HullWhiteGrid())
+
+
+def test_capfloor_strip():
+    """Cap = Σ caplets (exact identity in the analytic pricer), cap − floor
+    = the swap of the periods (FRA parity telescoped), MC agrees."""
+    m = _market()
+    dates = [dt.date(2024, 7, 1), dt.date(2025, 1, 1), dt.date(2025, 7, 1),
+             dt.date(2026, 1, 1)]
+    cap = hh.CapFloor(0.03, dates, notional=100.0)
+    floor = hh.CapFloor(0.03, dates, notional=100.0, call_put=hh.Put())
+    pa = float(hh.solve(hh.PricingProblem(cap, m), hh.HullWhiteAnalytic()).price)
+    manual = sum(
+        float(hh.solve(hh.PricingProblem(c, m), hh.HullWhiteAnalytic()).price)
+        for c in cap.caplets())
+    assert pa == pytest.approx(manual, rel=1e-14)
+    pf = float(hh.solve(hh.PricingProblem(floor, m), hh.HullWhiteAnalytic()).price)
+    # parity leg: Σ N·τ_i·(L_i − X)·P(0, end_i)
+    parity = 0.0
+    for c in cap.caplets():
+        t1 = m.daycount.yearfrac(m.reference_date, c.start)
+        t2 = m.daycount.yearfrac(m.reference_date, c.end)
+        tau = t2 - t1
+        l_fwd = (float(df_yf(m.rate, t1)) / float(df_yf(m.rate, t2)) - 1.0) / tau
+        parity += 100.0 * tau * (l_fwd - 0.03) * float(df_yf(m.rate, t2))
+    assert pa - pf == pytest.approx(parity, abs=1e-10)
+    pm = float(hh.solve(hh.PricingProblem(cap, m), _mc(60_000, 2)).price)
+    assert pm == pytest.approx(pa, rel=2e-2)
+    with pytest.raises(ValueError, match="increasing"):
+        hh.CapFloor(0.03, [dates[1], dates[0]])
