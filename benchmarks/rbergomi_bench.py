@@ -1,0 +1,68 @@
+"""TPU bench: rough Bergomi exact-Volterra mixing throughput + variance.
+
+Measures paths/s at serving-style megabatches for the mixing estimator
+(jit once, amortize dispatch over REPS), and the variance advantage vs the
+full-grid Euler estimator at equal paths/steps.  There is no closed form
+for rough Bergomi, so "accuracy" is refinement consistency (n vs 2n).
+Usage: python benchmarks/rbergomi_bench.py
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import datetime as dt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import hedgehog_tpu as hh
+from hedgehog_tpu.methods.montecarlo import mc_path_values
+
+REF, EXPIRY = dt.date(2024, 1, 1), dt.date(2024, 12, 31)
+PATHS, STEPS, REPS = 1 << 18, 64, 8
+
+print("backend:", jax.default_backend(), flush=True)
+market = hh.RoughBergomiInputs(REF, 0.03, 100.0, 0.04, 1.9, 0.08, -0.9)
+opt = hh.VanillaOption(100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+prob = hh.PricingProblem(opt, market)
+
+
+def method(strategy, paths=PATHS, steps=STEPS, seed=0):
+    return hh.MonteCarlo(
+        hh.RoughBergomiDynamics(), strategy,
+        hh.SimulationConfig(trajectories=paths, steps=steps, seed=seed,
+                            variance_reduction=hh.Antithetic()))
+
+
+mix = method(hh.RoughBergomiMixing())
+
+
+@jax.jit
+def price_mix(m):
+    return hh.solve(hh.PricingProblem(opt, m), mix).price
+
+
+p = float(price_mix(market))  # compile
+t0 = time.time()
+for _ in range(REPS):
+    p = price_mix(market)
+jax.block_until_ready(p)
+el = (time.time() - t0) / REPS
+total_paths = 2 * PATHS  # antithetic pairs
+print(f"mixing {PATHS}x{STEPS} (x2 antithetic): {float(p):.5f}  "
+      f"{el * 1e3:.1f} ms/call  {total_paths / el:.3e} paths/s", flush=True)
+
+# refinement consistency (the no-closed-form accuracy proxy)
+p2 = float(hh.solve(prob, method(hh.RoughBergomiMixing(), steps=2 * STEPS)).price)
+print(f"refinement: n={STEPS} -> {float(p):.5f}, n={2 * STEPS} -> {p2:.5f}  "
+      f"({(float(p) / p2 - 1) * 1e4:+.1f}bp)", flush=True)
+
+# variance: mixing vs Euler at equal paths/steps (per-path value std)
+small = 1 << 15
+vm = mc_path_values(prob, method(hh.RoughBergomiMixing(), paths=small, seed=3))
+ve = mc_path_values(prob, method(hh.EulerMaruyama(), paths=small, seed=3))
+vm_std = float(jnp.std(vm))
+ve_std = float(jnp.std(ve))
+print(f"per-path payoff std: euler {ve_std:.3f}  mixing {vm_std:.3f}  "
+      f"variance ratio {ve_std**2 / vm_std**2:.1f}x", flush=True)

@@ -71,8 +71,21 @@ print("key-rate durations (per spine pillar, one reverse pass):")
 for lens, v in krd.items():
     print(f"  pillar {lens.i} ({tenors[lens.i]:.1f}y): {float(v):+9.3f}")
 
-cap = hh.Caplet(0.03, dt.date(2025, 1, 1), dt.date(2025, 7, 1), notional=100.0)
-print(f"caplet: {float(hh.solve(hh.PricingProblem(cap, hw), hh.HullWhiteAnalytic()).price):.4f}")
+cap = hh.CapFloor(0.03, [dt.date(2024, 7, 1), dt.date(2025, 1, 1),
+                         dt.date(2025, 7, 1), dt.date(2026, 1, 1)],
+                  notional=100.0)
+print(f"2y cap (3 periods): "
+      f"{float(hh.solve(hh.PricingProblem(cap, hw), hh.HullWhiteAnalytic()).price):.4f}")
+
+berm = hh.Swaption(0.032, dt.date(2025, 1, 1),
+                   [dt.date(2026, 1, 1), dt.date(2027, 1, 1), dt.date(2028, 1, 1)],
+                   payer=True, notional=100.0,
+                   exercise_style=hh.Bermudan([dt.date(2026, 1, 1),
+                                               dt.date(2027, 1, 1)]))
+pb = hh.solve(hh.PricingProblem(berm, hw), hh.HullWhiteGrid()).price
+print(f"BERMUDAN payer swaption (3 exercise dates, x-grid engine — one "
+      f"Gaussian-kernel matmul per gap): {float(pb):.4f} "
+      f"(European corner above: {float(pa):.4f})")
 
 # ---- 3. certify an American price with Andersen-Broadie bounds -------------
 bs = hh.BlackScholesInputs(REF, 0.05, 100.0, 0.3)

@@ -226,15 +226,13 @@ def lsm_dual_bound(
         )
         drift = (r0 - 0.5 * sigma**2) * dt
         vol_dt = sigma * jnp.sqrt(dt)
-        half = jax.random.normal(
-            jax.random.fold_in(base, 0), (nsteps, n_outer // 2),
-            dtype=jnp.float64,
-        )
-        z_o = jnp.concatenate([half, -half], axis=1)
-        log_s = jnp.log(market.spot) + jnp.concatenate(
-            [jnp.zeros((1, n_outer)), jnp.cumsum(drift + vol_dt * z_o, axis=0)]
-        )
-        s_outer = jnp.exp(log_s)
+        # outer paths through the SAME sampler as the fit grid — the bounds
+        # are only valid if fresh paths follow exactly the fitted law
+        from ..utils.pytree import replace as _rep
+
+        cfg_o = _replaced_config(method, n_outer // 2, seed)
+        grid_o = simulate_price_grid(prob, _rep(method.mc_method, config=cfg_o))
+        s_outer = _flatten_grid(grid_o)  # antithetic pairs at (i, i + P)
         v_outer = None
 
         def lane_init():

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.stats import norm
 
-from ..core.payoffs import BondOption, Call, CapFloor, Caplet, Swaption, ZeroCouponBond
+from ..core.payoffs import BondOption, CapFloor, Caplet, Swaption, ZeroCouponBond
 from ..core.problems import AnalyticSolution, MonteCarloSolution, PricingProblem
 from ..core.solve import AbstractPricingMethod, register_solver
 from ..market.rate_curve import df_yf
@@ -288,7 +288,14 @@ def _solve_hw_mc(prob: PricingProblem, method: HullWhiteMonteCarlo):
             leg = jnp.sum(c[:, None, None] * p, axis=0)
             return payoff.notional * jnp.maximum(sign * (1.0 - leg), 0.0)
 
-    x_T, x_int = _hw_paths(market, t_exp, config, None)
+    if float(t_exp) <= 0.0:
+        # expiry AT the reference date (e.g. a spot-start cap's first
+        # period: the fixing is known) — the value is deterministic;
+        # hw_step_moments at dt = 0 would produce a 0/0 NaN
+        x_T = jnp.zeros((1, config.trajectories))
+        x_int = jnp.zeros_like(x_T)
+    else:
+        x_T, x_int = _hw_paths(market, t_exp, config, None)
     # pathwise stochastic discount — E[it] is the curve df EXACTLY
     disc = df_yf(market.rate, t_exp) * jnp.exp(
         -x_int - 0.5 * market.sigma**2 * hw_gamma(market.a, t_exp)

@@ -288,3 +288,16 @@ def test_capfloor_strip():
     assert pm == pytest.approx(pa, rel=2e-2)
     with pytest.raises(ValueError, match="increasing"):
         hh.CapFloor(0.03, [dates[1], dates[0]])
+
+
+def test_spot_start_capfloor_mc_no_nan():
+    """A spot-start cap's first period fixes at the reference date: the
+    first leg is deterministic — the MC solver must return the known value,
+    not a 0/0 NaN from a zero-length transition (regression test)."""
+    m = _market()
+    dates = [REF, dt.date(2024, 7, 1), dt.date(2025, 1, 1)]
+    cap = hh.CapFloor(0.03, dates, notional=100.0)
+    pa = float(hh.solve(hh.PricingProblem(cap, m), hh.HullWhiteAnalytic()).price)
+    pm = float(hh.solve(hh.PricingProblem(cap, m), _mc(60_000, 2)).price)
+    assert np.isfinite(pm)
+    assert pm == pytest.approx(pa, rel=2e-2)
