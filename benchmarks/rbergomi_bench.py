@@ -50,8 +50,26 @@ for _ in range(REPS):
 jax.block_until_ready(p)
 el = (time.time() - t0) / REPS
 total_paths = 2 * PATHS  # antithetic pairs
-print(f"mixing {PATHS}x{STEPS} (x2 antithetic): {float(p):.5f}  "
+print(f"mixing f64 {PATHS}x{STEPS} (x2 antithetic): {float(p):.5f}  "
       f"{el * 1e3:.1f} ms/call  {total_paths / el:.3e} paths/s", flush=True)
+
+mix32 = method(hh.RoughBergomiMixing(fp32=True))
+
+
+@jax.jit
+def price_mix32(m):
+    return hh.solve(hh.PricingProblem(opt, m), mix32).price
+
+
+p32 = float(price_mix32(market))
+t0 = time.time()
+for _ in range(REPS):
+    p32 = price_mix32(market)
+jax.block_until_ready(p32)
+el32 = (time.time() - t0) / REPS
+print(f"mixing fp32 {PATHS}x{STEPS}: {float(p32):.5f}  "
+      f"{el32 * 1e3:.1f} ms/call  {total_paths / el32:.3e} paths/s  "
+      f"(vs f64: {float(p32) / float(p) - 1:+.2e} rel)", flush=True)
 
 # refinement consistency (the no-closed-form accuracy proxy)
 p2 = float(hh.solve(prob, method(hh.RoughBergomiMixing(), steps=2 * STEPS)).price)

@@ -240,9 +240,17 @@ class RoughBergomiMixing(ExactSimulation):
     samples; smooth per-path values → pathwise AD greeks including
     ∂price/∂H (the covariance panel is differentiable in the Hurst
     index).  ``quad_nodes`` sizes the Gauss-Legendre panel behind the
-    Z-covariance (64 ≈ 1e-11 accurate for H ∈ [0.03, 0.5])."""
+    Z-covariance (64 ≈ 1e-11 accurate for H ∈ [0.03, 0.5]).
+
+    ``fp32=True`` is the TPU serving path: the BULK work (Gaussian draws,
+    the Volterra matmul, the variance/(∫V, ∫√V dW) accumulation) runs in
+    float32 — native TPU speed instead of emulated f64 — while the
+    covariance + Cholesky (tiny, conditioning-sensitive) and the final
+    conditional-BS close stay f64.  Prices agree with the f64 path to
+    ~1e-4 relative (tests/unit/test_rough_bergomi.py)."""
 
     quad_nodes: int = static_field(default=64)
+    fp32: bool = static_field(default=False)
 
 
 @pytree
@@ -728,7 +736,8 @@ def _sabr_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
     return f_T
 
 
-def _rbergomi_draws(prob, config, key, point_offset, n_extra: int, quad_nodes: int):
+def _rbergomi_draws(prob, config, key, point_offset, n_extra: int, quad_nodes: int,
+                    dtype=jnp.float64):
     """Exact joint (ΔW₁ increments, Z gridpoints) for rough Bergomi, plus
     ``n_extra`` iid standard-normal rows (the orthogonal spot leg for grid
     schemes): returns (dw, z, extra) each (g, n, paths) with g = 2 under
@@ -742,6 +751,7 @@ def _rbergomi_draws(prob, config, key, point_offset, n_extra: int, quad_nodes: i
     paths = config.trajectories
     anti = isinstance(config.variance_reduction, Antithetic)
     chol = volterra_chol(market.hurst, T, n, quad_nodes=quad_nodes)  # (2n, 2n)
+    chol = chol.astype(dtype)  # factorization stays f64; bulk follows dtype
     dims = 2 * n + n_extra
     base = _base_key(config, key)
     if config.qmc:
@@ -750,9 +760,9 @@ def _rbergomi_draws(prob, config, key, point_offset, n_extra: int, quad_nodes: i
         from ..math.sobol import sobol_uniforms
 
         u = sobol_uniforms(base, paths, dims, skip=point_offset)  # (P, dims)
-        xi = ndtri(u).T  # (dims, P)
+        xi = ndtri(u).T.astype(dtype)  # (dims, P)
     else:
-        xi = jax.random.normal(base, (dims, paths), dtype=jnp.float64)
+        xi = jax.random.normal(base, (dims, paths), dtype=dtype)
     xi = jnp.stack([xi, -xi]) if anti else xi[None]  # (g, dims, P)
     x = jnp.einsum("ij,gjp->gip", chol, xi[:, : 2 * n])
     extra = xi[:, 2 * n :] if n_extra else None
@@ -770,7 +780,8 @@ def _rbergomi_left_variance(market, z, T, n):
     return rbergomi_variance(market, z_left, t_left[None, :, None])
 
 
-def _rbergomi_mixing_values(prob, config, key, point_offset=0, quad_nodes=64):
+def _rbergomi_mixing_values(prob, config, key, point_offset=0, quad_nodes=64,
+                            fp32: bool = False):
     """Per-path UNDISCOUNTED conditional vanilla values (g, paths) — the
     Romano-Touzi mixing close on exact-Volterra variance paths: conditional
     on the W₁ path, logS_T is normal with the (IV, J) = (ΣV_kΔt, Σ√V_kΔW_k)
@@ -778,11 +789,18 @@ def _rbergomi_mixing_values(prob, config, key, point_offset=0, quad_nodes=64):
     form (smooth → pathwise AD greeks, incl. the roughness greek ∂/∂H)."""
     market, T, r0 = _sim_params(prob)
     n = config.steps
-    dw, z, _ = _rbergomi_draws(prob, config, key, point_offset, 0, quad_nodes)
+    dtype = jnp.float32 if fp32 else jnp.float64
+    dw, z, _ = _rbergomi_draws(
+        prob, config, key, point_offset, 0, quad_nodes, dtype=dtype
+    )
     v = _rbergomi_left_variance(market, z, T, n)
-    iv = jnp.sum(v, axis=1) * (T / n)
+    iv = jnp.sum(v, axis=1) * jnp.asarray(T / n, dtype)
     j = jnp.sum(jnp.sqrt(v) * dw, axis=1)
-    return _conditional_bs_close(prob, market, T, r0, iv, j)
+    # only the (g, paths) mixing factors cross back to f64 — the close and
+    # the reduction are negligible next to the (g, n, paths) bulk above
+    return _conditional_bs_close(
+        prob, market, T, r0, iv.astype(jnp.float64), j.astype(jnp.float64)
+    )
 
 
 def _rbergomi_grid_with_variance(prob, config, key, point_offset=0,
@@ -2507,7 +2525,7 @@ def simulate_conditional_values(
         require_european(prob.payoff, "conditional MonteCarlo", spot_only=True)
         return _rbergomi_mixing_values(
             prob, config, key, point_offset=point_offset,
-            quad_nodes=strat.quad_nodes,
+            quad_nodes=strat.quad_nodes, fp32=strat.fp32,
         )
     if not (
         isinstance(strat, (HestonQE, HestonExactMixing))

@@ -145,11 +145,12 @@ def rbergomi_variance(market, z, t_left):
     (``xi0`` scalar = flat forward variance; a
     :class:`ForwardVarianceCurve` = the practitioner fit to the
     variance-swap strip).  ``z``: (..., n) with z[..., 0] ≡ Z_0 = 0."""
-    eta = market.eta
-    t2h = _pow(t_left, 2.0 * market.hurst)
+    dt_ = jnp.asarray(z).dtype  # follow the draw dtype (f32 fast path on TPU)
+    eta = jnp.asarray(market.eta, dt_)
+    t2h = _pow(jnp.asarray(t_left, dt_), jnp.asarray(2.0 * market.hurst, dt_))
     xi0 = market.xi0
     level = xi0(t_left) if isinstance(xi0, ForwardVarianceCurve) else xi0
-    return level * jnp.exp(eta * z - 0.5 * eta**2 * t2h)
+    return jnp.asarray(level, dt_) * jnp.exp(eta * z - 0.5 * eta**2 * t2h)
 
 
 @pytree

@@ -233,6 +233,61 @@ def test_forward_variance_curve():
     assert np.all(np.isfinite(np.asarray(g))) and float(g[1]) > 0.0
 
 
+def test_fp32_fast_path_parity():
+    """RoughBergomiMixing(fp32=True) — the TPU serving path (bulk in f32,
+    covariance/Cholesky/close in f64) — agrees with the f64 estimator at
+    the statistical level and keeps AD greeks finite."""
+    prob = hh.PricingProblem(_opt(), _market())
+    cfg = dict(trajectories=60_000, steps=32, seed=0)
+    p64 = float(hh.solve(prob, _mix(**cfg)).price)
+    m32 = hh.MonteCarlo(
+        hh.RoughBergomiDynamics(), hh.RoughBergomiMixing(fp32=True),
+        hh.SimulationConfig(variance_reduction=hh.Antithetic(), **cfg))
+    p32 = float(hh.solve(prob, m32).price)
+    assert p32 == pytest.approx(p64, rel=5e-3)
+
+    g = jax.grad(lambda s: hh.solve(
+        hh.PricingProblem(_opt(), hh.RoughBergomiInputs(
+            REF, 0.03, s, 0.04, 1.5, 0.1, -0.7)),
+        hh.MonteCarlo(hh.RoughBergomiDynamics(), hh.RoughBergomiMixing(fp32=True),
+                      hh.SimulationConfig(trajectories=4_000, steps=16, seed=1))
+    ).price)(100.0)
+    assert np.isfinite(float(g)) and 0.3 < float(g) < 0.9
+
+
+def test_calibration_recovers_the_smile():
+    """(η, H, ρ) calibration through the seeded mixing estimator (the
+    objective is smooth and deterministic, so LBFGS + lenses work as for
+    every other family).  The rough-vol objective has a well-known flat
+    valley — η and H trade off against each other at any finite set of
+    maturities — so the assertable contract is the PRACTITIONER one: the
+    fitted model reprices the two-maturity quote set to ~1%, and the
+    roughness CLASS is recovered (H clearly < ½, strongly negative ρ)."""
+    exps = [dt.date(2024, 3, 1), EXPIRY]
+    true = hh.RoughBergomiInputs(REF, 0.03, 100.0, 0.04, 1.9, 0.08, -0.8)
+    ks = jnp.asarray([90.0, 95.0, 100.0, 105.0, 110.0])
+    opts = [hh.VanillaOption(ks, e, hh.European(), hh.Call(), hh.Spot())
+            for e in exps]
+    mix = _mix(16_000, 24)
+    quotes = jnp.stack([hh.solve(hh.PricingProblem(o, true), mix).price
+                        for o in opts])
+    basket = hh.BasketPricingProblem(
+        tuple(opts), hh.RoughBergomiInputs(REF, 0.03, 100.0, 0.04, 1.2, 0.2, -0.5))
+    calib = hh.CalibrationProblem(
+        basket, quotes, jnp.asarray([1.2, 0.2, -0.5]), mix,
+        (hh.FieldLens("market_inputs.eta"), hh.FieldLens("market_inputs.hurst"),
+         hh.FieldLens("market_inputs.rho")))
+    sol = hh.solve(calib, hh.OptimizerAlgo(max_iters=200),
+                   lb=jnp.asarray([0.3, 0.02, -0.95]),
+                   ub=jnp.asarray([4.0, 0.45, 0.0]))
+    eta_f, h_f, rho_f = [float(x) for x in sol.u]
+    assert h_f < 0.15 and rho_f < -0.5  # the rough, negatively-correlated class
+    fit_m = hh.RoughBergomiInputs(REF, 0.03, 100.0, 0.04, eta_f, h_f, rho_f)
+    reprice = jnp.stack([hh.solve(hh.PricingProblem(o, fit_m), mix).price
+                         for o in opts])
+    np.testing.assert_allclose(np.asarray(reprice), np.asarray(quotes), rtol=1.5e-2)
+
+
 def test_mismatched_pairing_raises():
     with pytest.raises(TypeError, match="rough Bergomi"):
         hh.solve(hh.PricingProblem(_opt(), _market()),
