@@ -77,6 +77,7 @@ __all__ = [
     "simulate_conditional_values",
     "mc_path_values",
     "heston_surface_mc",
+    "rbergomi_surface_mc",
     "heston_variance_swap_strike",
     "brownian_bridge_extremum",
     "double_bridge_survival_factors",
@@ -2200,6 +2201,79 @@ def heston_surface_mc(
         market, T_host, [strikes] * n_exp, [cp] * n_exp, config,
         key=key, point_offset=point_offset,
     )
+    return jnp.stack(rows)
+
+
+def rbergomi_surface_mc(
+    market, expiries, strikes, config: "SimulationConfig", cp=1.0,
+    key=None, point_offset=0, quad_nodes: int = 64, fp32: bool = False,
+):
+    """Price a whole (expiry × strike) European vanilla surface from ONE
+    exact-Volterra rough Bergomi simulation: (n_expiries, n_strikes)
+    DISCOUNTED prices — the rough-vol counterpart of
+    :func:`heston_surface_mc` and the natural objective for (ξ₀, η, H, ρ)
+    smile calibration (one differentiable XLA program; all points share
+    paths, so smile/term-structure SHAPES carry far less noise).
+
+    The joint-Gaussian grid is laid out on a NON-uniform time grid that
+    contains every expiry (per-gap substeps proportional to length,
+    ``config.steps`` total — the same allocation rule as the Heston
+    surface); the cumulative (∫V, ∫√V dW₁) carries close every strike at
+    each expiry index.  ``fp32`` as on :class:`RoughBergomiMixing`."""
+    from ..models.rough_bergomi import rbergomi_variance, volterra_cov
+
+    T_host = validate_surface_expiries(market, expiries)
+    seg_len, seg_steps = surface_seg_steps(T_host, config.steps)
+    times, exp_idx = [], []
+    prev = 0.0
+    for length, m_i, T_i in zip(seg_len, seg_steps, T_host):
+        times += [prev + (k + 1) * length / m_i for k in range(m_i)]
+        times[-1] = T_i  # exact endpoint (kill accumulated float error)
+        exp_idx.append(len(times) - 1)
+        prev = T_i
+    t = jnp.asarray(times)
+    n = len(times)
+
+    cov = volterra_cov(market.hurst, t, quad_nodes=quad_nodes)
+    jitter = 1e-12 * jnp.max(jnp.diag(cov))
+    chol = jnp.linalg.cholesky(cov + jitter * jnp.eye(2 * n, dtype=cov.dtype))
+    dtype = jnp.float32 if fp32 else jnp.float64
+    chol = chol.astype(dtype)
+
+    paths = config.trajectories
+    anti = isinstance(config.variance_reduction, Antithetic)
+    base = _base_key(config, key)
+    if config.qmc:
+        from jax.scipy.special import ndtri
+
+        from ..math.sobol import sobol_uniforms
+
+        u = sobol_uniforms(base, paths, 2 * n, skip=point_offset)
+        xi = ndtri(u).T.astype(dtype)
+    else:
+        xi = jax.random.normal(base, (2 * n, paths), dtype=dtype)
+    xi = jnp.stack([xi, -xi]) if anti else xi[None]
+    x = jnp.einsum("ij,gjp->gip", chol, xi)
+    dw, z = x[:, :n], x[:, n:]
+
+    t_left = jnp.concatenate([jnp.zeros((1,), t.dtype), t[:-1]])
+    z_left = jnp.concatenate([jnp.zeros_like(z[:, :1]), z[:, :-1]], axis=1)
+    v = rbergomi_variance(market, z_left, t_left[None, :, None])
+    dt_k = (t - t_left).astype(dtype)
+    cum_iv = jnp.cumsum(v * dt_k[None, :, None], axis=1)
+    cum_j = jnp.cumsum(jnp.sqrt(v) * dw, axis=1)
+
+    r0 = zero_rate_yf(market.rate, 0.0) - carry_yield(market)
+    strikes = jnp.asarray(strikes)
+    rows = [
+        _surface_close_row(
+            market, T_host[i], r0,
+            cum_iv[:, exp_idx[i]].astype(jnp.float64),
+            cum_j[:, exp_idx[i]].astype(jnp.float64),
+            strikes, cp,
+        )
+        for i in range(len(T_host))
+    ]
     return jnp.stack(rows)
 
 

@@ -296,3 +296,25 @@ def test_mismatched_pairing_raises():
     with pytest.raises(TypeError, match="no terminal law"):
         hh.solve(hh.PricingProblem(_opt(), _market()),
                  hh.CarrMadan(dynamics=hh.RoughBergomiDynamics()))
+
+
+def test_surface_mc_matches_standalone_solves():
+    """rbergomi_surface_mc: one Volterra simulation prices every
+    (expiry × strike) point; each row agrees with an independent
+    single-expiry mixing solve, and ∂surface/∂H is finite (the whole
+    surface is one differentiable XLA program — the calibration objective)."""
+    m = _market(eta=1.9, hurst=0.08, rho=-0.8)
+    exps = [dt.date(2024, 7, 1), EXPIRY]
+    ks = jnp.asarray([90.0, 100.0, 110.0])
+    cfg = hh.SimulationConfig(trajectories=30_000, steps=48, seed=0,
+                              variance_reduction=hh.Antithetic())
+    surf = hh.rbergomi_surface_mc(m, exps, ks, cfg)
+    assert surf.shape == (2, 3)
+    for i, e in enumerate(exps):
+        opt = hh.VanillaOption(ks, e, hh.European(), hh.Call(), hh.Spot())
+        p = hh.solve(hh.PricingProblem(opt, m), _mix(30_000, 24, seed=5)).price
+        np.testing.assert_allclose(np.asarray(surf[i]), np.asarray(p), rtol=3e-2)
+    g = jax.grad(lambda h: jnp.sum(hh.rbergomi_surface_mc(
+        hh.RoughBergomiInputs(REF, 0.03, 100.0, 0.04, 1.9, h, -0.8), exps, ks,
+        hh.SimulationConfig(trajectories=2_000, steps=16, seed=1))))(0.08)
+    assert np.isfinite(float(g))
