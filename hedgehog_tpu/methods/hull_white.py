@@ -277,7 +277,10 @@ def _solve_hw_mc(prob: PricingProblem, method: HullWhiteMonteCarlo):
                         market.sigma, t_exp, t_end, x)
             return scale * jnp.maximum(cp_bond * (p - k_bond), 0.0)
     else:  # Swaption
-        _require_european_swaption(payoff, "HullWhiteMonteCarlo")
+        from ..core.payoffs import European
+
+        if not isinstance(payoff.exercise_style, European):
+            return _solve_hw_bermudan_lsm(prob, method)
         t_exp, times, c = _swap_legs(market, payoff)
         p_t = df_yf(market.rate, t_exp)
         sign = 1.0 if payoff.payer else -1.0
@@ -378,3 +381,79 @@ def _solve_hw_grid(prob: PricingProblem, method: HullWhiteGrid):
     k0 = _hw_kernel(market, 0.0, ex[0], jnp.zeros((1,)), x, w_trap)
     price = (k0 @ value)[0]
     return AnalyticSolution(prob, method, price)
+
+
+def _hw_exercise_paths(market, ex_times, config: SimulationConfig, key):
+    """Exact path states at the exercise dates: (x (m, g, P), disc (m, g, P))
+    with disc the pathwise discount-to-0 P(0,e_j)·exp(−∫x − ½σ²Γ(e_j)) —
+    ONE exact joint (x, ∫x) transition per exercise gap (the OU law is
+    closed-form over any gap, so no substeps are needed)."""
+    a, sig = market.a, market.sigma
+    paths = config.trajectories
+    anti = isinstance(config.variance_reduction, Antithetic)
+    base = _base_key(config, key)
+    m = len(ex_times)
+    z = jax.random.normal(base, (m, 2, paths), dtype=jnp.float64)
+    z = jnp.stack([z, -z], axis=2) if anti else z[:, :, None]  # (m, 2, g, P)
+    g = z.shape[2]
+    x = jnp.zeros((g, paths))
+    integ = jnp.zeros_like(x)
+    xs, discs = [], []
+    prev = 0.0
+    for j, e_j in enumerate(ex_times):
+        e1, b_dt, s_x, coef, s_res = hw_step_moments(a, sig, e_j - prev)
+        d_i = x * b_dt + coef * z[j, 0] + s_res * z[j, 1]
+        x = x * e1 + s_x * z[j, 0]
+        integ = integ + d_i
+        xs.append(x)
+        discs.append(
+            df_yf(market.rate, e_j)
+            * jnp.exp(-integ - 0.5 * sig**2 * hw_gamma(a, e_j))
+        )
+        prev = e_j
+    return jnp.stack(xs), jnp.stack(discs)
+
+
+def _solve_hw_bermudan_lsm(prob: PricingProblem, method: HullWhiteMonteCarlo,
+                           degree: int = 4):
+    """Bermudan swaption by Longstaff-Schwartz under STOCHASTIC discounting
+    — the independent MC cross-engine for :class:`HullWhiteGrid`.
+
+    States at exercise dates come from exact OU transitions; the pathwise
+    discount D_j is F_j-measurable but NOT a function of x_j alone, so the
+    regression target is the FORWARD value h_τ/D_j (whose conditional mean
+    given x_j IS the time-j continuation — x is Markov), regressed on an
+    x-monomial basis over ITM paths; exercise where the intrinsic exceeds
+    the fit.  A frozen suboptimal policy ⇒ a LOWER bound in expectation,
+    a few tenths of a percent under the grid price at degree 4."""
+    payoff, market = prob.payoff, prob.market_inputs
+    config = method.config
+    ex_times = [_yf(market, t) for t in payoff.exercise_ticks()]
+    xs, discs = _hw_exercise_paths(market, ex_times, config, None)
+    m = len(ex_times)
+    shape = xs.shape[1:]  # (g, P)
+    intr = jnp.stack([
+        _swap_intrinsic_on_grid(market, payoff, ex_times[j],
+                                xs[j].reshape(-1)).reshape(shape)
+        for j in range(m)
+    ])
+    h = discs * intr  # discounted-to-0 exercise values
+    value = h[m - 1]
+    from ..math.linalg import cholesky_solve_small
+
+    x_scale = jnp.maximum(market.sigma * jnp.sqrt(ex_times[-1]), 1e-8)
+    for j in range(m - 2, -1, -1):
+        xj = (xs[j] / x_scale).reshape(-1)
+        target = (value / jnp.maximum(discs[j], 1e-300)).reshape(-1)
+        w = (intr[j] > 0.0).reshape(-1).astype(jnp.float64)
+        phi = xj[:, None] ** jnp.arange(degree + 1)[None, :]
+        phw = phi * w[:, None]
+        amat = phw.T @ phi
+        bvec = phw.T @ target
+        ridge = 1e-10 * jnp.eye(degree + 1) * (1.0 + jnp.trace(amat) / (degree + 1))
+        beta = cholesky_solve_small(amat + ridge, bvec)
+        fitted = (phi @ beta).reshape(shape)
+        exercise = (intr[j] > 0.0) & (intr[j] > fitted)
+        value = jnp.where(exercise, h[j], value)
+    price = jnp.mean(value)
+    return MonteCarloSolution(prob, method, price, value)

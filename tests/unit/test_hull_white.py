@@ -301,3 +301,20 @@ def test_spot_start_capfloor_mc_no_nan():
     pm = float(hh.solve(hh.PricingProblem(cap, m), _mc(60_000, 2)).price)
     assert np.isfinite(pm)
     assert pm == pytest.approx(pa, rel=2e-2)
+
+
+def test_bermudan_swaption_lsm_cross_engine():
+    """The stochastic-discount LSM (exact OU transitions at the exercise
+    dates, forward-value regression) independently reproduces the x-grid
+    engine's Bermudan price — two engines, two discretizations, one
+    number.  The LSM policy is suboptimal ⇒ at most a whisker below."""
+    m = _market()
+    berm = hh.Swaption(
+        0.032, dt.date(2025, 1, 1), _SWAP_DATES, payer=True, notional=100.0,
+        exercise_style=hh.Bermudan([dt.date(2026, 1, 1), dt.date(2027, 1, 1)]))
+    pg = float(hh.solve(hh.PricingProblem(berm, m), hh.HullWhiteGrid()).price)
+    pl = float(hh.solve(hh.PricingProblem(berm, m), hh.HullWhiteMonteCarlo(
+        hh.SimulationConfig(trajectories=150_000, seed=0,
+                            variance_reduction=hh.Antithetic()))).price)
+    assert pl == pytest.approx(pg, rel=1e-2)
+    assert pl < pg * 1.005  # frozen policy: lower bound up to MC noise
