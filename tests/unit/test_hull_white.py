@@ -318,3 +318,21 @@ def test_bermudan_swaption_lsm_cross_engine():
                             variance_reduction=hh.Antithetic()))).price)
     assert pl == pytest.approx(pg, rel=1e-2)
     assert pl < pg * 1.005  # frozen policy: lower bound up to MC noise
+
+
+def test_bermudan_grid_ad_vega():
+    """jax.grad flows through the whole x-grid backward induction (kernel
+    matrices + exercise maxima): Bermudan dV/dσ matches central FD."""
+    m = _market()
+    berm = hh.Swaption(
+        0.032, dt.date(2025, 1, 1), _SWAP_DATES, payer=True, notional=100.0,
+        exercise_style=hh.Bermudan([dt.date(2026, 1, 1), dt.date(2027, 1, 1)]))
+
+    def px(sig):
+        mm = hh.HullWhiteInputs(REF, _curve(), 0.1, sig)
+        return hh.solve(hh.PricingProblem(berm, mm), hh.HullWhiteGrid()).price
+
+    ad = float(jax.grad(px)(0.012))
+    eps = 1e-5
+    fd = float((px(0.012 + eps) - px(0.012 - eps)) / (2 * eps))
+    assert ad == pytest.approx(fd, rel=1e-6)
