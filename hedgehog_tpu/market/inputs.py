@@ -24,6 +24,7 @@ __all__ = [
     "BatesInputs",
     "RoughBergomiInputs",
     "HullWhiteInputs",
+    "HestonHullWhiteInputs",
     "MertonInputs",
     "SABRInputs",
     "KouInputs",
@@ -246,6 +247,51 @@ class HullWhiteInputs(AbstractMarketInputs):
                 raise ValueError("HullWhiteInputs.a (mean reversion) must be > 0")
         except TypeError:
             pass  # traced: the B(τ) = (1−e^{−aτ})/a forms assume a > 0
+
+
+@pytree
+class HestonHullWhiteInputs(AbstractMarketInputs):
+    """Heston-Hull-White hybrid market (beyond-reference: equity smile
+    UNDER STOCHASTIC RATES — the long-dated equity/structured-products
+    model):
+
+        dS/S = (r_t − q)dt + √V dW_S
+        dV   = κ(θ − V)dt + σ_v √V dW_v,        corr(dW_S, dW_v) = rho_sv
+        dr   = (θ_r(t) − a·r)dt + σ_r dW_r,     corr(dW_S, dW_r) = rho_sr
+
+    with W_v ⊥ W_r (the standard identification) and θ_r(t) fitted
+    EXACTLY to ``rate`` via the same G1++ x-factor as
+    :class:`HullWhiteInputs`.  Validation: rho_sv² + rho_sr² ≤ 1 is the
+    caller's responsibility (the S-Brownian decomposes over (W_v, W_r, ⊥)).
+    All model parameters are AD leaves.  Pricing: the three-factor
+    conditional mixing estimator `MonteCarlo(HestonHullWhiteDynamics(),
+    HestonQE(conditional=True), cfg)` — logS_T given the (V, x) paths is
+    exactly normal, so each path closes with a conditional Black-Scholes
+    form under its own pathwise stochastic discount."""
+
+    reference_date: Any
+    rate: Any
+    spot: Any
+    V0: Any
+    kappa: Any
+    theta: Any
+    sigma: Any
+    rho_sv: Any
+    a: Any
+    sigma_r: Any
+    rho_sr: Any = 0.0
+    dividend_yield: Any = 0.0
+    daycount: Any = static_field(default=ACT365F)
+
+    def __post_init__(self):
+        ref = to_ticks(self.reference_date)
+        object.__setattr__(self, "reference_date", ref)
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+        try:
+            if float(self.a) <= 0.0:
+                raise ValueError("HestonHullWhiteInputs.a must be > 0")
+        except TypeError:
+            pass
 
 
 @pytree

@@ -52,6 +52,7 @@ from ..models.dynamics import (
     LocalVolDynamics,
     MertonJumpDynamics,
     NormalDynamics,
+    HestonHullWhiteDynamics,
     RoughBergomiDynamics,
     SABRDynamics,
     lognormal_terminal_law,
@@ -2159,6 +2160,108 @@ def _heston_exact_mixing_values(prob, config, key, point_offset=0, with_score=Fa
     )
 
 
+def _hhw_mixing_values(prob, config, key, point_offset=0):
+    """Per-path conditional vanilla values for the Heston-Hull-White hybrid
+    (HestonHullWhiteDynamics × HestonQE(conditional=True)): shape
+    (n_groups, paths), scaled so that `price = df_curve(T) · mean(values)`
+    — i.e. each value carries its own pathwise stochastic discount relative
+    to the curve df.
+
+    Three-factor conditioning (W_v ⊥ W_r): given the QE variance path and
+    the exact-OU rate path, logS_T is normal —
+
+        logS_T | (V, x) = logS₀ + ∫r − qT − ½IV + ρ_sv·J_v + ρ_sr·J_r
+                          + √((1−ρ_sv²−ρ_sr²)·IV)·Z⊥,
+
+    with J_v from the CIR integral identity (trapezoid IV) and
+    J_r = Σ√V_k·ΔW_r,k from the jointly-exact per-step rate block
+    (shock, ΔW_r, ∫x residual) drawn through a closed-form 3×3 Cholesky.
+    The pathwise discount exp(−∫r) = P(0,T)·exp(−∫x − ½σ_r²Γ(T)) is
+    exactly unbiased (the Hull-White martingale identity), so the hybrid's
+    forward is the curve forward at any step count."""
+    from ..models.heston_qe import qe_constants, qe_v_step
+    from ..models.hull_white import hw_b, hw_gamma
+
+    if config.qmc:
+        raise ValueError(
+            "qmc=True is not wired into the Heston-Hull-White mixing "
+            "estimator yet (5 draws/step); use the PRNG stream"
+        )
+    market = prob.market_inputs
+    T = market_yearfrac(market, prob.payoff.expiry)
+    q = carry_yield(market)
+    steps, paths = config.steps, config.trajectories
+    dt = T / steps
+    kappa, sig_v, rho_sv = market.kappa, market.sigma, market.rho_sv
+    a, sig_r, rho_sr = market.a, market.sigma_r, market.rho_sr
+
+    # QE variance constants (the drift argument only feeds the X-step
+    # block, which the conditional estimator never uses)
+    c_qe = qe_constants(kappa, market.theta, sig_v, rho_sv, 0.0, dt)
+    ktd = kappa * market.theta * dt
+
+    # bivariate rate block per step: (shock = ∫e^{−a(Δ−u)}dW, ΔW_r); the
+    # third quantity the ∫x increment needs, w = ∫B(Δ−u)dW, is EXACTLY
+    # (ΔW − shock)/a — a linear identity, not a draw (the naive trivariate
+    # covariance is rank-2/singular)
+    e1 = jnp.exp(-a * dt)
+    b_d = hw_b(a, dt)
+    vs = (1.0 - e1 * e1) / (2.0 * a)
+    s_sh = jnp.sqrt(vs)
+    c21 = b_d / s_sh
+    s_dw = jnp.sqrt(jnp.maximum(dt - c21**2, 1e-30))
+
+    anti = isinstance(config.variance_reduction, Antithetic)
+    base = _base_key(config, key)
+    k_z, k_u = jax.random.split(base)
+    z = _normals(k_z, (steps, 3, paths), anti)  # (g, steps, 3, paths)
+    u = jax.random.uniform(k_u, (steps, paths), dtype=jnp.float64)
+    us = jnp.stack([u, 1.0 - u]) if anti else u[None]
+    n_groups = z.shape[0]
+
+    v0 = jnp.full((n_groups, paths), market.V0)
+    x0 = jnp.zeros_like(v0)
+    zero = jnp.zeros_like(v0)
+
+    def step(carry, inp):
+        v, x, integ, iv, jr = carry
+        zk, uk = inp  # zk: (g, 3, paths)
+        z_v, z_a, z_b = zk[:, 0], zk[:, 1], zk[:, 2]
+        shock = s_sh * z_a
+        dwr = c21 * z_a + s_dw * z_b
+        w = (dwr - shock) / a  # exact linear identity (see above)
+        # double-where: QE's exponential branch reaches v == 0 exactly and
+        # d(sqrt)/dv there would poison the whole gradient with NaN
+        v_pos = v > 0.0
+        sqrt_v = jnp.where(v_pos, jnp.sqrt(jnp.where(v_pos, v, 1.0)), 0.0)
+        jr = jr + sqrt_v * dwr  # left-point V
+        integ = integ + x * b_d + sig_r * w
+        x = x * e1 + sig_r * shock
+        v_new = qe_v_step(v, z_v, uk, c_qe)
+        iv = iv + 0.5 * dt * (v + v_new)
+        return (v_new, x, integ, iv, jr), None
+
+    zs = jnp.moveaxis(z, 1, 0)  # (steps, g, 4, paths)
+    us_s = jnp.moveaxis(us, 1, 0)
+    (v_T, _, integ, iv, jr), _ = jax.lax.scan(
+        jax.checkpoint(step), (v0, x0, zero, zero, zero), (zs, us_s)
+    )
+
+    j_v = (v_T - market.V0 - ktd * steps + kappa * iv) / sig_v
+    gamma_t = hw_gamma(a, T)
+    ln_p0t = jnp.log(df_yf(market.rate, T))
+    int_r = integ - ln_p0t + 0.5 * sig_r**2 * gamma_t
+    rho2 = rho_sv**2 + rho_sr**2
+    f_eff = market.spot * jnp.exp(
+        int_r - q * T + rho_sv * j_v + rho_sr * jr - 0.5 * rho2 * iv
+    )
+    vals = conditional_payoff_close(prob.payoff, f_eff, (1.0 - rho2) * iv)
+    # pathwise stochastic discount relative to the curve df the facade
+    # multiplies: D_path/P(0,T) = exp(−∫x − ½σ_r²Γ)
+    disc = jnp.exp(-integ - 0.5 * sig_r**2 * gamma_t)
+    return vals * (disc[:, None, :] if vals.ndim == 3 else disc)
+
+
 def heston_surface_mc(
     market, expiries, strikes, config: "SimulationConfig", cp=1.0,
     key=None, point_offset=0, strategy=None,
@@ -2586,6 +2689,20 @@ def simulate_conditional_values(
             )
         require_european(prob.payoff, "conditional MonteCarlo", spot_only=True)
         return _bates_qe_mixing_values(prob, config, key, point_offset=point_offset)
+    if isinstance(dyn, HestonHullWhiteDynamics):
+        if not (isinstance(strat, HestonQE) and strat.conditional):
+            raise TypeError(
+                "Heston-Hull-White prices through the three-factor "
+                "conditional mixing estimator: pair HestonHullWhiteDynamics "
+                f"with HestonQE(conditional=True); got {type(strat).__name__}"
+            )
+        if strat.use_kernel:
+            raise TypeError(
+                "the fused mixing kernels are single-factor Heston; the "
+                "hybrid estimator is pure JAX (drop use_kernel=True)"
+            )
+        require_european(prob.payoff, "conditional MonteCarlo", spot_only=True)
+        return _hhw_mixing_values(prob, config, key, point_offset=point_offset)
     if isinstance(dyn, RoughBergomiDynamics) or isinstance(strat, RoughBergomiMixing):
         if not (
             isinstance(dyn, RoughBergomiDynamics)
@@ -2717,6 +2834,12 @@ def simulate_terminal_prices(
             f"{type(strat).__name__} is a conditional (mixing) strategy and "
             "never materializes terminal samples (logS_T is integrated out "
             "analytically); price through solve(...) or mc_path_values(...)"
+        )
+    if isinstance(dyn, HestonHullWhiteDynamics):
+        raise TypeError(
+            "Heston-Hull-White prices through the three-factor conditional "
+            "mixing estimator only (terminal samples never materialize): "
+            "pair HestonHullWhiteDynamics with HestonQE(conditional=True)"
         )
     qe_kernel_qmc = isinstance(strat, HestonQE) and getattr(strat, "use_kernel", False)
     if config.qmc and (

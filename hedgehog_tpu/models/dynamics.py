@@ -31,6 +31,7 @@ __all__ = [
     "VarianceGammaDynamics",
     "NormalDynamics",
     "RoughBergomiDynamics",
+    "HestonHullWhiteDynamics",
     "CEVDynamics",
     "SABRDynamics",
     "LocalVolDynamics",
@@ -133,6 +134,15 @@ class VarianceGammaDynamics(PriceDynamics):
     Brownian motion with drift time-changed by a gamma subordinator
     (infinite activity, finite variation).  Markets carry
     :class:`VarianceGammaInputs`."""
+
+
+@pytree
+class HestonHullWhiteDynamics(PriceDynamics):
+    """Heston variance + Hull-White stochastic short rate on the equity
+    (beyond-reference hybrid; markets carry :class:`HestonHullWhiteInputs`).
+    No closed form or simple CF under correlation — pricing runs through
+    the three-factor conditional mixing Monte Carlo (W_v ⊥ W_r, so logS_T
+    given the (V, x) paths is exactly normal)."""
 
 
 @pytree
