@@ -87,6 +87,19 @@ print(f"BERMUDAN payer swaption (3 exercise dates, x-grid engine — one "
       f"Gaussian-kernel matmul per gap): {float(pb):.4f} "
       f"(European corner above: {float(pa):.4f})")
 
+# ---- 2b. the hybrid: Heston smile UNDER the Hull-White curve ----------------
+hhw = hh.HestonHullWhiteInputs(REF, curve, 100.0, V0=0.04, kappa=2.0,
+                               theta=0.04, sigma=0.3, rho_sv=-0.6,
+                               a=0.1, sigma_r=0.012, rho_sr=-0.3)
+p_hyb = hh.solve(
+    hh.PricingProblem(hh.VanillaOption(100.0, EXPIRY, hh.European(),
+                                       hh.Call(), hh.Spot()), hhw),
+    hh.MonteCarlo(hh.HestonHullWhiteDynamics(), hh.HestonQE(conditional=True),
+                  hh.SimulationConfig(trajectories=1 << 16, steps=32, seed=0,
+                                      variance_reduction=hh.Antithetic()))).price
+print(f"\nHeston-Hull-White hybrid ATM call (3-factor mixing, stochastic "
+      f"discount): {float(p_hyb):.4f}")
+
 # ---- 3. certify an American price with Andersen-Broadie bounds -------------
 bs = hh.BlackScholesInputs(REF, 0.05, 100.0, 0.3)
 amer = hh.PricingProblem(
