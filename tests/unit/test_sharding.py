@@ -148,6 +148,11 @@ def test_sharded_new_model_families():
          hh.MonteCarlo(hh.RoughBergomiDynamics(), hh.RoughBergomiMixing(),
                        hh.SimulationConfig(trajectories=1 << 12, steps=16,
                                            variance_reduction=hh.Antithetic(), seed=0))),
+        (hh.HestonHullWhiteInputs(ref, 0.03, 100.0, 0.04, 2.0, 0.04, 0.3,
+                                  -0.6, 0.1, 0.012, -0.3),
+         hh.MonteCarlo(hh.HestonHullWhiteDynamics(), hh.HestonQE(conditional=True),
+                       hh.SimulationConfig(trajectories=1 << 12, steps=12,
+                                           variance_reduction=hh.Antithetic(), seed=0))),
     ]
     for mkt, method in cases:
         prob = hh.PricingProblem(opt, mkt)
