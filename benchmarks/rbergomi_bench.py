@@ -84,3 +84,36 @@ vm_std = float(jnp.std(vm))
 ve_std = float(jnp.std(ve))
 print(f"per-path payoff std: euler {ve_std:.3f}  mixing {vm_std:.3f}  "
       f"variance ratio {ve_std**2 / vm_std**2:.1f}x", flush=True)
+
+# fused Pallas kernel (ops/rbergomi_kernel.py): on-chip draws + MXU Volterra
+# matmul + conditional-BS close, one dispatch, on-chip accumulation
+if jax.default_backend() == "tpu":
+    import functools
+
+    from hedgehog_tpu.ops.rbergomi_kernel import (
+        _P,
+        _rb_trace_inputs,
+        rbergomi_mixing_vanilla_price,
+    )
+
+    cfgk = hh.SimulationConfig(trajectories=1, steps=STEPS,
+                               variance_reduction=hh.Antithetic())
+    ins = hh.PricingProblem(opt, market)
+    (chol, coefs, eta, dtau, f_base, lfk, strike, cp, rho, disc,
+     _T) = _rb_trace_inputs(ins, cfgk, 64)
+    NB, NBAT = 256, 64  # 256·64·2048 pairs = 67.1M paths
+    price_kernel = jax.jit(functools.partial(
+        rbergomi_mixing_vanilla_price, n_blocks=NB, n_batches=NBAT, steps=STEPS))
+    args = (chol, coefs, eta, dtau, f_base, lfk, strike, cp, rho, disc)
+    pk = price_kernel(*args, seed=0)
+    jax.block_until_ready(pk)
+    t0 = time.time()
+    for i in range(REPS):
+        pk = price_kernel(*args, seed=i + 1)
+        jax.block_until_ready(pk)  # per-call: tunnel timings lie when queued
+    elk = (time.time() - t0) / REPS
+    kpaths = NB * NBAT * _P * 2
+    print(f"fused kernel {kpaths / 1e6:.0f}M x{STEPS}: {float(pk):.5f}  "
+          f"{elk * 1e3:.1f} ms/call  {kpaths / elk:.3e} paths/s  "
+          f"({(el32 / total_paths) / (elk / kpaths):.1f}x pure-fp32 per path; "
+          f"price vs pure f64 {float(pk) / float(p) - 1:+.2e} rel)", flush=True)

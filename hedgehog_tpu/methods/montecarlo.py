@@ -249,10 +249,17 @@ class RoughBergomiMixing(ExactSimulation):
     float32 — native TPU speed instead of emulated f64 — while the
     covariance + Cholesky (tiny, conditioning-sensitive) and the final
     conditional-BS close stay f64.  Prices agree with the f64 path to
-    ~1e-4 relative (tests/unit/test_rough_bergomi.py)."""
+    ~1e-4 relative (tests/unit/test_rough_bergomi.py).
+
+    ``use_kernel=True`` routes VANILLA pricing through the fused Pallas
+    kernel (ops/rbergomi_kernel.py): on-chip draws, the Volterra matmul on
+    the MXU and the conditional-BS close in one VMEM-resident pass —
+    primal-only (greeks, incl. ∂price/∂H, stay on this pure-JAX estimator);
+    falls back to the pure-JAX path off-TPU."""
 
     quad_nodes: int = static_field(default=64)
     fp32: bool = static_field(default=False)
+    use_kernel: bool = static_field(default=False)
 
 
 @pytree
@@ -2714,6 +2721,23 @@ def simulate_conditional_values(
                 f"{type(strat).__name__})"
             )
         require_european(prob.payoff, "conditional MonteCarlo", spot_only=True)
+        if strat.use_kernel:
+            from ..core.payoffs import VanillaOption
+
+            if not isinstance(prob.payoff, VanillaOption) or (
+                jnp.ndim(prob.payoff.strike) > 0
+            ):
+                raise TypeError(
+                    "the fused rough-Bergomi kernel closes scalar-strike "
+                    "vanillas only; other payoffs/strike grids price through "
+                    "the pure-JAX estimator (drop use_kernel=True)"
+                )
+            from ..ops.rbergomi_kernel import rbergomi_mixing_values_pallas
+
+            return rbergomi_mixing_values_pallas(
+                prob, config, strat, key=key, device_id=device_id,
+                point_offset=point_offset,
+            )
         return _rbergomi_mixing_values(
             prob, config, key, point_offset=point_offset,
             quad_nodes=strat.quad_nodes, fp32=strat.fp32,

@@ -1,0 +1,435 @@
+"""Fused rough-Bergomi mixing kernel (Pallas TPU).
+
+Beyond-reference model family (the reference's only stochastic-vol model is
+Heston, /root/reference/src/distributions/heston.jl); the pure-JAX estimator
+this kernel serves lives in methods/montecarlo.py::_rbergomi_mixing_values
+and the exact-Volterra scheme in models/rough_bergomi.py.
+
+Why a kernel: the pure-JAX fp32 path is HBM-bound — every (2n × paths)
+intermediate (draws, the Volterra matmul output, the variance grid, the
+mixing reductions) round-trips HBM, measured ~47 ms for 1M×64 paths on one
+v5e (benchmarks/rbergomi_bench.py).  The fused kernel keeps the whole
+pipeline in VMEM per path tile:
+
+    on-chip PRNG/Sobol' draws ξ (2n × P)          [no HBM]
+    X = L @ ξ on the MXU                           [the only real FLOPs]
+    V_k = C_k · exp(η·Z_{t_k}),  IV = Σ V_k Δt,  J = Σ √V_k ΔW_k
+    conditional-BS close per path (Romano-Touzi)   [VPU]
+
+with L the (2n × 2n) Volterra Cholesky factor (computed ONCE at trace time
+in f64 — conditioning-sensitive — then cast to f32; it is the same factor
+the pure-JAX fp32 path multiplies by) and C_k = ξ₀(t_k)·exp(−½η²t_k^{2H})
+the per-step variance coefficients, both tiny trace-time inputs.  Per path
+the matmul costs 2·(2n)² FLOPs — at n = 64 that is 32 KFLOP/path on the
+MXU, so the kernel is compute-dense exactly where the hardware is fastest.
+
+Antithetic pairs are algebraic, not re-simulated: X(−ξ) = −X, so the mirror
+path's variance is C_k·exp(−η·Z) = C_k / exp(η·Z) (one reciprocal) and its
+J flips the ΔW sign — both groups from ONE matmul.
+
+Seeding/QMC discipline matches ops/heston_qe_kernel.py: PRNG streams are
+(seed ⊕ device_id·odd, program_id); QMC draws consecutive blocks of ONE
+seed-randomized Sobol' sequence (dims 0..2n−1 = the ξ rows, the SAME dim
+order as the pure-JAX `_rbergomi_draws` under ``config.qmc`` — validated
+bit-exactly under interpret mode in tests/unit/test_rbergomi_kernel.py).
+
+The kernel is primal-only (serving path); greeks — including the roughness
+vega ∂price/∂H through the Volterra covariance — run on the pure-JAX
+estimator, which is smooth end-to-end (RoughBergomiMixing docstring).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .heston_kernel import _box_muller, seed_from_key
+from .heston_qe_kernel import (
+    _SOBOL_BITS,
+    _ndtri_approx,
+    _norm_cdf,
+    _rcp,
+    _sobol_masks,
+    _sobol_table,
+    _sobol_uniforms_tile,
+)
+
+__all__ = [
+    "rbergomi_mixing_values",
+    "rbergomi_mixing_vanilla_price",
+    "rbergomi_mixing_values_pallas",
+]
+
+_P = 2048  # paths per program per batch: the lane-flat path axis
+
+
+def _pad_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+# ---------------------------------------------------------------- params
+
+_N_SCALARS = 9  # eta, dt, f_base, log_f_over_k, strike, cp, rho, rho2_half, rho_bar2
+
+
+def _rb_params(eta, dt, f_base, log_f_over_k, strike, cp, rho):
+    """SMEM scalar vector (f32): close constants + the variance exponent."""
+    vals = [eta, dt, f_base, log_f_over_k, strike, cp, rho, 0.5 * rho**2,
+            1.0 - rho**2]
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
+
+
+def _rb_bs_close(p_ref, iv, j):
+    """Undiscounted conditional Black-Scholes vanilla value given the
+    per-path (IV, J) mixing factors (same formula as heston_qe_kernel's
+    _cond_bs_value, reading this kernel's param layout)."""
+    rho, rho2_half, rho_bar2 = p_ref[6], p_ref[7], p_ref[8]
+    e_arg = rho * j - rho2_half * iv
+    f_eff = p_ref[2] * jnp.exp(e_arg)
+    var = jnp.maximum(rho_bar2 * iv, 1e-10)
+    sd = jnp.sqrt(var)
+    inv_sd = _rcp(sd)
+    d1 = (p_ref[3] + e_arg + 0.5 * var) * inv_sd
+    d2 = d1 - sd
+    cp = p_ref[5]
+    return cp * (f_eff * _norm_cdf(cp * d1) - p_ref[4] * _norm_cdf(cp * d2))
+
+
+def _rb_values_from_xi(p_ref, coef_ref, chol_ref, xi, *, n: int, antithetic: bool):
+    """(n_groups, 1, P) per-path values from one standard-normal tile ξ
+    (m_pad, P): the Volterra matmul, the left-point variance close and the
+    conditional-BS value — the whole estimator, entirely in VMEM."""
+    eta, dt = p_ref[0], p_ref[1]
+    x = jnp.dot(chol_ref[...], xi, preferred_element_type=jnp.float32)
+    dw0 = x[0:1]                      # ΔW_0 (1, P)
+    c0 = coef_ref[0, 0]               # C_0 = ξ₀(0) (V_0 is deterministic)
+    s0 = coef_ref[0, 1]               # √C_0
+    if n > 1:
+        dwr = x[1:n]                  # ΔW_1..ΔW_{n−1}
+        z = x[n : 2 * n - 1]          # Z_{t_1}..Z_{t_{n−1}} (left points)
+        cc = coef_ref[1:n, 0:1]       # C_k column
+        sc = coef_ref[1:n, 1:2]       # √C_k column
+        ep = jnp.exp(eta * z)
+        sep = jnp.sqrt(ep)
+        iv_p = dt * (c0 + jnp.sum(cc * ep, axis=0, keepdims=True))
+        j_p = s0 * dw0 + jnp.sum(sc * sep * dwr, axis=0, keepdims=True)
+    else:
+        iv_p = dt * c0 * jnp.ones_like(dw0)
+        j_p = s0 * dw0
+    vals = [_rb_bs_close(p_ref, iv_p, j_p)]
+    if antithetic:
+        if n > 1:
+            em = _rcp(ep)             # exp(−η·Z) — the mirror variance
+            sem = _rcp(sep)
+            iv_m = dt * (c0 + jnp.sum(cc * em, axis=0, keepdims=True))
+            j_m = -(s0 * dw0) - jnp.sum(sc * sem * dwr, axis=0, keepdims=True)
+        else:
+            iv_m = iv_p
+            j_m = -j_p
+        vals.append(_rb_bs_close(p_ref, iv_m, j_m))
+    return jnp.stack(vals)
+
+
+def _prng_xi(m_pad: int):
+    z1, z2 = _box_muller((m_pad // 2, _P))
+    return jnp.concatenate([z1, z2], axis=0)
+
+
+def _sobol_xi(sob_ref, idx, *, n: int, m_pad: int):
+    """ξ rows 0..2n−1 from Sobol' dims 0..2n−1 at point-index tile ``idx``
+    (1, P) — the SAME (point, dim) → normal map as the pure-JAX
+    ``sobol_uniforms`` + ndtri path, so validation is bit-level."""
+    masks = _sobol_masks(idx)
+    us = _sobol_uniforms_tile(masks, sob_ref, tuple(range(2 * n)))
+    rows = [_ndtri_approx(u) for u in us]
+    if m_pad > 2 * n:
+        rows.append(jnp.zeros((m_pad - 2 * n, _P), jnp.float32))
+    return jnp.concatenate(rows, axis=0)
+
+
+# ------------------------------------------------------------- values kernel
+
+
+def _rb_values_kernel(p_ref, coef_ref, chol_ref, seed_ref, out_ref,
+                      *, n: int, m_pad: int, antithetic: bool):
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+    out_ref[...] = _rb_values_from_xi(
+        p_ref, coef_ref, chol_ref, _prng_xi(m_pad), n=n, antithetic=antithetic
+    )
+
+
+def _rb_values_kernel_qmc(p_ref, coef_ref, chol_ref, sob_ref, offset_ref, out_ref,
+                          *, n: int, m_pad: int, antithetic: bool):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _P), 1)
+    idx = offset_ref[0] + pl.program_id(0) * jnp.int32(_P) + lane
+    xi = _sobol_xi(sob_ref, idx, n=n, m_pad=m_pad)
+    out_ref[...] = _rb_values_from_xi(
+        p_ref, coef_ref, chol_ref, xi, n=n, antithetic=antithetic
+    )
+
+
+def _rb_inputs(chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho,
+               *, n: int, m_pad: int):
+    """(params SMEM vector, coef VMEM tile, padded Cholesky) — the three
+    trace-time kernel inputs shared by the values and price variants."""
+    chol_p = jnp.zeros((m_pad, m_pad), jnp.float32).at[: 2 * n, : 2 * n].set(
+        jnp.asarray(chol, jnp.float32)
+    )
+    c32 = jnp.asarray(coefs, jnp.float32)
+    n_pad = _pad_up(n, 8)
+    coef_arr = (
+        jnp.zeros((n_pad, 128), jnp.float32)
+        .at[:n, 0].set(c32)
+        .at[:n, 1].set(jnp.sqrt(c32))
+    )
+    params = _rb_params(eta, dt, f_base, log_f_over_k, strike, cp, rho)
+    return params, coef_arr, chol_p
+
+
+def _rb_in_specs(n_pad: int, m_pad: int, *, qmc: bool, dims: int):
+    """BlockSpecs for (params, coefs, chol) + the stream inputs."""
+    base = [
+        pl.BlockSpec((_N_SCALARS,), lambda i: (jnp.int32(0),),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_pad, 128), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((m_pad, m_pad), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    if qmc:
+        base += [
+            pl.BlockSpec((dims, _SOBOL_BITS + 1),
+                         lambda i: (jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM),
+        ]
+    else:
+        base.append(
+            pl.BlockSpec((2,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM)
+        )
+    return base
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_paths", "steps", "antithetic", "qmc", "interpret")
+)
+def rbergomi_mixing_values(
+    chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho,
+    *, n_paths: int, steps: int, seed, antithetic: bool = False, device_id=0,
+    qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+):
+    """Per-path UNDISCOUNTED conditional vanilla values ((n_groups, n_paths)
+    fp32) via the fused kernel.  ``chol``: (2n, 2n) Volterra Cholesky factor
+    (f64 factorization upstream; cast here), ``coefs``: (n,) variance
+    coefficients C_k = ξ₀(t_k)·exp(−½η²t_k^{2H}) at the LEFT grid points.
+    Under QMC ``device_id`` is unused — shard via disjoint ``point_offset``
+    slices of the one seed-randomized sequence, as everywhere else."""
+    n = steps
+    m_pad = _pad_up(2 * n, 128)
+    n_blocks = -(-n_paths // _P)
+    padded = n_blocks * _P
+    n_groups = 2 if antithetic else 1
+    if qmc and padded > 2**_SOBOL_BITS:
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {padded} paths would wrap"
+        )
+    params, coef_arr, chol_p = _rb_inputs(
+        chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho,
+        n=n, m_pad=m_pad,
+    )
+    out_specs = pl.BlockSpec(
+        (n_groups, 1, _P),
+        lambda i: (jnp.int32(0), i, jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_groups, n_blocks, _P), jnp.float32)
+    if qmc:
+        table = _sobol_table(seed, 2 * n)
+        kernel = functools.partial(
+            _rb_values_kernel_qmc, n=n, m_pad=m_pad, antithetic=antithetic
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=_rb_in_specs(coef_arr.shape[0], m_pad, qmc=True, dims=2 * n),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coef_arr, chol_p, table, jnp.asarray([point_offset], jnp.int32))
+    else:
+        seed_arr = jnp.stack(
+            [jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)]
+        )
+        kernel = functools.partial(
+            _rb_values_kernel, n=n, m_pad=m_pad, antithetic=antithetic
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=_rb_in_specs(coef_arr.shape[0], m_pad, qmc=False, dims=0),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coef_arr, chol_p, seed_arr)
+    return out.reshape(n_groups, padded)[:, :n_paths]
+
+
+# -------------------------------------------------------------- price kernel
+
+
+def _rb_price_kernel(p_ref, coef_ref, chol_ref, seed_ref, out_ref,
+                     *, n: int, m_pad: int, n_batches: int):
+    """Multi-batch antithetic pricing with on-chip accumulation — the
+    dispatch-amortized serving configuration (mirrors heston_qe_kernel's
+    _qe_mixing_price_kernel)."""
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+
+    def one_batch(_, acc):
+        vals = _rb_values_from_xi(
+            p_ref, coef_ref, chol_ref, _prng_xi(m_pad), n=n, antithetic=True
+        )
+        return acc + vals[0, 0] + vals[1, 0]
+
+    acc0 = jnp.zeros((1, _P), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+def _rb_price_kernel_qmc(p_ref, coef_ref, chol_ref, sob_ref, offset_ref, out_ref,
+                         *, n: int, m_pad: int, n_batches: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _P), 1)
+    base_idx = offset_ref[0] + pl.program_id(0) * jnp.int32(n_batches) * jnp.int32(_P)
+
+    def one_batch(b, acc):
+        idx = base_idx + b * jnp.int32(_P) + lane
+        xi = _sobol_xi(sob_ref, idx, n=n, m_pad=m_pad)
+        vals = _rb_values_from_xi(
+            p_ref, coef_ref, chol_ref, xi, n=n, antithetic=True
+        )
+        return acc + vals[0, 0] + vals[1, 0]
+
+    acc0 = jnp.zeros((1, _P), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "n_batches", "steps", "qmc", "interpret")
+)
+def rbergomi_mixing_vanilla_price(
+    chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho, discount,
+    *, n_blocks: int, n_batches: int, steps: int, seed, device_id=0,
+    qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+):
+    """Discounted European vanilla price over n_blocks·n_batches·4096
+    antithetic conditional-MC paths, ONE host dispatch, on-chip accumulation
+    (2048 antithetic pairs per program-batch)."""
+    n = steps
+    m_pad = _pad_up(2 * n, 128)
+    total_pairs = n_blocks * n_batches * _P
+    if qmc and total_pairs > 2**_SOBOL_BITS:
+        raise ValueError(
+            f"Sobol' period is 2^{_SOBOL_BITS} points; {total_pairs} pairs would wrap"
+        )
+    params, coef_arr, chol_p = _rb_inputs(
+        chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho,
+        n=n, m_pad=m_pad,
+    )
+    out_specs = pl.BlockSpec(
+        (1, 1, _P), lambda i: (i, jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_blocks, 1, _P), jnp.float32)
+    if qmc:
+        table = _sobol_table(seed, 2 * n)
+        kernel = functools.partial(
+            _rb_price_kernel_qmc, n=n, m_pad=m_pad, n_batches=n_batches
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=_rb_in_specs(coef_arr.shape[0], m_pad, qmc=True, dims=2 * n),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coef_arr, chol_p, table, jnp.asarray([point_offset], jnp.int32))
+    else:
+        seed_arr = jnp.stack(
+            [jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)]
+        )
+        kernel = functools.partial(
+            _rb_price_kernel, n=n, m_pad=m_pad, n_batches=n_batches
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=_rb_in_specs(coef_arr.shape[0], m_pad, qmc=False, dims=0),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coef_arr, chol_p, seed_arr)
+    total_paths = 2 * total_pairs
+    return discount * jnp.sum(sums.astype(jnp.float64)) / total_paths
+
+
+# ------------------------------------------------------------------ adapter
+
+
+def _rb_trace_inputs(prob, config, quad_nodes: int):
+    """Trace-time (chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp,
+    rho, discount, T) for the kernel from a PricingProblem — the f64
+    covariance/Cholesky and the close constants, exactly the quantities the
+    pure-JAX fp32 path computes before its bulk work."""
+    from ..market.rate_curve import df_yf
+    from ..methods.montecarlo import _sim_params
+    from ..models.rough_bergomi import ForwardVarianceCurve, _pow, volterra_chol
+
+    market, T, r0 = _sim_params(prob)
+    n = config.steps
+    chol = volterra_chol(market.hurst, T, n, quad_nodes=quad_nodes)
+    t_left = (jnp.arange(n) / n) * T
+    xi0 = market.xi0
+    level = xi0(t_left) if isinstance(xi0, ForwardVarianceCurve) else xi0
+    coefs = level * jnp.exp(-0.5 * market.eta**2 * _pow(t_left, 2.0 * market.hurst))
+    f_base = market.spot * jnp.exp(r0 * T)
+    strike = prob.payoff.strike
+    log_f_over_k = jnp.log(f_base / strike)
+    cp = prob.payoff.call_put()
+    disc = df_yf(market.rate, T)
+    return chol, coefs, market.eta, T / n, f_base, log_f_over_k, strike, cp, \
+        market.rho, disc, T
+
+
+def rbergomi_mixing_values_pallas(prob, config, strat, key=None, device_id=0,
+                                  point_offset=0):
+    """Adapter for MonteCarlo(RoughBergomiDynamics,
+    RoughBergomiMixing(use_kernel=True)): per-path conditional values,
+    falling back to the pure-JAX mixing estimator off-TPU (same seed → same
+    QMC points).  An explicit ``key`` reseeds the kernel stream
+    (ops/heston_kernel.py ``seed_from_key``); under QMC the seed is ALWAYS
+    ``config.seed`` so every device randomizes the one shared sequence and
+    slices it by ``point_offset`` (same contract as the Heston kernels)."""
+    from ..methods.montecarlo import Antithetic, _rbergomi_mixing_values
+
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if jax.default_backend() != "tpu":
+        # forward the key untouched: key=None resolves to PRNGKey(config.seed)
+        # inside the estimator, exactly like the use_kernel=False branch, so
+        # the fallback is bit-identical to the pure-JAX strategy; sharded
+        # callers always pass an explicit folded key (parallel/sharding.py)
+        return _rbergomi_mixing_values(
+            prob, config, key, point_offset=point_offset,
+            quad_nodes=strat.quad_nodes, fp32=strat.fp32,
+        )
+    (chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho, _disc,
+     _T) = _rb_trace_inputs(prob, config, strat.quad_nodes)
+    out = rbergomi_mixing_values(
+        chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho,
+        n_paths=config.trajectories, steps=config.steps,
+        seed=config.seed if config.qmc else seed_from_key(config, key),
+        antithetic=anti, device_id=device_id, qmc=config.qmc,
+        point_offset=point_offset,
+    )
+    return out.astype(jnp.float64)

@@ -254,8 +254,8 @@ def test_bermudan_swaption_validation():
                        exercise_style=hh.Bermudan([dt.date(2026, 1, 1)]))
     with pytest.raises(TypeError, match="HullWhiteGrid"):
         hh.solve(hh.PricingProblem(berm, m), hh.HullWhiteAnalytic())
-    with pytest.raises(TypeError, match="HullWhiteGrid"):
-        hh.solve(hh.PricingProblem(berm, m), _mc(1024, 1))
+    # Bermudan + MC is no longer an error: it prices through the
+    # stochastic-discount LSM engine (test_bermudan_swaption_lsm_cross_engine)
     with pytest.raises(TypeError, match="Swaption"):
         hh.solve(hh.PricingProblem(hh.ZeroCouponBond(dt.date(2025, 1, 1)), m),
                  hh.HullWhiteGrid())

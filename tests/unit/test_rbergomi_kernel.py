@@ -1,0 +1,149 @@
+"""Fused rough-Bergomi mixing kernel (ops/rbergomi_kernel.py), validated on
+CPU in interpret mode via the in-kernel Sobol' stream — pure bit arithmetic,
+so the kernel's QMC variant reproduces the pure-JAX estimator per-path (the
+PRNG variant shares every line but the draw source and is exercised on TPU
+by benchmarks/rbergomi_bench.py)."""
+
+import datetime as dt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hedgehog_tpu as hh
+from hedgehog_tpu.methods.montecarlo import _rbergomi_mixing_values
+from hedgehog_tpu.models.rough_bergomi import rbergomi_variance
+from hedgehog_tpu.ops.rbergomi_kernel import (
+    _rb_trace_inputs,
+    rbergomi_mixing_values,
+    rbergomi_mixing_vanilla_price,
+)
+
+REF, EXPIRY = dt.date(2024, 1, 1), dt.date(2025, 1, 1)
+
+
+def _problem(payoff=None, xi0=0.04):
+    mkt = hh.RoughBergomiInputs(REF, 0.03, 100.0, xi0, 1.5, 0.1, -0.7)
+    opt = payoff or hh.VanillaOption(
+        100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot()
+    )
+    return hh.PricingProblem(opt, mkt)
+
+
+def _config(paths=4096, steps=16, qmc=True, seed=3):
+    return hh.SimulationConfig(
+        trajectories=paths, steps=steps, variance_reduction=hh.Antithetic(),
+        seed=seed, qmc=qmc,
+    )
+
+
+def test_kernel_qmc_values_match_pure_jax_per_path():
+    """Same Sobol' points, same dim order, same Volterra factor → the kernel's
+    per-path values match the pure-JAX fp32 estimator elementwise (residual =
+    the kernel's fp32 ndtri/matmul vs f64; values are O(10))."""
+    prob, cfg = _problem(), _config()
+    ins = _rb_trace_inputs(prob, cfg, 64)
+    chol, coefs, eta, dtau, f_base, lfk, strike, cp, rho, disc, T = ins
+    got = rbergomi_mixing_values(
+        chol, coefs, eta, dtau, f_base, lfk, strike, cp, rho,
+        n_paths=cfg.trajectories, steps=cfg.steps, seed=cfg.seed,
+        antithetic=True, qmc=True, interpret=True,
+    )
+    want = _rbergomi_mixing_values(
+        prob, cfg, jax.random.PRNGKey(cfg.seed), quad_nodes=64, fp32=True
+    )
+    assert got.shape == (2, cfg.trajectories)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want, np.float32), atol=3e-2
+    )
+    # and the price-level agreement is much tighter than the per-path bound
+    assert abs(float(jnp.mean(got)) - float(jnp.mean(want))) < 2e-4 * float(
+        jnp.mean(want)
+    )
+
+
+def test_kernel_qmc_point_offset_slices_one_sequence():
+    """Block i at offset 0 equals block 0 at offset i·2048 — the disjoint
+    slicing contract sharded devices rely on."""
+    prob, cfg = _problem(), _config(paths=4096, steps=8)
+    ins = _rb_trace_inputs(prob, cfg, 64)
+    chol, coefs, eta, dtau, f_base, lfk, strike, cp, rho, _, _ = ins
+
+    def vals(n_paths, offset):
+        return rbergomi_mixing_values(
+            chol, coefs, eta, dtau, f_base, lfk, strike, cp, rho,
+            n_paths=n_paths, steps=cfg.steps, seed=cfg.seed,
+            antithetic=True, qmc=True, point_offset=offset, interpret=True,
+        )
+
+    whole = vals(4096, 0)
+    second = vals(2048, 2048)
+    np.testing.assert_array_equal(np.asarray(whole[:, 2048:]), np.asarray(second))
+
+
+def test_price_kernel_consistent_with_values_kernel():
+    """The accumulating price kernel equals disc·mean(values kernel) over the
+    identical point range (same per-path math, different reduction site)."""
+    prob, cfg = _problem(), _config(steps=8)
+    ins = _rb_trace_inputs(prob, cfg, 64)
+    chol, coefs, eta, dtau, f_base, lfk, strike, cp, rho, disc, _ = ins
+    price = rbergomi_mixing_vanilla_price(
+        chol, coefs, eta, dtau, f_base, lfk, strike, cp, rho, disc,
+        n_blocks=1, n_batches=2, steps=cfg.steps, seed=cfg.seed,
+        qmc=True, interpret=True,
+    )
+    vals = rbergomi_mixing_values(
+        chol, coefs, eta, dtau, f_base, lfk, strike, cp, rho,
+        n_paths=4096, steps=cfg.steps, seed=cfg.seed,
+        antithetic=True, qmc=True, interpret=True,
+    )
+    want = float(disc) * float(jnp.mean(vals))
+    np.testing.assert_allclose(float(price), want, rtol=1e-6)
+
+
+def test_trace_inputs_coefs_are_the_zero_z_variance():
+    """C_k = ξ₀(t_k)·exp(−½η²t_k^{2H}) is exactly rbergomi_variance at Z = 0;
+    also exercises the ForwardVarianceCurve branch."""
+    curve = hh.ForwardVarianceCurve(
+        tenors=jnp.asarray([0.25, 0.5, 1.0]), xi=jnp.asarray([0.03, 0.04, 0.05])
+    )
+    prob, cfg = _problem(xi0=curve), _config(steps=8)
+    chol, coefs, *_ = _rb_trace_inputs(prob, cfg, 64)
+    T = hh.yearfrac(REF, EXPIRY)
+    t_left = (jnp.arange(8) / 8) * T
+    want = rbergomi_variance(prob.market_inputs, jnp.zeros(8), t_left)
+    np.testing.assert_allclose(np.asarray(coefs), np.asarray(want), rtol=1e-12)
+    assert chol.shape == (16, 16)
+
+
+def test_use_kernel_dispatch_guards():
+    """Non-vanilla payoffs and strike grids must redirect to the pure-JAX
+    estimator instead of silently mispricing."""
+    strat = hh.RoughBergomiMixing(use_kernel=True)
+    cfg = _config(qmc=False)
+    method = hh.MonteCarlo(hh.RoughBergomiDynamics(), strat, cfg)
+    digital = hh.DigitalOption(100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+    with pytest.raises(TypeError, match="use_kernel"):
+        hh.solve(hh.PricingProblem(digital, _problem().market_inputs), method)
+    grid = hh.VanillaOption(
+        jnp.asarray([90.0, 100.0]), EXPIRY, hh.European(), hh.Call(), hh.Spot()
+    )
+    with pytest.raises(TypeError, match="use_kernel"):
+        hh.solve(hh.PricingProblem(grid, _problem().market_inputs), method)
+
+
+def test_use_kernel_solve_cpu_fallback_matches_pure_jax():
+    """Off-TPU the adapter must price identically to the pure-JAX strategy
+    (same key derivation, same estimator)."""
+    prob = _problem()
+    cfg = _config(qmc=False, paths=2048, steps=8)
+    p_kernel = hh.solve(
+        prob, hh.MonteCarlo(hh.RoughBergomiDynamics(),
+                            hh.RoughBergomiMixing(use_kernel=True), cfg)
+    ).price
+    p_pure = hh.solve(
+        prob, hh.MonteCarlo(hh.RoughBergomiDynamics(),
+                            hh.RoughBergomiMixing(), cfg)
+    ).price
+    np.testing.assert_allclose(float(p_kernel), float(p_pure), rtol=1e-12)
