@@ -459,6 +459,51 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             sys.stderr.write(f"# surface kernel skipped ({type(e).__name__})\n")
 
+    # ---- rough-Bergomi serving metric (stderr): the fused mixing kernel —
+    # the beyond-reference rough-vol family at kernel speed (MC is the ONLY
+    # pricing method for this non-Markovian model).
+    if on_tpu and budget_left():
+        try:
+            import functools
+
+            from hedgehog_tpu.ops.rbergomi_kernel import (
+                _P as _RB_P,
+                _rb_trace_inputs,
+                rbergomi_mixing_vanilla_price,
+            )
+
+            rb_mkt = hh.RoughBergomiInputs(
+                dt.date(2024, 1, 1), 0.03, 100.0, 0.04, 1.9, 0.08, -0.9
+            )
+            rb_opt = hh.VanillaOption(
+                100.0, dt.date(2024, 12, 31), hh.European(), hh.Call(), hh.Spot()
+            )
+            rb_cfg = hh.SimulationConfig(trajectories=1, steps=64,
+                                         variance_reduction=hh.Antithetic())
+            rb_in = _rb_trace_inputs(
+                hh.PricingProblem(rb_opt, rb_mkt), rb_cfg, 64
+            )[:-1]
+            rb_nb, rb_nbat = 128, 64
+            rb_fn = jax.jit(functools.partial(
+                rbergomi_mixing_vanilla_price,
+                n_blocks=rb_nb, n_batches=rb_nbat, steps=64,
+            ))
+            jax.block_until_ready(rb_fn(*rb_in, seed=0))
+            t3 = time.perf_counter()
+            reps_rb = 2
+            for i in range(reps_rb):
+                rbp = rb_fn(*rb_in, seed=i + 1)
+                jax.block_until_ready(rbp)  # per call: queued tunnel timings lie
+            dt_rb = (time.perf_counter() - t3) / reps_rb
+            rb_paths = rb_nb * rb_nbat * _RB_P * 2
+            sys.stderr.write(
+                f"# rough-Bergomi fused mixing kernel (64 steps, exact "
+                f"Volterra): {rb_paths/1e6:.0f}M paths in {dt_rb*1e3:.0f} ms "
+                f"({rb_paths/dt_rb:.2e} paths/s) price={float(rbp):.4f}\n"
+            )
+        except Exception as e:  # pragma: no cover
+            sys.stderr.write(f"# rough-Bergomi kernel skipped ({type(e).__name__})\n")
+
     _emit_headline(scheme, steps_used, n_pairs, elapsed, mc_price, cm_price,
                    err_bp, paths_per_sec)
 

@@ -33,9 +33,13 @@ seed-randomized Sobol' sequence (dims 0..2n−1 = the ξ rows, the SAME dim
 order as the pure-JAX `_rbergomi_draws` under ``config.qmc`` — validated
 bit-exactly under interpret mode in tests/unit/test_rbergomi_kernel.py).
 
-The kernel is primal-only (serving path); greeks — including the roughness
-vega ∂price/∂H through the Volterra covariance — run on the pure-JAX
-estimator, which is smooth end-to-end (RoughBergomiMixing docstring).
+The price/values kernels are primal-only; for kernel-speed greeks see the
+fused price+greeks kernel at the bottom of this module
+(:func:`rbergomi_mixing_price_and_greeks`): forward-mode tangents inside
+the kernel, with ∂/∂H riding ONE extra matmul against the trace-time
+tangent factor dL/dH.  Bucketed ForwardVarianceCurve vegas and exotic
+payoffs stay on the smooth pure-JAX estimator, whose plain `jax.grad`
+covers everything (RoughBergomiMixing docstring).
 """
 
 from __future__ import annotations
@@ -59,6 +63,9 @@ from .heston_qe_kernel import (
 )
 
 __all__ = [
+    "GREEK_ORDER_RB",
+    "rbergomi_kernel_price_and_greeks",
+    "rbergomi_mixing_price_and_greeks",
     "rbergomi_mixing_values",
     "rbergomi_mixing_vanilla_price",
     "rbergomi_mixing_values_pallas",
@@ -233,10 +240,13 @@ def rbergomi_mixing_values(
     n_blocks = -(-n_paths // _P)
     padded = n_blocks * _P
     n_groups = 2 if antithetic else 1
-    if qmc and padded > 2**_SOBOL_BITS:
-        raise ValueError(
-            f"Sobol' period is 2^{_SOBOL_BITS} points; {padded} paths would wrap"
-        )
+    if qmc:
+        start = point_offset if isinstance(point_offset, int) else 0
+        if start + padded > 2**_SOBOL_BITS:
+            raise ValueError(
+                f"Sobol' period is 2^{_SOBOL_BITS} points; offset {start} + "
+                f"{padded} paths would wrap"
+            )
     params, coef_arr, chol_p = _rb_inputs(
         chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho,
         n=n, m_pad=m_pad,
@@ -329,10 +339,13 @@ def rbergomi_mixing_vanilla_price(
     n = steps
     m_pad = _pad_up(2 * n, 128)
     total_pairs = n_blocks * n_batches * _P
-    if qmc and total_pairs > 2**_SOBOL_BITS:
-        raise ValueError(
-            f"Sobol' period is 2^{_SOBOL_BITS} points; {total_pairs} pairs would wrap"
-        )
+    if qmc:
+        start = point_offset if isinstance(point_offset, int) else 0
+        if start + total_pairs > 2**_SOBOL_BITS:
+            raise ValueError(
+                f"Sobol' period is 2^{_SOBOL_BITS} points; offset {start} + "
+                f"{total_pairs} pairs would wrap"
+            )
     params, coef_arr, chol_p = _rb_inputs(
         chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho,
         n=n, m_pad=m_pad,
@@ -433,3 +446,289 @@ def rbergomi_mixing_values_pallas(prob, config, strat, key=None, device_id=0,
         point_offset=point_offset,
     )
     return out.astype(jnp.float64)
+
+
+# ---------------------------------------------------------------------------
+# Fused price + greeks: forward-mode tangents INSIDE the kernel (the same
+# recipe as ops/heston_qe_greeks_kernel.py, adapted to the Volterra scheme).
+#
+# The estimator's per-path value is closed-form Black-Scholes in (IV, J), so
+# (spot, rho, rate) close analytically at the value stage and only the
+# (xi0, eta, H) tangents touch the variance path:
+#
+#   P_k = C_k·exp(eta·Z_k),  IV = dt·SUM P_k,  J = SUM sqrt(P_k)·dW_k
+#   d ln P_k/d xi0 = 1/xi0                    (flat forward variance)
+#   d ln P_k/d eta = Z_k − eta·t_k^{2H}       (the `ae` coef column)
+#   d ln P_k/d H   = −eta²·t_k^{2H}·ln t_k    (the `bh` column)
+#                    + eta·Ż_k with (Ẋ = dL/dH @ ξ)  — ONE extra matmul
+#
+# so dIV = dt·SUM P_k·dlnP_k and dJ = SUM [½·dlnP_k·s_k·dW_k + s_k·dẆ_k].
+# Antithetic mirrors are sign flips of (x, ẋ).  The H tangent factor dL/dH
+# is computed ONCE at trace time by jax.jacfwd through the (smooth) Volterra
+# covariance + Cholesky.  Scalar xi0 only (a ForwardVarianceCurve's bucketed
+# vegas stay on the pure-JAX estimator, whose AD covers them).
+# ---------------------------------------------------------------------------
+
+_N_GREEK_ROWS = 6  # Y, chain_xi0, chain_eta, chain_H, w (=dY/dlogF), Y_rho
+
+GREEK_ORDER_RB = ("spot", "xi0", "eta", "rho", "hurst", "rate")
+
+
+def _rb_partials(p_ref, iv, j):
+    """Value + value-stage partials — reuses the QE greek kernel's
+    _cond_bs_partials through a param-dict view."""
+    from .heston_qe_greeks_kernel import _cond_bs_partials
+
+    c = dict(
+        rho=p_ref[6], rho2_half=p_ref[7], rho_bar2=p_ref[8],
+        f_base=p_ref[2], log_f_over_k=p_ref[3], strike=p_ref[4], cp=p_ref[5],
+    )
+    return _cond_bs_partials(iv, j, c)
+
+
+def _rb_greek_sums(p_ref, coef_ref, chol_ref, cholh_ref, xi, *, n: int):
+    """(6, P) per-tile sums over both antithetic groups:
+    [Y, chain_xi0, chain_eta, chain_H, w, Y_rho]."""
+    eta, dt = p_ref[0], p_ref[1]
+    inv_xi0 = p_ref[9]
+    x = jnp.dot(chol_ref[...], xi, preferred_element_type=jnp.float32)
+    xd = jnp.dot(cholh_ref[...], xi, preferred_element_type=jnp.float32)
+    c0 = coef_ref[0, 0]
+    s0 = coef_ref[0, 1]
+    cc = coef_ref[1:n, 0:1]
+    sc = coef_ref[1:n, 1:2]
+    ae = coef_ref[1:n, 2:3]
+    bh = coef_ref[1:n, 3:4]
+
+    ep = jnp.exp(eta * x[n : 2 * n - 1])
+    sep = jnp.sqrt(ep)
+
+    # the mirror group reuses the + group's exponentials through exact IEEE
+    # identities (rcp + sign flips), so the Y row stays bit-identical to the
+    # price kernel's accumulation (asserted in test_rbergomi_kernel.py)
+    def group(sign, ex, sex):
+        dw0 = sign * x[0:1]
+        dwr = sign * x[1:n]
+        z = sign * x[n : 2 * n - 1]
+        dwd0 = sign * xd[0:1]
+        dwdr = sign * xd[1:n]
+        zd = sign * xd[n : 2 * n - 1]
+        p = cc * ex
+        s = sc * sex
+        sdw = s * dwr
+        iv = dt * (c0 + jnp.sum(p, axis=0, keepdims=True))
+        j = s0 * dw0 + jnp.sum(sdw, axis=0, keepdims=True)
+        a = z + ae               # d ln P_k / d eta   (a_0 = 0: no k=0 term)
+        g = bh + eta * zd        # d ln P_k / d H     (C_0, Z_0 are H-free)
+        div_eta = dt * jnp.sum(p * a, axis=0, keepdims=True)
+        dj_eta = 0.5 * jnp.sum(a * sdw, axis=0, keepdims=True)
+        div_h = dt * jnp.sum(p * g, axis=0, keepdims=True)
+        dj_h = (0.5 * jnp.sum(g * sdw, axis=0, keepdims=True)
+                + s0 * dwd0 + jnp.sum(s * dwdr, axis=0, keepdims=True))
+        y, y_iv, y_j, y_rho, w = _rb_partials(p_ref, iv, j)
+        return [
+            y,
+            (y_iv * iv + y_j * 0.5 * j) * inv_xi0,
+            y_iv * div_eta + y_j * dj_eta,
+            y_iv * div_h + y_j * dj_h,
+            w,
+            y_rho,
+        ]
+
+    gp = group(jnp.float32(1.0), ep, sep)
+    gm = group(jnp.float32(-1.0), _rcp(ep), _rcp(sep))
+    return jnp.concatenate([a_ + b_ for a_, b_ in zip(gp, gm)], axis=0)
+
+
+def _rb_greeks_kernel(p_ref, coef_ref, chol_ref, cholh_ref, seed_ref, out_ref,
+                      *, n: int, m_pad: int, n_batches: int):
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+
+    def one_batch(_, acc):
+        return acc + _rb_greek_sums(
+            p_ref, coef_ref, chol_ref, cholh_ref, _prng_xi(m_pad), n=n
+        )
+
+    acc0 = jnp.zeros((_N_GREEK_ROWS, _P), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+def _rb_greeks_kernel_qmc(p_ref, coef_ref, chol_ref, cholh_ref, sob_ref,
+                          offset_ref, out_ref, *, n: int, m_pad: int,
+                          n_batches: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _P), 1)
+    base_idx = offset_ref[0] + pl.program_id(0) * jnp.int32(n_batches) * jnp.int32(_P)
+
+    def one_batch(b, acc):
+        idx = base_idx + b * jnp.int32(_P) + lane
+        xi = _sobol_xi(sob_ref, idx, n=n, m_pad=m_pad)
+        return acc + _rb_greek_sums(p_ref, coef_ref, chol_ref, cholh_ref, xi, n=n)
+
+    acc0 = jnp.zeros((_N_GREEK_ROWS, _P), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "n_batches", "steps", "qmc", "interpret")
+)
+def rbergomi_mixing_price_and_greeks(
+    chol, chol_h, coefs, coefs_h, xi0, eta, dt, spot, f_base, log_f_over_k,
+    strike, cp, rho, discount, horizon,
+    *, n_blocks: int, n_batches: int, steps: int, seed, device_id=0,
+    qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+):
+    """Discounted price AND the 6-greek vector (GREEK_ORDER_RB: spot, xi0,
+    eta, rho, hurst, flat rate) over n_blocks·n_batches·4096 antithetic
+    paths in ONE fused dispatch.  ``chol_h`` = d(chol)/dH and ``coefs_h`` =
+    (ae, bh) per-step log-derivative columns, both trace-time inputs
+    (:func:`_rb_greek_trace_inputs`).  The draw stream matches
+    :func:`rbergomi_mixing_vanilla_price`, so the price agrees with the
+    price-only kernel bit-for-bit."""
+    n = steps
+    if n < 2:
+        raise ValueError("the greeks kernel needs steps >= 2")
+    m_pad = _pad_up(2 * n, 128)
+    total_pairs = n_blocks * n_batches * _P
+    if qmc:
+        start = point_offset if isinstance(point_offset, int) else 0
+        if start + total_pairs > 2**_SOBOL_BITS:
+            raise ValueError(
+                f"Sobol' period is 2^{_SOBOL_BITS} points; offset {start} + "
+                f"{total_pairs} pairs would wrap"
+            )
+    params, coef_arr, chol_p = _rb_inputs(
+        chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho,
+        n=n, m_pad=m_pad,
+    )
+    params = jnp.concatenate([params, jnp.stack([
+        jnp.asarray(1.0 / xi0, jnp.float32)])])
+    coef_arr = (
+        coef_arr
+        .at[:n, 2].set(jnp.asarray(coefs_h[0], jnp.float32))
+        .at[:n, 3].set(jnp.asarray(coefs_h[1], jnp.float32))
+    )
+    cholh_p = jnp.zeros((m_pad, m_pad), jnp.float32).at[: 2 * n, : 2 * n].set(
+        jnp.asarray(chol_h, jnp.float32)
+    )
+    n_pad = coef_arr.shape[0]
+    base_specs = [
+        pl.BlockSpec((_N_SCALARS + 1,), lambda i: (jnp.int32(0),),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_pad, 128), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((m_pad, m_pad), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((m_pad, m_pad), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec(
+        (1, _N_GREEK_ROWS, _P), lambda i: (i, jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_blocks, _N_GREEK_ROWS, _P), jnp.float32)
+    if qmc:
+        table = _sobol_table(seed, 2 * n)
+        kernel = functools.partial(
+            _rb_greeks_kernel_qmc, n=n, m_pad=m_pad, n_batches=n_batches
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=base_specs + [
+                pl.BlockSpec((2 * n, _SOBOL_BITS + 1),
+                             lambda i: (jnp.int32(0), jnp.int32(0)),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1,), lambda i: (jnp.int32(0),),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coef_arr, chol_p, cholh_p, table,
+          jnp.asarray([point_offset], jnp.int32))
+    else:
+        seed_arr = jnp.stack(
+            [jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)]
+        )
+        kernel = functools.partial(
+            _rb_greeks_kernel, n=n, m_pad=m_pad, n_batches=n_batches
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=base_specs + [
+                pl.BlockSpec((2,), lambda i: (jnp.int32(0),),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coef_arr, chol_p, cholh_p, seed_arr)
+    total_paths = 2 * total_pairs
+    tot = jnp.sum(sums.astype(jnp.float64), axis=(0, 2)) / total_paths  # (6,)
+    price = discount * tot[0]
+    grad = jnp.stack([
+        discount * tot[4] / spot,                 # spot (w = dY/dlogF)
+        discount * tot[1],                        # xi0
+        discount * tot[2],                        # eta
+        discount * tot[5],                        # rho
+        discount * tot[3],                        # hurst
+        discount * tot[4] * horizon - horizon * price,  # flat rate
+    ])
+    return price, grad
+
+
+def _rb_greek_trace_inputs(prob, config, quad_nodes: int):
+    """Trace-time inputs for the greeks kernel: the price inputs plus
+    dL/dH (one jacfwd through the smooth Volterra covariance + Cholesky)
+    and the (ae, bh) per-step log-derivative columns.  Scalar xi0 only."""
+    from ..models.rough_bergomi import ForwardVarianceCurve, volterra_chol
+
+    market = prob.market_inputs
+    if isinstance(market.xi0, ForwardVarianceCurve):
+        raise TypeError(
+            "the rough-Bergomi greeks kernel covers scalar xi0; bucketed "
+            "ForwardVarianceCurve vegas come from jax.grad of the pure-JAX "
+            "estimator"
+        )
+    (chol, coefs, eta, dtau, f_base, log_f_over_k, strike, cp, rho, disc,
+     T) = _rb_trace_inputs(prob, config, quad_nodes)
+    n = config.steps
+    chol_h = jax.jacfwd(
+        lambda h: volterra_chol(h, T, n, quad_nodes=quad_nodes)
+    )(market.hurst)
+    t_left = (jnp.arange(n) / n) * T
+    t2h = jnp.where(t_left > 0.0,
+                    jnp.where(t_left > 0.0, t_left, 1.0) ** (2.0 * market.hurst),
+                    0.0)
+    log_t = jnp.log(jnp.where(t_left > 0.0, t_left, 1.0))
+    ae = -eta * t2h                              # d ln C_k/d eta (E part in-kernel)
+    bh = -(eta**2) * t2h * log_t                 # d ln C_k / d H
+    return (chol, chol_h, coefs, (ae, bh), market.xi0, eta, dtau, market.spot,
+            f_base, log_f_over_k, strike, cp, rho, disc, T)
+
+
+def rbergomi_kernel_price_and_greeks(prob, config, *, n_blocks: int,
+                                     n_batches: int, quad_nodes: int = 64,
+                                     seed=None, device_id=0, point_offset=0,
+                                     interpret: bool = False):
+    """Problem-level adapter: (discounted price, {greek: value}) for a
+    scalar-strike vanilla under rough Bergomi from the fused price+greeks
+    kernel (keys = GREEK_ORDER_RB).  ``config.trajectories`` is ignored —
+    the path count is n_blocks·n_batches·4096 (antithetic built in)."""
+    from ..core.payoffs import VanillaOption
+
+    if not isinstance(prob.payoff, VanillaOption) or (
+        jnp.ndim(prob.payoff.strike) > 0
+    ):
+        raise TypeError(
+            "the rough-Bergomi greeks kernel closes scalar-strike vanillas "
+            "only"
+        )
+    ins = _rb_greek_trace_inputs(prob, config, quad_nodes)
+    price, grad = rbergomi_mixing_price_and_greeks(
+        *ins, n_blocks=n_blocks, n_batches=n_batches, steps=config.steps,
+        seed=config.seed if seed is None else seed, device_id=device_id,
+        qmc=config.qmc, point_offset=point_offset, interpret=interpret,
+    )
+    return price, dict(zip(GREEK_ORDER_RB, grad))

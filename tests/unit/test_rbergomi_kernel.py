@@ -147,3 +147,119 @@ def test_use_kernel_solve_cpu_fallback_matches_pure_jax():
                             hh.RoughBergomiMixing(), cfg)
     ).price
     np.testing.assert_allclose(float(p_kernel), float(p_pure), rtol=1e-12)
+
+
+# ---------------------------------------------------------------- greeks
+
+
+def _kernel_fd(cfg, nb, nbat, name, h, base=None):
+    """Central FD of the price kernel in the named market parameter, on the
+    identical QMC stream (smooth in every parameter, so FD is clean)."""
+    from hedgehog_tpu.ops.rbergomi_kernel import rbergomi_mixing_vanilla_price
+
+    vals = dict(spot=100.0, xi0=0.04, eta=1.5, rho=-0.7, hurst=0.1, rate=0.03)
+    if base:
+        vals.update(base)
+
+    def price(**kw):
+        v = dict(vals)
+        v.update(kw)
+        mkt = hh.RoughBergomiInputs(REF, v["rate"], v["spot"], v["xi0"],
+                                    v["eta"], v["hurst"], v["rho"])
+        opt = hh.VanillaOption(100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+        ins = _rb_trace_inputs(hh.PricingProblem(opt, mkt), cfg, 64)[:-1]
+        return float(rbergomi_mixing_vanilla_price(
+            *ins, n_blocks=nb, n_batches=nbat, steps=cfg.steps,
+            seed=cfg.seed, qmc=True, interpret=True,
+        ))
+
+    return (price(**{name: vals[name] + h}) - price(**{name: vals[name] - h})) / (2 * h)
+
+
+def test_greeks_kernel_is_the_pathwise_derivative_of_the_price_kernel():
+    """Forward-mode tangents must equal central FD of the price kernel on
+    the SAME QMC stream — this pins the tangent algebra (dL/dH matmul, the
+    eta/H log-derivative chains, the value-stage partials) independently of
+    fp32 estimator noise.  rho/hurst tolerances are FD-noise-bound (their
+    per-path chains are large with cancelling signs)."""
+    from hedgehog_tpu.ops.rbergomi_kernel import rbergomi_kernel_price_and_greeks
+
+    n, nb, nbat = 8, 2, 1
+    cfg = _config(steps=n, seed=3)
+    prob = _problem()
+    price, greeks = rbergomi_kernel_price_and_greeks(
+        prob, cfg, n_blocks=nb, n_batches=nbat, interpret=True
+    )
+    assert set(greeks) == {"spot", "xi0", "eta", "rho", "hurst", "rate"}
+    for name, h, rtol in (("xi0", 1e-4, 1e-4), ("eta", 3e-3, 2e-3),
+                          ("rate", 1e-4, 1e-3), ("spot", 0.2, 2e-3),
+                          ("rho", 2e-3, 3e-2), ("hurst", 2e-4, 2e-2)):
+        fd = _kernel_fd(cfg, nb, nbat, name, h)
+        np.testing.assert_allclose(float(greeks[name]), fd, rtol=rtol,
+                                   err_msg=name)
+
+
+def test_greeks_kernel_price_matches_price_kernel_and_pure_grad():
+    """The fused kernel's price must equal the price-only kernel to f64
+    reduction-order noise (the in-kernel fp32 accumulations are bit-identical
+    — same stream, same algebra incl. the rcp-mirrored antithetic group —
+    only the host-side f64 sum order differs), and the big greeks
+    (spot, xi0, rate) must
+    agree with jax.grad of the pure-JAX f64 estimator on the same points
+    (small greeks with per-path cancellation are fp32-noise-bound at this
+    path count and are pinned by the FD test above instead)."""
+    from hedgehog_tpu.market.rate_curve import df_yf
+    from hedgehog_tpu.ops.rbergomi_kernel import (
+        rbergomi_kernel_price_and_greeks,
+        rbergomi_mixing_vanilla_price,
+    )
+
+    n, nb, nbat = 8, 2, 1
+    cfg = _config(steps=n, seed=3)
+    prob = _problem()
+    price, greeks = rbergomi_kernel_price_and_greeks(
+        prob, cfg, n_blocks=nb, n_batches=nbat, interpret=True
+    )
+    ins = _rb_trace_inputs(prob, cfg, 64)[:-1]
+    p_only = rbergomi_mixing_vanilla_price(
+        *ins, n_blocks=nb, n_batches=nbat, steps=n, seed=cfg.seed,
+        qmc=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.float64(price), np.float64(p_only), rtol=1e-8)
+
+    opt = hh.VanillaOption(100.0, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+    paths = 2 * nb * nbat * 2048
+    cfgp = hh.SimulationConfig(trajectories=paths, steps=n,
+                               variance_reduction=hh.Antithetic(), seed=3,
+                               qmc=True)
+    T = hh.yearfrac(REF, EXPIRY)
+
+    def pure(spot, xi0, rate):
+        mkt = hh.RoughBergomiInputs(REF, rate, spot, xi0, 1.5, 0.1, -0.7)
+        vals = _rbergomi_mixing_values(
+            hh.PricingProblem(opt, mkt), cfgp, jax.random.PRNGKey(3),
+            quad_nodes=64,
+        )
+        return jnp.exp(-rate * T) * jnp.mean(vals)
+
+    g = jax.grad(pure, argnums=(0, 1, 2))(100.0, 0.04, 0.03)
+    np.testing.assert_allclose(float(greeks["spot"]), float(g[0]), rtol=3e-3)
+    np.testing.assert_allclose(float(greeks["xi0"]), float(g[1]), rtol=3e-3)
+    np.testing.assert_allclose(float(greeks["rate"]), float(g[2]), rtol=3e-3)
+
+
+def test_greeks_kernel_guards():
+    from hedgehog_tpu.ops.rbergomi_kernel import rbergomi_kernel_price_and_greeks
+
+    cfg = _config(steps=8)
+    curve = hh.ForwardVarianceCurve(
+        tenors=jnp.asarray([0.5, 1.0]), xi=jnp.asarray([0.04, 0.05])
+    )
+    with pytest.raises(TypeError, match="scalar xi0"):
+        rbergomi_kernel_price_and_greeks(
+            _problem(xi0=curve), cfg, n_blocks=1, n_batches=1, interpret=True
+        )
+    with pytest.raises(ValueError, match="steps >= 2"):
+        rbergomi_kernel_price_and_greeks(
+            _problem(), _config(steps=1), n_blocks=1, n_batches=1, interpret=True
+        )
