@@ -65,7 +65,9 @@ from .heston_qe_kernel import (
 __all__ = [
     "GREEK_ORDER_RB",
     "rbergomi_kernel_price_and_greeks",
+    "rbergomi_kernel_smile",
     "rbergomi_mixing_price_and_greeks",
+    "rbergomi_mixing_smile_price",
     "rbergomi_mixing_values",
     "rbergomi_mixing_vanilla_price",
     "rbergomi_mixing_values_pallas",
@@ -732,3 +734,207 @@ def rbergomi_kernel_price_and_greeks(prob, config, *, n_blocks: int,
         qmc=config.qmc, point_offset=point_offset, interpret=interpret,
     )
     return price, dict(zip(GREEK_ORDER_RB, grad))
+
+
+# ---------------------------------------------------------------------------
+# Smile kernel: the conditional close is closed-form in the strike, so ONE
+# V-path simulation prices a whole strike grid — the instrument-parallel
+# idiom of the Heston surface kernel (ops/heston_qe_kernel.py) applied to
+# rough Bergomi, where a calibration smile is otherwise one dispatch per
+# strike.  The draws + Volterra matmul (the dominant cost) are shared; only
+# the tiny value stage runs per strike.
+# ---------------------------------------------------------------------------
+
+
+def _rb_smile_kernel(p_ref, ks_ref, coef_ref, chol_ref, seed_ref, out_ref,
+                     *, n: int, m_pad: int, n_batches: int, n_strikes: int):
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+
+    def one_batch(_, acc):
+        return acc + _rb_smile_sums(
+            p_ref, ks_ref, coef_ref, chol_ref, _prng_xi(m_pad),
+            n=n, n_strikes=n_strikes,
+        )
+
+    acc0 = jnp.zeros((n_strikes, _P), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+def _rb_smile_kernel_qmc(p_ref, ks_ref, coef_ref, chol_ref, sob_ref, offset_ref,
+                         out_ref, *, n: int, m_pad: int, n_batches: int,
+                         n_strikes: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _P), 1)
+    base_idx = offset_ref[0] + pl.program_id(0) * jnp.int32(n_batches) * jnp.int32(_P)
+
+    def one_batch(b, acc):
+        idx = base_idx + b * jnp.int32(_P) + lane
+        xi = _sobol_xi(sob_ref, idx, n=n, m_pad=m_pad)
+        return acc + _rb_smile_sums(
+            p_ref, ks_ref, coef_ref, chol_ref, xi, n=n, n_strikes=n_strikes
+        )
+
+    acc0 = jnp.zeros((n_strikes, _P), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), one_batch, acc0)
+
+
+def _rb_smile_sums(p_ref, ks_ref, coef_ref, chol_ref, xi, *, n: int,
+                   n_strikes: int):
+    """(n_strikes, P) antithetic-summed per-path values: one (IV, J) carry
+    pair closes EVERY strike.  Per strike the close recomputes only
+    (d1, d2, two Φ's) — the mixing factors, exp(e_arg) and the variance
+    terms are shared."""
+    eta, dt = p_ref[0], p_ref[1]
+    x = jnp.dot(chol_ref[...], xi, preferred_element_type=jnp.float32)
+    dw0 = x[0:1]
+    c0 = coef_ref[0, 0]
+    s0 = coef_ref[0, 1]
+    dwr = x[1:n]
+    zp = x[n : 2 * n - 1]
+    cc = coef_ref[1:n, 0:1]
+    sc = coef_ref[1:n, 1:2]
+    ep = jnp.exp(eta * zp)
+    sep = jnp.sqrt(ep)
+
+    def carry(ex, sex, sign):
+        p = cc * ex
+        iv = dt * (c0 + jnp.sum(p, axis=0, keepdims=True))
+        j = sign * (s0 * dw0) + jnp.sum(sc * sex * (sign * dwr),
+                                        axis=0, keepdims=True)
+        return iv, j
+
+    pairs = [carry(ep, sep, jnp.float32(1.0)),
+             carry(_rcp(ep), _rcp(sep), jnp.float32(-1.0))]
+    rho, rho2_half, rho_bar2 = p_ref[6], p_ref[7], p_ref[8]
+    cp = p_ref[5]
+    rows = []
+    shared = []
+    for iv, j in pairs:
+        e_arg = rho * j - rho2_half * iv
+        f_eff = p_ref[2] * jnp.exp(e_arg)
+        var = jnp.maximum(rho_bar2 * iv, 1e-10)
+        sd = jnp.sqrt(var)
+        inv_sd = _rcp(sd)
+        base_d1 = (e_arg + 0.5 * var) * inv_sd  # + log(f_base/K)·inv_sd per K
+        shared.append((f_eff, sd, inv_sd, base_d1))
+    for k in range(n_strikes):
+        log_f_over_k = ks_ref[2 * k]
+        strike = ks_ref[2 * k + 1]
+        acc = None
+        for f_eff, sd, inv_sd, base_d1 in shared:
+            d1 = base_d1 + log_f_over_k * inv_sd
+            d2 = d1 - sd
+            y = cp * (f_eff * _norm_cdf(cp * d1) - strike * _norm_cdf(cp * d2))
+            acc = y if acc is None else acc + y
+        rows.append(acc)
+    return jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "n_batches", "steps", "qmc", "interpret")
+)
+def rbergomi_mixing_smile_price(
+    chol, coefs, eta, dt, f_base, strikes, cp, rho, discount,
+    *, n_blocks: int, n_batches: int, steps: int, seed, device_id=0,
+    qmc: bool = False, point_offset: int = 0, interpret: bool = False,
+):
+    """Discounted European vanilla prices for a WHOLE strike grid (m,) from
+    one fused dispatch over n_blocks·n_batches·4096 antithetic paths — every
+    strike shares the same V-path simulation (the variance-coupled smile
+    idiom: strike-wise prices are maximally correlated, which is what
+    calibration objectives want).  The draw stream matches
+    :func:`rbergomi_mixing_vanilla_price`."""
+    n = steps
+    if n < 2:
+        raise ValueError("the smile kernel needs steps >= 2")
+    m_pad = _pad_up(2 * n, 128)
+    strikes = jnp.asarray(strikes, jnp.float32).reshape(-1)
+    m = strikes.shape[0]
+    total_pairs = n_blocks * n_batches * _P
+    if qmc:
+        start = point_offset if isinstance(point_offset, int) else 0
+        if start + total_pairs > 2**_SOBOL_BITS:
+            raise ValueError(
+                f"Sobol' period is 2^{_SOBOL_BITS} points; offset {start} + "
+                f"{total_pairs} pairs would wrap"
+            )
+    params, coef_arr, chol_p = _rb_inputs(
+        chol, coefs, eta, dt, f_base, 0.0, 0.0, cp, rho, n=n, m_pad=m_pad
+    )
+    # per-strike SMEM pairs [log(f_base/K), K] — the only K-dependent inputs
+    ks = jnp.stack(
+        [jnp.log(jnp.asarray(f_base, jnp.float32) / strikes), strikes], axis=1
+    ).reshape(-1)
+    n_pad = coef_arr.shape[0]
+    base_specs = [
+        pl.BlockSpec((_N_SCALARS,), lambda i: (jnp.int32(0),),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((2 * m,), lambda i: (jnp.int32(0),),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_pad, 128), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((m_pad, m_pad), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec(
+        (1, m, _P), lambda i: (i, jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_blocks, m, _P), jnp.float32)
+    if qmc:
+        table = _sobol_table(seed, 2 * n)
+        kernel = functools.partial(
+            _rb_smile_kernel_qmc, n=n, m_pad=m_pad, n_batches=n_batches,
+            n_strikes=m,
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=base_specs + [
+                pl.BlockSpec((2 * n, _SOBOL_BITS + 1),
+                             lambda i: (jnp.int32(0), jnp.int32(0)),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1,), lambda i: (jnp.int32(0),),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, ks, coef_arr, chol_p, table,
+          jnp.asarray([point_offset], jnp.int32))
+    else:
+        seed_arr = jnp.stack(
+            [jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)]
+        )
+        kernel = functools.partial(
+            _rb_smile_kernel, n=n, m_pad=m_pad, n_batches=n_batches, n_strikes=m
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=base_specs + [
+                pl.BlockSpec((2,), lambda i: (jnp.int32(0),),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, ks, coef_arr, chol_p, seed_arr)
+    total_paths = 2 * total_pairs
+    return discount * jnp.sum(sums.astype(jnp.float64), axis=(0, 2)) / total_paths
+
+
+def rbergomi_kernel_smile(prob, config, strikes, *, n_blocks: int,
+                          n_batches: int, quad_nodes: int = 64, seed=None,
+                          device_id=0, point_offset=0,
+                          interpret: bool = False):
+    """Problem-level adapter: discounted prices (m,) for ``strikes`` under
+    the problem's rough-Bergomi market — the payoff's own strike is ignored;
+    its expiry/call-put/underlying conventions apply to every grid point."""
+    ins = _rb_trace_inputs(prob, config, quad_nodes)
+    chol, coefs, eta, dtau, f_base, _lfk, _k, cp, rho, disc, _T = ins
+    return rbergomi_mixing_smile_price(
+        chol, coefs, eta, dtau, f_base, strikes, cp, rho, disc,
+        n_blocks=n_blocks, n_batches=n_batches, steps=config.steps,
+        seed=config.seed if seed is None else seed, device_id=device_id,
+        qmc=config.qmc, point_offset=point_offset, interpret=interpret,
+    )

@@ -263,3 +263,32 @@ def test_greeks_kernel_guards():
         rbergomi_kernel_price_and_greeks(
             _problem(), _config(steps=1), n_blocks=1, n_batches=1, interpret=True
         )
+
+
+# ----------------------------------------------------------------- smile
+
+
+def test_smile_kernel_matches_per_strike_price_kernel():
+    """One V-path simulation closes every strike: the smile kernel must
+    reproduce the single-strike price kernel point-by-point on the same
+    QMC stream (only the value stage is K-dependent)."""
+    from hedgehog_tpu.ops.rbergomi_kernel import rbergomi_kernel_smile
+
+    n, nb, nbat = 8, 2, 1
+    cfg = _config(steps=n, seed=3)
+    strikes = [85.0, 100.0, 125.0]
+    smile = rbergomi_kernel_smile(
+        _problem(), cfg, strikes, n_blocks=nb, n_batches=nbat, interpret=True
+    )
+    assert smile.shape == (3,)
+    mkt = _problem().market_inputs
+    for k_idx, K in enumerate(strikes):
+        opt = hh.VanillaOption(K, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+        ins = _rb_trace_inputs(hh.PricingProblem(opt, mkt), cfg, 64)[:-1]
+        want = rbergomi_mixing_vanilla_price(
+            *ins, n_blocks=nb, n_batches=nbat, steps=n, seed=cfg.seed,
+            qmc=True, interpret=True,
+        )
+        np.testing.assert_allclose(float(smile[k_idx]), float(want), rtol=2e-6)
+    # monotone in strike for calls — the strike-grid wiring is ordered
+    assert float(smile[0]) > float(smile[1]) > float(smile[2])
