@@ -253,9 +253,14 @@ class RoughBergomiMixing(ExactSimulation):
 
     ``use_kernel=True`` routes VANILLA pricing through the fused Pallas
     kernel (ops/rbergomi_kernel.py): on-chip draws, the Volterra matmul on
-    the MXU and the conditional-BS close in one VMEM-resident pass —
-    primal-only (greeks, incl. ∂price/∂H, stay on this pure-JAX estimator);
-    falls back to the pure-JAX path off-TPU."""
+    the MXU and the conditional-BS close in one VMEM-resident pass.  The
+    kernel path is DIFFERENTIABLE: a custom VJP replays the same stream
+    through one cotangent-weighted kernel, so ``jax.grad`` through the
+    kernel-backed ``solve`` works — for all scalar market parameters
+    (incl. ∂price/∂H and the maturity/theta chain) and, under a
+    ForwardVarianceCurve, for the BUCKETED vegas ∂price/∂ξᵢ (per-step
+    ∂/∂lnC_k rows chained through the spine interp at trace level).
+    Falls back to the pure-JAX path off-TPU."""
 
     quad_nodes: int = static_field(default=64)
     fp32: bool = static_field(default=False)

@@ -33,13 +33,17 @@ seed-randomized Sobol' sequence (dims 0..2n−1 = the ξ rows, the SAME dim
 order as the pure-JAX `_rbergomi_draws` under ``config.qmc`` — validated
 bit-exactly under interpret mode in tests/unit/test_rbergomi_kernel.py).
 
-The price/values kernels are primal-only; for kernel-speed greeks see the
-fused price+greeks kernel at the bottom of this module
-(:func:`rbergomi_mixing_price_and_greeks`): forward-mode tangents inside
-the kernel, with ∂/∂H riding ONE extra matmul against the trace-time
-tangent factor dL/dH.  Bucketed ForwardVarianceCurve vegas and exotic
-payoffs stay on the smooth pure-JAX estimator, whose plain `jax.grad`
-covers everything (RoughBergomiMixing docstring).
+Differentiability: the fused price+greeks kernel
+(:func:`rbergomi_mixing_price_and_greeks`) propagates forward-mode tangents
+inside the kernel, with ∂/∂H riding ONE extra matmul against the trace-time
+tangent factor dL/dH; and the values kernel has a differentiable view
+(:func:`rbergomi_mixing_values_diff`, served by the TPU adapter) whose
+custom VJP runs one cotangent-weighted kernel replaying the same stream —
+``jax.grad`` through the kernel-backed ``solve`` works, including the
+maturity chain (theta) via the Volterra covariance's self-similarity.
+Bucketed ForwardVarianceCurve vegas and exotic payoffs stay on the smooth
+pure-JAX estimator, whose plain `jax.grad` covers everything
+(RoughBergomiMixing docstring).
 """
 
 from __future__ import annotations
@@ -69,6 +73,8 @@ __all__ = [
     "rbergomi_mixing_price_and_greeks",
     "rbergomi_mixing_smile_price",
     "rbergomi_mixing_values",
+    "rbergomi_mixing_values_diff",
+    "rbergomi_mixing_values_diff_curve",
     "rbergomi_mixing_vanilla_price",
     "rbergomi_mixing_values_pallas",
 ]
@@ -438,12 +444,43 @@ def rbergomi_mixing_values_pallas(prob, config, strat, key=None, device_id=0,
             prob, config, key, point_offset=point_offset,
             quad_nodes=strat.quad_nodes, fp32=strat.fp32,
         )
+    from ..models.rough_bergomi import ForwardVarianceCurve
+
+    market = prob.market_inputs
+    seed = config.seed if config.qmc else seed_from_key(config, key)
+    if config.steps >= 2:
+        # differentiable views: same primal kernel, plus a custom VJP backed
+        # by the cotangent-weighted kernel replaying the identical stream —
+        # jax.grad through the kernel-backed solve works, incl. BUCKETED
+        # forward-variance vegas via the per-step VJP variant
+        from ..methods.montecarlo import _sim_params
+
+        _market, T, r0 = _sim_params(prob)
+        common = dict(
+            n_paths=config.trajectories, steps=config.steps, seed=seed,
+            antithetic=anti, device_id=device_id, qmc=config.qmc,
+            point_offset=point_offset, quad_nodes=strat.quad_nodes,
+        )
+        if isinstance(market.xi0, ForwardVarianceCurve):
+            out = rbergomi_mixing_values_diff_curve(
+                market.spot, jnp.asarray(market.xi0.xi),
+                jnp.asarray(market.xi0.tenors), market.eta, market.hurst,
+                market.rho, r0, T, prob.payoff.strike,
+                prob.payoff.call_put(), **common,
+            )
+        else:
+            out = rbergomi_mixing_values_diff(
+                market.spot, market.xi0, market.eta, market.hurst,
+                market.rho, r0, T, prob.payoff.strike,
+                prob.payoff.call_put(), **common,
+            )
+        return out.astype(jnp.float64)
     (chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho, _disc,
      _T) = _rb_trace_inputs(prob, config, strat.quad_nodes)
     out = rbergomi_mixing_values(
         chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho,
         n_paths=config.trajectories, steps=config.steps,
-        seed=config.seed if config.qmc else seed_from_key(config, key),
+        seed=seed,
         antithetic=anti, device_id=device_id, qmc=config.qmc,
         point_offset=point_offset,
     )
@@ -734,6 +771,532 @@ def rbergomi_kernel_price_and_greeks(prob, config, *, n_blocks: int,
         qmc=config.qmc, point_offset=point_offset, interpret=interpret,
     )
     return price, dict(zip(GREEK_ORDER_RB, grad))
+
+
+# ---------------------------------------------------------------------------
+# Cotangent-weighted VJP: the custom-vjp backward for the per-path values
+# kernel (same recipe as ops/heston_qe_greeks_kernel.py::_mixing_values_vjp).
+# Replays the values kernel's exact stream (PRNG or Sobol'); each path's
+# 8-direction tangent row is contracted against the incoming per-path
+# cotangent, so ``jax.grad`` works through ANY downstream reduction of
+# rbergomi_mixing_values — the kernel-backed ``solve`` included.
+#
+# The maturity (T) chain costs nothing beyond the eta chain: the Volterra
+# covariance is self-similar (Σ(T) = D·Σ(1)·D with D = diag(√T on the ΔW
+# rows, T^H on the Z rows)), so L(T) = D·L(1) and d(ΔW_k)/dT = ΔW_k/(2T),
+# dZ_k/dT = H·Z_k/T.  With C_k = ξ₀·exp(−½η²t_k^{2H}) and t_k ∝ T this
+# collapses to d ln P_k/dT = H·η·a_k/T where a_k = Z_k − η·t_k^{2H} is
+# EXACTLY the eta-chain column, giving
+#     dIV/dT = (IV + H·η·dIV/dη)/T,   dJ/dT = (H·η·dJ/dη + J/2)/T.
+# ---------------------------------------------------------------------------
+
+_N_W_ROWS = 7  # chain_xi0, chain_eta, chain_H, chain_T, w, Y_rho, Y_K
+
+
+def _rb_weighted_sums(p_ref, coef_ref, chol_ref, cholh_ref, ct_ref, xi,
+                      *, n: int, antithetic: bool, per_step: bool = False):
+    """(7, P) cotangent-weighted tangent rows for one ξ tile — the
+    group-separated twin of _rb_greek_sums (each antithetic group carries
+    its own cotangent row instead of being summed).
+
+    ``per_step=True`` replaces the single chain_xi0 row with n per-step
+    rows ∂(ct·value)/∂ln C_k (shape (n + 6, P)) — ANY trace-time
+    parameterization of the variance-coefficient levels (bucketed
+    forward-variance curves included) chains through those at the trace
+    level, since ln P_k = ln C_k + η·Z_k."""
+    eta, dt = p_ref[0], p_ref[1]
+    inv_xi0 = p_ref[9]
+    h_eta = p_ref[10]    # hurst · eta
+    inv_t = p_ref[11]    # 1 / T
+    x = jnp.dot(chol_ref[...], xi, preferred_element_type=jnp.float32)
+    xd = jnp.dot(cholh_ref[...], xi, preferred_element_type=jnp.float32)
+    c0 = coef_ref[0, 0]
+    s0 = coef_ref[0, 1]
+    cc = coef_ref[1:n, 0:1]
+    sc = coef_ref[1:n, 1:2]
+    ae = coef_ref[1:n, 2:3]
+    bh = coef_ref[1:n, 3:4]
+    ep = jnp.exp(eta * x[n : 2 * n - 1])
+    sep = jnp.sqrt(ep)
+
+    def group(sign, ex, sex, ct):
+        dw0 = sign * x[0:1]
+        dwr = sign * x[1:n]
+        z = sign * x[n : 2 * n - 1]
+        dwd0 = sign * xd[0:1]
+        dwdr = sign * xd[1:n]
+        zd = sign * xd[n : 2 * n - 1]
+        p = cc * ex
+        s = sc * sex
+        sdw = s * dwr
+        iv = dt * (c0 + jnp.sum(p, axis=0, keepdims=True))
+        j = s0 * dw0 + jnp.sum(sdw, axis=0, keepdims=True)
+        a = z + ae
+        g = bh + eta * zd
+        div_eta = dt * jnp.sum(p * a, axis=0, keepdims=True)
+        dj_eta = 0.5 * jnp.sum(a * sdw, axis=0, keepdims=True)
+        div_h = dt * jnp.sum(p * g, axis=0, keepdims=True)
+        dj_h = (0.5 * jnp.sum(g * sdw, axis=0, keepdims=True)
+                + s0 * dwd0 + jnp.sum(s * dwdr, axis=0, keepdims=True))
+        div_t = inv_t * (iv + h_eta * div_eta)
+        dj_t = inv_t * (h_eta * dj_eta + 0.5 * j)
+        y, y_iv, y_j, y_rho, w = _rb_partials(p_ref, iv, j)
+        # strike partial at fixed (IV, J): the exact BS identity −cp·Φ(cp·d2)
+        rho, rho2_half, rho_bar2 = p_ref[6], p_ref[7], p_ref[8]
+        e_arg = rho * j - rho2_half * iv
+        var = jnp.maximum(rho_bar2 * iv, 1e-10)
+        sd = jnp.sqrt(var)
+        d2 = (p_ref[3] + e_arg + 0.5 * var) * _rcp(sd) - sd
+        y_k = -p_ref[5] * _norm_cdf(p_ref[5] * d2)
+        if per_step:
+            xi_rows = [
+                ct * (y_iv * dt * c0 + y_j * 0.5 * s0 * dw0),  # ∂/∂lnC_0
+                ct * (y_iv * dt * p + y_j * 0.5 * sdw),        # ∂/∂lnC_{1..n−1}
+            ]
+        else:
+            xi_rows = [ct * ((y_iv * iv + y_j * 0.5 * j) * inv_xi0)]
+        return xi_rows + [
+            ct * (y_iv * div_eta + y_j * dj_eta),
+            ct * (y_iv * div_h + y_j * dj_h),
+            ct * (y_iv * div_t + y_j * dj_t),
+            ct * w,
+            ct * y_rho,
+            ct * y_k,
+        ]
+
+    rows = group(jnp.float32(1.0), ep, sep, ct_ref[0])
+    if antithetic:
+        gm = group(jnp.float32(-1.0), _rcp(ep), _rcp(sep), ct_ref[1])
+        rows = [a_ + b_ for a_, b_ in zip(rows, gm)]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _rb_weighted_kernel(p_ref, coef_ref, chol_ref, cholh_ref, seed_ref, ct_ref,
+                        out_ref, *, n: int, m_pad: int, antithetic: bool,
+                        per_step: bool = False):
+    pltpu.prng_seed(seed_ref[0] + seed_ref[1] * jnp.int32(1000003), pl.program_id(0))
+    out_ref[0] = _rb_weighted_sums(
+        p_ref, coef_ref, chol_ref, cholh_ref, ct_ref, _prng_xi(m_pad),
+        n=n, antithetic=antithetic, per_step=per_step,
+    )
+
+
+def _rb_weighted_kernel_qmc(p_ref, coef_ref, chol_ref, cholh_ref, sob_ref,
+                            offset_ref, ct_ref, out_ref, *, n: int, m_pad: int,
+                            antithetic: bool, per_step: bool = False):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _P), 1)
+    idx = offset_ref[0] + pl.program_id(0) * jnp.int32(_P) + lane
+    xi = _sobol_xi(sob_ref, idx, n=n, m_pad=m_pad)
+    out_ref[0] = _rb_weighted_sums(
+        p_ref, coef_ref, chol_ref, cholh_ref, ct_ref, xi,
+        n=n, antithetic=antithetic, per_step=per_step,
+    )
+
+
+def _rb_diff_coeffs(xi0, eta, hurst, T, steps: int, quad_nodes: int):
+    """Trace-time (chol, chol_h, coefs, ae, bh) shared by the diff primal
+    and its weighted backward — the same quantities _rb_greek_trace_inputs
+    derives from a problem, as functions of the raw scalars."""
+    from ..models.rough_bergomi import _pow, volterra_chol
+
+    n = steps
+    chol = volterra_chol(hurst, T, n, quad_nodes=quad_nodes)
+    chol_h = jax.jacfwd(
+        lambda h: volterra_chol(h, T, n, quad_nodes=quad_nodes)
+    )(hurst)
+    t_left = (jnp.arange(n) / n) * T
+    t2h = jnp.where(t_left > 0.0,
+                    _pow(jnp.where(t_left > 0.0, t_left, 1.0), 2.0 * hurst),
+                    0.0)
+    log_t = jnp.log(jnp.where(t_left > 0.0, t_left, 1.0))
+    coefs = xi0 * jnp.exp(-0.5 * eta**2 * t2h)
+    ae = -eta * t2h
+    bh = -(eta**2) * t2h * log_t
+    return chol, chol_h, coefs, ae, bh
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_paths", "steps", "antithetic", "qmc", "quad_nodes",
+                     "interpret"),
+)
+def _rb_values_vjp(
+    spot, xi0, eta, hurst, rho, r0, T, strike, cp, ct,
+    *, n_paths: int, steps: int, seed, antithetic: bool, device_id=0,
+    qmc: bool = False, point_offset: int = 0, quad_nodes: int = 64,
+    interpret: bool = False,
+):
+    """Gradients of sum(ct · values) w.r.t. the 8 differentiable scalars of
+    the rough-Bergomi values kernel — (spot, xi0, eta, hurst, rho, r0, T,
+    strike) — from ONE weighted kernel dispatch replaying the identical
+    PRNG/Sobol' stream."""
+    n = steps
+    if n < 2:
+        raise ValueError("the weighted VJP kernel needs steps >= 2")
+    m_pad = _pad_up(2 * n, 128)
+    n_blocks = -(-n_paths // _P)
+    padded = n_blocks * _P
+    n_groups = 2 if antithetic else 1
+    ct_pad = jnp.zeros((n_groups, padded), jnp.float32)
+    ct_pad = ct_pad.at[:, :n_paths].set(ct.astype(jnp.float32))
+    ct_pad = ct_pad.reshape(n_groups, n_blocks, _P)
+
+    chol, chol_h, coefs, ae, bh = _rb_diff_coeffs(
+        xi0, eta, hurst, T, steps, quad_nodes
+    )
+    dt = T / n
+    f_base = spot * jnp.exp(r0 * T)
+    log_f_over_k = jnp.log(f_base / strike)
+    params, coef_arr, chol_p = _rb_inputs(
+        chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho,
+        n=n, m_pad=m_pad,
+    )
+    params = jnp.concatenate([params, jnp.stack([
+        jnp.asarray(1.0 / xi0, jnp.float32),
+        jnp.asarray(hurst * eta, jnp.float32),
+        jnp.asarray(1.0 / T, jnp.float32),
+    ])])
+    coef_arr = (
+        coef_arr
+        .at[:n, 2].set(jnp.asarray(ae, jnp.float32))
+        .at[:n, 3].set(jnp.asarray(bh, jnp.float32))
+    )
+    cholh_p = jnp.zeros((m_pad, m_pad), jnp.float32).at[: 2 * n, : 2 * n].set(
+        jnp.asarray(chol_h, jnp.float32)
+    )
+    n_pad = coef_arr.shape[0]
+    base_specs = [
+        pl.BlockSpec((_N_SCALARS + 3,), lambda i: (jnp.int32(0),),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_pad, 128), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((m_pad, m_pad), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((m_pad, m_pad), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    ct_spec = pl.BlockSpec(
+        (n_groups, 1, _P), lambda i: (jnp.int32(0), i, jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = pl.BlockSpec(
+        (1, _N_W_ROWS, _P), lambda i: (i, jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_blocks, _N_W_ROWS, _P), jnp.float32)
+    if qmc:
+        table = _sobol_table(seed, 2 * n)
+        kernel = functools.partial(
+            _rb_weighted_kernel_qmc, n=n, m_pad=m_pad, antithetic=antithetic
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=base_specs + [
+                pl.BlockSpec((2 * n, _SOBOL_BITS + 1),
+                             lambda i: (jnp.int32(0), jnp.int32(0)),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1,), lambda i: (jnp.int32(0),),
+                             memory_space=pltpu.SMEM),
+                ct_spec,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coef_arr, chol_p, cholh_p, table,
+          jnp.asarray([point_offset], jnp.int32), ct_pad)
+    else:
+        seed_arr = jnp.stack(
+            [jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)]
+        )
+        kernel = functools.partial(
+            _rb_weighted_kernel, n=n, m_pad=m_pad, antithetic=antithetic
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=base_specs + [
+                pl.BlockSpec((2,), lambda i: (jnp.int32(0),),
+                             memory_space=pltpu.SMEM),
+                ct_spec,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coef_arr, chol_p, cholh_p, seed_arr, ct_pad)
+
+    tot = jnp.sum(sums.astype(jnp.float64), axis=(0, 2))  # (7,)
+    ch_xi0, ch_eta, ch_h, ch_t, w_sum, rho_sum, k_sum = tuple(tot)
+    return (
+        w_sum / spot,          # spot  (w = dY/dlogF, logF = logS0 + r0·T)
+        ch_xi0,                # xi0
+        ch_eta,                # eta
+        ch_h,                  # hurst
+        rho_sum,               # rho
+        w_sum * T,             # r0    (values are undiscounted)
+        ch_t + w_sum * r0,     # T     (variance-path chain + the f_base term)
+        k_sum,                 # strike
+    )
+
+
+def rbergomi_mixing_values_diff(
+    spot, xi0, eta, hurst, rho, r0, T, strike, cp,
+    *, n_paths: int, steps: int, seed, antithetic: bool = False, device_id=0,
+    qmc: bool = False, point_offset: int = 0, quad_nodes: int = 64,
+    interpret: bool = False,
+):
+    """Differentiable view of the values kernel: identical primal to
+    :func:`rbergomi_mixing_values` (the Cholesky/coefs are derived from the
+    raw scalars inside), with a custom VJP that runs ONE cotangent-weighted
+    kernel replaying the same stream — so ``jax.grad`` through the
+    kernel-backed ``solve`` (any reduction of the per-path values) works at
+    kernel speed.  All 8 leading scalars are differentiable, including the
+    maturity ``T`` (theta) and ``strike``.  Scalar ``xi0`` only — bucketed
+    ForwardVarianceCurve vegas stay on the pure-JAX estimator."""
+    from ..models.rough_bergomi import _pow, volterra_chol
+
+    if steps < 2:
+        raise ValueError("the differentiable values kernel needs steps >= 2")
+
+    # seed/cp/device_id/qmc/point_offset are never differentiated — close
+    # over them so the custom_vjp's arguments are the 8 differentiable scalars
+    @jax.custom_vjp
+    def values(spot, xi0, eta, hurst, rho, r0, T, strike):
+        chol = volterra_chol(hurst, T, steps, quad_nodes=quad_nodes)
+        t_left = (jnp.arange(steps) / steps) * T
+        coefs = xi0 * jnp.exp(-0.5 * eta**2 * _pow(t_left, 2.0 * hurst))
+        f_base = spot * jnp.exp(r0 * T)
+        return rbergomi_mixing_values(
+            chol, coefs, eta, T / steps, f_base, jnp.log(f_base / strike),
+            strike, cp, rho, n_paths=n_paths, steps=steps, seed=seed,
+            antithetic=antithetic, device_id=device_id, qmc=qmc,
+            point_offset=point_offset, interpret=interpret,
+        )
+
+    def fwd(spot, xi0, eta, hurst, rho, r0, T, strike):
+        out = values(spot, xi0, eta, hurst, rho, r0, T, strike)
+        return out, (spot, xi0, eta, hurst, rho, r0, T, strike)
+
+    def bwd(res, ct):
+        spot, xi0, eta, hurst, rho, r0, T, strike = res
+        return _rb_values_vjp(
+            spot, xi0, eta, hurst, rho, r0, T, strike, cp, ct,
+            n_paths=n_paths, steps=steps, seed=seed, antithetic=antithetic,
+            device_id=device_id, qmc=qmc, point_offset=point_offset,
+            quad_nodes=quad_nodes, interpret=interpret,
+        )
+
+    values.defvjp(fwd, bwd)
+    return values(spot, xi0, eta, hurst, rho, r0, T, strike)
+
+
+def _rb_curve_coefs(xi, tenors, eta, hurst, T, steps: int):
+    """Trace-time variance coefficients under a piecewise-linear forward
+    variance curve: C_k = ξ₀(t_k)·exp(−½η²t_k^{2H}) at the left grid points
+    (the curve level replaces the flat xi0 of _rb_diff_coeffs)."""
+    from ..models.rough_bergomi import _pow
+
+    n = steps
+    t_left = (jnp.arange(n) / n) * T
+    t2h = _pow(t_left, 2.0 * hurst)
+    log_t = jnp.log(jnp.where(t_left > 0.0, t_left, 1.0))
+    level = jnp.interp(t_left, tenors, xi)
+    coefs = level * jnp.exp(-0.5 * eta**2 * t2h)
+    ae = -eta * t2h
+    bh = -(eta**2) * t2h * log_t
+    return coefs, ae, bh
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_paths", "steps", "antithetic", "qmc", "quad_nodes",
+                     "interpret"),
+)
+def _rb_values_vjp_curve(
+    spot, xi, tenors, eta, hurst, rho, r0, T, strike, cp, ct,
+    *, n_paths: int, steps: int, seed, antithetic: bool, device_id=0,
+    qmc: bool = False, point_offset: int = 0, quad_nodes: int = 64,
+    interpret: bool = False,
+):
+    """Gradients of sum(ct · values) under a bucketed forward-variance curve:
+    the per-step kernel rows give ∂/∂ln C_k, and every curve chain (the
+    bucket vegas ∂/∂ξᵢ, the tenor sensitivities, and the curve part of the
+    maturity chain from t_k = (k/n)·T sliding along the spine) assembles at
+    the trace level by jax.vjp through the piecewise-linear interp."""
+    from ..models.rough_bergomi import volterra_chol
+
+    n = steps
+    if n < 2:
+        raise ValueError("the weighted VJP kernel needs steps >= 2")
+    m_pad = _pad_up(2 * n, 128)
+    n_blocks = -(-n_paths // _P)
+    padded = n_blocks * _P
+    n_groups = 2 if antithetic else 1
+    ct_pad = jnp.zeros((n_groups, padded), jnp.float32)
+    ct_pad = ct_pad.at[:, :n_paths].set(ct.astype(jnp.float32))
+    ct_pad = ct_pad.reshape(n_groups, n_blocks, _P)
+
+    chol = volterra_chol(hurst, T, n, quad_nodes=quad_nodes)
+    chol_h = jax.jacfwd(
+        lambda h: volterra_chol(h, T, n, quad_nodes=quad_nodes)
+    )(hurst)
+    coefs, ae, bh = _rb_curve_coefs(xi, tenors, eta, hurst, T, steps)
+    dt = T / n
+    f_base = spot * jnp.exp(r0 * T)
+    log_f_over_k = jnp.log(f_base / strike)
+    params, coef_arr, chol_p = _rb_inputs(
+        chol, coefs, eta, dt, f_base, log_f_over_k, strike, cp, rho,
+        n=n, m_pad=m_pad,
+    )
+    params = jnp.concatenate([params, jnp.stack([
+        jnp.asarray(0.0, jnp.float32),  # inv_xi0 slot, unused in per-step mode
+        jnp.asarray(hurst * eta, jnp.float32),
+        jnp.asarray(1.0 / T, jnp.float32),
+    ])])
+    coef_arr = (
+        coef_arr
+        .at[:n, 2].set(jnp.asarray(ae, jnp.float32))
+        .at[:n, 3].set(jnp.asarray(bh, jnp.float32))
+    )
+    cholh_p = jnp.zeros((m_pad, m_pad), jnp.float32).at[: 2 * n, : 2 * n].set(
+        jnp.asarray(chol_h, jnp.float32)
+    )
+    n_rows = n + _N_W_ROWS - 1
+    n_pad = coef_arr.shape[0]
+    base_specs = [
+        pl.BlockSpec((_N_SCALARS + 3,), lambda i: (jnp.int32(0),),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_pad, 128), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((m_pad, m_pad), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((m_pad, m_pad), lambda i: (jnp.int32(0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    ct_spec = pl.BlockSpec(
+        (n_groups, 1, _P), lambda i: (jnp.int32(0), i, jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = pl.BlockSpec(
+        (1, n_rows, _P), lambda i: (i, jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_blocks, n_rows, _P), jnp.float32)
+    if qmc:
+        table = _sobol_table(seed, 2 * n)
+        kernel = functools.partial(
+            _rb_weighted_kernel_qmc, n=n, m_pad=m_pad, antithetic=antithetic,
+            per_step=True,
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=base_specs + [
+                pl.BlockSpec((2 * n, _SOBOL_BITS + 1),
+                             lambda i: (jnp.int32(0), jnp.int32(0)),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1,), lambda i: (jnp.int32(0),),
+                             memory_space=pltpu.SMEM),
+                ct_spec,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coef_arr, chol_p, cholh_p, table,
+          jnp.asarray([point_offset], jnp.int32), ct_pad)
+    else:
+        seed_arr = jnp.stack(
+            [jnp.asarray(seed, jnp.int32), jnp.asarray(device_id, jnp.int32)]
+        )
+        kernel = functools.partial(
+            _rb_weighted_kernel, n=n, m_pad=m_pad, antithetic=antithetic,
+            per_step=True,
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=base_specs + [
+                pl.BlockSpec((2,), lambda i: (jnp.int32(0),),
+                             memory_space=pltpu.SMEM),
+                ct_spec,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coef_arr, chol_p, cholh_p, seed_arr, ct_pad)
+
+    tot = jnp.sum(sums.astype(jnp.float64), axis=(0, 2))  # (n + 6,)
+    R = tot[:n]  # ∂(ct·values)/∂ln C_k
+    ch_eta, ch_h, ch_t, w_sum, rho_sum, k_sum = tuple(tot[n:])
+    t_left = (jnp.arange(n) / n) * T
+    # bucket vegas + tenor cotangents: chain R through ln ξ₀(t_k)
+    _lvl, pull = jax.vjp(
+        lambda xi_, ten_: jnp.log(jnp.interp(t_left, ten_, xi_)), xi, tenors
+    )
+    g_xi, g_tenors = pull(R)
+    # curve part of the maturity chain: t_k = (k/n)·T slides along the spine
+    _lvl_t, pull_t = jax.vjp(
+        lambda T_: jnp.log(jnp.interp((jnp.arange(n) / n) * T_, tenors, xi)), T
+    )
+    (g_t_curve,) = pull_t(R)
+    return (
+        w_sum / spot,                      # spot
+        g_xi,                              # xi buckets
+        g_tenors,                          # tenors
+        ch_eta,                            # eta
+        ch_h,                              # hurst
+        rho_sum,                           # rho
+        w_sum * T,                         # r0
+        ch_t + w_sum * r0 + g_t_curve,     # T
+        k_sum,                             # strike
+    )
+
+
+def rbergomi_mixing_values_diff_curve(
+    spot, xi, tenors, eta, hurst, rho, r0, T, strike, cp,
+    *, n_paths: int, steps: int, seed, antithetic: bool = False, device_id=0,
+    qmc: bool = False, point_offset: int = 0, quad_nodes: int = 64,
+    interpret: bool = False,
+):
+    """Differentiable view of the values kernel under a bucketed
+    (piecewise-linear) forward-variance curve ξ₀ — the ForwardVarianceCurve
+    twin of :func:`rbergomi_mixing_values_diff`.  ``jax.grad`` of any
+    reduction returns BUCKETED VEGAS ∂/∂ξᵢ (one per spine point) alongside
+    the other scalars, at kernel speed: the backward is one per-step
+    weighted kernel dispatch, with the curve chains assembled at the trace
+    level."""
+    from ..models.rough_bergomi import volterra_chol
+
+    if steps < 2:
+        raise ValueError("the differentiable values kernel needs steps >= 2")
+
+    @jax.custom_vjp
+    def values(spot, xi, tenors, eta, hurst, rho, r0, T, strike):
+        chol = volterra_chol(hurst, T, steps, quad_nodes=quad_nodes)
+        coefs, _ae, _bh = _rb_curve_coefs(xi, tenors, eta, hurst, T, steps)
+        f_base = spot * jnp.exp(r0 * T)
+        return rbergomi_mixing_values(
+            chol, coefs, eta, T / steps, f_base, jnp.log(f_base / strike),
+            strike, cp, rho, n_paths=n_paths, steps=steps, seed=seed,
+            antithetic=antithetic, device_id=device_id, qmc=qmc,
+            point_offset=point_offset, interpret=interpret,
+        )
+
+    def fwd(spot, xi, tenors, eta, hurst, rho, r0, T, strike):
+        out = values(spot, xi, tenors, eta, hurst, rho, r0, T, strike)
+        return out, (spot, xi, tenors, eta, hurst, rho, r0, T, strike)
+
+    def bwd(res, ct):
+        spot, xi, tenors, eta, hurst, rho, r0, T, strike = res
+        return _rb_values_vjp_curve(
+            spot, xi, tenors, eta, hurst, rho, r0, T, strike, cp, ct,
+            n_paths=n_paths, steps=steps, seed=seed, antithetic=antithetic,
+            device_id=device_id, qmc=qmc, point_offset=point_offset,
+            quad_nodes=quad_nodes, interpret=interpret,
+        )
+
+    values.defvjp(fwd, bwd)
+    return values(spot, xi, tenors, eta, hurst, rho, r0, T, strike)
 
 
 # ---------------------------------------------------------------------------

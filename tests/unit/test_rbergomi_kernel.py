@@ -292,3 +292,224 @@ def test_smile_kernel_matches_per_strike_price_kernel():
         np.testing.assert_allclose(float(smile[k_idx]), float(want), rtol=2e-6)
     # monotone in strike for calls — the strike-grid wiring is ordered
     assert float(smile[0]) > float(smile[1]) > float(smile[2])
+
+
+# ----------------------------------------------------------- weighted VJP
+
+
+def _weighted_ref(steps, n_pairs, seed, ct, cp=1.0):
+    """f64 pure-JAX weighted sum over the SAME Sobol' points as the kernel,
+    as a function of the 8 differentiable scalars — the AD oracle for the
+    cotangent-weighted VJP kernel (incl. the maturity chain, which the
+    problem-level estimator hides behind concrete dates)."""
+    from jax.scipy.special import ndtri
+    from jax.scipy.stats import norm
+
+    from hedgehog_tpu.math.sobol import sobol_uniforms
+    from hedgehog_tpu.models.rough_bergomi import _pow, volterra_chol
+
+    n = steps
+
+    def f(p):
+        spot, xi0v, eta, hurst, rho, r0, T, k = tuple(p)
+        chol = volterra_chol(hurst, T, n, quad_nodes=64)
+        u = sobol_uniforms(jax.random.PRNGKey(seed), n_pairs, 2 * n, skip=0)
+        xi = ndtri(u).T  # (2n, P)
+        x = jnp.stack([chol @ xi, -(chol @ xi)])  # antithetic groups
+        dw, z = x[:, :n], x[:, n:]
+        z_left = jnp.concatenate([jnp.zeros_like(z[:, :1]), z[:, : n - 1]], 1)
+        t_left = (jnp.arange(n) / n) * T
+        t2h = _pow(t_left, 2.0 * hurst)[None, :, None]
+        v = xi0v * jnp.exp(eta * z_left - 0.5 * eta**2 * t2h)
+        iv = jnp.sum(v, axis=1) * (T / n)
+        j = jnp.sum(jnp.sqrt(v) * dw, axis=1)
+        e_arg = rho * j - 0.5 * rho**2 * iv
+        f_eff = spot * jnp.exp(r0 * T) * jnp.exp(e_arg)
+        var = (1.0 - rho**2) * iv
+        sd = jnp.sqrt(var)
+        d1 = (jnp.log(spot * jnp.exp(r0 * T) / k) + e_arg + 0.5 * var) / sd
+        d2 = d1 - sd
+        y = cp * (f_eff * norm.cdf(cp * d1) - k * norm.cdf(cp * d2))
+        return jnp.sum(ct * y)
+
+    return f
+
+
+def test_weighted_vjp_qmc_matches_pure_jax_grad():
+    """The cotangent-weighted VJP kernel (custom-vjp backward of the values
+    kernel) must match jax.grad of the SAME weighted sum through the
+    pure-JAX Sobol' path for ALL 8 scalars — spot, xi0, eta, hurst, rho,
+    r0, T (the self-similar maturity chain) and strike."""
+    from hedgehog_tpu.ops.rbergomi_kernel import _rb_values_vjp
+
+    steps, n_pairs, seed = 8, 2048, 5
+    T = float(hh.yearfrac(REF, EXPIRY))
+    idx = jnp.arange(2 * n_pairs, dtype=jnp.float64).reshape(2, n_pairs)
+    ct = 0.5 + 0.5 * jnp.sin(idx)  # arbitrary smooth per-path cotangents
+
+    p0 = jnp.array([100.0, 0.04, 1.5, 0.1, -0.7, 0.03, T, 95.0], jnp.float64)
+    got = _rb_values_vjp(
+        *tuple(p0), 1.0, ct, n_paths=n_pairs, steps=steps, seed=seed,
+        antithetic=True, qmc=True, interpret=True,
+    )
+    want = jax.grad(_weighted_ref(steps, n_pairs, seed, ct))(p0)
+    for name, g, w in zip(
+        ("spot", "xi0", "eta", "hurst", "rho", "r0", "T", "strike"),
+        got, tuple(want),
+    ):
+        assert float(g) == pytest.approx(float(w), rel=2e-2, abs=5e-2), name
+
+
+def test_values_diff_grad_through_kernel_backed_reduction():
+    """End-to-end: jax.grad of a reduction of rbergomi_mixing_values_diff
+    (the view the TPU adapter serves) agrees with the pure-JAX oracle, and
+    the primal is bit-identical to the primal values kernel."""
+    from hedgehog_tpu.ops.rbergomi_kernel import (
+        _rb_trace_inputs,
+        rbergomi_mixing_values_diff,
+    )
+
+    steps, n_pairs, seed = 8, 2048, 5
+    T = float(hh.yearfrac(REF, EXPIRY))
+    cfg = _config(paths=n_pairs, steps=steps, seed=seed)
+    prob = _problem(
+        hh.VanillaOption(95.0, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+    )
+
+    def diff_vals(p):
+        spot, xi0v, eta, hurst, rho, r0, T, k = tuple(p)
+        return rbergomi_mixing_values_diff(
+            spot, xi0v, eta, hurst, rho, r0, T, k, 1.0,
+            n_paths=n_pairs, steps=steps, seed=seed, antithetic=True,
+            qmc=True, interpret=True,
+        )
+
+    p0 = jnp.array([100.0, 0.04, 1.5, 0.1, -0.7, 0.03, T, 95.0], jnp.float64)
+
+    # primal identity vs the production trace path
+    ins = _rb_trace_inputs(prob, cfg, 64)
+    chol, coefs, eta, dtau, f_base, lfk, strike, cp, rho, _d, _T = ins
+    want_vals = rbergomi_mixing_values(
+        chol, coefs, eta, dtau, f_base, lfk, strike, cp, rho,
+        n_paths=n_pairs, steps=steps, seed=seed, antithetic=True, qmc=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(diff_vals(p0)), np.asarray(want_vals), rtol=0, atol=2e-5
+    )
+
+    ct = jnp.ones((2, n_pairs)) / (2.0 * n_pairs)
+    got = jax.grad(lambda p: jnp.sum(ct * diff_vals(p)))(p0)
+    want = jax.grad(_weighted_ref(steps, n_pairs, seed, ct))(p0)
+    for name, g, w in zip(
+        ("spot", "xi0", "eta", "hurst", "rho", "r0", "T", "strike"),
+        tuple(got), tuple(want),
+    ):
+        assert float(g) == pytest.approx(float(w), rel=2e-2, abs=1e-3), name
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="pltpu.prng_* has no interpret-mode lowering on CPU; the PRNG "
+    "replay shares every line with the QMC variant but the draw source",
+)
+def test_weighted_vjp_prng_matches_kernel_fd():
+    """PRNG variant (no Sobol' oracle): the weighted VJP on the kernel's own
+    PRNG stream must match central finite differences of the primal values
+    kernel re-run at the SAME seed — covers the single-group (non-antithetic)
+    replay too.  Only VPU-side parameters (eta) admit small-step FD on real
+    TPU: chol-perturbing parameters (hurst, T) hit the MXU's f32-matmul
+    quantization (~1e-3-relative price wobble, measured), so hurst gets a
+    LARGE step and a loose bound (its exact check is the QMC oracle test)."""
+    from hedgehog_tpu.ops.rbergomi_kernel import (
+        _rb_values_vjp,
+        rbergomi_mixing_values_diff,
+    )
+
+    steps, n_paths, seed = 4, 2048, 11
+    T, cp = 0.75, 1.0
+    ct = jnp.ones((1, n_paths)) / n_paths
+
+    def price(eta, hurst):
+        vals = rbergomi_mixing_values_diff(
+            100.0, 0.04, eta, hurst, -0.7, 0.03, T, 100.0, cp,
+            n_paths=n_paths, steps=steps, seed=seed, antithetic=False,
+            qmc=False,
+        )
+        return jnp.sum(ct * vals)
+
+    g = _rb_values_vjp(
+        100.0, 0.04, 1.5, 0.1, -0.7, 0.03, T, 100.0, cp, ct,
+        n_paths=n_paths, steps=steps, seed=seed, antithetic=False,
+        qmc=False,
+    )
+    h = 1e-3
+    fd_eta = (price(1.5 + h, 0.1) - price(1.5 - h, 0.1)) / (2 * h)
+    assert float(g[2]) == pytest.approx(float(fd_eta), rel=3e-3, abs=2e-4)
+    hh_ = 0.05
+    fd_hurst = (price(1.5, 0.1 + hh_) - price(1.5, 0.1 - hh_)) / (2 * hh_)
+    assert float(g[3]) == pytest.approx(float(fd_hurst), rel=0.5, abs=3e-2)
+
+
+def test_weighted_vjp_curve_bucket_vegas_match_pure_jax_grad():
+    """Per-step VJP variant under a bucketed forward-variance curve: jax.grad
+    through rbergomi_mixing_values_diff_curve must return the BUCKET vegas
+    ∂/∂ξᵢ (plus tenor/maturity chains through the sliding spine) matching
+    the pure-JAX oracle on the same Sobol' points."""
+    from jax.scipy.special import ndtri
+    from jax.scipy.stats import norm
+
+    from hedgehog_tpu.math.sobol import sobol_uniforms
+    from hedgehog_tpu.models.rough_bergomi import _pow, volterra_chol
+    from hedgehog_tpu.ops.rbergomi_kernel import (
+        rbergomi_mixing_values_diff_curve,
+    )
+
+    steps, n_pairs, seed = 8, 2048, 5
+    T = float(hh.yearfrac(REF, EXPIRY))
+    n = steps
+    idx = jnp.arange(2 * n_pairs, dtype=jnp.float64).reshape(2, n_pairs)
+    ct = (0.5 + 0.5 * jnp.sin(idx)) / (2.0 * n_pairs)
+    cp = 1.0
+
+    def oracle(spot, xi, tenors, eta, hurst, rho, r0, Tv, k):
+        chol = volterra_chol(hurst, Tv, n, quad_nodes=64)
+        u = sobol_uniforms(jax.random.PRNGKey(seed), n_pairs, 2 * n, skip=0)
+        z_std = ndtri(u).T
+        x = jnp.stack([chol @ z_std, -(chol @ z_std)])
+        dw, z = x[:, :n], x[:, n:]
+        z_left = jnp.concatenate([jnp.zeros_like(z[:, :1]), z[:, : n - 1]], 1)
+        t_left = (jnp.arange(n) / n) * Tv
+        level = jnp.interp(t_left, tenors, xi)[None, :, None]
+        t2h = _pow(t_left, 2.0 * hurst)[None, :, None]
+        v = level * jnp.exp(eta * z_left - 0.5 * eta**2 * t2h)
+        iv = jnp.sum(v, axis=1) * (Tv / n)
+        j = jnp.sum(jnp.sqrt(v) * dw, axis=1)
+        e_arg = rho * j - 0.5 * rho**2 * iv
+        f_eff = spot * jnp.exp(r0 * Tv) * jnp.exp(e_arg)
+        var = (1.0 - rho**2) * iv
+        sd = jnp.sqrt(var)
+        d1 = (jnp.log(spot * jnp.exp(r0 * Tv) / k) + e_arg + 0.5 * var) / sd
+        y = cp * (f_eff * norm.cdf(cp * d1) - k * norm.cdf(cp * (d1 - sd)))
+        return jnp.sum(ct * y)
+
+    def kernel_sum(spot, xi, tenors, eta, hurst, rho, r0, Tv, k):
+        vals = rbergomi_mixing_values_diff_curve(
+            spot, xi, tenors, eta, hurst, rho, r0, Tv, k, cp,
+            n_paths=n_pairs, steps=steps, seed=seed, antithetic=True,
+            qmc=True, interpret=True,
+        )
+        return jnp.sum(ct * vals)
+
+    xi = jnp.array([0.04, 0.05, 0.035])
+    tenors = jnp.array([0.1, 0.5, 1.0])
+    args = (100.0, xi, tenors, 1.5, 0.1, -0.7, 0.03, T, 95.0)
+    argnums = tuple(range(9))
+    got = jax.grad(kernel_sum, argnums=argnums)(*args)
+    want = jax.grad(oracle, argnums=argnums)(*args)
+    names = ("spot", "xi", "tenors", "eta", "hurst", "rho", "r0", "T", "strike")
+    for name, g, w in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-2, atol=1e-4,
+            err_msg=name,
+        )
