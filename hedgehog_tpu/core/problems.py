@@ -86,6 +86,20 @@ class CarrMadanSolution:
 
 
 @pytree
+class PDESolution:
+    """Finite-difference solution: price plus the t=0 value slice on the
+    spot grid (beyond-reference — the reference has no PDE engine).
+    ``grid_spots``/``grid_values`` expose the whole V(S, 0) profile (None
+    for composite solves like knock-in parity)."""
+
+    problem: Any
+    method: Any
+    price: Any
+    grid_spots: Any
+    grid_values: Any
+
+
+@pytree
 class LSMSolution:
     """LSM price + stopping rule + simulated spot grid
     (pricing_solutions.jl:78-84).  ``stopping_info`` is a pair of arrays
