@@ -128,7 +128,13 @@ class CarrMadan(AbstractPricingMethod):
     """
 
     alpha: float = static_field(default=1.0)
-    bound: Any = static_field(default=32.0)
+    # "auto" is the default: the CF-decay-aware bound (see _auto_bound) is
+    # exact to ~1e-12 where a fixed 32.0 loses up to 86bp in
+    # Feller-violating Heston corners (the tail decay is LINEAR in u with
+    # rate √(1−ρ²)(V0+κθT)/σ, not Gaussian), and the two-scale panel rule
+    # makes large bounds free.  Pass a float to pin the reference's
+    # fixed-truncation semantics (carr_madan.jl:15-21).
+    bound: Any = static_field(default="auto")
     dynamics: Any = static_field(default=LognormalDynamics())
     nodes: int = static_field(default=256)
     engine: str = static_field(default="auto")
@@ -185,6 +191,20 @@ def _auto_bound(prob: PricingProblem, dynamics) -> jnp.ndarray:
             s2 = s2 + market.jump_intensity * (
                 market.jump_mean**2 + market.jump_std**2
             ) * T
+        # The Heston CF tail is NOT Gaussian: as |u| → ∞, d ≈ σ√(1−ρ²)|u|
+        # and log|φ| → −(√(1−ρ²)/σ)·(V0 + κθT)·|u| — a LINEAR decay rate
+        # that collapses in high-σ / low-(V0+κθT) (Feller-violating)
+        # corners, where the 16/(σ_eff√T) Gaussian rule truncates live
+        # mass (measured +86bp vs the ADI PDE and conditional MC at
+        # κ=σ=1, θ=V0=0.04, ρ=−0.9 with the old bound).  Take the max of
+        # both envelopes: u* = 34/c puts the linear tail below ~2e-15,
+        # and the log-substituted panels make large bounds free.
+        c_lin = jnp.sqrt(jnp.maximum(1.0 - market.rho**2, 2.5e-3)) * (
+            market.V0 + market.kappa * market.theta * T
+        ) / market.sigma
+        u_lin = 34.0 / jnp.maximum(c_lin, 1e-8)
+        s = jnp.sqrt(jnp.maximum(jnp.min(s2), 1e-16))
+        return jnp.clip(jnp.maximum(16.0 / s, u_lin), 64.0, 1e7)
     elif isinstance(dynamics, MertonJumpDynamics):
         # the Gaussian envelope of the Merton CF decays with the total
         # log-variance σ²T + λT(μ_J² + σ_J²)

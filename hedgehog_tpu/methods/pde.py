@@ -101,6 +101,7 @@ class PDEMethod(AbstractPricingMethod):
     rannacher: int = static_field(default=2)
     n_std: float = static_field(default=7.0)
     cluster: float = static_field(default=0.1)
+    var_steps: int = static_field(default=64)  # 2-D (Heston ADI) only
 
 
 def _reference_vol(market, dynamics: PriceDynamics, expiry, strike, T):
@@ -132,21 +133,28 @@ def _local_sigma(market, dynamics: PriceDynamics, sigma_flat, t, s_nodes):
     return jnp.broadcast_to(sigma_flat, s_nodes.shape)
 
 
-def _build_operator(s, sig, r_step, q):
-    """Spatial-operator diagonals (l, m, u) on the non-uniform grid ``s``.
+def convection_diffusion_operator(x, dcoef, drift, kill):
+    """Tridiagonal generator diagonals (l, m, u) for the 1-D operator
+
+        L·V = dcoef·V_xx + drift·V_x − kill·V
+
+    on the non-uniform grid ``x`` (last axis; ``dcoef``/``drift`` may carry
+    leading batch axes, e.g. one operator row per variance level in the
+    2-D ADI solver; ``kill`` is a scalar).
 
     Interior rows: central 3-point differences with branchless
     Péclet-limited upwinding (an off-diagonal that would go negative under
     central advection switches that node to one-sided drift — M-matrix /
     monotone scheme).  Boundary rows: diffusion dropped, one-sided
-    advection (exact for linear/constant far-field asymptotes).
+    advection toward the interior (exact for linear/constant far-field
+    asymptotes; also the right degenerate form at a v=0 CIR boundary,
+    where the diffusion vanishes and the drift flows inward).
     """
-    h = jnp.diff(s)  # (n,)
+    h = jnp.diff(x)  # (n,)
     h_m = h[:-1]  # h_{i-1} for interior i = 1..n-1
     h_p = h[1:]  # h_i
-    s_i = s[1:-1]
-    mu = (r_step - q) * s_i
-    dcoef = 0.5 * sig[1:-1] ** 2 * s_i**2
+    mu = drift[..., 1:-1]
+    dc = dcoef[..., 1:-1]
 
     # non-uniform central weights
     w_m = -h_p / (h_m * (h_m + h_p))
@@ -156,36 +164,36 @@ def _build_operator(s, sig, r_step, q):
     v_p = 2.0 / (h_p * (h_m + h_p))
     v_0 = -(v_m + v_p)
 
-    l_c = dcoef * v_m + mu * w_m
-    u_c = dcoef * v_p + mu * w_p
-    m_c = dcoef * v_0 + mu * w_0
+    l_c = dc * v_m + mu * w_m
+    u_c = dc * v_p + mu * w_p
+    m_c = dc * v_0 + mu * w_0
 
     # Péclet-limited upwind fallback (per node, branchless)
-    l_uw = dcoef * v_m + jnp.where(mu < 0.0, -mu / h_m, 0.0)
-    u_uw = dcoef * v_p + jnp.where(mu > 0.0, mu / h_p, 0.0)
-    m_uw = dcoef * v_0 + jnp.where(mu > 0.0, -mu / h_p, mu / h_m)
+    l_uw = dc * v_m + jnp.where(mu < 0.0, -mu / h_m, 0.0)
+    u_uw = dc * v_p + jnp.where(mu > 0.0, mu / h_p, 0.0)
+    m_uw = dc * v_0 + jnp.where(mu > 0.0, -mu / h_p, mu / h_m)
     need_uw = (l_c < 0.0) | (u_c < 0.0)
     l_i = jnp.where(need_uw, l_uw, l_c)
     u_i = jnp.where(need_uw, u_uw, u_c)
-    m_i = jnp.where(need_uw, m_uw, m_c) - r_step
+    m_i = jnp.where(need_uw, m_uw, m_c) - kill
 
-    # boundary rows: V_SS = 0, one-sided advection, −r·V
-    mu_lo = (r_step - q) * s[0]
-    mu_hi = (r_step - q) * s[-1]
-    lower = jnp.concatenate(
-        [jnp.zeros((1,)), l_i, jnp.asarray([-mu_hi / h[-1]])]
-    )
-    upper = jnp.concatenate(
-        [jnp.asarray([mu_lo / h[0]]), u_i, jnp.zeros((1,))]
-    )
+    # boundary rows: V_xx = 0, one-sided advection, −kill·V
+    mu_lo = drift[..., :1]
+    mu_hi = drift[..., -1:]
+    zeros = jnp.zeros_like(mu_lo)
+    lower = jnp.concatenate([zeros, l_i, -mu_hi / h[-1]], axis=-1)
+    upper = jnp.concatenate([mu_lo / h[0], u_i, zeros], axis=-1)
     main = jnp.concatenate(
-        [
-            jnp.asarray([-mu_lo / h[0] - r_step]),
-            m_i,
-            jnp.asarray([mu_hi / h[-1] - r_step]),
-        ]
+        [-mu_lo / h[0] - kill, m_i, mu_hi / h[-1] - kill], axis=-1
     )
     return lower, main, upper
+
+
+def _build_operator(s, sig, r_step, q):
+    """BS-generator diagonals on the spot grid (see the generic helper)."""
+    return convection_diffusion_operator(
+        s, 0.5 * sig**2 * s**2, (r_step - q) * s, r_step
+    )
 
 
 def _terminal_condition(payoff, s_grid):
@@ -344,13 +352,16 @@ def _check_supported(prob: PricingProblem, method: PDEMethod):
             "PDEMethod prices one contract per solve (its grid is built "
             "around the strike); vmap over contracts for grids"
         )
+    from ..models.dynamics import HestonDynamics
+
     if not isinstance(
-        method.dynamics, (LognormalDynamics, CEVDynamics, LocalVolDynamics)
+        method.dynamics,
+        (LognormalDynamics, CEVDynamics, LocalVolDynamics, HestonDynamics),
     ):
         raise TypeError(
-            f"PDEMethod supports Lognormal/CEV/LocalVol dynamics, got "
-            f"{type(method.dynamics).__name__}; stochastic-vol models need "
-            "a 2-D grid — use their MC/Fourier engines"
+            f"PDEMethod supports Lognormal/CEV/LocalVol dynamics (1-D grid) "
+            f"and Heston (2-D ADI), got {type(method.dynamics).__name__}; "
+            "other stochastic-vol/jump models use their MC/Fourier engines"
         )
 
 
@@ -359,6 +370,19 @@ def _solve_pde(prob: PricingProblem, method: PDEMethod) -> PDESolution:
     _check_supported(prob, method)
     payoff = prob.payoff
     market = prob.market_inputs
+
+    from ..models.dynamics import HestonDynamics
+
+    if isinstance(method.dynamics, HestonDynamics):
+        from ..market.inputs import HestonInputs
+
+        if not isinstance(market, HestonInputs):
+            raise TypeError(
+                "PDEMethod(HestonDynamics()) prices HestonInputs markets"
+            )
+        from .pde2d import solve_pde_heston
+
+        return solve_pde_heston(prob, method)
 
     if isinstance(payoff, BarrierOption):
         if isinstance(payoff.knock, KnockIn):

@@ -296,10 +296,14 @@ def test_pde_rejects_unsupported():
                               hh.Call(), hh.Spot())
     with pytest.raises(TypeError):
         hh.solve(hh.PricingProblem(o_grid, mkt), pde)
-    hest = hh.HestonInputs(REF, 0.05, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7)
+    from hedgehog_tpu.models.dynamics import SABRDynamics
+
     o = hh.VanillaOption(100.0, EXP, hh.European(), hh.Call(), hh.Spot())
     with pytest.raises(TypeError):
-        hh.solve(hh.PricingProblem(o, hest), hh.PDEMethod(dynamics=HestonDynamics()))
+        hh.solve(hh.PricingProblem(o, mkt), hh.PDEMethod(dynamics=SABRDynamics()))
+    # Heston dynamics route to the 2-D ADI solver but demand HestonInputs
+    with pytest.raises(TypeError):
+        hh.solve(hh.PricingProblem(o, mkt), hh.PDEMethod(dynamics=HestonDynamics()))
     ki_am = hh.BarrierOption(100.0, EXP, 130.0, hh.American(), hh.Call(), hh.Spot(),
                              hh.Up(), hh.KnockIn())
     with pytest.raises(TypeError):
