@@ -21,6 +21,7 @@ __all__ = [
     "AbstractMarketInputs",
     "BlackScholesInputs",
     "HestonInputs",
+    "SLVInputs",
     "BatesInputs",
     "RoughBergomiInputs",
     "HullWhiteInputs",
@@ -215,6 +216,50 @@ class RoughBergomiInputs(AbstractMarketInputs):
         ref = to_ticks(self.reference_date)
         object.__setattr__(self, "reference_date", ref)
         object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+
+
+@pytree
+class SLVInputs(AbstractMarketInputs):
+    """Stochastic-local-vol market data (beyond-reference model family —
+    see models/slv.py for the TPU-first particle calibration):
+
+        dS/S = (r − q)dt + L(t, S)·√V dW₁
+        dV   = κ(θ − V)dt + mixing·σ·√V dW₂,   corr(dW₁, dW₂) = ρ
+
+    ``sigma_surface`` is the MARKET implied-vol surface the model must
+    reprice (scalar auto-wrapped flat); (V0, κ, θ, σ, ρ) are the Heston
+    block; ``mixing`` ∈ [0, 1] scales the vol-of-vol (0 = pure local vol,
+    1 = full Heston smile dynamics — vanillas are repriced at every value);
+    ``leverage`` is the calibrated :class:`~hedgehog_tpu.models.slv.
+    LeverageSurface` (None until :func:`~hedgehog_tpu.models.slv.
+    calibrate_leverage` fills it).  ``daycount`` as on
+    :class:`BlackScholesInputs`."""
+
+    reference_date: Any
+    rate: Any
+    spot: Any
+    V0: Any
+    kappa: Any
+    theta: Any
+    sigma: Any
+    rho: Any
+    sigma_surface: Any
+    mixing: Any = 1.0
+    leverage: Any = None
+    dividend_yield: Any = 0.0
+    daycount: Any = static_field(default=ACT365F)
+
+    def __post_init__(self):
+        ref = to_ticks(self.reference_date)
+        object.__setattr__(self, "reference_date", ref)
+        object.__setattr__(self, "rate", _wrap_rate(self.rate, ref, self.daycount))
+        object.__setattr__(self, "sigma_surface", _wrap_vol(self.sigma_surface, ref))
+
+    def with_leverage(self, leverage):
+        """A copy carrying a calibrated leverage surface."""
+        import dataclasses
+
+        return dataclasses.replace(self, leverage=leverage)
 
 
 @pytree

@@ -227,10 +227,15 @@ def _auto_bound(prob: PricingProblem, dynamics) -> jnp.ndarray:
                + 2.0 * (1.0 - market.p_up) / market.eta_down**2)
         s2 = (market.sigma**2 + market.jump_intensity * ej2) * T
     else:
+        # everything else either has no terminal log-price CF at all
+        # (rough Bergomi, SLV, CEV, SABR, local vol — Fourier pricing is
+        # impossible, matching terminal_log_cf's rejection) or no
+        # decay-envelope rule; either way auto cannot choose a bound
         raise TypeError(
-            f"bound='auto' needs LognormalDynamics, HestonDynamics, "
-            f"MertonJumpDynamics or KouJumpDynamics, got "
-            f"{type(dynamics).__name__}"
+            f"no terminal law / CF decay envelope for dynamics "
+            f"{type(dynamics).__name__}: bound='auto' supports "
+            f"LognormalDynamics, HestonDynamics, BatesDynamics, "
+            f"MertonJumpDynamics, VarianceGammaDynamics and KouJumpDynamics"
         )
     s = jnp.sqrt(jnp.maximum(jnp.min(s2), 1e-16))
     return jnp.maximum(64.0, 16.0 / s)

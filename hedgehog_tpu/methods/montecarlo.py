@@ -55,6 +55,7 @@ from ..models.dynamics import (
     HestonHullWhiteDynamics,
     RoughBergomiDynamics,
     SABRDynamics,
+    SLVDynamics,
     lognormal_terminal_law,
 )
 from ..utils.pytree import pytree, static_field
@@ -895,6 +896,76 @@ def _local_vol_euler_paths(prob, config, key, *, return_grid: bool, point_offset
         grid = jnp.concatenate([x0[None], xs], axis=0)
         return jnp.exp(jnp.moveaxis(grid, 0, 1))
     return jnp.exp(x_T)
+
+
+def _slv_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
+    """Stochastic-local-vol full-truncation log-Euler paths (beyond-
+    reference model family, models/slv.py):
+
+      logS += (f_k − L²(t_k, S)V⁺/2)dt + L(t_k, S)·√(V⁺ dt)·Z₁
+      V    += κ(θ − V⁺)dt + m·σ_v·√(V⁺ dt)·(ρZ₁ + √(1−ρ²)Z₂)
+
+    with per-step exact forward rates f_k (flat surfaces/curves reproduce
+    the Heston stepper with L ≡ σ/√·).  Requires a calibrated market
+    (``market.leverage`` set by calibrate_leverage).  Terminal
+    (n_groups, paths) or grid (n_groups, steps+1, paths)."""
+    from ..models.slv import leverage_at
+
+    market = prob.market_inputs
+    if market.leverage is None:
+        raise ValueError(
+            "SLV market has no calibrated leverage — run "
+            "calibrate_leverage(market, horizon) and price on "
+            "market.with_leverage(result)"
+        )
+    T = market_yearfrac(market, prob.payoff.expiry)
+    steps = config.steps
+    dt = T / steps
+    sqrt_dt = jnp.sqrt(dt)
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if config.qmc:
+        from ..math.brownian_bridge import brownian_bridge_increments
+
+        zq = _qmc_normals(key, steps, 2, config.trajectories, skip=point_offset)
+        dw = jax.vmap(
+            lambda zf: brownian_bridge_increments(zf.T, dt, steps).T, in_axes=1, out_axes=1
+        )(zq)
+        zb = dw / sqrt_dt
+        z = jnp.stack([zb, -zb]) if anti else zb[None]
+    else:
+        z = _normals(key, (steps, 2, config.trajectories), anti)
+    n_groups = z.shape[0]
+    kappa, theta, rho = market.kappa, market.theta, market.rho
+    sig_v = market.mixing * market.sigma
+    rho_bar = jnp.sqrt(1.0 - rho**2)
+    q = carry_yield(market)
+    t_left = jnp.arange(steps) * dt
+    d_grid = df_yf(market.rate, jnp.arange(steps + 1) * dt)
+    fwd = jnp.log(d_grid[:-1] / d_grid[1:]) / dt - q
+    lev = market.leverage
+
+    x0 = jnp.full((n_groups, config.trajectories), jnp.log(market.spot))
+    v0 = jnp.full((n_groups, config.trajectories), market.V0)
+
+    def step(carry, inp):
+        x, v = carry
+        zk, tk, fk = inp
+        z1, z2 = zk[:, 0, :], zk[:, 1, :]
+        v_plus = jnp.maximum(v, 0.0)
+        sqrt_v = jnp.where(v > 0.0, jnp.sqrt(jnp.where(v > 0.0, v, 1.0)), 0.0)
+        sig_s = leverage_at(lev, tk, x) * sqrt_v
+        x_new = x + (fk - 0.5 * sig_s**2) * dt + sig_s * sqrt_dt * z1
+        v_new = v + kappa * (theta - v_plus) * dt + sig_v * sqrt_v * sqrt_dt * (
+            rho * z1 + rho_bar * z2
+        )
+        return (x_new, v_new), (x_new if return_grid else None)
+
+    zs = (jnp.moveaxis(z, 1, 0), t_left, fwd)
+    (x_final, _), xs = jax.lax.scan(jax.checkpoint(step), (x0, v0), zs)
+    if return_grid:
+        grid = jnp.concatenate([x0[None], xs], axis=0)
+        return jnp.exp(jnp.moveaxis(grid, 0, 1))
+    return jnp.exp(x_final)
 
 
 def _merton_poisson_trips(rate, cap: int = 64, default: int = 64) -> int:
@@ -2994,6 +3065,13 @@ def simulate_terminal_prices(
             prob, config, _base_key(config, key), return_grid=False,
             point_offset=point_offset,
         )
+    if isinstance(strat, EulerMaruyama) and isinstance(dyn, SLVDynamics):
+        if strat.use_kernel:
+            raise TypeError("SLV has no fused kernel; drop use_kernel=True")
+        return _slv_euler_paths(
+            prob, config, _base_key(config, key), return_grid=False,
+            point_offset=point_offset,
+        )
     raise TypeError(
         f"unsupported (dynamics, strategy) = ({type(dyn).__name__}, {type(strat).__name__})"
     )
@@ -3032,6 +3110,8 @@ def simulate_price_grid(
         return _local_vol_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, CEVDynamics) and isinstance(strat, EulerMaruyama):
         return _cev_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
+    if isinstance(dyn, SLVDynamics) and isinstance(strat, EulerMaruyama):
+        return _slv_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, MertonJumpDynamics) and isinstance(strat, EulerMaruyama):
         return _merton_euler_paths(prob, config, _base_key(config, key), return_grid=True, point_offset=point_offset)
     if isinstance(dyn, NormalDynamics) and isinstance(strat, EulerMaruyama):

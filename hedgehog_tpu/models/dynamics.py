@@ -35,6 +35,7 @@ __all__ = [
     "CEVDynamics",
     "SABRDynamics",
     "LocalVolDynamics",
+    "SLVDynamics",
     "lognormal_terminal_law",
     "merton_terminal_params",
     "heston_cf",
@@ -103,6 +104,16 @@ class SABRDynamics(PriceDynamics):
     Fourier methods raise; pricing runs through :class:`SABRAnalytic`
     (Hagan's expansion) or Euler Monte Carlo.  Markets carry
     :class:`SABRInputs`."""
+
+
+@pytree
+class SLVDynamics(PriceDynamics):
+    """Stochastic-local-vol dynamics (beyond-reference model family):
+    Heston variance with a Gyöngy/Dupire leverage L(t, S) so the model
+    reprices the market vanilla surface at any mixing fraction
+    (models/slv.py).  Leverage breaks affinity — no CF, Fourier methods
+    raise; pricing runs through Euler Monte Carlo on a calibrated
+    :class:`SLVInputs` market."""
 
 
 @pytree
