@@ -209,3 +209,27 @@ p_am2 = float(hh.solve(hh.PricingProblem(
     hh.VanillaOption(110.0, EXPIRY, hh.American(), hh.Put(), hh.Spot()), BS),
     hh.CoxRossRubinsteinMethod(1000)).price)
 print(f"put 110: European {p_eu2:.4f} < Bermudan(quarterly) {p_bq:.4f} < American {p_am2:.4f}")
+
+# ---- 9. autocallables (snowball & phoenix) ------------------------------------
+# THE retail structured product: quarterly observations, autocall at 100%,
+# knock-in airbag at 70%, bridge-monitored (continuous) KI so the downside
+# leg is smooth — its pathwise AD vega is real.
+cfg_ac = hh.SimulationConfig(trajectories=2**15, steps=48,
+                             variance_reduction=hh.Antithetic(), seed=3)
+mc_ac = hh.MonteCarlo(hh.LognormalDynamics(), hh.EulerMaruyama(), cfg_ac)
+snowball = hh.Autocallable(EXPIRY, periods=4, autocall_barrier=1.0,
+                           coupon=0.02, knock_in_barrier=0.7)
+p_snow = float(hh.solve(hh.PricingProblem(snowball, BS), mc_ac).price)
+phoenix = hh.Autocallable(EXPIRY, periods=4, autocall_barrier=1.0,
+                          coupon=0.02, knock_in_barrier=0.7, coupon_barrier=0.8)
+p_phx = float(hh.solve(hh.PricingProblem(phoenix, BS), mc_ac).price)
+print(f"\nsnowball (4 x 2% memory coupons): {p_snow:.4f}; "
+      f"phoenix (coupon barrier 80%): {p_phx:.4f}")
+HEST_AC = hh.HestonInputs(REF, 0.05, 100.0, 0.04, 2.0, 0.05, 0.6, -0.7)
+mc_hc = hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(conditional=True), cfg_ac)
+p_hest = float(hh.solve(hh.PricingProblem(snowball, HEST_AC), mc_hc).price)
+print(f"same snowball under Heston (conditional bridge grid): {p_hest:.4f}")
+import jax as _jax
+vega_ac = float(_jax.grad(lambda s: hh.solve(hh.PricingProblem(
+    snowball, hh.BlackScholesInputs(REF, 0.05, 100.0, s)), mc_ac).price)(0.2))
+print(f"pathwise AD vega of the note (smooth KI leg): {vega_ac:.4f} (short vol)")

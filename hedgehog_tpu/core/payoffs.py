@@ -48,6 +48,7 @@ __all__ = [
     "VarianceSwap",
     "ForwardStartOption",
     "Cliquet",
+    "Autocallable",
     "SpreadOption",
     "BasketOption",
     "RainbowOption",
@@ -615,6 +616,60 @@ class Cliquet:
         clipped = jnp.clip(jnp.asarray(period_returns), self.local_floor,
                            self.local_cap)
         return self.notional * jnp.sum(clipped, axis=-1)
+
+
+@pytree
+class Autocallable:
+    """An autocallable note on a single underlying — beyond the reference's
+    vanilla taxonomy, THE flagship retail structured product.
+
+    Schedule: ``periods`` equally-spaced observation dates t_i = i·T/n,
+    i = 1…n (t_n = expiry), levels quoted as fractions of the initial spot
+    S₀.  At the FIRST t_i with S_{t_i} ≥ ``autocall_barrier``·S₀ the note
+    redeems early.  Two coupon conventions:
+
+    - **Snowball** (``coupon_barrier=None``, default): redemption pays
+      notional·(1 + i·coupon) at t_i (coupons accrue with memory and pay
+      only at redemption).  If never called: notional·(1 + n·coupon) at
+      expiry when the knock-in never triggered, else the airbag leg
+      notional·min(S_T/S₀, 1) (the investor is short a put struck at S₀,
+      alive only on knock-in).
+    - **Phoenix** (``coupon_barrier`` set): a coupon of notional·coupon is
+      paid at every observation where S_{t_i} ≥ ``coupon_barrier``·S₀ while
+      the note is alive, WITH MEMORY (missed coupons are caught up at the
+      next barrier hit); early redemption and the maturity legs pay
+      principal only (notional, or the airbag leg on knock-in).
+
+    ``ki_monitoring`` (static): ``"observations"`` checks the knock-in at
+    the n observation dates only; ``"continuous"`` applies per-segment
+    Brownian-bridge crossing probabilities on the MC grid (exact for GBM
+    grids; the Heston conditional grid uses its integrated variance) — the
+    knock-in leg is then smooth, so it contributes pathwise AD greeks.
+    The autocall indicators themselves are genuinely discrete events.
+
+    MC pricing needs ``config.steps`` to be a multiple of ``periods`` so
+    every observation date is a grid point.  No closed form exists in
+    general; the n = 2 discrete-KI case has an exact bivariate-normal
+    value used as the agreement oracle (tests/unit/test_autocallable.py)."""
+
+    expiry: Any
+    periods: int = static_field(default=4)
+    autocall_barrier: Any = 1.0
+    coupon: Any = 0.05
+    knock_in_barrier: Any = 0.7
+    coupon_barrier: Any = None
+    notional: Any = 1.0
+    ki_monitoring: str = static_field(default="continuous")
+    exercise_style: ExerciseStyle = static_field(default=European())
+    underlying: Underlying = static_field(default=Spot())
+
+    def __post_init__(self):
+        object.__setattr__(self, "expiry", to_ticks(self.expiry))
+        if self.ki_monitoring not in ("continuous", "observations"):
+            raise ValueError(
+                f"ki_monitoring must be 'continuous' or 'observations', "
+                f"got {self.ki_monitoring!r}"
+            )
 
 
 @pytree

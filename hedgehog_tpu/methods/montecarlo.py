@@ -1933,6 +1933,82 @@ def heston_variance_swap_strike(market, T):
     return market.theta + (market.V0 - market.theta) * -jnp.expm1(-kT) / kT
 
 
+def _solve_autocall_mc(prob: PricingProblem, method: MonteCarlo):
+    """Autocallable Monte Carlo (snowball and phoenix conventions; see
+    core/payoffs.py::Autocallable): simulate a grid under ANY grid
+    dynamics, walk the observation schedule once (a static unrolled loop
+    over ``periods`` — the call cascade and phoenix memory-coupon state are
+    a handful of vectorized masks per date), and discount every leg at its
+    own payment date.  ``ki_monitoring='continuous'`` applies the
+    per-segment Brownian-bridge down-crossing probabilities (exact for GBM
+    grids; integrated variance on the Heston conditional bridge), making
+    the knock-in leg smooth; ``'observations'`` checks the n observation
+    dates only (the bivariate-normal oracle convention)."""
+    payoff = prob.payoff
+    require_european(payoff, "MonteCarlo", spot_only=True)
+    market = prob.market_inputs
+    config = method.config
+    n = payoff.periods
+    if config.steps % n != 0:
+        raise ValueError(
+            f"autocallable MC needs config.steps to be a multiple of "
+            f"periods so observation dates are grid points; got "
+            f"steps={config.steps}, periods={n}"
+        )
+    m = config.steps // n
+    T = market_yearfrac(market, payoff.expiry)
+    s0 = market.spot
+
+    if payoff.ki_monitoring == "continuous":
+        spot_grid, seg_vars, _ = _bridge_log_grid(prob, method, "autocallable")
+        factors = brownian_bridge_survival_factors(
+            jnp.log(spot_grid), seg_vars,
+            jnp.log(payoff.knock_in_barrier * s0), up=False,
+        )
+        surv = jnp.prod(factors, axis=0)  # (g, paths)
+        obs = spot_grid[m::m]  # (n, g, paths)
+    else:
+        grid = simulate_price_grid(prob, method)  # (g, steps+1, paths)
+        spot_grid = jnp.moveaxis(grid, 1, 0)
+        obs = spot_grid[m::m]
+        surv = jnp.all(obs >= payoff.knock_in_barrier * s0, axis=0).astype(
+            spot_grid.dtype
+        )
+
+    t_obs = jnp.arange(1, n + 1) * (T / n)
+    d_obs = df_yf(market.rate, t_obs)
+    notional, c = payoff.notional, payoff.coupon
+    b_ac = payoff.autocall_barrier * s0
+    phoenix = payoff.coupon_barrier is not None
+
+    alive = jnp.ones(obs.shape[1:], dtype=bool)
+    disc_pay = jnp.zeros(obs.shape[1:])
+    unpaid = jnp.zeros(obs.shape[1:])
+    for i in range(n):
+        s_i = obs[i]
+        if phoenix:
+            cpn_hit = alive & (s_i >= payoff.coupon_barrier * s0)
+            disc_pay = disc_pay + jnp.where(
+                cpn_hit, (unpaid + 1.0) * c * notional * d_obs[i], 0.0
+            )
+            unpaid = jnp.where(
+                cpn_hit, 0.0, jnp.where(alive, unpaid + 1.0, unpaid)
+            )
+        call_hit = alive & (s_i >= b_ac)
+        redemption = notional if phoenix else notional * (1.0 + (i + 1) * c)
+        disc_pay = disc_pay + jnp.where(call_hit, redemption * d_obs[i], 0.0)
+        alive = alive & ~call_hit
+
+    s_terminal = spot_grid[-1]
+    term_no_ki = notional if phoenix else notional * (1.0 + n * c)
+    airbag = notional * jnp.minimum(s_terminal / s0, 1.0)
+    disc_pay = disc_pay + jnp.where(
+        alive, d_obs[-1] * (surv * term_no_ki + (1.0 - surv) * airbag), 0.0
+    )
+    price = jnp.mean(disc_pay, axis=(0, -1))
+    return MonteCarloSolution(prob, method, price, disc_pay)
+
+
 def _solve_cliquet_mc(prob: PricingProblem, method: MonteCarlo):
     """Cliquet Monte Carlo: simulate a grid under ANY grid dynamics, form
     the per-period simple returns S_i/S_{i-1} − 1 and pay the clipped sum
@@ -3172,6 +3248,10 @@ def _solve_montecarlo(prob: PricingProblem, method: MonteCarlo) -> MonteCarloSol
         return _solve_forward_start_mc(prob, method)
     if isinstance(payoff, Cliquet):
         return _solve_cliquet_mc(prob, method)
+    from ..core.payoffs import Autocallable
+
+    if isinstance(payoff, Autocallable):
+        return _solve_autocall_mc(prob, method)
     from ..core.payoffs import (
         BasketOption,
         ChooserOption,
