@@ -84,9 +84,13 @@ def ncx2_cdf(x, k, lam, terms: int = 2048):
     log_w = j * jnp.log(jnp.maximum(half[..., None], 1e-300)) - half[..., None] - gammaln(j + 1.0)
     # λ = 0 degenerates to the central χ²: the j = 0 term with weight 1
     w = jnp.where(half[..., None] > 0.0, jnp.exp(log_w), (j == 0.0) * 1.0)
-    p = gammainc(k[..., None] / 2.0 + j, jnp.maximum(x[..., None], 0.0) / 2.0)
+    # double-where: gammainc'(a, 0) = ∞ for a < 1, so the dead x ≤ 0 branch
+    # must never see x = 0 or reverse-mode AD turns 0·∞ into NaN
+    x_pos = x > 0.0
+    x_safe = jnp.where(x_pos, x, 1.0)
+    p = gammainc(k[..., None] / 2.0 + j, x_safe[..., None] / 2.0)
     out = jnp.sum(w * p, axis=-1)
-    return jnp.where(x > 0.0, out, 0.0)
+    return jnp.where(x_pos, out, 0.0)
 
 
 def _cev_abc(spot, strike, mu_hat, sigma, beta, T):
