@@ -83,13 +83,20 @@ def carry_yield(market):
 
 
 def forward_spot(market, T):
-    """The carry-adjusted spot ``spot·e^{−qT}`` — divide by D(T) for the
-    T-forward.  For terminal-law methods this substitution alone prices
-    dividends exactly (the q-model's terminal law equals the q=0 law
-    started at spot·e^{−qT})."""
+    """The carry-adjusted ESCROWED spot ``(spot − PV(cash divs ≤ T))·e^{−qT}``
+    — divide by D(T) for the T-forward.  For terminal-law methods this
+    substitution alone prices continuous carry exactly (the q-model's
+    terminal law equals the q=0 law started at spot·e^{−qT}) and discrete
+    cash dividends in the standard escrowed convention
+    (market/dividends.py); markets without a schedule subtract nothing."""
     import jax.numpy as jnp
 
-    return market.spot * jnp.exp(-carry_yield(market) * T)
+    spot = market.spot
+    if getattr(market, "dividends", None) is not None:
+        from .dividends import dividend_pv
+
+        spot = spot - dividend_pv(market, T)
+    return spot * jnp.exp(-carry_yield(market) * T)
 
 
 def market_yearfrac(market, t):
@@ -113,13 +120,22 @@ class BlackScholesInputs(AbstractMarketInputs):
     into an auto-wrapped flat rate curve; explicit curve/surface objects
     keep their own conventions.  Linear conventions (Act365Fixed/Act360/
     Act36525) are jit/grad-compatible; calendar ones (Thirty360E/ActActISDA)
-    evaluate at the concrete-date boundary."""
+    evaluate at the concrete-date boundary.
+
+    ``dividends`` (beyond-reference, default None) attaches a
+    :class:`~hedgehog_tpu.market.dividends.DividendSchedule` of discrete
+    CASH dividends: terminal-law engines (analytic BS, Carr-Madan, exact
+    MC, CRR) price the escrowed convention through the shared
+    :func:`forward_spot`; grid engines (PDE jump conditions, grid MC under
+    LognormalDynamics) price the piecewise-lognormal spot model — see
+    market/dividends.py for the exact contracts."""
 
     reference_date: Any
     rate: Any
     spot: Any
     sigma: Any
     dividend_yield: Any = 0.0
+    dividends: Any = None
     daycount: Any = static_field(default=ACT365F)
 
     def __post_init__(self):

@@ -461,10 +461,21 @@ def _solve_bs_analytic(prob: PricingProblem, method: BlackScholesAnalytic) -> An
         KnockIn,
         LookbackOption,
         Up,
+        VanillaOption,
         require_european,
     )
 
     require_european(payoff, "BlackScholesAnalytic")
+
+    if getattr(market, "dividends", None) is not None and not isinstance(
+        payoff, (VanillaOption, DigitalOption)
+    ):
+        raise TypeError(
+            f"discrete cash dividends reach the closed forms through the "
+            f"escrowed terminal law, which is exact for vanillas/digitals "
+            f"only; price {type(payoff).__name__} on the PDE or grid-MC "
+            f"engines (spot model) instead"
+        )
 
     from ..core.payoffs import (
         BasketOption,

@@ -379,7 +379,15 @@ def _solve_carr_madan(prob: PricingProblem, method: CarrMadan) -> CarrMadanSolut
     if jnp.ndim(K) == 0:
         call_price = jnp.reshape(call_price, ())
         integral = jnp.reshape(integral, ())
-    price = parity_transform(call_price, payoff, market.spot, market.rate)
+    # put parity needs the carry-adjusted (and dividend-escrowed) spot:
+    # call − put = S·e^{−qT} − PV(divs) − K·D, NOT raw-spot parity (which
+    # overprices puts by S(1 − e^{−qT}) under a dividend yield)
+    from ..market.inputs import forward_spot as _fwd_spot
+
+    T_par = market_yearfrac(market, payoff.expiry)
+    price = parity_transform(
+        call_price, payoff, _fwd_spot(market, T_par), market.rate
+    )
     return CarrMadanSolution(prob, method, price, integral)
 
 

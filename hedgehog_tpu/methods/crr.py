@@ -99,11 +99,23 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
     T = market_yearfrac(market, payoff.expiry)
     D_T = df(market.rate, payoff.expiry)
     q = carry_yield(market)
+    # forward_spot subtracts PV(cash divs ≤ T): the tree evolves the
+    # ESCROWED spot S* = S − PV(divs) — Hull's textbook discrete-dividend
+    # lattice (plain GBM on S*, so u/p are unchanged and the tree still
+    # recombines); exercise decisions add the remaining-dividend PV back
+    # (see div_addback below)
     forward = forward_spot(market, T) / D_T  # carry-adjusted T-forward
     dT = T / steps
     u = jnp.exp(sigma * jnp.sqrt(dT))
     p = 1.0 / (1.0 + u)
     step_discount = jnp.exp(-zero_rate(market.rate, payoff.expiry) * dT)
+
+    has_divs = getattr(market, "dividends", None) is not None
+    if has_divs and not isinstance(payoff.underlying, Spot):
+        raise TypeError(
+            "discrete dividends on the CRR lattice need a Spot underlying "
+            "(the escrowed add-back is a spot-level correction)"
+        )
 
     from ..core.payoffs import Bermudan, bermudan_step_mask
 
@@ -118,9 +130,18 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
     on_spot = isinstance(payoff.underlying, Spot)
 
     # Terminal payoff over all steps+1 leaves (exponents -steps, -steps+2, …, steps).
+    # With dividends the leaves are the escrowed spot = the full spot at T
+    # (every ex-date ≤ T has dropped), so no terminal add-back is needed.
     value0 = payoff(forward * u ** (2 * j - steps))
 
     rate_curve = market.rate
+    if has_divs and can_exercise:
+        from ..market.dividends import remaining_dividend_pv
+
+        # full spot at node time = escrowed node + PV_t(remaining divs)
+        div_addback = remaining_dividend_pv(market, jnp.arange(steps) * dT, T)
+    else:
+        div_addback = jnp.zeros((max(steps, 1),))
 
     def step_fn(value, i):
         # i runs steps-1 … 0. Contraction: v'[j] = disc·(p·v[j+1] + (1-p)·v[j]).
@@ -136,7 +157,7 @@ def _solve_crr(prob: PricingProblem, method: CoxRossRubinsteinMethod) -> CRRSolu
                 # relation is S_t = F_t·D(t,T)·e^{q(T−t)}.
                 underlying = jnp.exp(
                     (q - zero_rate_yf(rate_curve, i * dT)) * (steps - i) * dT
-                ) * fwd_nodes
+                ) * fwd_nodes + div_addback[i]
             else:
                 underlying = fwd_nodes
             exercised = jnp.maximum(continuation, payoff(underlying))
@@ -183,6 +204,13 @@ def _solve_crr_knock_out(prob: PricingProblem, method: CoxRossRubinsteinMethod):
         raise TypeError(
             "barrier CRR prices one (strike, barrier) pair per solve; vmap "
             "over contracts for grids"
+        )
+    if getattr(market, "dividends", None) is not None:
+        raise TypeError(
+            "barrier CRR assumes a dividend-free GBM path law (the bridge "
+            "edge factors and hit law are escrow-inconsistent); price "
+            "discrete-dividend barriers on the PDE engine or EulerMaruyama "
+            "bridge MC (spot model)"
         )
 
     from ..market.inputs import carry_yield, forward_spot
@@ -317,6 +345,13 @@ def _solve_crr_knock_in_early(
         raise TypeError(
             "barrier CRR prices one (strike, barrier) pair per solve; vmap "
             "over contracts for grids"
+        )
+    if getattr(market, "dividends", None) is not None:
+        raise TypeError(
+            "barrier CRR assumes a dividend-free GBM path law (the "
+            "first-passage hit law is escrow-inconsistent); price "
+            "discrete-dividend barriers on the barrier LSM grid estimator "
+            "(spot model)"
         )
 
     from ..market.inputs import carry_yield, forward_spot

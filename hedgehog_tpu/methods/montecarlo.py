@@ -344,6 +344,19 @@ def _qmc_normals_and_uniforms(key, steps: int, n_normal: int, paths: int, skip=0
 # ------------------ Per-model simulation kernels (pure JAX) ------------------
 
 
+def _require_no_dividend_schedule(market, what: str):
+    """Raise when a discrete-dividend schedule reaches an estimator whose
+    math assumes a dividend-free path law (single-bridge shortcuts,
+    Dupire surfaces, return-convention products) — never silently ignore
+    scheduled cash dividends."""
+    if getattr(market, "dividends", None) is not None:
+        raise TypeError(
+            f"{what} does not support a discrete DividendSchedule; "
+            "price the spot model on EulerMaruyama grids (ex-date drops), "
+            "or strip the schedule if the dividend-free law is intended"
+        )
+
+
 def _sim_params(prob: PricingProblem):
     market = prob.market_inputs
     T = market_yearfrac(market, prob.payoff.expiry)
@@ -865,6 +878,10 @@ def _local_vol_euler_paths(prob, config, key, *, return_grid: bool, point_offset
     from ..models.local_vol import dupire_local_vol
 
     market = prob.market_inputs
+    _require_no_dividend_schedule(
+        market, "LocalVolDynamics (the Dupire surface assumes a "
+        "continuous-carry diffusion)"
+    )
     T = market_yearfrac(market, prob.payoff.expiry)
     steps = config.steps
     dt = T / steps
@@ -1140,7 +1157,14 @@ def _merton_payoffs_with_score(prob, method, payoff, key=None, point_offset=0):
 
 def _gbm_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
     """Log-Euler GBM paths: terminal (n_groups, paths) or full grid
-    (n_groups, steps+1, paths)."""
+    (n_groups, steps+1, paths).
+
+    Discrete cash dividends (market/dividends.py) price the PIECEWISE-
+    LOGNORMAL spot model here: each ex-date is snapped to its nearest grid
+    time and the path drops by the cash amount there (floored near zero),
+    exactly the same discretization as the PDE engine's jump conditions —
+    and every grid consumer (LSM, Asians, bridge barriers, autocallables)
+    composes, because segments between grid points stay plain GBM."""
     market, T, r0 = _sim_params(prob)
     sigma = (
         market.sigma.sigma
@@ -1150,6 +1174,7 @@ def _gbm_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
     steps = config.steps
     dt = T / steps
     anti = isinstance(config.variance_reduction, Antithetic)
+    divs = getattr(market, "dividends", None)
     if config.qmc:
         # Brownian-bridge ordering: Sobol' dim 0 drives the terminal value so
         # the QMC rate survives long paths (math/brownian_bridge.py)
@@ -1165,12 +1190,29 @@ def _gbm_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
     vol_dt = sigma * jnp.sqrt(dt)
     x0 = jnp.full((z.shape[0], config.trajectories), jnp.log(market.spot))
 
-    def step(x, zk):
-        x_new = x + drift + vol_dt * zk
-        return x_new, (x_new if return_grid else None)
-
     zs = jnp.moveaxis(z, 1, 0)  # (steps, g, paths)
-    x_final, xs = jax.lax.scan(step, x0, zs)
+    if divs is not None:
+        from ..market.dividends import dividend_step_amounts
+
+        d_steps = dividend_step_amounts(market, T, steps)  # (steps,)
+        floor = 1e-8 * market.spot
+
+        def step(x, inp):
+            zk, dk = inp
+            x_new = x + drift + vol_dt * zk
+            # ex-date drop in price space (dk == 0 on non-dividend steps:
+            # the exp/log round trip is then the identity up to rounding)
+            x_new = jnp.log(jnp.maximum(jnp.exp(x_new) - dk, floor))
+            return x_new, (x_new if return_grid else None)
+
+        x_final, xs = jax.lax.scan(step, x0, (zs, d_steps))
+    else:
+
+        def step(x, zk):
+            x_new = x + drift + vol_dt * zk
+            return x_new, (x_new if return_grid else None)
+
+        x_final, xs = jax.lax.scan(step, x0, zs)
     if return_grid:
         grid = jnp.concatenate([x0[None], xs], axis=0)  # (steps+1, g, paths)
         return jnp.exp(jnp.moveaxis(grid, 1, 0))  # (g, steps+1, paths)
@@ -1735,6 +1777,9 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
     _, T, _ = _sim_params(prob)
 
     if isinstance(dyn, LognormalDynamics) and isinstance(strat, BlackScholesExact):
+        _require_no_dividend_schedule(
+            market, "the one-bridge BlackScholesExact path estimator"
+        )
         if getattr(strat, "use_kernel", False):
             raise TypeError(
                 "the fused GBM kernels return terminal samples without the "
@@ -1812,6 +1857,9 @@ def _solve_double_barrier_mc(prob: PricingProblem, method: MonteCarlo):
     _, T, _ = _sim_params(prob)
 
     if isinstance(dyn, LognormalDynamics) and isinstance(strat, BlackScholesExact):
+        _require_no_dividend_schedule(
+            market, "the one-bridge BlackScholesExact path estimator"
+        )
         if getattr(strat, "use_kernel", False):
             raise TypeError(
                 "the fused GBM kernels return terminal samples without the "
@@ -1890,6 +1938,9 @@ def _solve_lookback_mc(prob: PricingProblem, method: MonteCarlo):
     anti = isinstance(config.variance_reduction, Antithetic)
 
     if isinstance(dyn, LognormalDynamics) and isinstance(strat, BlackScholesExact):
+        _require_no_dividend_schedule(
+            market, "the one-bridge BlackScholesExact path estimator"
+        )
         if getattr(strat, "use_kernel", False):
             raise TypeError(
                 "the fused GBM kernels return terminal samples without the "
@@ -2015,6 +2066,10 @@ def _solve_cliquet_mc(prob: PricingProblem, method: MonteCarlo):
     at expiry (``config.steps`` must equal ``observations``)."""
     payoff = prob.payoff
     require_european(payoff, "MonteCarlo", spot_only=True)
+    _require_no_dividend_schedule(
+        prob.market_inputs, "cliquet returns (ex-date drops would enter "
+        "the return legs; dividend treatment is a term-sheet convention)"
+    )
     config = method.config
     if config.steps != payoff.observations:
         raise ValueError(
@@ -2092,6 +2147,10 @@ def _solve_forward_start_mc(prob: PricingProblem, method: MonteCarlo):
     payoff = prob.payoff
     require_european(payoff, "MonteCarlo", spot_only=True)
     market = prob.market_inputs
+    _require_no_dividend_schedule(
+        market, "forward-start strikes (k·S_fix across an ex-date is a "
+        "term-sheet convention)"
+    )
     config = method.config
     T = market_yearfrac(market, payoff.expiry)
     t1 = yearfrac(market.reference_date, payoff.start,
@@ -2126,6 +2185,10 @@ def _solve_variance_swap_mc(prob: PricingProblem, method: MonteCarlo):
     fixing dates."""
     payoff = prob.payoff
     require_european(payoff, "MonteCarlo", spot_only=True)
+    _require_no_dividend_schedule(
+        prob.market_inputs, "realized-variance legs (standard variance "
+        "swaps EXCLUDE ex-date drops from the return sum)"
+    )
     config = method.config
     if config.steps != payoff.observations:
         raise ValueError(

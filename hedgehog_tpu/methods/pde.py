@@ -288,8 +288,33 @@ def _pde_backward(market, method: PDEMethod, payoff, expiry, s_grid, v_T,
         d_side, d_vals = 0, jnp.zeros((M + 1,))
     has_dirichlet = dirichlet is not None
 
+    divs = getattr(market, "dividends", None)
+    if divs is not None:
+        from ..market.dividends import dividend_step_amounts
+
+        # cash drop applied at grid time (i+1)·dt — slot i (shared snapping
+        # with the grid-MC sampler, so both engines discretize the same
+        # piecewise-lognormal model)
+        div_steps = dividend_step_amounts(market, T, M)
+    else:
+        div_steps = None
+
     def step(v, xs):
         i, r_k, sig_k, th = xs
+        if div_steps is not None:
+            # jump condition at the ex-date t_{i+1}: the pre-drop value is
+            # the post-drop value at the dropped spot, V(t⁻, S) = V(t⁺, S−D)
+            # (linear interp keeps the M-matrix monotonicity; clamped ends
+            # sit in the far field where V is its asymptote)
+            d_i = div_steps[i]
+            v_shift = jnp.interp(s_grid - d_i, s_grid, v)
+            v = jnp.where(d_i > 0.0, v_shift, v)
+            if is_american:
+                # the holder may exercise the instant BEFORE the drop —
+                # the classic just-before-ex-div call exercise
+                v = jnp.where(d_i > 0.0, jnp.maximum(v, intrinsic), v)
+            if has_dirichlet:
+                v = v.at[d_side].set(d_vals[i + 1])
         lower, main, upper = _build_operator(s_grid, sig_k, r_k, q)
         # explicit half: (I + (1-θ)·dt·L) v
         v_lo = jnp.concatenate([jnp.zeros((1,)), v[:-1]])
@@ -363,6 +388,15 @@ def _check_supported(prob: PricingProblem, method: PDEMethod):
             f"and Heston (2-D ADI), got {type(method.dynamics).__name__}; "
             "other stochastic-vol/jump models use their MC/Fourier engines"
         )
+    if getattr(prob.market_inputs, "dividends", None) is not None and not isinstance(
+        method.dynamics, LognormalDynamics
+    ):
+        raise TypeError(
+            "discrete-dividend PDE jump conditions are wired for "
+            "LognormalDynamics (a Dupire surface already embeds its own "
+            "dividend assumptions); strip the schedule or use "
+            "LognormalDynamics"
+        )
 
 
 @register_solver(PDEMethod)
@@ -397,6 +431,13 @@ def _solve_pde(prob: PricingProblem, method: PDEMethod) -> PDESolution:
     T = market_yearfrac(market, payoff.expiry)
     sigma_ref = _reference_vol(market, method.dynamics, payoff.expiry, payoff.strike, T)
     s_lo, s_hi = _grid_bounds(market, payoff, sigma_ref, T, method.n_std)
+    if getattr(market, "dividends", None) is not None:
+        # the cash drops push the whole path band down: widen the lower
+        # bound by the escrowed fraction so post-drop paths stay on-grid
+        from ..market.dividends import escrowed_spot
+
+        frac = jnp.clip(escrowed_spot(market, T) / market.spot, 0.05, 1.0)
+        s_lo = s_lo * frac
     scale = method.cluster * jnp.asarray(payoff.strike, jnp.float64)
     s_grid = jax.lax.stop_gradient(
         _sinh_grid(s_lo, s_hi, jnp.asarray(payoff.strike, jnp.float64), scale,

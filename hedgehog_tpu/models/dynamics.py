@@ -194,8 +194,15 @@ def lognormal_terminal_law(market, expiry_ticks):
         sigma = get_vol(market.sigma, expiry_ticks, market.spot)  # ATM lookup
     T = market_yearfrac(market, expiry_ticks)
     # dividend carry: drift r − q (equivalently the q=0 law started at
-    # spot·e^{−qT} — exact for the terminal law)
-    mean = jnp.log(market.spot) + (r - carry_yield(market) - 0.5 * sigma**2) * T
+    # spot·e^{−qT} — exact for the terminal law); discrete cash dividends
+    # enter as the escrowed spot S0 − PV(divs ≤ T) (market/dividends.py),
+    # so exp(mean + std²/2)·df(T) == forward_spot(market, T) always holds
+    spot = market.spot
+    if getattr(market, "dividends", None) is not None:
+        from ..market.dividends import escrowed_spot
+
+        spot = escrowed_spot(market, T)
+    mean = jnp.log(spot) + (r - carry_yield(market) - 0.5 * sigma**2) * T
     std = sigma * jnp.sqrt(T)
     return mean, std
 
