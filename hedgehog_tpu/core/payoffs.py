@@ -645,7 +645,11 @@ class Autocallable:
     Brownian-bridge crossing probabilities on the MC grid (exact for GBM
     grids; the Heston conditional grid uses its integrated variance) — the
     knock-in leg is then smooth, so it contributes pathwise AD greeks.
-    The autocall indicators themselves are genuinely discrete events.
+    The default ``"auto"`` resolves per grid: continuous where the
+    (dynamics, strategy) combo carries bridge factors (GBM Euler, Heston
+    conditional QE, rough Bergomi), observation dates on every other grid
+    (local vol, SLV, Merton, …).  The autocall indicators themselves are
+    genuinely discrete events.
 
     MC pricing needs ``config.steps`` to be a multiple of ``periods`` so
     every observation date is a grid point.  No closed form exists in
@@ -659,16 +663,16 @@ class Autocallable:
     knock_in_barrier: Any = 0.7
     coupon_barrier: Any = None
     notional: Any = 1.0
-    ki_monitoring: str = static_field(default="continuous")
+    ki_monitoring: str = static_field(default="auto")
     exercise_style: ExerciseStyle = static_field(default=European())
     underlying: Underlying = static_field(default=Spot())
 
     def __post_init__(self):
         object.__setattr__(self, "expiry", to_ticks(self.expiry))
-        if self.ki_monitoring not in ("continuous", "observations"):
+        if self.ki_monitoring not in ("auto", "continuous", "observations"):
             raise ValueError(
-                f"ki_monitoring must be 'continuous' or 'observations', "
-                f"got {self.ki_monitoring!r}"
+                f"ki_monitoring must be 'auto', 'continuous' or "
+                f"'observations', got {self.ki_monitoring!r}"
             )
 
 

@@ -95,10 +95,19 @@ def get_dividends(market):
 
 def dividend_yearfracs(market):
     """Ex-date year fractions (n,) from the market's reference date under
-    its day-count convention."""
+    its day-count convention.  Linear conventions vectorize over the tick
+    array; calendar ones (30E/360, ACT/ACT) evaluate per ex-date at the
+    concrete-date boundary — ``DividendSchedule.times`` is always a
+    concrete numpy array, so this works under tracing too."""
+    from ..core.dates import _LinearDayCount
+
     divs = get_dividends(market)
-    return yearfrac(
-        market.reference_date, divs.times, getattr(market, "daycount", None)
+    dc = getattr(market, "daycount", None)
+    if dc is None or isinstance(dc, _LinearDayCount):
+        return yearfrac(market.reference_date, divs.times, dc)
+    ref = market.reference_date
+    return jnp.asarray(
+        [yearfrac(ref, int(t), dc) for t in np.asarray(divs.times)]
     )
 
 
@@ -116,8 +125,23 @@ def dividend_pv(market, T):
 
 def escrowed_spot(market, T):
     """The escrowed-model stochastic spot S₀ − PV(divs ≤ T) (what every
-    terminal-law engine prices GBM on)."""
-    return market.spot - dividend_pv(market, T)
+    terminal-law engine prices GBM on).  A non-positive escrowed spot has
+    no lognormal model behind it — eager (concrete) inputs raise a clear
+    error instead of letting log(S*) turn every price into silent NaN;
+    traced inputs cannot raise and propagate NaN as all JAX guards do."""
+    esc = market.spot - dividend_pv(market, T)
+    try:
+        val = float(esc)
+    except Exception:  # traced — leave the check to the caller's values
+        return esc
+    if val <= 0.0:
+        raise ValueError(
+            f"escrowed spot {val:.6g} <= 0: the PV of the dividend schedule "
+            f"exceeds the spot, so the escrowed lognormal model is undefined "
+            f"for this expiry — trim the schedule or price on the spot-model "
+            f"grid engines (PDEMethod / grid Monte Carlo)"
+        )
+    return esc
 
 
 def remaining_dividend_pv(market, t_eval, T):

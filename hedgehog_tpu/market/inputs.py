@@ -93,9 +93,11 @@ def forward_spot(market, T):
 
     spot = market.spot
     if getattr(market, "dividends", None) is not None:
-        from .dividends import dividend_pv
+        from .dividends import escrowed_spot
 
-        spot = spot - dividend_pv(market, T)
+        # escrowed_spot raises eagerly when PV(schedule) >= spot (no
+        # lognormal model exists behind a non-positive escrowed spot)
+        spot = escrowed_spot(market, T)
     return spot * jnp.exp(-carry_yield(market) * T)
 
 

@@ -327,6 +327,28 @@ def _qmc_normals(key, steps: int, comps: int, paths: int, skip=0):
     return jnp.moveaxis(z.reshape(paths, steps, comps), 0, -1)
 
 
+def _two_factor_grid_normals(config: "SimulationConfig", key, dt, point_offset):
+    """(g, steps, 2, paths) standard normals driving a two-factor Euler
+    grid: plain PRNG draws, or — under QMC — Brownian-bridge-ordered Sobol'
+    normals (BOTH driving Brownians bridged; Sobol' dims interleave as
+    (W1_level, W2_level) per construction step).  Antithetic = the (Z, −Z)
+    group stack.  Shared by the Heston and SLV steppers so the QMC/VR
+    conventions cannot drift apart."""
+    steps = config.steps
+    anti = isinstance(config.variance_reduction, Antithetic)
+    if config.qmc:
+        from ..math.brownian_bridge import brownian_bridge_increments
+
+        zq = _qmc_normals(key, steps, 2, config.trajectories, skip=point_offset)
+        dw = jax.vmap(
+            lambda zf: brownian_bridge_increments(zf.T, dt, steps).T,
+            in_axes=1, out_axes=1,
+        )(zq)
+        zb = dw / jnp.sqrt(dt)
+        return jnp.stack([zb, -zb]) if anti else zb[None]
+    return _normals(key, (steps, 2, config.trajectories), anti)
+
+
 def _qmc_normals_and_uniforms(key, steps: int, n_normal: int, paths: int, skip=0):
     """Normals (steps, n_normal, paths) plus one uniform stream (steps, paths)
     from a single Sobol' grid — the QE draw layout."""
@@ -926,8 +948,6 @@ def _slv_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
     the Heston stepper with L ≡ σ/√·).  Requires a calibrated market
     (``market.leverage`` set by calibrate_leverage).  Terminal
     (n_groups, paths) or grid (n_groups, steps+1, paths)."""
-    from ..models.slv import leverage_at
-
     market = prob.market_inputs
     if market.leverage is None:
         raise ValueError(
@@ -938,51 +958,14 @@ def _slv_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
     T = market_yearfrac(market, prob.payoff.expiry)
     steps = config.steps
     dt = T / steps
-    sqrt_dt = jnp.sqrt(dt)
-    anti = isinstance(config.variance_reduction, Antithetic)
-    if config.qmc:
-        from ..math.brownian_bridge import brownian_bridge_increments
-
-        zq = _qmc_normals(key, steps, 2, config.trajectories, skip=point_offset)
-        dw = jax.vmap(
-            lambda zf: brownian_bridge_increments(zf.T, dt, steps).T, in_axes=1, out_axes=1
-        )(zq)
-        zb = dw / sqrt_dt
-        z = jnp.stack([zb, -zb]) if anti else zb[None]
-    else:
-        z = _normals(key, (steps, 2, config.trajectories), anti)
-    n_groups = z.shape[0]
-    kappa, theta, rho = market.kappa, market.theta, market.rho
-    sig_v = market.mixing * market.sigma
-    rho_bar = jnp.sqrt(1.0 - rho**2)
     q = carry_yield(market)
-    t_left = jnp.arange(steps) * dt
     d_grid = df_yf(market.rate, jnp.arange(steps + 1) * dt)
     fwd = jnp.log(d_grid[:-1] / d_grid[1:]) / dt - q
-    lev = market.leverage
-
-    x0 = jnp.full((n_groups, config.trajectories), jnp.log(market.spot))
-    v0 = jnp.full((n_groups, config.trajectories), market.V0)
-
-    def step(carry, inp):
-        x, v = carry
-        zk, tk, fk = inp
-        z1, z2 = zk[:, 0, :], zk[:, 1, :]
-        v_plus = jnp.maximum(v, 0.0)
-        sqrt_v = jnp.where(v > 0.0, jnp.sqrt(jnp.where(v > 0.0, v, 1.0)), 0.0)
-        sig_s = leverage_at(lev, tk, x) * sqrt_v
-        x_new = x + (fk - 0.5 * sig_s**2) * dt + sig_s * sqrt_dt * z1
-        v_new = v + kappa * (theta - v_plus) * dt + sig_v * sqrt_v * sqrt_dt * (
-            rho * z1 + rho_bar * z2
-        )
-        return (x_new, v_new), (x_new if return_grid else None)
-
-    zs = (jnp.moveaxis(z, 1, 0), t_left, fwd)
-    (x_final, _), xs = jax.lax.scan(jax.checkpoint(step), (x0, v0), zs)
-    if return_grid:
-        grid = jnp.concatenate([x0[None], xs], axis=0)
-        return jnp.exp(jnp.moveaxis(grid, 0, 1))
-    return jnp.exp(x_final)
+    return _cir_log_euler_paths(
+        prob, config, key, return_grid=return_grid, point_offset=point_offset,
+        sig_v=market.mixing * market.sigma, fwd_steps=fwd,
+        leverage=market.leverage,
+    )
 
 
 def _merton_poisson_trips(rate, cap: int = 64, default: int = 64) -> int:
@@ -1219,52 +1202,60 @@ def _gbm_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
     return jnp.exp(x_final)
 
 
-def _heston_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
-    """Full-truncation log-Euler Heston paths (heston.jl:7-31 semantics):
+def _cir_log_euler_paths(prob, config, key, *, return_grid: bool,
+                         point_offset, sig_v, fwd_steps, leverage=None):
+    """Shared full-truncation log-Euler stepper for the CIR-variance
+    family (Heston and SLV — SLV is Heston with a leverage multiplier on
+    the spot vol and a mixing-scaled vol-of-vol):
 
-      logS += (r − V⁺/2)dt + √(V⁺ dt)·Z₁
-      V    += κ(θ − V⁺)dt + σ√(V⁺ dt)·(ρZ₁ + √(1−ρ²)Z₂),  V⁺ = max(V, 0)
-    """
-    market, T, r0 = _sim_params(prob)
-    kappa, theta, sigma, rho, V0 = market.kappa, market.theta, market.sigma, market.rho, market.V0
+      logS += (f_k − Λ²V⁺/2)dt + Λ·√(V⁺ dt)·Z₁
+      V    += κ(θ − V⁺)dt + σᵥ√(V⁺ dt)·(ρZ₁ + √(1−ρ²)Z₂),  V⁺ = max(V, 0)
+
+    with Λ = 1 (Heston) or L(t_k, S) (SLV), per-step drifts ``fwd_steps``
+    (steps,) and vol-of-vol ``sig_v``.  Terminal (g, paths) or grid
+    (g, steps+1, paths) PRICE-space samples."""
+    if leverage is not None:
+        from ..models.dynamics import cir_family_euler_update
+        from ..models.slv import leverage_at
+
+    market = prob.market_inputs
+    T = market_yearfrac(market, prob.payoff.expiry)
     steps = config.steps
     dt = T / steps
     sqrt_dt = jnp.sqrt(dt)
-    anti = isinstance(config.variance_reduction, Antithetic)
-    if config.qmc:
-        # bridge-order BOTH driving Brownians; dims interleave as
-        # (W1_bridge_level, W2_bridge_level) per construction step
-        from ..math.brownian_bridge import brownian_bridge_increments
-
-        zq = _qmc_normals(key, steps, 2, config.trajectories, skip=point_offset)
-        # zq: (steps, 2, paths) in Sobol'-dimension order → bridge each factor
-        dw = jax.vmap(
-            lambda zf: brownian_bridge_increments(zf.T, dt, steps).T, in_axes=1, out_axes=1
-        )(zq)
-        zb = dw / jnp.sqrt(dt)
-        z = jnp.stack([zb, -zb]) if anti else zb[None]
-    else:
-        z = _normals(key, (steps, 2, config.trajectories), anti)  # (g, steps, 2, paths)
+    z = _two_factor_grid_normals(config, key, dt, point_offset)
     n_groups = z.shape[0]
+    kappa, theta, rho = market.kappa, market.theta, market.rho
     rho_bar = jnp.sqrt(1.0 - rho**2)
+    t_left = jnp.arange(steps) * dt
 
     x0 = jnp.full((n_groups, config.trajectories), jnp.log(market.spot))
-    v0 = jnp.full((n_groups, config.trajectories), V0)
+    v0 = jnp.full((n_groups, config.trajectories), market.V0)
 
-    def step(carry, zk):
+    def step(carry, inp):
         x, v = carry
+        zk, tk, fk = inp
         z1, z2 = zk[:, 0, :], zk[:, 1, :]
-        v_plus = jnp.maximum(v, 0.0)
-        # Double-where: sqrt'(0)=inf would poison gradients of the truncated
-        # branch (0·inf = NaN) — pathwise Heston vega/kappa greeks need this.
-        sqrt_v = jnp.where(v > 0.0, jnp.sqrt(jnp.where(v > 0.0, v, 1.0)), 0.0)
-        x_new = x + (r0 - 0.5 * v_plus) * dt + sqrt_v * sqrt_dt * z1
-        v_new = v + kappa * (theta - v_plus) * dt + sigma * sqrt_v * sqrt_dt * (
-            rho * z1 + rho_bar * z2
-        )
+        if leverage is None:
+            # inline Heston form: drift uses V⁺ directly (not √V⁺²), which
+            # keeps the primal bit-identical to the pre-unification stepper
+            v_plus = jnp.maximum(v, 0.0)
+            # Double-where: sqrt'(0)=inf would poison gradients of the
+            # truncated branch (0·inf = NaN) — pathwise vega needs this.
+            sqrt_v = jnp.where(v > 0.0, jnp.sqrt(jnp.where(v > 0.0, v, 1.0)), 0.0)
+            x_new = x + (fk - 0.5 * v_plus) * dt + sqrt_v * sqrt_dt * z1
+            v_new = v + kappa * (theta - v_plus) * dt + sig_v * sqrt_v * sqrt_dt * (
+                rho * z1 + rho_bar * z2
+            )
+        else:
+            x_new, v_new = cir_family_euler_update(
+                x, v, z1, z2, lev_x=leverage_at(leverage, tk, x), fk=fk,
+                kappa=kappa, theta=theta, sig_v=sig_v, rho=rho,
+                rho_bar=rho_bar, dt=dt, sqrt_dt=sqrt_dt,
+            )
         return (x_new, v_new), (x_new if return_grid else None)
 
-    zs = jnp.moveaxis(z, 1, 0)  # (steps, g, 2, paths)
+    zs = (jnp.moveaxis(z, 1, 0), t_left, fwd_steps)
     # remat the step: storing only the (logS, V) carries instead of every
     # intermediate more than halves the reverse-AD cost of pathwise greeks
     # (identity for primal-only use)
@@ -1273,6 +1264,18 @@ def _heston_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0)
         grid = jnp.concatenate([x0[None], xs], axis=0)
         return jnp.exp(jnp.moveaxis(grid, 1, 0))
     return jnp.exp(x_final)
+
+
+def _heston_euler_paths(prob, config, key, *, return_grid: bool, point_offset=0):
+    """Full-truncation log-Euler Heston paths (heston.jl:7-31 semantics):
+    the shared CIR-family stepper with identity leverage and the
+    reference's flat drift r0."""
+    market, T, r0 = _sim_params(prob)
+    fwd = jnp.broadcast_to(r0, (config.steps,))
+    return _cir_log_euler_paths(
+        prob, config, key, return_grid=return_grid, point_offset=point_offset,
+        sig_v=market.sigma, fwd_steps=fwd,
+    )
 
 
 def _heston_qe_paths(prob, config, key, strat: "HestonQE", *, return_grid: bool, point_offset=0):
@@ -1621,6 +1624,19 @@ def double_bridge_survival_factors(log_grid, seg_vars, log_lower, log_upper,
         p = p + jnp.exp(-2.0 * nc * (nc + bt_s - at_s) / var)
         p = p - jnp.exp(-2.0 * (nc + at_s) * (nc + bt_s) / var)
     return jnp.where(inside, jnp.clip(p, 0.0, 1.0), 0.0)
+
+
+def _supports_bridge_grid(method: MonteCarlo) -> bool:
+    """True when ``_bridge_log_grid`` accepts this (dynamics, strategy)
+    combo — the resolution rule behind ``ki_monitoring='auto'``."""
+    dyn, strat = method.dynamics, method.strategy
+    if isinstance(dyn, LognormalDynamics) and isinstance(strat, EulerMaruyama):
+        return not strat.use_kernel
+    if isinstance(dyn, HestonDynamics) and isinstance(strat, HestonQE):
+        return strat.conditional and not strat.use_kernel
+    if isinstance(dyn, RoughBergomiDynamics) and isinstance(strat, EulerMaruyama):
+        return True
+    return False
 
 
 def _bridge_log_grid(prob: PricingProblem, method: MonteCarlo, what: str):
@@ -1994,7 +2010,9 @@ def _solve_autocall_mc(prob: PricingProblem, method: MonteCarlo):
     per-segment Brownian-bridge down-crossing probabilities (exact for GBM
     grids; integrated variance on the Heston conditional bridge), making
     the knock-in leg smooth; ``'observations'`` checks the n observation
-    dates only (the bivariate-normal oracle convention)."""
+    dates only (the bivariate-normal oracle convention); the default
+    ``'auto'`` resolves to continuous where the grid carries bridge
+    factors and observations everywhere else."""
     payoff = prob.payoff
     require_european(payoff, "MonteCarlo", spot_only=True)
     market = prob.market_inputs
@@ -2010,7 +2028,15 @@ def _solve_autocall_mc(prob: PricingProblem, method: MonteCarlo):
     T = market_yearfrac(market, payoff.expiry)
     s0 = market.spot
 
-    if payoff.ki_monitoring == "continuous":
+    monitoring = payoff.ki_monitoring
+    if monitoring == "auto":
+        # continuous bridge KI where the grid carries bridge factors
+        # (GBM Euler, conditional Heston, rough Bergomi); observation-date
+        # KI on every other grid (local vol, SLV, Merton, kernels, ...)
+        monitoring = (
+            "continuous" if _supports_bridge_grid(method) else "observations"
+        )
+    if monitoring == "continuous":
         spot_grid, seg_vars, _ = _bridge_log_grid(prob, method, "autocallable")
         factors = brownian_bridge_survival_factors(
             jnp.log(spot_grid), seg_vars,

@@ -296,8 +296,13 @@ def _pde_backward(market, method: PDEMethod, payoff, expiry, s_grid, v_T,
         # with the grid-MC sampler, so both engines discretize the same
         # piecewise-lognormal model)
         div_steps = dividend_step_amounts(market, T, M)
+        # pre-drop exercise at the ex-date t_{i+1}: gate slot i by the
+        # NEXT time's exercise right (ex_mask[i] gates t_i; the terminal
+        # payoff covers an ex-date landing exactly at expiry)
+        ex_mask_end = jnp.concatenate([ex_mask[1:], jnp.zeros((1,), bool)])
     else:
         div_steps = None
+        ex_mask_end = None
 
     def step(v, xs):
         i, r_k, sig_k, th = xs
@@ -309,10 +314,12 @@ def _pde_backward(market, method: PDEMethod, payoff, expiry, s_grid, v_T,
             d_i = div_steps[i]
             v_shift = jnp.interp(s_grid - d_i, s_grid, v)
             v = jnp.where(d_i > 0.0, v_shift, v)
-            if is_american:
+            if can_exercise:
                 # the holder may exercise the instant BEFORE the drop —
-                # the classic just-before-ex-div call exercise
-                v = jnp.where(d_i > 0.0, jnp.maximum(v, intrinsic), v)
+                # the classic just-before-ex-div call exercise; Bermudans
+                # get it only when the ex-date t_{i+1} is an exercise date
+                gate = True if is_american else ex_mask_end[i]
+                v = jnp.where((d_i > 0.0) & gate, jnp.maximum(v, intrinsic), v)
             if has_dirichlet:
                 v = v.at[d_side].set(d_vals[i + 1])
         lower, main, upper = _build_operator(s_grid, sig_k, r_k, q)

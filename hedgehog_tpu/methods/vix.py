@@ -1,12 +1,19 @@
 """VIX futures and options under Heston — beyond-reference asset class
 (volatility derivatives; the reference prices equity vanillas only).
 
-Under Heston (or Bates — jumps live in S, so the variance dynamics and
-hence VIX are identical), the 30-day forward variance at T is AFFINE in
-the instantaneous variance:
+Under Heston, the 30-day forward variance at T is AFFINE in the
+instantaneous variance:
 
-    VIX_T² = (1/τ)·E[∫_T^{T+τ} V_s ds | V_T] = a·V_T + b,
+    VIX_T² = (2/τ)·E[−log(S_{T+τ}/F) | F_T] = a·V_T + b,
     a = (1 − e^{−κτ})/(κτ),   b = θ·(1 − a),
+
+Under Bates the variance dynamics are unchanged but the CBOE VIX is the
+LOG-CONTRACT strip, so the S-jumps add a constant to VIX²:
+
+    b += 2λ·E[e^J − 1 − J] = 2λ·(e^{μ_J+σ_J²/2} − 1 − μ_J)
+
+(the standard jump convexity term; it preserves the affine form, so the
+same survival quadrature applies).
 
 and V_T | V₀ is a scaled noncentral χ²: V_T = c̄·χ'²(d, λ) with
 c̄ = σ²(1−e^{−κT})/(4κ), d = 4κθ/σ², λ = V₀e^{−κT}/c̄.  Every VIX payoff
@@ -111,10 +118,15 @@ class VIXAnalytic(AbstractPricingMethod):
 
 
 def vix_params(market, T, tau):
-    """(a, b, c̄, d, λ) of the affine VIX² map and the V_T transition law."""
+    """(a, b, c̄, d, λ) of the affine VIX² map and the V_T transition law.
+    Bates markets fold the jump convexity 2λ(e^{μ+σ²/2} − 1 − μ) into b."""
     kappa, theta, sigma, v0 = market.kappa, market.theta, market.sigma, market.V0
     a = -jnp.expm1(-kappa * tau) / (kappa * tau)
     b = theta * (1.0 - a)
+    lam_j = getattr(market, "jump_intensity", None)
+    if lam_j is not None:
+        kbar = jnp.expm1(market.jump_mean + 0.5 * market.jump_std**2)
+        b = b + 2.0 * lam_j * (kbar - market.jump_mean)
     ekt = jnp.exp(-kappa * T)
     c_bar = sigma**2 * -jnp.expm1(-kappa * T) / (4.0 * kappa)
     d = 4.0 * kappa * theta / sigma**2
@@ -188,10 +200,18 @@ def vix_future_price(market, T, tau=_TAU_30D, scale=100.0, *,
 
 def vix_option_price(market, T, strike, cp=1.0, tau=_TAU_30D, scale=100.0, *,
                      nodes=128, width=30.0, terms=2048):
-    """Undiscounted E[(cp·(VIX_T − K))⁺]; puts by parity."""
+    """Undiscounted E[(cp·(VIX_T − K))⁺]; puts by parity.  A concrete
+    ``cp`` (the solver path — Call/Put are static markers) skips the
+    futures quadrature entirely for calls."""
     call = scale * _expected_vix_excess(
         market, T, tau, strike / scale, nodes, width, terms
     )
+    if isinstance(cp, (bool, int, float)):
+        if cp > 0:
+            return call
+        fut = vix_future_price(market, T, tau, scale, nodes=nodes,
+                               width=width, terms=terms)
+        return call + strike - fut
     fut = vix_future_price(market, T, tau, scale, nodes=nodes, width=width,
                            terms=terms)
     return jnp.where(cp > 0, call, call + strike - fut)
@@ -204,12 +224,18 @@ def _solve_vix(prob: PricingProblem, method: VIXAnalytic) -> AnalyticSolution:
     discounted at the market curve."""
     payoff = prob.payoff
     market = prob.market_inputs
-    for field in ("kappa", "theta", "sigma", "V0"):
-        if not hasattr(market, field):
-            raise TypeError(
-                f"VIXAnalytic needs a CIR variance block (HestonInputs/"
-                f"BatesInputs); {type(market).__name__} has no '{field}'"
-            )
+    from ..market.inputs import BatesInputs, HestonInputs
+
+    # an explicit whitelist, not duck-typing: SLVInputs also carries a
+    # (kappa, theta, sigma, V0) block but its variance has vol-of-vol
+    # mixing·σ and its VIX is E[L²V], not affine in V — silently pricing
+    # it as pure Heston would be materially wrong
+    if not isinstance(market, (HestonInputs, BatesInputs)):
+        raise TypeError(
+            f"VIXAnalytic needs a CIR variance block with pure Heston/Bates "
+            f"dynamics (HestonInputs/BatesInputs); got "
+            f"{type(market).__name__}"
+        )
     T = market_yearfrac(market, payoff.expiry)
     if isinstance(payoff, VIXFuture):
         price = vix_future_price(

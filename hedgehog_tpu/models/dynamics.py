@@ -554,3 +554,23 @@ def terminal_log_cf(prob, dynamics: PriceDynamics):
         params = vg_terminal_params(market, expiry)
         return lambda u: vg_cf(u, *params)
     raise TypeError(f"no terminal law for dynamics {type(dynamics).__name__}")
+
+
+def cir_family_euler_update(x, v, z1, z2, *, lev_x, fk, kappa, theta, sig_v,
+                            rho, rho_bar, dt, sqrt_dt):
+    """One full-truncation log-Euler step of the CIR-variance family —
+    the SINGLE source for the (logS, V) update shared by the SLV pricing
+    stepper (methods/montecarlo.py::_cir_log_euler_paths) and the particle
+    leverage calibration (models/slv.py::calibrate_leverage), so the model
+    the calibration fits and the model pricing simulates cannot drift
+    apart.  ``lev_x`` is the per-particle leverage L(t_k, S) (1 for pure
+    Heston).  The double-where sqrt guard keeps pathwise greeks NaN-free
+    (sqrt'(0) = inf would poison the truncated branch via 0·inf)."""
+    v_plus = jnp.maximum(v, 0.0)
+    sqrt_v = jnp.where(v > 0.0, jnp.sqrt(jnp.where(v > 0.0, v, 1.0)), 0.0)
+    sig_s = lev_x * sqrt_v
+    x_new = x + (fk - 0.5 * sig_s**2) * dt + sig_s * sqrt_dt * z1
+    v_new = v + kappa * (theta - v_plus) * dt + sig_v * sqrt_v * sqrt_dt * (
+        rho * z1 + rho_bar * z2
+    )
+    return x_new, v_new

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from ..market.inputs import BlackScholesInputs, carry_yield, market_yearfrac
 from ..market.rate_curve import df_yf
+from .dynamics import cir_family_euler_update
 from ..utils.pytree import pytree, static_field
 
 __all__ = ["LeverageSurface", "leverage_at", "calibrate_leverage"]
@@ -171,14 +172,13 @@ def calibrate_leverage(
         l_row = jnp.clip(
             sig_loc_row / jnp.sqrt(jnp.maximum(ev, _EV_FLOOR)), 0.0, _L_MAX
         )
-        # advance the cloud under the just-fixed leverage row
-        lev_x = jnp.interp(x, x_grid, l_row)
-        sqrt_v = jnp.where(v > 0.0, jnp.sqrt(jnp.where(v > 0.0, v, 1.0)), 0.0)
-        sig_s = lev_x * sqrt_v
-        z1, z2 = zk[0], zk[1]
-        x_new = x + (fk - 0.5 * sig_s**2) * dt + sig_s * sqrt_dt * z1
-        v_new = v + kappa * (theta - v_plus) * dt + sig_v * sqrt_v * sqrt_dt * (
-            rho * z1 + rho_bar * z2
+        # advance the cloud under the just-fixed leverage row — the SAME
+        # update the pricing stepper uses (models/dynamics.py), so the
+        # calibrated and simulated models cannot drift apart
+        x_new, v_new = cir_family_euler_update(
+            x, v, zk[0], zk[1], lev_x=jnp.interp(x, x_grid, l_row), fk=fk,
+            kappa=kappa, theta=theta, sig_v=sig_v, rho=rho, rho_bar=rho_bar,
+            dt=dt, sqrt_dt=sqrt_dt,
         )
         return (x_new, v_new, jnp.zeros_like(first)), l_row
 

@@ -187,3 +187,28 @@ def test_continuous_ki_vega_is_negative():
 
     v = float(jax.grad(price_of_vol)(0.2))
     assert v < 0.0
+
+
+def test_auto_monitoring_resolves_per_grid():
+    """The default ki_monitoring='auto' picks the continuous bridge where
+    the grid carries bridge factors (GBM Euler) and observation dates on
+    grids that don't (Merton) — the documented 'any MC grid' contract
+    works out of the box on every dynamics."""
+    po_auto = hh.Autocallable(EXPIRY, periods=4, knock_in_barrier=0.8)
+    po_cont = hh.Autocallable(EXPIRY, periods=4, knock_in_barrier=0.8,
+                              ki_monitoring="continuous")
+    po_obs = hh.Autocallable(EXPIRY, periods=4, knock_in_barrier=0.8,
+                             ki_monitoring="observations")
+    m = _mc()
+    pa = float(hh.solve(hh.PricingProblem(po_auto, _bs_market()), m).price)
+    pc = float(hh.solve(hh.PricingProblem(po_cont, _bs_market()), m).price)
+    assert pa == pc  # bridge grid -> continuous
+    mm = hh.MertonInputs(REF, R, S0, SIG, 0.3, -0.1, 0.15)
+    m_j = hh.MonteCarlo(
+        hh.MertonJumpDynamics(), hh.EulerMaruyama(),
+        hh.SimulationConfig(trajectories=2**14, steps=48,
+                            variance_reduction=hh.Antithetic(), seed=3),
+    )
+    pja = float(hh.solve(hh.PricingProblem(po_auto, mm), m_j).price)
+    pjo = float(hh.solve(hh.PricingProblem(po_obs, mm), m_j).price)
+    assert pja == pjo  # no bridge factors -> observation dates

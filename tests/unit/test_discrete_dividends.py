@@ -229,3 +229,42 @@ def test_degenerate_and_guards():
                           _cfg(1 << 10)))
     with pytest.raises(ValueError, match="matching"):
         hh.DividendSchedule(EX_DATES, [1.0])
+
+
+def test_bermudan_pde_exercises_on_ex_date():
+    """A Bermudan whose single exercise date IS the ex-date must see the
+    cum-dividend (pre-drop) value — it captures (most of) the American
+    call's just-before-ex-div premium instead of only the post-drop slice."""
+    ex = dt.date(2024, 7, 1)
+    divs = hh.DividendSchedule([ex], [6.0])
+    mkt = hh.BlackScholesInputs(REF, 0.05, 100.0, 0.25, dividends=divs)
+    pde = hh.PDEMethod(space_steps=300, time_steps=120)
+    eu = float(hh.solve(hh.PricingProblem(_vo(), mkt), pde).price)
+    am = float(hh.solve(hh.PricingProblem(_vo(style=hh.American()), mkt),
+                        pde).price)
+    bm = float(hh.solve(
+        hh.PricingProblem(_vo(style=hh.Bermudan([ex])), mkt), pde).price)
+    assert eu <= bm + 1e-12 and bm <= am + 1e-12
+    assert bm > eu + 0.05  # the premium exists on the single ex-date right
+    # one ex-date means the American only ever exercises just before the
+    # drop, so the single-date Bermudan recovers (almost) all of it
+    assert bm == pytest.approx(am, rel=2e-2)
+
+
+def test_calendar_daycount_with_schedule():
+    """Calendar conventions (30E/360) price eagerly with a schedule — the
+    ex-date year fractions evaluate per date at the concrete boundary."""
+    mkt360 = _mkt(_schedule(), daycount=hh.Thirty360E())
+    p360 = float(hh.solve(hh.PricingProblem(_vo(), mkt360),
+                          hh.BlackScholesAnalytic()).price)
+    p365 = float(hh.solve(hh.PricingProblem(_vo(), _mkt(_schedule())),
+                          hh.BlackScholesAnalytic()).price)
+    assert p360 == pytest.approx(p365, rel=2e-2)  # basis gap only
+
+
+def test_escrowed_spot_exceeding_schedule_raises():
+    """PV(schedule) >= spot has no lognormal escrowed model — eager
+    pricing raises a clear error instead of silent NaN."""
+    big = hh.DividendSchedule(EX_DATES, [60.0, 60.0])
+    with pytest.raises(ValueError, match="escrowed spot"):
+        hh.solve(hh.PricingProblem(_vo(), _mkt(big)), hh.BlackScholesAnalytic())

@@ -114,14 +114,36 @@ def test_ad_greeks_full_heston_vector():
         np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-4)
 
 
-def test_bates_market_same_vix():
-    """Jumps live in S only — Bates VIX equals Heston VIX for the same
-    variance block."""
+def test_bates_vix_carries_the_jump_convexity():
+    """The CBOE VIX is the log-contract strip, so S-jumps ADD
+    2λ(e^{μ+σ²/2} − 1 − μ) to VIX² — Bates VIX exceeds the Heston VIX of
+    the same variance block by exactly that b-shift (λ → 0 recovers it)."""
+    lam_j, mu_j, sig_j = 0.3, -0.1, 0.15
     mh = _market()
-    mb = hh.BatesInputs(REF, R, 100.0, 0.04, 2.0, 0.05, 0.6, -0.7, 0.3, -0.1, 0.15)
+    mb = hh.BatesInputs(REF, R, 100.0, 0.04, 2.0, 0.05, 0.6, -0.7, lam_j, mu_j, sig_j)
+    T = float(hh.yearfrac(REF, EXPIRY))
+    _, bh, *_ = vix_params(mh, T, 30.0 / 365.0)
+    _, bb, *_ = vix_params(mb, T, 30.0 / 365.0)
+    jump = 2.0 * lam_j * (np.exp(mu_j + 0.5 * sig_j**2) - 1.0 - mu_j)
+    np.testing.assert_allclose(float(bb) - float(bh), jump, rtol=1e-12)
     fh = hh.solve(hh.PricingProblem(hh.VIXFuture(EXPIRY), mh), hh.VIXAnalytic()).price
     fb = hh.solve(hh.PricingProblem(hh.VIXFuture(EXPIRY), mb), hh.VIXAnalytic()).price
-    assert float(fh) == float(fb)
+    assert float(fb) > float(fh)
+    # quadrature vs exact-transition MC under the jump-shifted affine map
+    vix_b, _ = _mc_vix(mb)
+    np.testing.assert_allclose(float(fb), float(jnp.mean(vix_b)), rtol=1e-3)
+    mb0 = hh.BatesInputs(REF, R, 100.0, 0.04, 2.0, 0.05, 0.6, -0.7, 0.0, mu_j, sig_j)
+    fb0 = hh.solve(hh.PricingProblem(hh.VIXFuture(EXPIRY), mb0), hh.VIXAnalytic()).price
+    np.testing.assert_allclose(float(fb0), float(fh), rtol=1e-12)
+
+
+def test_slv_market_rejected():
+    """SLVInputs carries a (κ, θ, σ, V0) block too, but its VIX is
+    E[L²V] with mixing-scaled vol-of-vol — duck-typing must not price it
+    as pure Heston."""
+    m = hh.SLVInputs(REF, R, 100.0, 0.04, 2.0, 0.05, 0.6, -0.7, 0.2)
+    with pytest.raises(TypeError, match="pure Heston/Bates"):
+        hh.solve(hh.PricingProblem(hh.VIXFuture(EXPIRY), m), hh.VIXAnalytic())
 
 
 def test_wrong_market_and_payoff_raise():
