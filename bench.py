@@ -293,11 +293,17 @@ def main() -> None:
     mc_price = float(jnp.mean(jnp.stack(prices)))
     err_bp = abs(mc_price - cm_price) / cm_price * 1e4
 
+    # Emit the headline JSON line IMMEDIATELY — everything below is a
+    # stderr-only diagnostic, and a stalled tunnel compile inside one of the
+    # secondary blocks must never cost the driver its one contract line
+    # (observed: a congested axon tunnel turned 20-s compiles into minutes
+    # and the run timed out with the headline still unprinted).
+    _emit_headline(scheme, steps_used, n_pairs, elapsed, mc_price, cm_price,
+                   err_bp, paths_per_sec)
+
     # ---- secondary serving metric (stderr only): batched price+greeks ----
     if not budget_left():
         sys.stderr.write("# secondary metrics skipped (slow compiles; headline only)\n")
-        _emit_headline(scheme, steps_used, n_pairs, elapsed, mc_price, cm_price,
-                       err_bp, paths_per_sec)
         return
 
     # ---- kernel-scale greek vector (stderr): the fused price+greeks Pallas
@@ -504,9 +510,6 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             sys.stderr.write(f"# rough-Bergomi kernel skipped ({type(e).__name__})\n")
 
-    _emit_headline(scheme, steps_used, n_pairs, elapsed, mc_price, cm_price,
-                   err_bp, paths_per_sec)
-
 
 def _emit_headline(scheme, steps_used, n_pairs, elapsed, mc_price, cm_price,
                    err_bp, paths_per_sec):
@@ -523,8 +526,10 @@ def _emit_headline(scheme, steps_used, n_pairs, elapsed, mc_price, cm_price,
                 "unit": "paths/s",
                 "vs_baseline": paths_per_sec / BASELINE_PATHS_PER_SEC,
             }
-        )
+        ),
+        flush=True,
     )
+    sys.stderr.flush()
 
 
 if __name__ == "__main__":
