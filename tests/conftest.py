@@ -24,8 +24,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # ---- fast/slow test tiers -------------------------------------------------
-# ``pytest -m "not slow"`` is the bounded smoke tier (target <120 s on this
-# host); the full suite is unchanged.  The slow set is maintained as an
+# ``pytest -m "not slow"`` is the bounded smoke tier (target: a few minutes
+# even on a contended single-CPU host — wall clock here is compile-dominated,
+# so the tier is tuned by moving everything >=4 s/test to the slow list);
+# the full suite is unchanged.  The slow set is maintained as an
 # explicit list (tests/slow_tests.txt, one ``file::testname`` per line,
 # parameterizations stripped) generated from measured --durations output —
 # a collection hook marks them so individual files stay unannotated.
