@@ -82,7 +82,7 @@ vix_vega = jax.grad(
     ).price
 )(0.6)
 print(f"VIX call dPrice/dsigma_v = {float(vix_vega):+.4f} "
-      "(offsets the note's short vol-of-vol)")
+      "(hedges the book's vol-of-vol exposure)")
 
 # ---------------------------------------------------------------- 3. book
 print("\n=== American put, discrete cash dividends: two conventions ===")

@@ -43,7 +43,23 @@ _SLOW = frozenset(
 
 
 def pytest_collection_modifyitems(config, items):
+    seen = set()
+    collected_files = set()
     for item in items:
         base = item.nodeid.split("[", 1)[0]
+        collected_files.add(base.split("::", 1)[0])
+        seen.add(base)
         if base in _SLOW:
             item.add_marker(pytest.mark.slow)
+    # Stale-entry guard: a slow-list line whose FILE was collected but whose
+    # test no longer exists silently marks nothing (e.g. after a rename) —
+    # warn so the list stays in sync.  Checking per-file keeps partial runs
+    # (pytest tests/unit/test_foo.py) from flagging entries for other files.
+    for entry in sorted(_SLOW - seen):
+        if entry.split("::", 1)[0] in collected_files:
+            import warnings
+
+            warnings.warn(
+                f"tests/slow_tests.txt entry matches no collected test: {entry}",
+                stacklevel=1,
+            )
