@@ -220,7 +220,17 @@ def main() -> None:
         # the headline JSON line always lands within any sane driver timeout
         return time.perf_counter() - t_start < SECONDARY_BUDGET_S
 
-    on_tpu = jax.default_backend() == "tpu"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception as e:
+        # Accelerator runtime broken (libtpu mismatch / relay down,
+        # MULTICHIP_r03 failure mode): the headline contract line must still
+        # land — fall back to the CPU backend rather than die at the probe.
+        sys.stderr.write(
+            f"# backend probe failed ({type(e).__name__}: {e}); CPU fallback\n"
+        )
+        jax.config.update("jax_platforms", "cpu")
+        on_tpu = False
     market = hh.HestonInputs(REF, R, SPOT, *HESTON.values())
     payoff = hh.VanillaOption(STRIKE, EXPIRY, hh.European(), hh.Call(), hh.Spot())
     prob = hh.PricingProblem(payoff, market)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..calibration.calibration import CalibrationProblem, RootFinderAlgo
 from ..calibration.implied import implied_vol_bs
-from ..core.dates import to_ticks, yearfrac
+from ..core.dates import ACT365F, Act365Fixed, _LinearDayCount, to_ticks, yearfrac
 from ..core.lenses import FieldLens
 from ..core.problems import BasketPricingProblem, PricingProblem
 from ..core.solve import solve
@@ -92,15 +92,15 @@ def _forward_from_obs(und: UnderlyingObs, D):
     return und.G
 
 
-def underlying_spot(und: UnderlyingObs, r, ref, expiry):
+def underlying_spot(und: UnderlyingObs, r, ref, expiry, daycount=None):
     """Spot-equivalent S* of an observation (vol_quotes.jl:6-21)."""
-    D = df(FlatRateCurve(to_ticks(ref), r), to_ticks(expiry))
+    D = df(FlatRateCurve(to_ticks(ref), r, daycount or ACT365F), to_ticks(expiry))
     return _spot_from_obs(und, D)
 
 
-def underlying_forward(und: UnderlyingObs, r, ref, expiry):
+def underlying_forward(und: UnderlyingObs, r, ref, expiry, daycount=None):
     """Forward F of an observation (vol_quotes.jl:23-35)."""
-    D = df(FlatRateCurve(to_ticks(ref), r), to_ticks(expiry))
+    D = df(FlatRateCurve(to_ticks(ref), r, daycount or ACT365F), to_ticks(expiry))
     return _forward_from_obs(und, D)
 
 
@@ -129,6 +129,10 @@ class VolQuoteConfig:
     price_monotonicity_handling: str = "warn"  # throw | warn
     iv_monotonicity_handling: str = "warn"  # throw | warn
     normalized_input: bool = False
+    #: day-count convention for the quote's τ (discounting + IV resolution);
+    #: default ACT/365F, the reference's only convention.  Beyond-reference:
+    #: a 30E/360-quoted surface resolves IVs on the market's τ, not ACT/365's.
+    daycount: Any = ACT365F
 
     def __post_init__(self):
         checks = [
@@ -145,11 +149,21 @@ class VolQuoteConfig:
 # ---------------------------------------------------------------- conversions
 
 
-def iv_to_price(payoff, underlying_price, interest_rate, iv, reference_date, method=None):
-    """Price from IV under ``method`` (default BS analytic), vol_quotes.jl:495-507."""
+def iv_to_price(
+    payoff, underlying_price, interest_rate, iv, reference_date, method=None,
+    *, daycount=None,
+):
+    """Price from IV under ``method`` (default BS analytic), vol_quotes.jl:495-507.
+
+    ``daycount`` sets the τ convention for both discounting and the vol leg
+    (default ACT/365F); it is propagated through the market inputs so any
+    pricing method honors it via ``market_yearfrac``."""
     method = method or BlackScholesAnalytic()
-    curve = FlatRateCurve(to_ticks(reference_date), interest_rate)
-    market = BlackScholesInputs(to_ticks(reference_date), curve, underlying_price, iv)
+    dc = daycount or ACT365F
+    curve = FlatRateCurve(to_ticks(reference_date), interest_rate, dc)
+    market = BlackScholesInputs(
+        to_ticks(reference_date), curve, underlying_price, iv, daycount=dc
+    )
     return solve(PricingProblem(payoff, market), method).price
 
 
@@ -164,6 +178,7 @@ def price_to_iv(
     iv_guess: float = 0.5,
     normalized_input: bool = False,
     bracket=(0.01, 2.0),
+    daycount=None,
 ):
     """Implied vol under ``method`` via root-finding (vol_quotes.jl:520-551).
 
@@ -178,17 +193,19 @@ def price_to_iv(
     any configuration).  The BS fast path uses the reference's (1e-6, 5.0).
     """
     method = method or BlackScholesAnalytic()
+    dc = daycount or ACT365F
     ref_ticks = to_ticks(reference_date)
-    curve = FlatRateCurve(ref_ticks, interest_rate)
+    curve = FlatRateCurve(ref_ticks, interest_rate, dc)
     DF = df(curve, payoff.expiry)
     F = underlying_price / DF
     target = price * F if normalized_input else price
 
     if isinstance(method, BlackScholesAnalytic):
-        # fast path: closed-form residual, batched solver
-        T = yearfrac(ref_ticks, payoff.expiry)
+        # fast path: closed-form residual, batched solver; τ under the
+        # quote's day-count convention
+        T = yearfrac(ref_ticks, payoff.expiry, dc)
         return implied_vol_bs(target, payoff.strike, T, underlying_price, interest_rate, payoff.call_put())
-    market = BlackScholesInputs(ref_ticks, curve, underlying_price, iv_guess)
+    market = BlackScholesInputs(ref_ticks, curve, underlying_price, iv_guess, daycount=dc)
     calib = CalibrationProblem(
         BasketPricingProblem([payoff], market),
         jnp.asarray([target]),
@@ -267,11 +284,24 @@ def resolve_quotes_batch(
     if not isinstance(config.iv_model, BlackScholesAnalytic):
         raise TypeError("resolve_quotes_batch supports BlackScholesAnalytic iv_model only")
     ref_ticks = to_ticks(reference_date)
+    dc = config.daycount
     if hasattr(expiries, "__iter__") and not hasattr(expiries, "dtype"):
-        expiries = jnp.asarray([to_ticks(e) for e in expiries], jnp.float64)
+        expiry_list = list(expiries)
+        expiries = jnp.asarray([to_ticks(e) for e in expiry_list], jnp.float64)
     else:
+        expiry_list = None
         expiries = jnp.asarray(expiries, jnp.float64)
-    T = yearfrac(ref_ticks, expiries)
+    if dc is None or isinstance(dc, (Act365Fixed, _LinearDayCount)):
+        T = yearfrac(ref_ticks, expiries, dc)
+    else:
+        # calendar conventions (30E/360, ACT/ACT ISDA) are staircase functions
+        # of concrete dates — evaluate per expiry host-side, then broadcast
+        import numpy as _np
+
+        src = expiry_list if expiry_list is not None else _np.asarray(expiries).ravel().tolist()
+        T = jnp.asarray(
+            [yearfrac(ref_ticks, e, dc) for e in src], jnp.float64
+        ).reshape(jnp.shape(expiries))
     strikes = jnp.asarray(strikes, jnp.float64)
     r = jnp.asarray(interest_rate, jnp.float64)
     cp = jnp.asarray(call_put, jnp.float64)
@@ -423,6 +453,7 @@ class VolQuote:
     ask_iv: float
     reference_date: int
     iv_model: Any = BlackScholesAnalytic()
+    daycount: Any = ACT365F
 
     @classmethod
     def build(
@@ -464,7 +495,8 @@ class VolQuote:
                 _POLICIES_2,
             )
 
-        D = df(FlatRateCurve(ref_ticks, interest_rate), payoff.expiry)
+        dc = config.daycount
+        D = df(FlatRateCurve(ref_ticks, interest_rate, dc), payoff.expiry)
         S_spot = _spot_from_obs(underlying, D)
         F = _forward_from_obs(underlying, D)
 
@@ -473,11 +505,15 @@ class VolQuote:
         )
 
         def price_from_iv(iv):
-            return iv_to_price(payoff, S_spot, interest_rate, iv, ref_ticks, config.iv_model)
+            return iv_to_price(
+                payoff, S_spot, interest_rate, iv, ref_ticks, config.iv_model,
+                daycount=dc,
+            )
 
         def iv_from_price(p):
             return price_to_iv(
-                payoff, S_spot, interest_rate, p, ref_ticks, config.iv_model, iv_guess=config.iv_guess
+                payoff, S_spot, interest_rate, p, ref_ticks, config.iv_model,
+                iv_guess=config.iv_guess, daycount=dc,
             )
 
         bid_price, bid_iv = _resolve_pair(bid_price, bid_iv, price_from_iv, iv_from_price, config)
@@ -501,13 +537,15 @@ class VolQuote:
             ask_iv,
             ref_ticks,
             config.iv_model,
+            dc,
         )
 
     # ---- quote-level conversion helpers (vol_quotes.jl:554-622) ----
 
     def price_to_iv(self, price, *, iv_guess: float = 0.5, normalized_input: bool = False):
         S_spot = underlying_spot(
-            self.underlying, self.interest_rate, self.reference_date, self.payoff.expiry
+            self.underlying, self.interest_rate, self.reference_date,
+            self.payoff.expiry, self.daycount,
         )
         return price_to_iv(
             self.payoff,
@@ -518,18 +556,22 @@ class VolQuote:
             self.iv_model,
             iv_guess=iv_guess,
             normalized_input=normalized_input,
+            daycount=self.daycount,
         )
 
     def iv_to_price(self, iv, *, normalize: bool = True):
         S_spot = underlying_spot(
-            self.underlying, self.interest_rate, self.reference_date, self.payoff.expiry
+            self.underlying, self.interest_rate, self.reference_date,
+            self.payoff.expiry, self.daycount,
         )
         price_abs = iv_to_price(
-            self.payoff, S_spot, self.interest_rate, iv, self.reference_date, self.iv_model
+            self.payoff, S_spot, self.interest_rate, iv, self.reference_date,
+            self.iv_model, daycount=self.daycount,
         )
         if normalize:
             F = underlying_forward(
-                self.underlying, self.interest_rate, self.reference_date, self.payoff.expiry
+                self.underlying, self.interest_rate, self.reference_date,
+                self.payoff.expiry, self.daycount,
             )
             return price_abs / F
         return price_abs

@@ -288,6 +288,16 @@ class SimulationConfig:
     seed: int = static_field(default=0)
     qmc: bool = static_field(default=False)
 
+    def __post_init__(self):
+        # Sobol' period guard at the single-device boundary too (the sharded
+        # path re-checks the GLOBAL count in parallel/sharding._local_method;
+        # the in-device guard in math/sobol.py cannot fire on traced offsets)
+        if self.qmc and self.trajectories > 2**30:
+            raise ValueError(
+                f"Sobol' sequence period is 2^30 points; trajectories "
+                f"({self.trajectories}) would wrap and duplicate points"
+            )
+
 
 @pytree
 class MonteCarlo(AbstractPricingMethod):

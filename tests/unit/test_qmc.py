@@ -161,3 +161,16 @@ def test_sharded_qmc_period_guard():
     cfg = SimulationConfig(trajectories=2**30 + 8, steps=1, seed=0, qmc=True)
     with pytest.raises(ValueError, match="period"):
         sharded_mc_price(prob, MonteCarlo(LognormalDynamics(), BlackScholesExact(), cfg), make_paths_mesh())
+
+
+def test_sobol_wrap_guard_single_device():
+    """2^30-period Sobol' wrap protection at the config boundary (the sharded
+    path has the same guard on the GLOBAL count in parallel/sharding.py)."""
+    import pytest
+
+    import hedgehog_tpu as hh
+
+    with pytest.raises(ValueError, match="wrap"):
+        hh.SimulationConfig(trajectories=2**30 + 1, qmc=True)
+    hh.SimulationConfig(trajectories=2**30 + 1, qmc=False)  # PRNG: fine
+    hh.SimulationConfig(trajectories=2**20, qmc=True)  # in-period: fine

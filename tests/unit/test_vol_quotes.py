@@ -164,3 +164,124 @@ def test_price_to_iv_with_carr_madan_model():
     p = float(iv_to_price(OPT, 100.0, 0.02, 0.35, REF, method))
     iv = float(price_to_iv(OPT, 100.0, 0.02, p, REF, method))
     assert iv == pytest.approx(0.35, abs=1e-8)
+
+
+# ---- day-count-aware quote ingestion (VERDICT r3 item 4) -------------------
+
+
+def test_daycount_30e360_roundtrip_matches_independent_tau():
+    """A 30E/360-quoted surface must resolve IVs on the market's τ, not
+    ACT/365's.  The oracle τ is computed independently from the calendar
+    arithmetic, the price from the plain BS formula on that τ."""
+    from hedgehog_tpu import Thirty360E
+
+    dc = Thirty360E()
+    # REF=2025-01-01 → EXP=2025-07-01: 30E/360 gives exactly 180/360 = 0.5,
+    # while ACT/365F gives 181/365 ≈ 0.49589 — conventions differ by ~83 bp of τ
+    tau = 360 * 0 + 30 * (7 - 1) + (1 - 1)
+    tau_30e = tau / 360.0
+    assert tau_30e == 0.5
+    assert abs(tau_30e - float(yearfrac(REF, EXP))) > 3e-3
+
+    S, K, r, sigma = 100.0, 100.0, 0.02, 0.25
+    # independent oracle: plain BS on τ=0.5
+    import numpy as np
+    from scipy.stats import norm
+
+    D = math.exp(-r * tau_30e)
+    F = S / D
+    sq = sigma * math.sqrt(tau_30e)
+    d1 = (math.log(F / K) + 0.5 * sq * sq / 1.0) / sq
+    price_oracle = D * (F * norm.cdf(d1) - K * norm.cdf(d1 - sq))
+
+    p = float(iv_to_price(OPT, S, r, sigma, REF, daycount=dc))
+    assert p == pytest.approx(price_oracle, rel=1e-12)
+
+    iv_back = float(price_to_iv(OPT, S, r, p, REF, daycount=dc))
+    assert iv_back == pytest.approx(sigma, abs=1e-10)
+
+    # resolving the same price under the DEFAULT convention must NOT recover
+    # sigma (the τ mismatch must show up) — this is the silent-wrong-τ bug
+    # the convention threading exists to prevent
+    iv_wrong = float(price_to_iv(OPT, S, r, p, REF))
+    assert abs(iv_wrong - sigma) > 5e-4
+
+
+def test_daycount_volquote_build_and_helpers():
+    """VolQuote.build under a 30E/360 config: stored IV and the quote-level
+    conversion helpers all honor the convention."""
+    from hedgehog_tpu import Thirty360E
+
+    dc = Thirty360E()
+    cfg = VolQuoteConfig(daycount=dc)
+    sigma = 0.3
+    p = float(iv_to_price(OPT, 100.0, 0.02, sigma, REF, daycount=dc))
+    vq = VolQuote.build(
+        OPT, SpotObs(100.0), 0.02, mid_price=p, reference_date=REF, config=cfg
+    )
+    assert vq.daycount == dc
+    assert vq.mid_iv == pytest.approx(sigma, abs=1e-10)
+    assert float(vq.price_to_iv(p)) == pytest.approx(sigma, abs=1e-10)
+    F = float(underlying_forward(SpotObs(100.0), 0.02, REF, EXP, dc))
+    assert float(vq.iv_to_price(sigma)) == pytest.approx(p / F, rel=1e-12)
+
+    # consistency policy must also compare under the convention: a consistent
+    # (price, iv) pair under 30E/360 raises under throw-policy ONLY if the
+    # pair is checked with the wrong τ
+    cfg_throw = VolQuoteConfig(daycount=dc, vol_price_inconsistency_handling="throw")
+    VolQuote.build(  # must NOT raise
+        OPT, SpotObs(100.0), 0.02, mid_price=p, mid_iv=sigma,
+        reference_date=REF, config=cfg_throw,
+    )
+    with pytest.raises(ValueError, match="Inconsistent"):
+        VolQuote.build(
+            OPT, SpotObs(100.0), 0.02, mid_price=p, mid_iv=sigma,
+            reference_date=REF,
+            config=VolQuoteConfig(vol_price_inconsistency_handling="throw"),
+        )
+
+
+def test_daycount_resolve_quotes_batch_30e360():
+    """Batched surface resolution under 30E/360: IVs recovered from prices
+    computed on the convention's τ, for a strike×expiry grid."""
+    import jax.numpy as jnp
+
+    from hedgehog_tpu import Thirty360E
+    from hedgehog_tpu.calibration.implied import iv_to_price_bs
+    from hedgehog_tpu.market.vol_quotes import resolve_quotes_batch
+
+    dc = Thirty360E()
+    expiries = [dt.date(2025, 4, 1), dt.date(2025, 7, 1)]
+    taus = jnp.asarray([90 / 360.0, 180 / 360.0])  # exact 30E/360 fractions
+    strikes = jnp.asarray([95.0, 100.0, 110.0])
+    sigmas = jnp.asarray([[0.2, 0.25, 0.3], [0.22, 0.27, 0.32]])
+    K, TT = jnp.meshgrid(strikes, taus, indexing="xy")
+    TT = jnp.broadcast_to(taus[:, None], sigmas.shape)
+    KK = jnp.broadcast_to(strikes[None, :], sigmas.shape)
+    prices = iv_to_price_bs(sigmas, KK, TT, 100.0, 0.02)
+
+    res = resolve_quotes_batch(
+        KK,
+        jnp.broadcast_to(
+            jnp.asarray([float(to_ticks(e)) for e in expiries])[:, None], sigmas.shape
+        ),
+        SpotObs(100.0),
+        0.02,
+        REF,
+        mid_price=prices,
+        config=VolQuoteConfig(daycount=dc),
+    )
+    assert jnp.allclose(res.mid_iv, sigmas, atol=1e-10)
+
+    # default-convention resolution of the same prices must disagree
+    res_wrong = resolve_quotes_batch(
+        KK,
+        jnp.broadcast_to(
+            jnp.asarray([float(to_ticks(e)) for e in expiries])[:, None], sigmas.shape
+        ),
+        SpotObs(100.0),
+        0.02,
+        REF,
+        mid_price=prices,
+    )
+    assert float(jnp.max(jnp.abs(res_wrong.mid_iv - sigmas))) > 5e-4
