@@ -250,13 +250,28 @@ def _solve_crr_knock_out(prob: PricingProblem, method: CoxRossRubinsteinMethod):
         arg = jnp.where(inside, -2.0 * d0 * d1 / seg_var, 0.0)
         return jnp.where(inside, -jnp.expm1(arg), 0.0)
 
+    # first-passage exercise (American only, mirroring the LSM estimator's
+    # hit_exercise_value): a continuously exercisable holder whose edge is
+    # about to cross exercises AT the barrier — S = H exactly on a
+    # continuous path — so crossing mass absorbs at
+    # max(intrinsic(H)·disc^½, rebate leg) instead of the rebate alone.
+    # Without this the bridged lattice is itself an O(√ΔT) lower bound for
+    # boundary-hugging contracts (up-and-out calls: measured ~+2.5% at 2000
+    # steps once the mass pays H−K).  Bermudan holders cannot exercise
+    # between dates, so they keep the plain rebate absorption.
+    hit_ex = payoff(jnp.exp(log_b)) if is_american else None
+
     def rebate_value(i):
         # value at t_i of R given a crossing: R at the segment midpoint
         # (one-touch; half-step discount) or R discounted from expiry with
         # the exact forward factor D(t_i, T) = D(0,T)/D(0,t_i)
         if payoff.rebate_at_hit:
-            return R * jnp.sqrt(step_discount)
-        return R * D_T / df_yf(rate_curve, i * dT)
+            reb = R * jnp.sqrt(step_discount)
+        else:
+            reb = R * D_T / df_yf(rate_curve, i * dT)
+        if hit_ex is not None:
+            reb = jnp.maximum(hit_ex * jnp.sqrt(step_discount), reb)
+        return reb
 
     from ..core.payoffs import Bermudan, bermudan_step_mask
 

@@ -46,17 +46,23 @@ def _amer_ko(**kw):
 
 def test_down_out_put_vs_crr():
     """Exercise region far from the barrier: LSM and the lattice agree
-    tightly (measured −0.3% at 100 steps × 2^15 QMC pairs)."""
+    tightly (measured +0.03% at 200 steps × 2^15 QMC pairs after the
+    first-passage-exercise correction; the deep-barrier KO put ≈ the
+    vanilla American put, as it should)."""
     prob = hh.PricingProblem(_amer_ko(barrier=80.0), _market())
-    lsm = float(hh.solve(prob, hh.LSM(_mc(), 4)).price)
+    lsm = float(hh.solve(prob, hh.LSM(_mc(steps=200), 4)).price)
     crr = float(hh.solve(prob, hh.CoxRossRubinsteinMethod(2000)).price)
-    assert lsm == pytest.approx(crr, rel=1.5e-2)
+    assert lsm == pytest.approx(crr, rel=1e-2)
 
 
 def test_up_out_call_is_bounded_lower_estimate():
-    """Exercise boundary hugs the barrier: discrete exercise dates make LSM
-    a LOWER bound converging as O(√Δt) (measured 9.46/9.70/9.87 at
-    200/400/800 steps vs CRR(2000) 10.09)."""
+    """Exercise boundary hugs the barrier — the contract the r3-verdict
+    item-6 correction exists for.  With first-passage exercise (hit mass
+    pays intrinsic(H)) BOTH engines converge to the continuous-exercise
+    price ≈ 10.32 at an O(Δt) rate: LSM 10.466/10.393/10.356 at
+    100/200/400 steps vs CRR 10.343/10.329/10.324 at 500/2000/4000 —
+    versus the old grid-date-only policy's O(√Δt) lower bound
+    (9.46/9.70/9.87 at 200/400/800 vs a rebate-absorbing lattice's 10.09)."""
     prob = hh.PricingProblem(
         _amer_ko(strike=100.0, barrier=120.0, direction=hh.Up(),
                  call_put=hh.Call()),
@@ -64,7 +70,7 @@ def test_up_out_call_is_bounded_lower_estimate():
     )
     lsm = float(hh.solve(prob, hh.LSM(_mc(steps=200), 4)).price)
     crr = float(hh.solve(prob, hh.CoxRossRubinsteinMethod(2000)).price)
-    assert 0.90 * crr <= lsm <= 1.01 * crr
+    assert 0.98 * crr <= lsm <= 1.01 * crr
 
 
 @pytest.mark.parametrize("at_hit", [False, True])
@@ -105,7 +111,7 @@ def test_heston_conditional_grid():
     delta flows through the whole estimator."""
     hm = hh.HestonInputs(REF, 0.05, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7)
     cfg = hh.SimulationConfig(
-        trajectories=1 << 13, steps=50,
+        trajectories=1 << 13, steps=100,
         variance_reduction=hh.Antithetic(), seed=0, qmc=True,
     )
     mc = hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(conditional=True), cfg)
@@ -121,7 +127,9 @@ def test_heston_conditional_grid():
     p_am = float(hh.solve(hh.PricingProblem(am, hm), hh.LSM(mc, 3)).price)
     p_eu = float(hh.solve(eu_prob, mc).price)
     p_van = float(hh.solve(van_prob, hh.LSM(mc, 3)).price)
-    assert p_eu - 0.05 <= p_am <= p_van + 0.05
+    # the first-passage hit leg converges from above at O(Δt); measured
+    # +0.057 over the vanilla at 100 steps (+0.25 at 50), hence the slack
+    assert p_eu - 0.05 <= p_am <= p_van + 0.10
 
     far = hh.BarrierOption(110.0, EXPIRY, 1e-6, hh.American(), hh.Put(),
                            hh.Spot(), hh.Down(), hh.KnockOut())

@@ -168,9 +168,12 @@ def test_barrier_unsupported_routes_raise():
     cfg = hh.SimulationConfig(trajectories=256, steps=2,
                               variance_reduction=hh.Antithetic(), seed=0)
     hmkt = hh.HestonInputs(REF, 0.03, SPOT, *H.values())
+    # HestonExactMixing became a supported bridge grid in round 4 (exact
+    # transitions + sampled per-segment ∫V); the non-conditional QE
+    # terminal-only strategy remains a non-bridge grid and still raises
     with pytest.raises(TypeError, match="barrier grids need"):
         hh.solve(hh.PricingProblem(ko, hmkt),
-                 hh.MonteCarlo(hh.HestonDynamics(), hh.HestonExactMixing(), cfg))
+                 hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(), cfg))
     am = hh.BarrierOption(100.0, EXPIRY, 90.0, hh.American())
     with pytest.raises(TypeError):
         hh.solve(hh.PricingProblem(am, _bs_market()), hh.BlackScholesAnalytic())

@@ -94,7 +94,10 @@ def test_american_knock_out_ordering():
             method,
         ).price
     )
-    assert eu <= am <= van
+    # with first-passage exercise (crossing mass absorbs at intrinsic(H))
+    # the deep-barrier KO put equals the vanilla American put up to the
+    # lattice's within-edge payment-timing resolution — allow a hair above
+    assert eu <= am <= van * (1.0 + 1e-4)
     assert am > eu + 1.0  # early exercise is genuinely valuable here
 
 
