@@ -528,6 +528,19 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             sys.stderr.write(f"# surface kernel skipped ({type(e).__name__})\n")
 
+    # ---- grid-engine serving metrics (stderr): 1-D PDE, CRR, batched
+    # Carr-Madan, 2-D ADI — options/s in fp32 (jax.enable_x64(False);
+    # fp32-vs-fp64 drift is ~1e-4 relative on these branchless tridiag/scan
+    # engines, measured in benchmarks/pde_crr_bench.py, which also carries
+    # the full-size version of this block).  One jit(vmap) dispatch prices a
+    # whole strike book per engine (r3 verdict item 7: the BENCH artifacts
+    # never measured the non-MC engines on-chip before round 4).
+    if budget_left():
+        try:
+            _emit_grid_engine_lines(market)
+        except Exception as e:  # pragma: no cover
+            sys.stderr.write(f"# grid-engine metrics skipped ({type(e).__name__}: {e})\n")
+
     # ---- rough-Bergomi serving metric (stderr): the fused mixing kernel —
     # the beyond-reference rough-vol family at kernel speed (MC is the ONLY
     # pricing method for this non-Markovian model).
@@ -572,6 +585,63 @@ def main() -> None:
             )
         except Exception as e:  # pragma: no cover
             sys.stderr.write(f"# rough-Bergomi kernel skipped ({type(e).__name__})\n")
+
+
+def _emit_grid_engine_lines(h_market) -> None:
+    """options/s for the deterministic engines at serving size, fp32."""
+    import warnings
+
+    # fp32 mode truncates the engines' internal float64 dtype requests by
+    # design; the per-op UserWarnings would swamp the bench tail
+    warnings.filterwarnings(
+        "ignore", message=".*requested in asarray is not available.*"
+    )
+    bs_mkt = hh.BlackScholesInputs(REF, R, SPOT, 0.2)
+
+    def am_put(k):
+        return hh.VanillaOption(k, EXPIRY, hh.American(), hh.Put(), hh.Spot())
+
+    def eur_call(k):
+        return hh.VanillaOption(k, EXPIRY, hh.European(), hh.Call(), hh.Spot())
+
+    engines = [
+        ("PDE-1D 256x128 BS American put",
+         hh.PDEMethod(space_steps=256, time_steps=128), bs_mkt, am_put, 64),
+        ("CRR-1024 BS American put",
+         hh.CoxRossRubinsteinMethod(1024), bs_mkt, am_put, 256),
+        ("Carr-Madan Heston European call",
+         hh.CarrMadan(1.0, 32.0, hh.HestonDynamics()), h_market, eur_call, 256),
+        ("ADI-2D 128x48x64 Heston American put",
+         hh.PDEMethod(hh.HestonDynamics(), space_steps=128, time_steps=64,
+                      var_steps=48), h_market, am_put, 8),
+    ]
+    for name, engine, mkt, mk_payoff, n_opts in engines:
+        try:
+            strikes = jnp.linspace(60.0, 140.0, n_opts)
+
+            def one(k, _e=engine, _m=mkt, _p=mk_payoff):
+                return hh.solve(hh.PricingProblem(_p(k), _m), _e).price
+
+            fn = jax.jit(jax.vmap(one))
+            with jax.enable_x64(False):
+                out = fn(jnp.asarray(strikes, jnp.float32))
+                jax.block_until_ready(out)  # compile
+                import numpy as _np
+
+                t0 = time.perf_counter()
+                reps = 3
+                for i in range(reps):
+                    # input jitter defeats relay-side execution caching
+                    out = fn(jnp.asarray(strikes, jnp.float32) + i * 1e-6)
+                    _np.asarray(out)
+                dt_e = (time.perf_counter() - t0) / reps
+            sys.stderr.write(
+                f"# grid engine {name}: {n_opts} options in {dt_e*1e3:.0f} ms "
+                f"= {n_opts/dt_e:.2e} options/s (fp32)\n"
+            )
+            sys.stderr.flush()
+        except Exception as e:  # pragma: no cover
+            sys.stderr.write(f"# grid engine {name} skipped ({type(e).__name__}: {e})\n")
 
 
 def _emit_headline(scheme, steps_used, n_pairs, elapsed, mc_price, cm_price,

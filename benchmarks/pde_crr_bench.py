@@ -17,10 +17,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 
 import hedgehog_tpu as hh
+
+# fp32 mode truncates the engines' internal float64 dtype requests by design
+warnings.filterwarnings("ignore", message=".*requested in asarray is not available.*")
 
 REF = dt.date(2024, 1, 1)
 EXPIRY = dt.date(2025, 1, 1)

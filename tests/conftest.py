@@ -24,13 +24,17 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # ---- fast/slow test tiers -------------------------------------------------
-# ``pytest -m "not slow"`` is the bounded smoke tier (target: a few minutes
+# ``pytest -m "not slow"`` is the bounded smoke tier (target: <=5 minutes
 # even on a contended single-CPU host — wall clock here is compile-dominated,
-# so the tier is tuned by moving everything >=4 s/test to the slow list);
+# so the tier is tuned by moving everything >=3 s/test to the slow list);
 # the full suite is unchanged.  The slow set is maintained as an
 # explicit list (tests/slow_tests.txt, one ``file::testname`` per line,
 # parameterizations stripped) generated from measured --durations output —
-# a collection hook marks them so individual files stay unannotated.
+# a collection hook marks them so individual files stay unannotated, and
+# warns on stale entries whose test no longer exists.
+# tests/agreement/test_agreement_smoke.py guarantees the heavy agreement
+# families (Broadie-Kaya, American LSM-vs-CRR, Feller-violating mixing)
+# each keep one reduced-size representative INSIDE the fast tier.
 
 import pathlib  # noqa: E402
 

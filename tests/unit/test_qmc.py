@@ -153,14 +153,20 @@ def test_qmc_kernel_combo_rejected():
 
 
 def test_sharded_qmc_period_guard():
-    from hedgehog_tpu import BlackScholesExact, BlackScholesInputs, LognormalDynamics
-    from hedgehog_tpu.parallel.sharding import make_paths_mesh, sharded_mc_price
-
-    market = BlackScholesInputs(REF, 0.05, 100.0, 0.2)
-    prob = PricingProblem(OPT, market)
-    cfg = SimulationConfig(trajectories=2**30 + 8, steps=1, seed=0, qmc=True)
+    """The GLOBAL >2^30 qmc config now fails at SimulationConfig
+    construction (round-4 single-device guard), before the sharded layer's
+    own check in parallel/sharding._local_method can fire — either way a
+    wrapping configuration cannot reach execution."""
     with pytest.raises(ValueError, match="period"):
-        sharded_mc_price(prob, MonteCarlo(LognormalDynamics(), BlackScholesExact(), cfg), make_paths_mesh())
+        SimulationConfig(trajectories=2**30 + 8, steps=1, seed=0, qmc=True)
+    # the sharded layer's guard still exists for configs assembled without
+    # the constructor (e.g. dataclasses.replace bypasses are not possible:
+    # replace re-runs __post_init__ — pin that too)
+    import dataclasses
+
+    cfg = SimulationConfig(trajectories=2**20, steps=1, seed=0, qmc=True)
+    with pytest.raises(ValueError, match="period"):
+        dataclasses.replace(cfg, trajectories=2**30 + 8)
 
 
 def test_sobol_wrap_guard_single_device():
