@@ -205,13 +205,116 @@ def solve_multi_asset_analytic(prob: PricingProblem, method) -> AnalyticSolution
     raise TypeError(f"no multi-asset closed form for {type(payoff).__name__}")
 
 
+def multi_asset_heston_terminal_prices(prob: PricingProblem, config, key=None,
+                                       point_offset: int = 0):
+    """Correlated multi-asset HESTON terminal draws (r3 verdict item 9):
+    (n_groups, paths, n_assets), n_groups == 2 under antithetic pairing.
+
+    Per asset the variance path is QE-simulated (independent streams across
+    assets); conditional on the V paths each logS_i follows the mixing
+    update with its own (IV_i, J_i) and the ORTHOGONAL drivers are drawn
+    jointly with correlation C⊥_ij = R_ij/(ρ̄_i ρ̄_j) (in-graph Cholesky),
+    which reproduces the market's instantaneous spot-spot correlation R.
+    Per-segment the cross-asset orthogonal covariance uses
+    √(IV_ik)·√(IV_jk) — exact when V is constant within a segment, the same
+    O(Δt) freeze the single-asset trapezoid carries.
+
+    Draw layout per step: n z_v + n uniforms + n z⊥ (3n dims, step-major);
+    QMC spends one Sobol' stream across all of them.  Everything is smooth
+    jnp, so per-asset deltas, Heston-parameter greeks and CORRELATION
+    sensitivities flow by AD through ``solve``.
+    """
+    from ..models.heston_qe import qe_constants, qe_v_step
+    from .montecarlo import Antithetic, _base_key
+
+    market = prob.market_inputs
+    T = market_yearfrac(market, prob.payoff.expiry)
+    discount = df(market.rate, prob.payoff.expiry)
+    r = -jnp.log(discount) / jnp.maximum(T, 1e-30)
+    q = jnp.asarray(getattr(market, "dividend_yields", 0.0))
+    s0 = jnp.asarray(market.spots)
+    v0 = jnp.asarray(market.V0s)
+    kappa = jnp.asarray(market.kappas)
+    theta = jnp.asarray(market.thetas)
+    sig_v = jnp.asarray(market.sigma_vs)
+    rho = jnp.asarray(market.rhos)
+    n = s0.shape[0]
+    steps = config.steps
+    dt = T / steps
+
+    rho_bar = jnp.sqrt(jnp.maximum(1.0 - rho**2, 1e-12))
+    corr = jnp.asarray(market.correlation)
+    c_perp = corr / jnp.outer(rho_bar, rho_bar)
+    c_perp = jnp.where(jnp.eye(n, dtype=bool), 1.0, c_perp)
+    # tiny diagonal jitter keeps the in-graph Cholesky PSD-safe under AD
+    chol = jnp.linalg.cholesky(c_perp + 1e-12 * jnp.eye(n))
+
+    c = qe_constants(kappa, theta, sig_v, rho, r - q, dt)  # (n,)-broadcast
+    ktd = kappa * theta * dt
+    anti = isinstance(config.variance_reduction, Antithetic)
+    base = _base_key(config, key)
+    paths = config.trajectories
+
+    if config.qmc:
+        from jax.scipy.special import ndtri
+
+        from ..math.sobol import sobol_uniforms
+
+        u = sobol_uniforms(base, paths, steps * 3 * n, skip=point_offset)
+        u = jnp.moveaxis(u.reshape(paths, steps, 3, n), 0, 2)  # (steps,3,P,n)
+        u_v, u_q, u_p = u[:, 0], u[:, 1], u[:, 2]
+        z_v, z_perp = ndtri(u_v), ndtri(u_p)
+        us = u_q
+    else:
+        k_z, k_u = jax.random.split(base)
+        zb = jax.random.normal(k_z, (steps, 2, paths, n), dtype=jnp.float64)
+        us = jax.random.uniform(k_u, (steps, paths, n), dtype=jnp.float64)
+        z_v, z_perp = zb[:, 0], zb[:, 1]
+
+    def groups(x, is_uniform):
+        if not anti:
+            return x[:, None]
+        return jnp.stack([x, 1.0 - x if is_uniform else -x], axis=1)
+
+    z_v, z_perp = groups(z_v, False), groups(z_perp, False)
+    us = groups(us, True)
+    n_groups = z_v.shape[1]
+
+    x0 = jnp.broadcast_to(jnp.log(s0), (n_groups, paths, n))
+    v_init = jnp.broadcast_to(v0, (n_groups, paths, n))
+
+    def step(carry, inp):
+        x, v = carry
+        zv_k, zp_k, u_k = inp  # each (g, paths, n)
+        v_new = qe_v_step(v, zv_k, u_k, c)
+        iv = 0.5 * dt * (v + v_new)
+        j = (v_new - v - ktd + kappa * iv) / sig_v
+        zc = zp_k @ chol.T  # correlated orthogonal drivers
+        x_new = x + (r - q) * dt - 0.5 * iv + rho * j + rho_bar * jnp.sqrt(
+            jnp.maximum(iv, 1e-18)
+        ) * zc
+        return (x_new, v_new), None
+
+    (x_T, _), _ = jax.lax.scan(
+        jax.checkpoint(step), (x0, v_init), (z_v, z_perp, us)
+    )
+    return jnp.exp(x_T)  # (g, paths, n)
+
+
 def solve_multi_asset_mc(prob: PricingProblem, method) -> MonteCarloSolution:
-    """MonteCarlo dispatch target: exact correlated terminal draws + payoff
-    reduction (antithetic pairs averaged)."""
+    """MonteCarlo dispatch target: correlated terminal draws + payoff
+    reduction (antithetic pairs averaged).  Exact lognormal draws on
+    ``MultiAssetBSInputs``; correlated conditional-QE Heston draws on
+    ``MultiAssetHestonInputs``."""
+    from ..market.inputs import MultiAssetHestonInputs
+
     payoff = prob.payoff
     market = prob.market_inputs
     discount = df(market.rate, payoff.expiry)
-    samples = multi_asset_terminal_prices(prob, method.config)
+    if isinstance(market, MultiAssetHestonInputs):
+        samples = multi_asset_heston_terminal_prices(prob, method.config)
+    else:
+        samples = multi_asset_terminal_prices(prob, method.config)
     if isinstance(payoff, SpreadOption):
         vals = payoff(samples[..., 0], samples[..., 1])
     else:
