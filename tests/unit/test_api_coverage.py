@@ -119,3 +119,23 @@ def test_all_exports_resolve():
     (src/Hedgehog.jl:79); this test makes that class of bug impossible."""
     for name in hh.__all__:
         assert getattr(hh, name, None) is not None, name
+
+
+def test_notebook_artifacts_are_valid_and_executed():
+    """Reference-parity artifact (docs/src/interactive.md + Pluto notebooks):
+    the jupyter notebooks exist, parse as nbformat v4, and carry EXECUTED
+    outputs (every code cell has an execution_count)."""
+    import pathlib
+
+    import nbformat
+
+    nb_dir = pathlib.Path(__file__).parents[2] / "examples" / "notebooks"
+    names = ["walkthrough.ipynb", "structured_desk.ipynb"]
+    for name in names:
+        nb = nbformat.read(nb_dir / name, as_version=4)
+        code_cells = [c for c in nb.cells if c.cell_type == "code"]
+        assert len(code_cells) >= 4, name
+        assert all(c.execution_count is not None for c in code_cells), (
+            f"{name} has unexecuted cells — rerun "
+            "examples/notebooks/build_notebooks.py"
+        )
