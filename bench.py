@@ -159,6 +159,75 @@ SECONDARY_BUDGET_S = 420.0  # skip stderr-only extras if the run is this old
 # failure mode: headline-only tail, no greek artifact for the round).
 _RATIO_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "GREEK_RATIO.json")
 
+# ---- persisted serving-metrics artifact (VERDICT r4 item 2) ----------------
+# Every north-star-adjacent serving number (grid engines, batched BS
+# price+greeks, surface kernel, calibration, kernel greek vector, rBergomi
+# kernel) is persisted with timestamp+backend and printed PERSISTED-FIRST at
+# the top of every run, so a compile stall that trips the secondary budget
+# ("secondary metrics skipped") can never leave a round's bench tail without
+# them.  Fresh measurements overwrite their entry when budget allows.
+# Age cap: entries older than _STALE_AGE_DAYS print with a loud STALE tag —
+# a cached value must not silently masquerade as current forever.
+_METRICS_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "SERVING_METRICS.json"
+)
+_STALE_AGE_DAYS = 21.0  # ~2 driver rounds
+
+
+def _load_metrics() -> dict:
+    try:
+        with open(_METRICS_CACHE) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _emit_persisted_metrics() -> None:
+    """Print every cached serving metric, oldest-context-first, each tagged
+    with its measurement timestamp and backend (STALE past the age cap)."""
+    metrics = _load_metrics()
+    if not metrics:
+        return
+    now = dt.datetime.now(dt.timezone.utc)
+    for name, entry in sorted(metrics.items()):
+        try:
+            ts = dt.datetime.fromisoformat(entry["timestamp"])
+            age_days = (now - ts).total_seconds() / 86400.0
+            stale = (
+                f" ** STALE ({age_days:.0f}d old, cap {_STALE_AGE_DAYS:.0f}d) **"
+                if age_days > _STALE_AGE_DAYS
+                else ""
+            )
+            sys.stderr.write(
+                f"# [persisted {entry['timestamp']}, backend={entry['backend']}]"
+                f"{stale} {entry['line']}\n"
+            )
+        except Exception:
+            continue
+    sys.stderr.flush()
+
+
+def _record_metric(name: str, line: str, **fields) -> None:
+    """Print a fresh serving-metric line AND persist it (timestamp+backend)
+    under ``name`` in SERVING_METRICS.json for future persisted-first runs."""
+    sys.stderr.write(f"# {line}\n")
+    sys.stderr.flush()
+    try:
+        metrics = _load_metrics()
+        metrics[name] = {
+            "timestamp": dt.datetime.now(dt.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "backend": jax.default_backend(),
+            "line": line,
+            **fields,
+        }
+        with open(_METRICS_CACHE, "w") as f:
+            json.dump(metrics, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception as e:  # persistence must never kill the bench
+        sys.stderr.write(f"# metric persistence failed ({type(e).__name__}: {e})\n")
+
 
 def _emit_greek_ratio_line(on_tpu: bool) -> None:
     """Guaranteed greek-vector-ratio artifact, printed right after the
@@ -168,9 +237,18 @@ def _emit_greek_ratio_line(on_tpu: bool) -> None:
     try:
         with open(_RATIO_CACHE) as f:
             cached = json.load(f)
+        ts = dt.datetime.fromisoformat(cached["timestamp"])
+        age_days = (
+            dt.datetime.now(dt.timezone.utc) - ts
+        ).total_seconds() / 86400.0
+        stale = (
+            f" ** STALE ({age_days:.0f}d old, cap {_STALE_AGE_DAYS:.0f}d) **"
+            if age_days > _STALE_AGE_DAYS
+            else ""
+        )
         sys.stderr.write(
             f"# flagship greek vector [persisted {cached['timestamp']}, "
-            f"backend={cached['backend']}, {cached['estimator']}]: "
+            f"backend={cached['backend']}, {cached['estimator']}]:{stale} "
             f"price={cached['t_price_ms']:.1f}ms grad={cached['t_grad_ms']:.1f}ms "
             f"ratio={cached['ratio']:.2f} (target < 2)\n"
         )
@@ -182,11 +260,12 @@ def _emit_greek_ratio_line(on_tpu: bool) -> None:
             on_tpu, steps=EXACT_SEGMENTS, exact=True
         )
         estimator = "exact-transition flagship (pathwise+likelihood-ratio, unbiased)"
-        sys.stderr.write(
-            f"# greek vector, {estimator}: price={t_price*1e3:.1f}ms "
-            f"grad={t_grad*1e3:.1f}ms ratio={ratio:.2f} (target < 2)\n"
+        _record_metric(
+            "greek_ratio_exact_flagship",
+            f"greek vector, {estimator}: price={t_price*1e3:.1f}ms "
+            f"grad={t_grad*1e3:.1f}ms ratio={ratio:.2f} (target < 2)",
+            ratio=ratio, t_price_ms=t_price * 1e3, t_grad_ms=t_grad * 1e3,
         )
-        sys.stderr.flush()
         with open(_RATIO_CACHE, "w") as f:
             json.dump(
                 {
@@ -369,7 +448,10 @@ def main() -> None:
     _emit_headline(scheme, steps_used, n_pairs, elapsed, mc_price, cm_price,
                    err_bp, paths_per_sec)
 
-    # ---- north star #2 (guaranteed artifact): greek-vector ratio ----
+    # ---- guaranteed artifacts: persisted serving metrics, then the fresh
+    # greek-vector ratio.  Printing the cache FIRST means every metric line
+    # survives even if everything below stalls out (VERDICT r4 item 2).
+    _emit_persisted_metrics()
     _emit_greek_ratio_line(on_tpu)
 
     # ---- secondary serving metric (stderr only): batched price+greeks ----
@@ -420,11 +502,13 @@ def main() -> None:
                 ) for i in range(3)]
                 jax.block_until_ready(mix_prices)
                 t_pk = (time.perf_counter() - t2) / 3
-            sys.stderr.write(
-                f"# KERNEL greek vector (fused price+7-greeks, QE mixing, "
+            _record_metric(
+                "kernel_greek_vector",
+                f"KERNEL greek vector (fused price+7-greeks, QE mixing, "
                 f"{2 * n_pairs / 1e6:.0f}M paths/dispatch): price={t_pk*1e3:.0f}ms "
                 f"grads={t_gk*1e3:.0f}ms ratio={t_gk/t_pk:.2f} (target < 2, "
-                f"price bit-identical to price kernel)\n"
+                f"price bit-identical to price kernel)",
+                ratio=t_gk / t_pk, t_price_ms=t_pk * 1e3, t_grad_ms=t_gk * 1e3,
             )
         except Exception as e:  # pragma: no cover
             sys.stderr.write(f"# kernel greek vector skipped ({type(e).__name__}: {e})\n")
@@ -453,7 +537,12 @@ def main() -> None:
         out = priced_greeked(*args32)
     jax.block_until_ready(out)
     opts_per_sec = 5 * n_opts / (time.perf_counter() - t1)
-    sys.stderr.write(f"# batched price+greeks (BS, delta/vega/rho per option): {opts_per_sec:.3e} options/s\n")
+    _record_metric(
+        "batched_bs_price_greeks",
+        f"batched price+greeks (BS, delta/vega/rho per option): "
+        f"{opts_per_sec:.3e} options/s",
+        options_per_sec=opts_per_sec,
+    )
 
     # ---- pure-JAX greek-vector ratios (stderr): the conditional mixing
     # estimator first (small compiles), then jax reverse AD through solve on
@@ -462,17 +551,21 @@ def main() -> None:
     # after the headline (_emit_greek_ratio_line).
     if budget_left():
         ratio_m, t_price_m, t_grad_m = flagship_greek_ratio(on_tpu, steps=12, conditional=True)
-        sys.stderr.write(
-            f"# greek vector, conditional-MC estimator (same paths, ~9x lower "
+        _record_metric(
+            "greek_ratio_conditional_mixing",
+            f"greek vector, conditional-MC estimator (same paths, ~9x lower "
             f"variance, forward-mode): price={t_price_m*1e3:.1f}ms "
-            f"grad={t_grad_m*1e3:.1f}ms ratio={ratio_m:.2f} (target < 2)\n"
+            f"grad={t_grad_m*1e3:.1f}ms ratio={ratio_m:.2f} (target < 2)",
+            ratio=ratio_m, t_price_ms=t_price_m * 1e3, t_grad_ms=t_grad_m * 1e3,
         )
     if budget_left():
         ratio, t_price, t_grad = flagship_greek_ratio(on_tpu)
-        sys.stderr.write(
-            f"# flagship greek vector (7-param Heston QE pure-JAX, reverse AD): "
+        _record_metric(
+            "greek_ratio_qe_reverse_ad",
+            f"flagship greek vector (7-param Heston QE pure-JAX, reverse AD): "
             f"price={t_price*1e3:.1f}ms grad={t_grad*1e3:.1f}ms ratio={ratio:.2f} "
-            f"(target < 2)\n"
+            f"(target < 2)",
+            ratio=ratio, t_price_ms=t_price * 1e3, t_grad_ms=t_grad * 1e3,
         )
 
     # ---- surface serving metric (stderr): kernel-side (expiry × strike)
@@ -520,13 +613,27 @@ def main() -> None:
             ]
             jax.block_until_ready(outs)
             dt_s = (time.perf_counter() - t2) / 3
-            sys.stderr.write(
-                f"# surface kernel ({s_label}): 3x5 Heston "
+            _record_metric(
+                "surface_kernel",
+                f"surface kernel ({s_label}): 3x5 Heston "
                 f"surface from 134M paths in {dt_s*1e3:.0f} ms "
-                f"({2*(1<<26)/dt_s:.2e} paths/s x 15 points)\n"
+                f"({2*(1<<26)/dt_s:.2e} paths/s x 15 points)",
+                ms_per_surface=dt_s * 1e3, paths_per_sec=2 * (1 << 26) / dt_s,
             )
         except Exception as e:  # pragma: no cover
             sys.stderr.write(f"# surface kernel skipped ({type(e).__name__})\n")
+
+    # ---- calibration serving artifact (VERDICT r4 item 5 / BASELINE.json
+    # judged-config #5): Heston surface calibration — the reference's
+    # 17-strike × 3-expiry shape (test/unit/calibration.jl:53-95) through the
+    # differentiable Carr-Madan pricer with bounded L-BFGS, on this backend.
+    if budget_left():
+        try:
+            _emit_calibration_metric()
+        except Exception as e:  # pragma: no cover
+            sys.stderr.write(
+                f"# calibration metric skipped ({type(e).__name__}: {e})\n"
+            )
 
     # ---- grid-engine serving metrics (stderr): 1-D PDE, CRR, batched
     # Carr-Madan, 2-D ADI — options/s in fp32 (jax.enable_x64(False);
@@ -578,13 +685,76 @@ def main() -> None:
                 jax.block_until_ready(rbp)  # per call: queued tunnel timings lie
             dt_rb = (time.perf_counter() - t3) / reps_rb
             rb_paths = rb_nb * rb_nbat * _RB_P * 2
-            sys.stderr.write(
-                f"# rough-Bergomi fused mixing kernel (64 steps, exact "
+            _record_metric(
+                "rbergomi_kernel",
+                f"rough-Bergomi fused mixing kernel (64 steps, exact "
                 f"Volterra): {rb_paths/1e6:.0f}M paths in {dt_rb*1e3:.0f} ms "
-                f"({rb_paths/dt_rb:.2e} paths/s) price={float(rbp):.4f}\n"
+                f"({rb_paths/dt_rb:.2e} paths/s) price={float(rbp):.4f}",
+                paths_per_sec=rb_paths / dt_rb, ms_per_call=dt_rb * 1e3,
             )
         except Exception as e:  # pragma: no cover
             sys.stderr.write(f"# rough-Bergomi kernel skipped ({type(e).__name__})\n")
+
+
+def _emit_calibration_metric() -> None:
+    """Wall-clock + iterations + RMSE for a full Heston surface calibration
+    (5 params, 51 quotes) via LBFGS through jax.value_and_grad of the batched
+    Carr-Madan pricer.  Timed post-compile (a second solve from a perturbed
+    guess); persisted via _record_metric."""
+    import numpy as _np
+
+    true = dict(V0=0.010201, kappa=6.21, theta=0.019, sigma=0.61, rho=-0.7)
+    r, S0 = 0.0319, 100.0
+    market = hh.HestonInputs(REF, r, S0, *true.values())
+    strikes = _np.arange(60.0, 141.0, 5.0)  # 17 strikes
+    expiries = [REF + dt.timedelta(days=d) for d in (90, 180, 365)]
+    payoffs = [
+        hh.VanillaOption(float(K), e, hh.European(), hh.Call(), hh.Spot())
+        for e in expiries
+        for K in strikes
+    ]
+    method = hh.CarrMadan(1.0, 32.0, hh.HestonDynamics())
+    quotes = jnp.asarray(
+        [float(hh.solve(hh.PricingProblem(p, market), method).price) for p in payoffs]
+    )
+    lenses = tuple(
+        hh.FieldLens(f"market_inputs.{n}")
+        for n in ("V0", "kappa", "theta", "sigma", "rho")
+    )
+    lb = jnp.asarray([1e-5, 1e-3, 1e-5, 1e-3, -0.99])
+    ub = jnp.asarray([1.0, 20.0, 1.0, 5.0, 0.99])
+
+    def calibrate(guess):
+        calib = hh.CalibrationProblem(
+            hh.BasketPricingProblem(payoffs, hh.HestonInputs(REF, r, S0, *guess)),
+            quotes,
+            jnp.asarray(guess),
+            method,
+            lenses,
+        )
+        return hh.solve(calib, hh.OptimizerAlgo(max_iters=300), lb=lb, ub=ub)
+
+    guess = [0.02, 3.0, 0.03, 0.4, -0.3]
+    res0 = calibrate(guess)  # compile + converge once
+    jax.block_until_ready(res0.u)
+    t0 = time.perf_counter()
+    res = calibrate([g + 1e-9 for g in guess])  # perturbed: defeats exec cache
+    jax.block_until_ready(res.u)
+    wall = time.perf_counter() - t0
+    fitted = hh.HestonInputs(REF, r, S0, *[float(v) for v in res.u])
+    fit_prices = jnp.asarray(
+        [float(hh.solve(hh.PricingProblem(p, fitted), method).price) for p in payoffs]
+    )
+    rmse = float(jnp.sqrt(jnp.mean((fit_prices - quotes) ** 2)))
+    iters = int(res.iterations)
+    _record_metric(
+        "calibration_heston_surface",
+        f"Heston surface calibration (17 strikes x 3 expiries, 5 params, "
+        f"Carr-Madan + bounded LBFGS): {wall*1e3:.0f} ms, {iters} iters, "
+        f"price RMSE={rmse:.2e}, converged={bool(res.converged)}",
+        wall_ms=wall * 1e3, iterations=iters, rmse=rmse,
+        converged=bool(res.converged),
+    )
 
 
 def _emit_grid_engine_lines(h_market) -> None:
@@ -635,11 +805,13 @@ def _emit_grid_engine_lines(h_market) -> None:
                     out = fn(jnp.asarray(strikes, jnp.float32) + i * 1e-6)
                     _np.asarray(out)
                 dt_e = (time.perf_counter() - t0) / reps
-            sys.stderr.write(
-                f"# grid engine {name}: {n_opts} options in {dt_e*1e3:.0f} ms "
-                f"= {n_opts/dt_e:.2e} options/s (fp32)\n"
+            key = name.split()[0].lower().replace("-", "_")
+            _record_metric(
+                f"grid_engine_{key}",
+                f"grid engine {name}: {n_opts} options in {dt_e*1e3:.0f} ms "
+                f"= {n_opts/dt_e:.2e} options/s (fp32)",
+                options_per_sec=n_opts / dt_e, ms_per_book=dt_e * 1e3,
             )
-            sys.stderr.flush()
         except Exception as e:  # pragma: no cover
             sys.stderr.write(f"# grid engine {name} skipped ({type(e).__name__}: {e})\n")
 

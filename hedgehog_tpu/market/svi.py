@@ -29,6 +29,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.dates import ACT365F, to_ticks, yearfrac
 from ..utils.pytree import pytree, static_field
@@ -177,8 +178,12 @@ def check_svi_arbitrage(surface: SVIVolSurface, *, k_lo=-1.5, k_hi=1.5, n=241):
 
 # ---- calibration -----------------------------------------------------------
 
-_DEF_LB = jnp.array([-0.5, 1e-6, -0.999, -2.0, 1e-4])
-_DEF_UB = jnp.array([1.0, 5.0, 0.999, 2.0, 3.0])
+# numpy (NOT jnp) on purpose: module-scope jnp.array executes on the default
+# device backend at `import hedgehog_tpu`, which must stay computation-free
+# so the multichip dryrun can bootstrap to CPU when the accelerator runtime
+# is broken.  Converted to device arrays at call time below.
+_DEF_LB = np.array([-0.5, 1e-6, -0.999, -2.0, 1e-4])
+_DEF_UB = np.array([1.0, 5.0, 0.999, 2.0, 3.0])
 
 
 def calibrate_svi_slices(

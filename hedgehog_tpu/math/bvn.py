@@ -24,10 +24,15 @@ from jax.scipy.stats import norm
 
 __all__ = ["bvn_cdf"]
 
-# 64-point Gauss-Legendre on [0, 1] (numpy at import: static constants)
+# 64-point Gauss-Legendre on [0, 1].  Kept as NUMPY constants so that
+# `import hedgehog_tpu` never executes a device computation: a module-scope
+# `jnp.asarray` runs `convert_element_type` on the default backend at import
+# time, which breaks the multichip dryrun contract on hosts whose accelerator
+# runtime fails to initialize (the import raises before any fallback guard
+# can run).  numpy operands fold into the trace at first jit instead.
 _GL_X, _GL_W = np.polynomial.legendre.leggauss(64)
-_GL_X = jnp.asarray((_GL_X + 1.0) / 2.0)
-_GL_W = jnp.asarray(_GL_W / 2.0)
+_GL_X = (_GL_X + 1.0) / 2.0
+_GL_W = _GL_W / 2.0
 
 
 def bvn_cdf(h, k, rho):

@@ -457,7 +457,7 @@ def _solve_lsm_knock_in(
             "barrier LSM prices one (strike, barrier) pair per solve; vmap "
             "over contracts for grids"
         )
-    spot_grid, factors, t_mids, v_grid = barrier_grid_factors(
+    spot_grid, factors, t_mids, v_grid, seg_vars = barrier_grid_factors(
         prob, method.mc_method
     )
     nsteps = factors.shape[0]
@@ -466,34 +466,30 @@ def _solve_lsm_knock_in(
     vols = _flatten_grid(v_grid) if v_grid is not None else None
 
     # Richardson pair for the never-hit survival (see _solve_barrier_mc):
-    # on stochastic-vol grids re-bridge the SAME grid at every 2nd node so
-    # the rebate leg's P(never hit) matches the European knock-in's
+    # on Heston grids re-bridge the SAME grid at every 2nd node so the
+    # rebate leg's P(never hit) matches the European knock-in's
     # extrapolated estimate on the same paths exactly.  (The knocked leg
     # keeps the fine-resolution first-hit pairing — its accuracy is
     # regression-dominated, and the coarse grid has no matching per-step
-    # barrier-value sequence to pair with.)
+    # barrier-value sequence to pair with.)  The coarse pass reuses the
+    # spot grid + segment variances barrier_grid_factors already simulated
+    # — re-simulating with the same seed produced an identical grid at
+    # double the simulation cost (ADVICE r4).
     surv_T_coarse = None
     from ..core.payoffs import Up
     from .montecarlo import (
         _RICH_W,
-        _bridge_log_grid,
         _coarse_bridge_inputs,
+        _richardson_applies,
         _sim_params,
         brownian_bridge_survival_factors,
     )
-    from .montecarlo import HestonDynamics as _HD, RoughBergomiDynamics as _RBD
 
     mc_cfg = method.mc_method.config
-    if (
-        isinstance(method.mc_method.dynamics, (_HD, _RBD))
-        and mc_cfg.steps % 2 == 0
-        and mc_cfg.steps >= 4
-    ):
-        # identical seed => identical grid; only the bridge resolution drops
-        sg2, sv_full, _vg = _bridge_log_grid(prob, method.mc_method, "barrier")
+    if _richardson_applies(method.mc_method.dynamics, mc_cfg.steps):
         _, T_, _ = _sim_params(prob)
         lg2, sv2, _tm2 = _coarse_bridge_inputs(
-            jnp.log(sg2), sv_full, T_, mc_cfg.steps
+            jnp.log(spot_grid), seg_vars, T_, mc_cfg.steps
         )
         f2 = brownian_bridge_survival_factors(
             lg2, sv2, jnp.log(payoff.barrier),
@@ -574,7 +570,7 @@ def _solve_lsm_knock_out(
             "barrier LSM prices one (strike, barrier) pair per solve; vmap "
             "over contracts for grids"
         )
-    spot_grid, factors, t_mids, v_grid = barrier_grid_factors(
+    spot_grid, factors, t_mids, v_grid, _seg_vars = barrier_grid_factors(
         prob, method.mc_method
     )
     nsteps = factors.shape[0]
@@ -608,7 +604,12 @@ def _solve_lsm_knock_out(
     first_hit = past[:-1] * (1.0 - surv)  # P(first hit in segment k)
     d_mid = df_yf(market.rate, t_mids)
     if payoff.rebate_at_hit:
-        hit_pay = d_mid * jnp.maximum(hit_ex if hit_ex is not None else 0.0, rebate)
+        # without a first-passage exercise right (Bermudan/European gate),
+        # the hit pays the contractual rebate AS IS — maximum() against a
+        # phantom 0 intrinsic would silently clamp a negative rebate
+        hit_pay = d_mid * (
+            rebate if hit_ex is None else jnp.maximum(hit_ex, rebate)
+        )
         leg = jnp.mean(jnp.sum(hit_pay[:, None] * first_hit * before_tau, axis=0))
     elif hit_ex is not None:
         # at the hit the holder chooses: exercise intrinsic(H) now, or hold

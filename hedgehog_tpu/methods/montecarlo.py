@@ -1729,11 +1729,14 @@ def barrier_grid_factors(prob: PricingProblem, method: MonteCarlo):
     """Simulate a STEPPED price grid and its per-segment Brownian-bridge
     no-cross factors for ``prob.payoff`` (a BarrierOption) — the shared
     substrate of the European bridge-MC estimator and the American barrier
-    LSM.  Returns ``(spot_grid, factors, t_mids, v_grid)`` with shapes
-    ``(steps+1, g, paths)`` (PRICE space, time leading),
+    LSM.  Returns ``(spot_grid, factors, t_mids, v_grid, seg_vars)`` with
+    shapes ``(steps+1, g, paths)`` (PRICE space, time leading),
     ``(steps, g, paths)``, ``(steps,)``; ``v_grid`` is the
     ``(g, steps+1, paths)`` variance grid on the conditional Heston bridge
-    (for the joint LSM basis) and None otherwise.
+    (for the joint LSM basis) and None otherwise; ``seg_vars`` is the
+    per-segment log-bridge variance the factors were built from, returned
+    so Richardson re-bridging (every-2nd-node coarse pass) can reuse the
+    ALREADY-SIMULATED grid instead of re-simulating it (ADVICE r4).
 
     Supported grids: LognormalDynamics × EulerMaruyama (log-space bridge,
     segment variance σ²Δt — exact for GBM at any step count),
@@ -1790,7 +1793,7 @@ def barrier_grid_factors(prob: PricingProblem, method: MonteCarlo):
             f"got ({type(dyn).__name__}, {type(strat).__name__})"
         )
     t_mids = (jnp.arange(config.steps) + 0.5) * (T / config.steps)
-    return spot_grid, factors, t_mids, v_grid
+    return spot_grid, factors, t_mids, v_grid, seg_vars
 
 
 # Fine-grid Richardson weight 2^α/(2^α−1) for the bridge-bias extrapolation.
@@ -1802,6 +1805,19 @@ def barrier_grid_factors(prob: PricingProblem, method: MonteCarlo):
 # tests/agreement/test_heston_barrier_pde.py.
 _RICH_ALPHA = 0.75
 _RICH_W = 2.0 ** _RICH_ALPHA / (2.0 ** _RICH_ALPHA - 1.0)
+
+
+def _richardson_applies(dyn, steps: int) -> bool:
+    """The extrapolation is gated to HestonDynamics: α = 0.75 was MEASURED
+    against the Heston 2-D ADI oracle and is not transferable as-is — the
+    rough-Bergomi within-segment bias exponent is Hurst-dependent (the
+    variance clock has Hölder regularity H < ½, so the segment-law distortion
+    need not scale like the Heston mix of √Δt and Δt), and no rBergomi
+    barrier oracle exists to validate a weight against.  rBergomi barrier
+    grids therefore use the plain (unextrapolated) bridge, whose bias is
+    documented and refinement-monotone, rather than an unvalidated ~2.5×
+    extrapolation weight that could overcorrect (ADVICE r4)."""
+    return isinstance(dyn, HestonDynamics) and steps % 2 == 0 and steps >= 4
 
 
 def _barrier_path_values(pay, factors, t_mids, payoff, market, discount):
@@ -1865,9 +1881,11 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
     two per-path values combine with the 2^α/(2^α−1) weight (α = 0.75, the
     measured mixed √Δt+Δt bias exponent — see _RICH_ALPHA), landing the
     64-segment extrapolated price within ~2 bp of the converged ADI engine
-    (tests/agreement/test_heston_barrier_pde.py).  Applied when steps is
-    even ≥ 4 (plain bridge otherwise); common paths keep the pair strongly
-    correlated so the variance inflation is mild."""
+    (tests/agreement/test_heston_barrier_pde.py).  Applied on HESTON grids
+    with steps even ≥ 4 (plain bridge otherwise — in particular rBergomi,
+    whose Hurst-dependent bias exponent the Heston-measured α does not
+    cover; see :func:`_richardson_applies`); common paths keep the pair
+    strongly correlated so the variance inflation is mild."""
     from ..core.payoffs import KnockOut, Up
 
     payoff = prob.payoff
@@ -1914,14 +1932,14 @@ def _solve_barrier_mc(prob: PricingProblem, method: MonteCarlo):
         t_mids = (jnp.arange(config.steps) + 0.5) * (T / config.steps)
         s_t = spot_grid[-1]
         coarse = None
-        if config.steps % 2 == 0 and config.steps >= 4:
+        if _richardson_applies(dyn, config.steps):
             lg2, sv2, tm2 = _coarse_bridge_inputs(log_grid, seg_vars, T, config.steps)
             coarse = (
                 brownian_bridge_survival_factors(lg2, sv2, log_b, up),
                 tm2,
             )
     else:
-        spot_grid, factors, t_mids, _ = barrier_grid_factors(prob, method)
+        spot_grid, factors, t_mids, _, _ = barrier_grid_factors(prob, method)
         s_t = spot_grid[-1]
         coarse = None
 
@@ -1990,12 +2008,8 @@ def _solve_double_barrier_mc(prob: PricingProblem, method: MonteCarlo):
     s_t = jnp.exp(log_grid[-1])
     pay = payoff(s_t)  # unconditional terminal intrinsic, (g, paths)
     vals = _barrier_path_values(pay, factors, t_mids, payoff, market, discount)
-    # √Δt Richardson pair on stochastic-vol grids (see _solve_barrier_mc)
-    if (
-        isinstance(dyn, (HestonDynamics, RoughBergomiDynamics))
-        and config.steps % 2 == 0
-        and config.steps >= 4
-    ):
+    # √Δt Richardson pair on Heston grids (see _solve_barrier_mc)
+    if _richardson_applies(dyn, config.steps):
         lg2, sv2, tm2 = _coarse_bridge_inputs(log_grid, seg_vars, T, config.steps)
         f2 = double_bridge_survival_factors(lg2, sv2, log_l, log_u)
         vals_2h = _barrier_path_values(pay, f2, tm2, payoff, market, discount)

@@ -246,8 +246,11 @@ def multi_asset_heston_terminal_prices(prob: PricingProblem, config, key=None,
     corr = jnp.asarray(market.correlation)
     c_perp = corr / jnp.outer(rho_bar, rho_bar)
     c_perp = jnp.where(jnp.eye(n, dtype=bool), 1.0, c_perp)
-    # tiny diagonal jitter keeps the in-graph Cholesky PSD-safe under AD
-    chol = jnp.linalg.cholesky(c_perp + 1e-12 * jnp.eye(n))
+    # diagonal jitter keeps the in-graph Cholesky PSD-safe under AD; it must
+    # be at least as large as the -1e-10 eigenvalue slack the validating ctor
+    # accepts (market/inputs.py MultiAssetHestonInputs.__post_init__), or a
+    # validated boundary-feasible correlation NaNs at solve time (ADVICE r4)
+    chol = jnp.linalg.cholesky(c_perp + 1e-9 * jnp.eye(n))
 
     c = qe_constants(kappa, theta, sig_v, rho, r - q, dt)  # (n,)-broadcast
     ktd = kappa * theta * dt

@@ -72,3 +72,49 @@ def test_mixing_feller_violating_smoke():
     p = float(hh.solve(prob, hh.MonteCarlo(hh.HestonDynamics(),
                                            hh.HestonQE(conditional=True), cfg)).price)
     assert p == pytest.approx(cm, rel=2e-2)
+
+
+# ADI price of the σ_v = 0.6 down-and-out call below, Craig-Sneyd engine at
+# 160×40×80 (96×24×48 agrees to 3.5 bp; grid-refinement-converged to ~1 bp).
+# Re-derived LIVE by the slow tier (tests/agreement/test_heston_barrier_pde.py
+# and test_adi_golden_rederivation below); pinned here because one CPU ADI
+# compile costs ~37 s — more than the whole fast-tier budget allows.
+_ADI_DOC_GOLDEN = 8.00066564528781
+
+
+def test_adi_vs_bridge_barrier_smoke():
+    """Bridge-MC vs the 2-D ADI engine on a continuously-monitored Heston
+    down-and-out call at NON-degenerate vol-of-vol (σ_v = 0.6) — the reduced
+    representative of tests/agreement/test_heston_barrier_pde.py (r4 verdict
+    item 3: the full oracle is slow-marked and never runs under the driver
+    budget).  One 2^14-pair QMC bridge seed at 16 segments vs the pinned
+    ADI golden, relaxed to ≤ 40 bp."""
+    market = hh.HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, 0.6, -0.7)
+    ko = hh.BarrierOption(100.0, EXPIRY, 85.0, direction=hh.Down(),
+                          knock=hh.KnockOut())
+    prob = hh.PricingProblem(ko, market)
+    cfg = hh.SimulationConfig(trajectories=1 << 14, steps=16,
+                              variance_reduction=hh.Antithetic(), seed=0,
+                              qmc=True)
+    mc = float(hh.solve(prob, hh.MonteCarlo(
+        hh.HestonDynamics(), hh.HestonQE(conditional=True), cfg)).price)
+    pde = _ADI_DOC_GOLDEN
+    assert abs(mc - pde) / pde < 40e-4, (
+        f"bridge-MC {mc:.4f} vs ADI golden {pde:.4f}: "
+        f"{abs(mc - pde) / pde * 1e4:.1f} bp > 40 bp"
+    )
+
+
+@pytest.mark.slow
+def test_adi_golden_rederivation():
+    """Slow-tier guard for the pinned golden: the live ADI engine must stand
+    within 5 bp of _ADI_DOC_GOLDEN (the smoke test's oracle is never allowed
+    to drift from the actual engine)."""
+    market = hh.HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, 0.6, -0.7)
+    ko = hh.BarrierOption(100.0, EXPIRY, 85.0, direction=hh.Down(),
+                          knock=hh.KnockOut())
+    prob = hh.PricingProblem(ko, market)
+    pde = float(hh.solve(prob, hh.PDEMethod(
+        hh.HestonDynamics(), space_steps=160, var_steps=40, time_steps=80
+    )).price)
+    assert abs(pde - _ADI_DOC_GOLDEN) / _ADI_DOC_GOLDEN < 5e-4

@@ -59,6 +59,13 @@ def pytest_collection_modifyitems(config, items):
     # test no longer exists silently marks nothing (e.g. after a rename) —
     # warn so the list stays in sync.  Checking per-file keeps partial runs
     # (pytest tests/unit/test_foo.py) from flagging entries for other files.
+    # Node-id selection (tests/foo.py::test_bar) and -k filtering collect only
+    # a subset of a file, so existing tests would be falsely flagged — the
+    # guard only fires on unfiltered collection.
+    if getattr(config.option, "keyword", "") or any(
+        "::" in str(a) for a in config.invocation_params.args
+    ):
+        return
     for entry in sorted(_SLOW - seen):
         if entry.split("::", 1)[0] in collected_files:
             import warnings

@@ -131,3 +131,25 @@ def test_correlation_too_strong_for_spot_vol_rejected():
             REF, 0.03, [100.0, 95.0], [0.04, 0.09], [2.0, 1.5], [0.04, 0.09],
             [0.3, 0.4], [-0.9, -0.9], [[1.0, 0.6], [0.6, 1.0]],
         )
+
+
+def test_boundary_feasible_correlation_prices_finite():
+    """ADVICE r4 regression: a correlation matrix the validating ctor accepts
+    at its eigenvalue-slack boundary (min eig of C⊥ ≈ −1e-11 > the −1e-10
+    tolerance) must still price finitely — the runtime Cholesky jitter has to
+    cover the validation slack, or the eps-negative matrix NaNs at solve
+    time.  3-asset equicorrelation ρ = −0.5 − 5e-12 sits exactly there."""
+    eps = 5e-12
+    off = -0.5 - eps
+    corr = [[1.0, off, off], [off, 1.0, off], [off, off, 1.0]]
+    m = hh.MultiAssetHestonInputs(
+        REF, 0.03, [100.0, 95.0, 105.0], [0.04, 0.09, 0.04],
+        [2.0, 1.5, 2.0], [0.04, 0.09, 0.04], [0.3, 0.4, 0.3],
+        [0.0, 0.0, 0.0], corr,
+    )  # ctor accepts: min eig ≈ -1e-11 within the -1e-10 slack
+    basket = hh.BasketOption(97.0, EXPIRY, weights=[1 / 3, 1 / 3, 1 / 3])
+    cfg = hh.SimulationConfig(trajectories=2_000, steps=4, seed=0,
+                              variance_reduction=hh.Antithetic())
+    p = float(hh.solve(hh.PricingProblem(basket, m),
+                       hh.MonteCarlo(hh.HestonDynamics(), hh.HestonQE(), cfg)).price)
+    assert jnp.isfinite(p) and p > 0.0

