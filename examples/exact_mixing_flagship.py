@@ -6,7 +6,8 @@ transition and the conditional ∫V | endpoints from its Broadie-Kaya
 Laplace-transform moments, then closes with the conditional Black-Scholes
 formula.  TWO segments suffice for sub-bp bias on the whole stress grid
 (docs/adr/adr-008-conditional-mc.md addendum 2); on TPU `use_kernel=True`
-routes to the fused Pallas kernel (4.4e9 paths/s, bench.py headline).
+routes to the fused Pallas kernel (2.56e9 paths/s/chip at 0.28 bp measured,
+BENCH_r04 headline).
 
 Shows on one market:
 1. price agreement with Carr-Madan at 2 segments (vs 11 QE mixing steps),

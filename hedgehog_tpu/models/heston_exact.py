@@ -47,6 +47,8 @@ are exact either way.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -267,11 +269,19 @@ def _gq_horner(coeffs, t):
     return acc
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
 def lam_of_eta(eta, trips: int = GQ_NEWTON):
     """Solve λ − 1 − ln λ = η²/2 with sign(η) = sign(λ−1), branchless:
     series for |η| < 0.5, fixed-trip Newton from a cube/exp-tail start else
     (the cube start (1+η/3)³ is the WH polynomial — a few % off, which
-    quadratic Newton closes to fp accuracy in 3 trips)."""
+    quadratic Newton closes to fp accuracy in 3 trips).
+
+    Differentiation is a custom JVP from the implicit function theorem (see
+    ``_lam_of_eta_jvp``) rather than AD through the Newton trips: the
+    backward pass of the unrolled iterations spilled log/div residuals per
+    path per call (4 calls/segment through gamma_qtl), and the IFT form is
+    EXACT for the equation where the unrolled form differentiates the
+    approximation."""
     lam_s = 1.0 + eta * (1.0 + eta * (1.0 / 3.0 + eta * (1.0 / 36.0
             + eta * (-1.0 / 270.0 + eta * (1.0 / 4320.0)))))
     cube = jnp.maximum((1.0 + eta / 3.0) ** 3, 1e-12)
@@ -286,6 +296,21 @@ def lam_of_eta(eta, trips: int = GQ_NEWTON):
         den = jnp.where(jnp.abs(lam - 1.0) < 1e-12, 1e-12, lam - 1.0)
         lam = jnp.maximum(lam - f * lam / den, 1e-30)
     return jnp.where(jnp.abs(eta) < 0.5, lam_s, lam)
+
+
+@lam_of_eta.defjvp
+def _lam_of_eta_jvp(trips, primals, tangents):
+    """IFT on λ − 1 − ln λ = η²/2:  (1 − 1/λ)·dλ = η·dη  ⇒
+    dλ/dη = η·λ/(λ − 1); the 0/0 at η → 0 is closed by the series branch's
+    own derivative (matching the primal's |η| < 0.5 switch)."""
+    (eta,) = primals
+    (deta,) = tangents
+    lam = lam_of_eta(eta, trips)
+    dser = 1.0 + eta * (2.0 / 3.0 + eta * (1.0 / 12.0
+           + eta * (-2.0 / 135.0 + eta * (1.0 / 864.0))))
+    den = jnp.where(jnp.abs(lam - 1.0) < 1e-12, 1e-12, lam - 1.0)
+    dlam = jnp.where(jnp.abs(eta) < 0.5, dser, eta * lam / den)
+    return lam, dlam * deta
 
 
 def gamma_qtl(alpha, z):

@@ -9,11 +9,14 @@ ratio, 4-term asymptotic tail), draws the gamma-matched ∫V, and finally
 closes with the conditional Black-Scholes formula shared with the QE mixing
 kernel.  Measured bias at TWO segments: −0.33±0.08bp on the bench market
 (2.1G-path TPU runs, benchmarks/exact_mixing_kernel_bench.py; QMC −0.23bp)
-at 2.12e9 paths/s — the exact-gammaincinv floor of the 2-moment ∫V gamma
-family, ~3× below the Wilson-Hilferty cube's −1.00bp (ADR-008 addendum 3)
-— versus +3.5bp for the 11-step QE mixing kernel at similar speed, and at
-FEWER random draws per path (4/segment vs 2/step), which is what moves the
-paths/sec-at-equal-error frontier.
+at 2.12e9 paths/s in that harness's single-batch timing style — the
+exact-gammaincinv floor of the 2-moment ∫V gamma family, ~3× below the
+Wilson-Hilferty cube's −1.00bp (ADR-008 addendum 3) — versus +3.5bp for the
+11-step QE mixing kernel at similar speed, and at FEWER random draws per
+path (4/segment vs 2/step), which is what moves the
+paths/sec-at-equal-error frontier.  At the bench.py SERVING configuration
+(n_batches=16 on-chip multi-batch accumulation, 268M paths/dispatch) the
+driver-recorded headline is 2.56e9 paths/s/chip at 0.28bp (BENCH_r04).
 
 Same megabatch structure as ops/heston_qe_kernel.py: (256 × 128) path tiles
 per program, on-chip PRNG or in-kernel Sobol' (4 dims/segment, step-major,

@@ -231,3 +231,53 @@ def test_multislice_uneven_slices_rejected():
 
     with pytest.raises(ValueError, match="slices"):
         make_multislice_mesh(3)
+
+
+def test_sharded_kernel_flagship_matches_single_device():
+    """VERDICT r4 item 9 (solve level): the KERNEL-BACKED flagship
+    (HestonExactMixing(use_kernel=True), QMC) must produce the same price on
+    the 8-device sharded path as the single-device solve — the adapter's
+    device_id/point_offset Sobol'-slicing discipline exercised through
+    shard_map.  Off-TPU the adapter falls back to the pure-JAX estimator on
+    the SAME sliced Sobol' points, so equality here pins the slicing
+    contract the TPU kernel shares (ops/heston_exact_kernel.py adapter)."""
+    market = HestonInputs(REF, 0.03, 100.0, 0.04, 2.0, 0.04, 0.3, -0.7)
+    prob = PricingProblem(PAYOFF, market)
+    from hedgehog_tpu import HestonExactMixing
+
+    cfg = SimulationConfig(
+        trajectories=8 * 1024, steps=2, seed=11,
+        variance_reduction=Antithetic(), qmc=True,
+    )
+    method = MonteCarlo(HestonDynamics(), HestonExactMixing(use_kernel=True), cfg)
+    p_sh = float(sharded_mc_price(prob, method, make_paths_mesh()))
+    p_1 = float(solve(prob, method).price)
+    assert p_sh == pytest.approx(p_1, rel=1e-9, abs=1e-9)
+
+
+def test_kernel_sobol_slice_composition_interpret():
+    """VERDICT r4 item 9 (kernel bit-stream): the ACTUAL Pallas kernel (run
+    in interpret mode) must produce, for each disjoint point_offset slice of
+    ONE Sobol' sequence, exactly the values the full-range call produces on
+    those indices — the invariant that makes sharded == single-device on
+    real TPU kernels, asserted on the kernel's own bit arithmetic."""
+    import numpy as np
+
+    from hedgehog_tpu.ops.heston_exact_kernel import heston_exact_mixing_values
+
+    T = 1.0
+    args = (jnp.log(100.0), 0.04, 0.03, 2.0, 0.04, 0.3, -0.7, T / 2, 100.0, 1.0)
+    n_dev, per_dev = 4, 2048
+    full = np.asarray(heston_exact_mixing_values(
+        *args, n_paths=n_dev * per_dev, segments=2, seed=5, antithetic=True,
+        qmc=True, interpret=True,
+    ))
+    parts = [
+        np.asarray(heston_exact_mixing_values(
+            *args, n_paths=per_dev, segments=2, seed=5, antithetic=True,
+            qmc=True, point_offset=i * per_dev, interpret=True,
+        ))
+        for i in range(n_dev)
+    ]
+    np.testing.assert_array_equal(np.concatenate(parts, axis=-1).ravel(),
+                                  full.ravel())
