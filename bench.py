@@ -290,8 +290,25 @@ def _emit_greek_ratio_line(on_tpu: bool) -> None:
         sys.stderr.flush()
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache under the repo (gitignored): repeat
+    bench runs — including the driver's round-end run — hit warm compiles
+    instead of re-paying the axon tunnel's multi-minute cold compiles
+    (observed: the un-budgeted fresh greek-ratio measurement alone re-spent
+    ~7 min/run on two large recompiles)."""
+    try:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_compilation_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never a requirement
+        sys.stderr.write(f"# compilation cache unavailable ({type(e).__name__}: {e})\n")
+
+
 def main() -> None:
     t_start = time.perf_counter()
+    _enable_compilation_cache()
 
     def budget_left() -> bool:
         # the secondary metrics are stderr-only diagnostics; when compiles

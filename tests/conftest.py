@@ -23,6 +23,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache (gitignored): the suite is
+# compile-dominated on CPU, so repeat runs — and the driver's round-end
+# `pytest -m "not slow"` — reuse compiled programs across processes.
+import pathlib  # noqa: E402
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parent.parent / ".jax_compilation_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 # ---- fast/slow test tiers -------------------------------------------------
 # ``pytest -m "not slow"`` is the bounded smoke tier (target: <=5 minutes
 # even on a contended single-CPU host — wall clock here is compile-dominated,
