@@ -90,3 +90,19 @@ def test_surface_first_gap_floor():
     _, floored = surface_seg_steps(T, 4, min_first=2)
     assert default[0] == 1 and floored[0] == 2
     assert floored[1:] == default[1:]
+
+
+def test_lam_of_eta_ift_jvp_matches_fd():
+    """Round-5: lam_of_eta differentiates via the implicit-function-theorem
+    custom JVP (dλ/dη = ηλ/(λ−1); series derivative below |η| < 0.5)
+    instead of AD through the unrolled Newton trips.  Both branches, the
+    branch switch, and η = 0 must match central finite differences; the
+    second derivative (for gamma/volga chains) must stay finite."""
+    for eta in [-4.0, -0.6, -0.501, -0.499, -0.1, 0.0, 0.1, 0.499, 0.501,
+                0.6, 4.0, 6.5]:
+        g = float(jax.grad(lam_of_eta)(eta))
+        h = 1e-6 * max(1.0, abs(eta))
+        fd = float((lam_of_eta(eta + h) - lam_of_eta(eta - h)) / (2 * h))
+        assert g == pytest.approx(fd, rel=5e-5, abs=5e-7), eta
+        g2 = float(jax.grad(jax.grad(lam_of_eta))(eta))
+        assert np.isfinite(g2)
