@@ -29,11 +29,13 @@ jax.config.update("jax_enable_x64", True)
 import pathlib  # noqa: E402
 
 try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
+    _cache_dir = os.environ.get(
+        "HH_JAX_CACHE_DIR",
         str(pathlib.Path(__file__).resolve().parent.parent / ".jax_compilation_cache"),
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if _cache_dir:  # HH_JAX_CACHE_DIR="" disables the persistent cache
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
 
